@@ -1,0 +1,58 @@
+"""Scalar column expressions (SURVEY §2.3) — all JVM-side built-ins, zero UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def conditional_count(predicate: Column) -> Column:
+    """``SUM(CASE WHEN p THEN 1 ELSE 0 END)`` (retail_pipeline.py:39-41)."""
+    return F.sum(F.when(predicate, 1).otherwise(0))
+
+
+def conditional_sum(predicate: Column, value: Column) -> Column:
+    """``SUM(CASE WHEN p THEN v ELSE 0 END)`` (retail_pipeline_assets.py:67)."""
+    return F.sum(F.when(predicate, value).otherwise(F.lit(0.0)))
+
+
+def money_sum(value: Column, predicate: Column | None = None) -> Column:
+    """Order-insensitive 2-dp money sum, returned as double.
+
+    Doubles summed in shuffle order differ in the last ulps between runs and
+    engines; rounding per-row then accumulating in DECIMAL(18,2) makes the sum
+    EXACT (and therefore bit-identical to any ANSI oracle computing the same
+    thing) while the public type stays double. At 100 TB this also means
+    results don't drift with partition count.
+    """
+    cent = F.round(value, 2).cast("decimal(18,2)")
+    if predicate is not None:
+        cent = F.when(predicate, cent).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return F.sum(cent).cast("double")
+
+
+def safe_ratio(num: Column, den: Column) -> Column:
+    """Ratio with SQL division semantics: x/0 → NULL.
+
+    Deliberate delta from the reference (SURVEY §4.3.1): pandas float division
+    yields ``inf`` for /0 (retail_pipeline.py:50-51); we adopt ANSI NULL.
+    """
+    return num / F.nullif(den, F.lit(0))
+
+
+def split_hierarchy(
+    col: Column, *, levels: int = 3, sep: str = r"\.", default: str = "na"
+) -> list[Column]:
+    """Dotted category code → fixed hierarchy levels, absent levels = default.
+
+    Reference: the pandas loop at retail_pipeline_assets.py:107-116 splitting
+    ``category_code`` into category / sub_category1 / sub_category2 with 'na'
+    for missing levels. ``try_element_at`` is 1-based and NULL out of range
+    (``element_at`` would throw under ANSI mode, Spark 4's default), so
+    ``coalesce`` supplies the default — stays inside whole-stage codegen.
+    """
+    parts = F.split(col, sep)
+    return [
+        F.coalesce(F.try_element_at(parts, F.lit(i + 1)), F.lit(default))
+        for i in range(levels)
+    ]

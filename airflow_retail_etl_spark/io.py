@@ -1,0 +1,76 @@
+"""Sinks (SURVEY §2.2 K1-K4).
+
+The reference's sinks were pandas ``to_sql(if_exists="replace")`` (drop &
+recreate, K1) and a hand-rolled pandas→Arrow→parquet→boto3 upload (K2) plus a
+Glue crawler for catalog registration (K3). Spark-first, all three collapse
+into the built-in writer:
+
+- K1 "replace" intent → dynamic partition overwrite (only the written
+  partitions are replaced; history survives — the correct semantics the
+  reference approximated by nuking the table, SURVEY §4.3.5).
+- K2 partitioned mart layout → ``partitionBy("dt").parquet(path)``; the same
+  code writes local FS or s3a:// — the path root is the only difference.
+- K3 catalog → ``saveAsTable`` registers partitions in the session catalog;
+  no crawler.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = ("dt",),
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned columnar sink K2. With
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by session
+    configure()), mode="overwrite" replaces only the partitions present in
+    ``df`` — the idempotent per-date refresh the reference wanted."""
+    df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
+
+
+def write_mart(
+    df: DataFrame,
+    root: str,
+    name: str,
+    date: str,
+    *,
+    skip_empty: bool = True,
+) -> bool:
+    """One dated mart write: ``{root}/aggregates/{name}/dt={date}/``.
+
+    Mirrors retail_pipeline.py:78-88 including the skip-when-empty guard
+    (:79). Returns True when data was written.
+    """
+    if skip_empty and df.isEmpty():
+        return False
+    out = df.withColumn("dt", F.lit(date))
+    write_partitioned(out, f"{root.rstrip('/')}/aggregates/{name}")
+    return True
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    *,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-registered table write (K1+K3)."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+
+
+def repair_partitions(spark: SparkSession, table: str) -> None:
+    """Pick up externally-added partitions (the crawler's only real job)."""
+    spark.sql(f"MSCK REPAIR TABLE {table}")

@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+from airflow_retail_etl_spark.io import write_mart, write_partitioned
+
+
+def test_write_mart_partition_layout(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    wrote = write_mart(df, str(tmp_path), "daily_revenue_summary", "2019-10-05")
+    assert wrote
+    out = spark.read.parquet(
+        str(tmp_path / "aggregates" / "daily_revenue_summary")
+    )
+    rows = out.collect()
+    # partition-column type inference reads dt back as a date
+    assert str(rows[0]["dt"]) == "2019-10-05"
+
+
+def test_write_mart_skips_empty(spark, tmp_path):
+    df = spark.createDataFrame([], "id int, v string")
+    assert not write_mart(df, str(tmp_path), "m", "2019-10-05")
+
+
+def test_dynamic_partition_overwrite_keeps_other_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1 = spark.createDataFrame([("2019-10-01", 1), ("2019-10-02", 2)], ["dt", "v"])
+    write_partitioned(d1, path)
+    # overwrite only dt=2019-10-02 with a new value; 10-01 must survive
+    d2 = spark.createDataFrame([("2019-10-02", 99)], ["dt", "v"])
+    write_partitioned(d2, path)
+    out = {str(r["dt"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {"2019-10-01": 1, "2019-10-02": 99}

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from airflow_retail_etl_spark.sources.csv_events import (
+    EmptyInputError,
+    read_day_csv,
+)
+from airflow_retail_etl_spark.sources.tables import date_sequence, load_table
+
+CSV_HEADER = (
+    "event_time,event_type,product_id,category_id,category_code,"
+    "brand,price,user_id,user_session\n"
+)
+ROW = (
+    "2019-10-05 10:00:00,view,1003461,2053013555631882655,"
+    "electronics.smartphone,xiaomi,489.07,520088904,abc-123\n"
+)
+ROW_NULLS = "2019-10-05 11:00:00,cart,1003461,2053013555631882655,,,10.00,520088904,abc-124\n"
+
+
+def _write_day(tmp_path, date: str, body: str) -> str:
+    day_dir = tmp_path / "Day_Wise" / date
+    day_dir.mkdir(parents=True)
+    (day_dir / "event.csv").write_text(body)
+    return str(tmp_path)
+
+
+def test_read_day_csv_clean_and_audit(spark, tmp_path):
+    root = _write_day(tmp_path, "2019-10-05", CSV_HEADER + ROW + ROW_NULLS)
+    df = read_day_csv(spark, root, "2019-10-05")
+    rows = df.orderBy("event_time").collect()
+    assert len(rows) == 2
+    assert rows[0]["event_date"] == dt.date(2019, 10, 5)
+    assert rows[0]["brand"] == "xiaomi"
+    # P4 imputation on the null row
+    assert rows[1]["category_code"] == "Unknown"
+    assert rows[1]["brand"] == "Generic"
+    assert rows[1]["loaded_at"] is not None
+
+
+def test_read_day_csv_empty_guard(spark, tmp_path):
+    root = _write_day(tmp_path, "2019-10-06", CSV_HEADER)
+    with pytest.raises(EmptyInputError):
+        read_day_csv(spark, root, "2019-10-06")
+    assert read_day_csv(spark, root, "2019-10-06", allow_empty=True).isEmpty()
+
+
+def test_load_table_normalizes_nanos_timestamps(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    assert ev.filter(ev.ts.isNull()).isEmpty()
+
+
+def test_date_sequence_inclusive(spark):
+    out = date_sequence(spark, "2019-10-01", "2019-10-03").collect()
+    assert [str(r["date"]) for r in out] == [
+        "2019-10-01",
+        "2019-10-02",
+        "2019-10-03",
+    ]
