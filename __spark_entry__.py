@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark import adapters
 from airflow_retail_etl_spark.adapters import FUNNEL_TYPES, PRODUCT_KEY_REGEX
+from airflow_retail_etl_spark.functions import text as tf
 from airflow_retail_etl_spark.functions.columns import money_sum, split_hierarchy
-from airflow_retail_etl_spark.operators import marts, star
+from airflow_retail_etl_spark.operators import dedup, marts, similarity, star
 from airflow_retail_etl_spark.session import configure
 from airflow_retail_etl_spark.sources.tables import load_table
 
@@ -177,6 +178,146 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extension operators: text analysis, dedup, similarity, multimodal, windows
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token/char counts, punct & stopword ratios, quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tf.char_count(t).alias("n_chars_actual"),
+        tf.token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(tf.tokens(t))).alias("n_distinct_tokens"),
+        tf.avg_token_len(t).alias("avg_token_len"),
+        tf.punct_ratio(t).alias("punct_ratio"),
+        tf.stopword_ratio(t).alias("stopword_ratio"),
+        tf.quality_score(t).alias("quality_score"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting over normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tf.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fingerprint groups with keeper + copy count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard: top-100 most-similar pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", kind="token", n=3)
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(100)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (scale path; rows-only — xxhash64 has no
+    DuckDB equivalent). Verified against exact Jaccard in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", min_jaccard=0.2
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (rows-only: xxhash64-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id")
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for every 50th vector as query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(emb, queries_df, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (rows-only; recall tested vs exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_topk(emb, queries_df, k=10)
+
+
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: top-50 all-pairs cosine (exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, top_pairs=50)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming op)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    seq_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ev.withColumn("session_seq", F.sum(new_session).over(seq_w))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value"), F.col("event_type") == PURCHASE).alias(
+            "session_revenue"
+        ),
+    )
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.length(media).alias("n_bytes"),
+        F.md5(media).alias("checksum"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -199,6 +340,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_brands_by_revenue": q_top_brands_by_revenue,
         "events_summary": q_events_summary,
         "pricing_summary": q_pricing_summary,
+        # extension surface (SURVEY §7.4 / BASELINE north star)
+        "doc_stats": q_doc_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "neardup_jaccard": q_neardup_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "knn_cosine": q_knn_cosine,
+        "ann_lsh": q_ann_lsh,
+        "neardup_cosine": q_neardup_cosine,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "multimodal_bytes": q_multimodal_bytes,
     }
 
 
@@ -226,6 +380,75 @@ def _money(expr: str, pred: str | None = None) -> str:
     if pred:
         cent = f"CASE WHEN {pred} THEN {cent} ELSE CAST(0 AS DECIMAL(18,2)) END"
     return f"CAST(SUM({cent}) AS DOUBLE)"
+
+
+_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in tf.STOPWORDS) + "]"
+
+#: base per-document stats CTE shared by the text-analysis oracles
+_DOC_STATS_CTE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END
+                AS INTEGER) AS n_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END
+                AS INTEGER) AS n_distinct_tokens,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonws,
+           CAST(len(regexp_extract_all(text, '{tf.PUNCT_CLASS.replace("'", "''")}')) AS BIGINT) AS n_punct,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     t -> list_contains({_STOPWORDS_SQL}, t))) END
+                AS BIGINT) AS n_stop
+    FROM documents
+), stats AS (
+    SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens,
+           CAST(n_nonws AS DOUBLE) / NULLIF(n_tokens, 0) AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / NULLIF(n_chars_actual, 0) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) AS stopword_ratio
+    FROM base
+)
+"""
+
+#: token-3-gram shingle sets + exact Jaccard pair pipeline (mirrors
+#: operators.dedup.jaccard_pairs)
+_JACCARD_CTE = f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+), tok AS (
+    SELECT doc_id, string_split(t, ' ') AS toks FROM norm
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+    FROM tok
+), sizes AS (
+    SELECT doc_id, len(shingles) AS n_sh FROM sh
+), inv AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), jac AS (
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+)
+"""
+
+#: vectors as DOUBLE[] + cosine, matching operators.similarity.cosine
+_VEC_CTE = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -354,5 +577,103 @@ def oracle_sql() -> dict[str, str]:
                sum_disc / count_order AS avg_disc,
                count_order
         FROM agg
+        """,
+        "doc_stats": _DOC_STATS_CTE
+        + """
+        SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens,
+               avg_token_len, punct_ratio, stopword_ratio,
+               round(0.4 * CASE WHEN n_tokens BETWEEN 5 AND 100000
+                                THEN 1.0 ELSE 0.0 END
+                     + 0.4 * least(coalesce(stopword_ratio, 0) * 4.0, 1.0)
+                     + 0.2 * (1.0 - least(coalesce(punct_ratio, 0) * 5.0, 1.0)),
+                     6) AS quality_score
+        FROM stats
+        """,
+        "doc_fingerprint": f"""
+        SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+        """,
+        "dedup_exact": f"""
+        SELECT md5({_NORM_TEXT}) AS fingerprint,
+               MIN(doc_id) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY 1
+        """,
+        "neardup_jaccard": _JACCARD_CTE
+        + """
+        SELECT * FROM jac
+        ORDER BY jaccard DESC, id_a ASC, id_b ASC
+        LIMIT 100
+        """,
+        "knn_cosine": _VEC_CTE
+        + """
+        , q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+        p AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.e, c.e)
+                       / sqrt(list_dot_product(q.e, q.e)
+                              * list_dot_product(c.e, c.e)) AS sim
+            FROM q JOIN v c ON c.vec_id != q.vec_id
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM p
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+               round(sim, 6) AS sim
+        FROM r WHERE rank <= 10
+        """,
+        "neardup_cosine": _VEC_CTE
+        + """
+        , p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.e, b.e)
+                       / sqrt(list_dot_product(a.e, a.e)
+                              * list_dot_product(b.e, b.e)) AS sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(sim, 6) AS sim
+        FROM (SELECT * FROM p ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 50)
+        """,
+        "events_hourly": f"""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_money('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+        """,
+        "sessionize": f"""
+        WITH e AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type, value
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT *, CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_money('value', f"event_type = '{PURCHASE}'")} AS session_revenue
+        FROM numbered
+        GROUP BY 1, 2
+        """,
+        "multimodal_bytes": """
+        SELECT doc_id AS asset_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS checksum,
+               list_extract(['image', 'audio', 'video'],
+                            CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type
+        FROM documents
         """,
     }

@@ -1,0 +1,112 @@
+"""Text-analysis column expressions for document pipelines (SURVEY §7.4).
+
+Everything here is a JVM-side built-in expression (split / transform /
+filter / aggregate higher-order functions) — no Python UDFs — so the hot path
+stays inside whole-stage codegen and scales linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Default English stopword sample used by stopword_ratio / quality_score.
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+#: Punctuation class counted by punct_ratio — spelled out so the regex means
+#: the same thing under Java regex (Spark) and RE2 (DuckDB oracle).
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>; empty text → empty array."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = non-whitespace chars / token count (NULL if empty)."""
+    non_ws = F.length(F.regexp_replace(text, r"\s", ""))
+    return non_ws / F.nullif(token_count(text), F.lit(0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (NULL for empty text)."""
+    return F.regexp_count(text, F.lit(PUNCT_CLASS)) / F.nullif(
+        F.length(text), F.lit(0)
+    )
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (NULL for empty text)."""
+    toks = tokens(F.lower(text))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return n_stop / F.nullif(F.size(toks), F.lit(0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score from length / punctuation / stopwords.
+
+    The weights mirror common pretraining-data filters (length in a sane
+    band, some stopwords present, punctuation not dominating); deterministic
+    arithmetic only, so it is oracle-checkable.
+    """
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    stop_r = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    punct_r = F.coalesce(punct_ratio(text), F.lit(0.0))
+    score = (
+        0.4 * len_ok
+        + 0.4 * F.least(stop_r * F.lit(4.0), F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct_r * F.lit(5.0), F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (the MinHash/Jaccard input set).
+
+    Expressed as transform over an index sequence — one pass, no explode, no
+    UDF. Short texts (< n chars) yield the whole text as a single shingle.
+    """
+    t = normalize_text(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    toks = tokens(normalize_text(text))
+    k = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )

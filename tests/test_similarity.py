@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from airflow_retail_etl_spark.operators import similarity
+from airflow_retail_etl_spark.sources.tables import load_table
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_ordering(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["sim"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert out[2]["sim"] == -1.0
+
+
+def test_cosine_neardup_pairs_threshold(vecs):
+    out = similarity.cosine_neardup_pairs(vecs, min_sim=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+def test_lsh_topk_recall_on_testdata(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    approx = similarity.lsh_topk(emb, queries, k=10).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # uniformly random 64-d vectors are LSH's worst case; multi-table
+    # (p=4, L=16) measures ~0.76 here — assert a safe floor
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    ranks = [r["rank"] for r in approx if r["query_id"] == approx[0]["query_id"]]
+    assert ranks == sorted(ranks)
