@@ -1,0 +1,162 @@
+"""End-to-end retail pipeline composition (SURVEY §3, §7.2).
+
+The reference's two Airflow DAGs re-expressed as pure ``(spark, date) →``
+function composition — each stage one lazy DataFrame plan, materialized only
+at its sink. An orchestrator (Airflow kept as-is per BASELINE) calls
+``run_day`` per execution date; unlike the reference's hard-coded
+CURRENT_DATE (retail_pipeline_assets.py:14), the date is a parameter, which
+makes backfills (``run_backfill``) trivial.
+
+Stage map (reference → here):
+
+- load_raw_data_from_s3 (retail_pipeline_assets.py:34-53)  → ingest_day
+- load_fact_table (:56-76)                                 → build_fact
+- load_dim_user (:78-92) / load_dim_product (:94-123)      → build_dims
+- load_dim_date (:125-142)                                 → build_dim_date
+- agg_daily_metrics_to_s3 (retail_pipeline.py:28-105)      → build_marts
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.functions.columns import split_hierarchy
+from airflow_retail_etl_spark.io import write_mart, write_partitioned
+from airflow_retail_etl_spark.operators import marts, star
+from airflow_retail_etl_spark.sources.csv_events import read_day_csv
+
+
+@dataclass
+class PipelineConfig:
+    raw_root: str          # …/Day_Wise/YYYY-MM-DD/event.csv lives here
+    warehouse_root: str    # bronze/silver tables (partitioned parquet)
+    mart_root: str         # aggregates/<name>/dt=… marts
+    calendar: tuple[str, str] = ("2019-10-01", "2020-03-31")
+    funnel_types: tuple[str, str, str] = ("view", "cart", "purchase")
+    dims_not_null: dict = field(
+        default_factory=lambda: {"user": "user_id", "product": "product_id"}
+    )
+
+
+def ingest_day(spark: SparkSession, cfg: PipelineConfig, date: str) -> DataFrame:
+    """Raw CSV → cleaned staging frame → bronze partition (idempotent)."""
+    staging = read_day_csv(spark, cfg.raw_root, date)
+    write_partitioned(
+        staging.withColumn("dt", F.lit(date)),
+        f"{cfg.warehouse_root}/staging_events",
+    )
+    return staging
+
+
+def staging_table(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    return spark.read.parquet(f"{cfg.warehouse_root}/staging_events")
+
+
+def build_fact(spark: SparkSession, cfg: PipelineConfig, date: str) -> DataFrame:
+    """A1 rollup for one date partition → silver fact table partition."""
+    view, cart, purchase = cfg.funnel_types
+    day = staging_table(spark, cfg).filter(F.col("dt") == date)
+    fact = star.fact_rollup(day, purchase_value=purchase)
+    write_partitioned(
+        fact.withColumn("dt", F.lit(date)), f"{cfg.warehouse_root}/fact_events"
+    )
+    return fact
+
+
+def build_dims(spark: SparkSession, cfg: PipelineConfig, date: str) -> dict[str, DataFrame]:
+    """dim_user (D1) + dim_product (D2/D3/P6) from the date's staging slice."""
+    day = staging_table(spark, cfg).filter(F.col("dt") == date)
+    dim_user = star.build_dim(
+        day, ["user_id", "user_session"], not_null=["user_id"]
+    ).withColumn("updated_at", F.current_timestamp())
+
+    product_src = star.build_dim(
+        day,
+        ["product_id", "category_id", "category_code", "brand", "price"],
+        not_null=["product_id"],
+    )
+    product = star.dedup_keep_first(
+        product_src,
+        ["product_id"],
+        ["category_code", "brand", "price"],
+    )
+    cat, sub1, sub2 = split_hierarchy(F.col("category_code"))
+    dim_product = product.select(
+        "*",
+        cat.alias("category"),
+        sub1.alias("sub_category1"),
+        sub2.alias("sub_category2"),
+    )
+    out = {"dim_user": dim_user, "dim_product": dim_product}
+    for name, df in out.items():
+        write_partitioned(
+            df.withColumn("dt", F.lit(date)), f"{cfg.warehouse_root}/{name}"
+        )
+    return out
+
+
+def build_dim_date(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Run-once calendar dimension (@once asset)."""
+    cal = star.dim_date(spark, *cfg.calendar)
+    cal.write.mode("overwrite").parquet(f"{cfg.warehouse_root}/dim_date")
+    return cal
+
+
+def build_marts(spark: SparkSession, cfg: PipelineConfig, date: str) -> dict[str, DataFrame]:
+    """Three KPI marts for one date → partitioned mart parquet (K2)."""
+    view, cart, purchase = cfg.funnel_types
+    day = staging_table(spark, cfg).filter(F.col("dt") == date)
+    dim_product = spark.read.parquet(
+        f"{cfg.warehouse_root}/dim_product"
+    ).filter(F.col("dt") == date).select(
+        "product_id", "brand", "category_code"
+    )
+
+    revenue = marts.daily_revenue_summary(
+        day, view_value=view, cart_value=cart, purchase_value=purchase
+    )
+    # project the event side to the join key + measures only: avoids column
+    # ambiguity with the dim's brand/category_code and keeps the broadcast
+    # join input narrow
+    funnel = marts.funnel_by_dim(
+        day.select("event_date", "event_type", "price", "product_id"),
+        dim_product,
+        view_value=view,
+        cart_value=cart,
+        purchase_value=purchase,
+    )
+    top_brands = marts.top_k(
+        funnel.groupBy("brand").agg(F.sum("revenue").alias("revenue")),
+        "revenue",
+        10,
+        tiebreak=["brand"],
+    )
+    out = {
+        "daily_revenue_summary": revenue,
+        "daily_funnel_by_brand": funnel,
+        "top_brands_by_revenue": top_brands,
+    }
+    for name, df in out.items():
+        write_mart(df, cfg.mart_root, name, date)
+    return out
+
+
+def run_day(spark: SparkSession, cfg: PipelineConfig, date: str) -> dict[str, DataFrame]:
+    """One execution date end-to-end: ingest → fact+dims → marts."""
+    ingest_day(spark, cfg, date)
+    build_fact(spark, cfg, date)
+    build_dims(spark, cfg, date)
+    return build_marts(spark, cfg, date)
+
+
+def run_backfill(
+    spark: SparkSession, cfg: PipelineConfig, dates: list[str]
+) -> None:
+    """Multi-day backfill — per-date idempotent partition overwrites, so
+    re-running any date is safe (the semantics the reference's whole-table
+    replace was approximating)."""
+    for date in dates:
+        run_day(spark, cfg, date)

@@ -1,0 +1,7 @@
+from airflow_retail_etl_spark.streaming.daily_ingest import (
+    hourly_event_counts,
+    run_available_now,
+    stream_events,
+)
+
+__all__ = ["hourly_event_counts", "run_available_now", "stream_events"]

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.sources.tables import load_table
+from airflow_retail_etl_spark.streaming import (
+    hourly_event_counts,
+    run_available_now,
+    stream_events,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Copy a slice of events into a plain-parquet dir (streamable source)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("ts").alias("event_time"),
+            "event_type",
+            F.col("value").alias("price"),
+        )
+        .write.parquet(path)
+    )
+    return path
+
+
+def test_available_now_matches_batch(spark, event_dir, tmp_path):
+    batch = spark.read.parquet(event_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in hourly_event_counts(
+            batch, revenue_col="price"
+        ).collect()
+    }
+
+    stream = stream_events(
+        spark, event_dir, batch.schema, watermark="2 hours"
+    )
+    agg = hourly_event_counts(stream, revenue_col="price")
+    assert agg.isStreaming
+    run_available_now(
+        agg,
+        checkpoint=str(tmp_path / "ckpt"),
+        out_path="hourly_counts",
+        out_format="memory",
+        output_mode="complete",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("hourly_counts").collect()
+    }
+    assert got == expected
+
+
+def test_append_mode_respects_watermark(spark, event_dir, tmp_path):
+    batch = spark.read.parquet(event_dir)
+    stream = stream_events(spark, event_dir, batch.schema, watermark="1 hour")
+    agg = hourly_event_counts(stream)
+    out = str(tmp_path / "out")
+    run_available_now(
+        agg, checkpoint=str(tmp_path / "ckpt2"), out_path=out
+    )
+    result = spark.read.parquet(out)
+    # append mode emits only watermark-finalized windows: strictly fewer
+    # than the full batch result, and none within the watermark horizon
+    n_batch = hourly_event_counts(batch).count()
+    assert 0 < result.count() < n_batch
+    max_emitted = result.agg(F.max("window_start")).first()[0]
+    max_event = batch.agg(F.max("event_time")).first()[0]
+    assert max_emitted < max_event
