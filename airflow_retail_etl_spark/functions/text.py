@@ -83,13 +83,15 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def char_shingles(text: Column, n: int = 5) -> Column:
-    """Distinct character n-grams (the MinHash/Jaccard input set).
+def char_shingles_from(t: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of an ALREADY-MATERIALIZED string column.
 
-    Expressed as transform over an index sequence — one pass, no explode, no
-    UDF. Short texts (< n chars) yield the whole text as a single shingle.
+    ``t`` must be a plain column reference (not a nested expression): it is
+    referenced once per output element inside the lambda, and Catalyst
+    re-evaluates nested expressions per element — O(len²) if you inline
+    ``normalize_text`` here. Materialize first (see dedup._with_shingles).
+    Short texts (< n chars) yield the whole text as a single shingle.
     """
-    t = normalize_text(text)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
@@ -98,9 +100,12 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     )
 
 
-def token_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text."""
-    toks = tokens(normalize_text(text))
+def token_shingles_from(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED array column.
+
+    Same per-element re-evaluation caveat as char_shingles_from: pass a
+    bound column, not the tokenization expression itself.
+    """
     k = F.size(toks)
     return F.array_distinct(
         F.transform(
@@ -110,3 +115,18 @@ def token_shingles(text: Column, n: int = 3) -> Column:
             ),
         )
     )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text.
+
+    Convenience form for row-at-a-time use (tests, small frames). For bulk
+    corpora use char_shingles_from on a materialized normalized column —
+    this inline form re-normalizes per element.
+    """
+    return char_shingles_from(normalize_text(text), n)
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (see char_shingles note)."""
+    return token_shingles_from(tokens(normalize_text(text)), n)

@@ -26,9 +26,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.functions.text import (
-    char_shingles,
+    char_shingles_from,
     fingerprint,
-    token_shingles,
+    normalize_text,
+    token_shingles_from,
+    tokens,
 )
 
 
@@ -53,12 +55,31 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _with_shingles(
     df: DataFrame, text_col: str, id_col: str, *, kind: str, n: int
 ) -> DataFrame:
-    shingle = (
-        token_shingles(F.col(text_col), n)
-        if kind == "token"
-        else char_shingles(F.col(text_col), n)
+    """(id, shingles) with the tokenization MATERIALIZED before shingling.
+
+    Two-step on purpose: the shingle lambda references its input per output
+    element, and Catalyst re-evaluates nested expressions inside HOF lambdas
+    — inlining the tokenizer would cost O(tokens²) regex work per document.
+    The repartition between the steps (a) forces a bound column (no project
+    collapse) and (b) spreads the CPU-heavy shingling across cores even when
+    the source is a single small parquet file; Spark reuses the exchange for
+    self-joins downstream, so the tokenization runs exactly once.
+    """
+    if kind == "token":
+        base = df.select(
+            F.col(id_col).alias("id"),
+            tokens(normalize_text(F.col(text_col))).alias("base"),
+        )
+        shingle = token_shingles_from(F.col("base"), n)
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            normalize_text(F.col(text_col)).alias("base"),
+        )
+        shingle = char_shingles_from(F.col("base"), n)
+    return base.repartition("id").select(
+        "id", shingle.alias("shingles")
     )
-    return df.select(F.col(id_col).alias("id"), shingle.alias("shingles"))
 
 
 def jaccard_pairs(
@@ -77,17 +98,30 @@ def jaccard_pairs(
     J = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard).
     """
     sh = _with_shingles(df, text_col, id_col, kind=kind, n=n)
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("id", F.explode("shingles").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    # carry |set| through the explode: the pair aggregation then has both
+    # sizes in its group keys (functionally dependent on the ids), so no
+    # post-aggregation size-lookup joins — one shuffle join + one agg total.
+    # explode_OUTER on purpose: plain explode lets Catalyst infer a
+    # size(shingles)>0 filter and push it below the materialization
+    # exchange, re-inlining the whole shingle expression into a
+    # pre-repartition Filter (single partition, O(tokens²)) — observed 4×
+    # slowdown. Shingle arrays are never empty (≥1 by construction), so
+    # outer semantics are identical.
+    inv = sh.select(
+        "id",
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("s"),
     )
+    a, b = inv.alias("a"), inv.alias("b")
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
         .select(
             "id_a",
             "id_b",
@@ -102,16 +136,6 @@ def jaccard_pairs(
     return out
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """array<bigint> of length num_hashes: min over shingles of seeded xxhash64."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(seed, s))
-        ),
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -121,9 +145,30 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """(id, shingles, sig) — MinHash signatures as one narrow projection."""
+    """(id, shingles, sig) — MinHash signatures via explode + hash-agg.
+
+    Shape matters: computing each of the ``num_hashes`` minima as an
+    aggregate over the exploded shingles (a) evaluates every hash exactly
+    once — an Aggregate is a materialization barrier, so downstream band
+    slicing can't re-inline the computation the way CollapseProject does to
+    pure projections — and (b) shrinks to one row per doc at the partial-agg
+    stage, so the shuffle carries num_hashes longs per doc regardless of
+    document size. The shingle sets ride along via an id-equi join that
+    reuses the same hash partitioning (no extra shuffle).
+    """
     sh = _with_shingles(df, text_col, id_col, kind=kind, n=n)
-    return sh.withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
+    inv = sh.select("id", F.explode_outer("shingles").alias("s"))
+    mins = inv.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.join(mins, "id").select(
+        "id",
+        "shingles",
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -153,7 +198,9 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id",
         "shingles",
-        F.explode(
+        # explode_outer: see jaccard_pairs — avoids InferFiltersFromGenerate
+        # re-inlining the signature computation below the exchange
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda band: F.struct(

@@ -113,10 +113,14 @@ def lsh_signature(vec: Column, *, table: int, planes: int, dims: int) -> Column:
 def _with_buckets(
     df: DataFrame, vec_name: str, *, tables: int, planes: int, dims: int
 ) -> DataFrame:
-    """Explode each vector into its (table, bucket) memberships."""
+    """Explode each vector into its (table, bucket) memberships.
+
+    explode_outer: plain explode lets Catalyst infer a non-empty-array
+    filter that re-inlines the (expensive) signature expressions; the
+    literal array is never empty, so outer semantics are identical."""
     return df.withColumn(
         "tb",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(

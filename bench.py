@@ -28,6 +28,13 @@ HEADLINE = (
     "top_brands_by_revenue",
     "events_summary",
     "pricing_summary",
+    "doc_stats",
+    "dedup_exact",
+    "neardup_jaccard",
+    "minhash_lsh_pairs",
+    "knn_cosine",
+    "sessionize",
+    "events_hourly",
 )
 
 

@@ -1,0 +1,77 @@
+"""Physical-plan regression guards.
+
+These pin the plan shapes that matter at 100 TB: filters reaching the
+parquet scan, column-pruned reads, broadcast joins for dims, partial
+aggregation before the shuffle, top-k as TakeOrderedAndProject. A refactor
+that silently loses one of these fails here, not on the cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+from airflow_retail_etl_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+)
+
+
+@pytest.fixture(scope="module")
+def q(sf_dir):
+    return {name: fn for name, fn in entry.queries().items()}
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark, q, sf_dir):
+    plan = formatted_plan(q["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+
+def test_scans_are_column_pruned(spark, q, sf_dir):
+    # events_summary needs only ts + event_type out of 6 columns
+    plan = formatted_plan(q["events_summary"](spark, sf_dir))
+    scan = next(s for s in plan.split("\n\n") if "ReadSchema" in s)
+    assert "value" not in scan and "props" not in scan and "user_id" not in scan
+
+
+def test_funnel_join_broadcasts_dim(spark, q, sf_dir):
+    df = q["daily_funnel_by_brand"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # and the events side must NOT shuffle for the join: a single shuffle
+    # Exchange (for the final groupBy) is expected
+    plan = formatted_plan(df)
+    shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+    assert shuffles == 1, plan
+
+
+def test_fact_rollup_has_partial_aggregation(spark, q, sf_dir):
+    plan = formatted_plan(q["fact_rollup"](spark, sf_dir))
+    # partial + final hash aggregate around a single exchange
+    assert len(set(re.findall(r"HashAggregate \((\d+)\)", plan))) == 2
+    assert len(set(re.findall(r"\bExchange \((\d+)\)", plan))) == 1
+
+
+def test_top_k_plans_take_ordered(spark, q, sf_dir):
+    plan = formatted_plan(q["top_brands_by_revenue"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_broadcasts_queries(spark, q, sf_dir):
+    df = q["knn_cosine"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_no_python_udfs_in_relational_queries(spark, q, sf_dir):
+    # every reference-parity query must stay fully JVM-side
+    for name in (
+        "staging_clean",
+        "fact_rollup",
+        "daily_revenue_summary",
+        "daily_funnel_by_brand",
+        "pricing_summary",
+        "doc_stats",
+    ):
+        plan = formatted_plan(q[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
