@@ -22,7 +22,13 @@ from airflow_retail_etl_spark import adapters
 from airflow_retail_etl_spark.adapters import FUNNEL_TYPES, PRODUCT_KEY_REGEX
 from airflow_retail_etl_spark.functions import text as tf
 from airflow_retail_etl_spark.functions.columns import money_sum, split_hierarchy
-from airflow_retail_etl_spark.operators import dedup, marts, similarity, star
+from airflow_retail_etl_spark.operators import (
+    dedup,
+    langid,
+    marts,
+    similarity,
+    star,
+)
 from airflow_retail_etl_spark.session import configure
 from airflow_retail_etl_spark.sources.tables import load_table
 
@@ -178,6 +184,109 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join / window / rollup breadth (beyond the reference's single star join)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop star join: lineitem⋈orders⋈customer⋈nation, monthly revenue.
+
+    nation is tiny → explicit broadcast; customer/orders are fact-sized at
+    real scale → shuffle hash joins on their keys (AQE may still broadcast
+    at small SF, which is exactly the adaptivity we want).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no large order (>450k). The filter is
+    pushed into the build side before the anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 450000.0).select("o_custkey")
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers with ≥1 order above 10x their account balance."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 1000.0).select("o_custkey")
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: each user's top-3 purchases by value."""
+    ev = adapters.staging_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("price").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.filter(F.col("event_type") == PURCHASE)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "price", "rank")
+    )
+
+
+def q_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total: cumulative revenue over days (window sum in DECIMAL —
+    exact, so the running double is engine-identical at every prefix)."""
+    ev = adapters.staging_events(spark, sf_dir)
+    daily = ev.groupBy("event_date").agg(
+        money_sum(F.col("price"), F.col("event_type") == PURCHASE).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("event_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "event_date",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cumulative_revenue"),
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over (returnflag, linestatus) — subtotal hierarchy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extension operators: text analysis, dedup, similarity, multimodal, windows
 # ---------------------------------------------------------------------------
 
@@ -302,6 +411,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram language ID, self-trained on the labeled corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return langid.lang_id(docs)
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata columns."""
     docs = load_table(spark, sf_dir, "documents")
@@ -340,6 +455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_brands_by_revenue": q_top_brands_by_revenue,
         "events_summary": q_events_summary,
         "pricing_summary": q_pricing_summary,
+        # join / window / rollup breadth
+        "revenue_by_nation": q_revenue_by_nation,
+        "customers_without_orders": q_customers_without_orders,
+        "high_value_customers": q_high_value_customers,
+        "top_events_per_user": q_top_events_per_user,
+        "cumulative_daily_revenue": q_cumulative_daily_revenue,
+        "revenue_rollup": q_revenue_rollup,
         # extension surface (SURVEY §7.4 / BASELINE north star)
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -352,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "lang_id": q_lang_id,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -578,6 +701,65 @@ def oracle_sql() -> dict[str, str]:
                count_order
         FROM agg
         """,
+        "revenue_by_nation": """
+        SELECT n_name AS nation,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+        """,
+        "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        """,
+        "high_value_customers": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 1000.0)
+        """,
+        "top_events_per_user": _STAGING_CTE
+        + f"""
+        , ranked AS (
+            SELECT user_id, event_id, price,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY price DESC, event_id ASC) AS rank
+            FROM staging
+            WHERE event_type = '{PURCHASE}'
+        )
+        SELECT user_id, event_id, price, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+        """,
+        "cumulative_daily_revenue": _STAGING_CTE
+        + f"""
+        , daily AS (
+            SELECT event_date,
+                   {_money('price', f"event_type = '{PURCHASE}'")} AS revenue
+            FROM staging GROUP BY 1
+        )
+        SELECT event_date, revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (
+                   ORDER BY event_date
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
+        FROM daily
+        """,
+        "revenue_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_money('l_extendedprice')} AS sum_base_price,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "doc_stats": _DOC_STATS_CTE
         + """
         SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens,
@@ -667,6 +849,39 @@ def oracle_sql() -> dict[str, str]:
                {_money('value', f"event_type = '{PURCHASE}'")} AS session_revenue
         FROM numbered
         GROUP BY 1, 2
+        """,
+        "lang_id": f"""
+        WITH norm AS (
+            SELECT doc_id, lang, {_NORM_TEXT} AS t FROM documents
+        ), grams AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 1, 1)),
+                       i -> substr(t, i, 2))) AS gs
+            FROM norm
+        ), cnt AS (
+            SELECT lang, unnest(gs) AS g FROM grams WHERE lang IS NOT NULL
+        ), freq AS (
+            SELECT lang, g, COUNT(*) AS freq FROM cnt GROUP BY 1, 2
+        ), top AS (
+            SELECT lang, g FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY freq DESC, g ASC) AS rk
+                FROM freq) WHERE rk <= 50
+        ), prof AS (
+            SELECT lang, list_sort(list(g)) AS profile FROM top GROUP BY 1
+        ), scored AS (
+            SELECT doc_id, p.lang,
+                   len(list_intersect(gs, profile)) AS score
+            FROM grams CROSS JOIN prof p
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id AS id, lang AS predicted_lang,
+               CAST(score AS INTEGER) AS score
+        FROM ranked WHERE rk = 1
         """,
         "multimodal_bytes": """
         SELECT doc_id AS asset_id,
