@@ -57,6 +57,19 @@ def write_mart(
     return True
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    header: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """CSV sink K4 (historical surface: events summary → CSV → S3 object
+    put via S3CreateObjectOperator; here one distributed write — the path
+    root decides local FS vs s3a://)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
 def save_as_table(
     df: DataFrame,
     name: str,
