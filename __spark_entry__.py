@@ -366,6 +366,19 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(emb, top_pairs=50)
 
 
+def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-blocked scale path (rows-only: candidate set
+    depends on the hash planes; precision verified exactly, recall tested
+    vs brute force in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # testdata embeddings are near-orthogonal (max pair cosine ≈0.51), so a
+    # production-style 0.8 threshold would return nothing; 0.4 exercises the
+    # block→verify path with a non-empty result
+    return similarity.lsh_neardup_pairs(emb, min_sim=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch form of the streaming op)."""
     ev = load_table(spark, sf_dir, "events")
@@ -472,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "neardup_cosine": q_neardup_cosine,
+        "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "lang_id": q_lang_id,

@@ -80,34 +80,48 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_weight(table: int, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random weight in [-1, 1): derived from xxhash64
-    of the (table, plane, dim) index — reproducible across runs and engines,
-    no RNG state to ship."""
-    h = F.xxhash64(F.lit((table * 131 + plane) * 100003 + dim))
-    return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+def _plane_matrix(tables: int, planes: int, dims: int):
+    """Deterministic hyperplane matrix (dims × tables·planes).
+
+    Seeded PCG64 — no RNG state travels with the job; every executor and
+    every retry derives the identical planes. These signatures never feed a
+    cross-engine oracle (candidate generation only), so Python-side
+    derivation is fine.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(20250801)
+    return rng.standard_normal((dims, tables * planes))
 
 
-def lsh_signature(vec: Column, *, table: int, planes: int, dims: int) -> Column:
-    """Bit-signature for one hash table: sign of ⟨v, plane_p⟩ per plane,
-    packed into a bigint bucket key."""
-    sig = F.lit(0).cast("bigint")
-    for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[_hyperplane_weight(table, p, d) for d in range(dims)]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(proj >= 0, F.lit(1 << p).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    return sig
+def _bucket_signatures_udf(tables: int, planes: int, dims: int):
+    """Arrow-batched signature computation: one matmul per batch.
+
+    This is the one place in the engine where built-in expressions can't
+    express the math efficiently — 96 hyperplane projections per vector as
+    HOF expressions build a ~30k-node plan that Catalyst analyzes slowly
+    and evaluates interpreted. A vectorized pandas_udf does
+    (batch × dims) @ (dims × tables·planes) in one BLAS call and packs sign
+    bits per table. Returns array<bigint> of length ``tables``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = _plane_matrix(tables, planes, dims)
+    bit_weights = 1 << np.arange(planes, dtype=np.int64)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark's hint resolver can't see the local pandas import
+    @pandas_udf("array<bigint>")
+    def buckets(emb):
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dims)
+        proj = mat @ weights  # (n, tables*planes)
+        bits = (proj >= 0).astype(np.int64).reshape(-1, tables, planes)
+        packed = bits @ bit_weights  # (n, tables)
+        return pd.Series(list(packed))
+
+    return buckets
 
 
 def _with_buckets(
@@ -115,25 +129,16 @@ def _with_buckets(
 ) -> DataFrame:
     """Explode each vector into its (table, bucket) memberships.
 
-    explode_outer: plain explode lets Catalyst infer a non-empty-array
-    filter that re-inlines the (expensive) signature expressions; the
-    literal array is never empty, so outer semantics are identical."""
-    return df.withColumn(
-        "tb",
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        lsh_signature(
-                            F.col(vec_name), table=t, planes=planes, dims=dims
-                        ).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ),
-    ).select(*df.columns, "tb.table", "tb.bucket")
+    posexplode_outer gives (table index, bucket) directly; _outer avoids
+    Catalyst inferring a size()>0 filter that would re-run the UDF below
+    the shuffle boundary (see operators/dedup.py for the pathology).
+    """
+    udf = _bucket_signatures_udf(tables, planes, dims)
+    with_sig = df.withColumn("__buckets", udf(F.col(vec_name)))
+    return with_sig.select(
+        *df.columns,
+        F.posexplode_outer("__buckets").alias("table", "bucket"),
+    )
 
 
 def lsh_topk(
@@ -196,6 +201,60 @@ def lsh_topk(
             "rank",
             F.round(F.col("sim"), 6).alias("sim"),
         )
+    )
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float = 0.8,
+    planes: int = 8,
+    tables: int = 12,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH block → exact-cosine verify.
+
+    Pairs are compared only when they share a bucket in ≥1 of the L tables.
+    For genuinely near-duplicate vectors (cosine ≥ 0.8 ⇒ angle ≤ 37° ⇒
+    per-plane agreement q ≥ 0.8) recall is 1-(1-q^p)^L ≈ 0.94+ at the
+    defaults, while unrelated vectors rarely collide across p=8 planes.
+    Every candidate is verified with exact cosine, so precision is exact.
+    """
+    v = _with_buckets(
+        vectors.select(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        ),
+        "v",
+        tables=tables,
+        planes=planes,
+        dims=dims,
+    )
+    a, b = v.alias("a"), v.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+        .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
     )
 
 

@@ -1,6 +1,11 @@
 from __future__ import annotations
 
-from airflow_retail_etl_spark.io import write_mart, write_partitioned
+from airflow_retail_etl_spark.io import (
+    save_as_table,
+    write_csv,
+    write_mart,
+    write_partitioned,
+)
 
 
 def test_write_mart_partition_layout(spark, tmp_path):
@@ -18,6 +23,28 @@ def test_write_mart_partition_layout(spark, tmp_path):
 def test_write_mart_skips_empty(spark, tmp_path):
     df = spark.createDataFrame([], "id int, v string")
     assert not write_mart(df, str(tmp_path), "m", "2019-10-05")
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    back = spark.read.option("header", True).csv(path)
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        ("1", "a"),
+        ("2", "b"),
+    ]
+
+
+def test_save_as_table_registers_catalog(spark):
+    df = spark.createDataFrame([("2019-10-01", 1)], ["dt", "v"])
+    save_as_table(df, "t_catalog_check", partition_by=["dt"])
+    try:
+        assert spark.catalog.tableExists("t_catalog_check")
+        # partition registration: readable via catalog, partition pruned
+        assert spark.table("t_catalog_check").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_catalog_check")
 
 
 def test_dynamic_partition_overwrite_keeps_other_partitions(spark, tmp_path):

@@ -33,6 +33,25 @@ def test_cosine_neardup_pairs_threshold(vecs):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
 
 
+def test_lsh_neardup_finds_planted_duplicates(spark):
+    # plant near-identical vectors among random-ish ones
+    import math
+    base = [math.sin(i * 0.7) for i in range(64)]
+    near = [x + (0.001 if i % 2 else -0.001) for i, x in enumerate(base)]
+    rows = [(0, base), (1, near)] + [
+        (i, [math.sin(i * 1000 + j * 17.3) for j in range(64)])
+        for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.lsh_neardup_pairs(df, min_sim=0.95).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] > 0.999
+    # verified precision: nothing below the threshold sneaks in
+    assert all(s >= 0.95 for s in out.values())
+
+
 def test_lsh_topk_recall_on_testdata(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id % 100 = 0")
