@@ -47,6 +47,9 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
+    # the testdata is one smallish parquet file per table; split finer so
+    # scans parallelize locally (cluster deployments keep the 128MB default)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
