@@ -29,11 +29,25 @@ def write_partitioned(
     partition_by: Sequence[str] = ("dt",),
     mode: str = "overwrite",
     fmt: str = "parquet",
+    files_per_partition: int | None = None,
 ) -> None:
     """Partitioned columnar sink K2. With
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by session
     configure()), mode="overwrite" replaces only the partitions present in
-    ``df`` — the idempotent per-date refresh the reference wanted."""
+    ``df`` — the idempotent per-date refresh the reference wanted.
+
+    ``files_per_partition`` bounds output file count: without it, every
+    task holding rows for a partition writes its own file — at 1000
+    executors that is a small-files problem. Repartitioning on the
+    partition columns clusters each partition's rows into
+    ``files_per_partition`` tasks (hash-spread so one hot date still gets
+    multiple writers).
+    """
+    if files_per_partition is not None:
+        spread = (F.crc32(F.concat_ws("\x00", *df.columns)) % files_per_partition)
+        df = df.repartition(
+            *[F.col(c) for c in partition_by], spread
+        )
     df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
 
 

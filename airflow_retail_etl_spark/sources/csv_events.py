@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from airflow_retail_etl_spark.schemas import EVENT_CSV_SCHEMA
 
@@ -33,9 +34,43 @@ def _clean(df: DataFrame) -> DataFrame:
     return df.fillna(FILL_DEFAULTS)
 
 
-def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
-    """Bulk CSV scan with the explicit event schema (no inference)."""
-    return spark.read.schema(EVENT_CSV_SCHEMA).option("header", True).csv(path)
+def read_events_csv(
+    spark: SparkSession, path: str, *, keep_corrupt: bool = False
+) -> DataFrame:
+    """Bulk CSV scan with the explicit event schema (no inference).
+
+    ``keep_corrupt=True`` adds a ``_corrupt_record`` column (PERMISSIVE
+    mode): malformed rows land there with NULL data columns instead of
+    silently disappearing — at 100 TB you quarantine and count bad rows,
+    never drop them blind. Default keeps the clean schema.
+    """
+    schema = EVENT_CSV_SCHEMA
+    reader = spark.read.option("header", True)
+    if keep_corrupt:
+        schema = T.StructType(
+            list(EVENT_CSV_SCHEMA.fields)
+            + [T.StructField("_corrupt_record", T.StringType(), True)]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    return reader.schema(schema).csv(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine) from a keep_corrupt=True scan.
+
+    Spark refuses to filter on ``_corrupt_record`` referenced alone against
+    the raw CSV scan (the parser would have to re-run inconsistently), so
+    the parsed frame is cached first — which a quarantining ingest wants
+    anyway: both halves are consumed.
+    """
+    df = df.cache()
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return (
+        df.filter(~corrupt).drop("_corrupt_record"),
+        df.filter(corrupt),
+    )
 
 
 def read_day_csv(

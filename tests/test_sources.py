@@ -7,6 +7,8 @@ import pytest
 from airflow_retail_etl_spark.sources.csv_events import (
     EmptyInputError,
     read_day_csv,
+    read_events_csv,
+    split_corrupt,
 )
 from airflow_retail_etl_spark.sources.tables import date_sequence, load_table
 
@@ -46,6 +48,30 @@ def test_read_day_csv_empty_guard(spark, tmp_path):
     with pytest.raises(EmptyInputError):
         read_day_csv(spark, root, "2019-10-06")
     assert read_day_csv(spark, root, "2019-10-06", allow_empty=True).isEmpty()
+
+
+def test_corrupt_records_quarantined(spark, tmp_path):
+    bad = "not-a-timestamp,view,xyz\n"
+    path = tmp_path / "mixed.csv"
+    path.write_text(CSV_HEADER + ROW + bad)
+    df = read_events_csv(spark, str(path), keep_corrupt=True)
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() == 1
+    assert quarantine.count() == 1
+    assert "not-a-timestamp" in quarantine.first()["_corrupt_record"]
+
+
+def test_write_partitioned_bounds_file_count(spark, tmp_path):
+    from airflow_retail_etl_spark.io import write_partitioned
+
+    df = spark.createDataFrame(
+        [("2019-10-01", i) for i in range(100)], ["dt", "v"]
+    ).repartition(8)  # many tasks hold rows for the same partition
+    path = str(tmp_path / "t")
+    write_partitioned(df, path, files_per_partition=2)
+    files = list((tmp_path / "t" / "dt=2019-10-01").glob("*.parquet"))
+    assert 1 <= len(files) <= 2
+    assert spark.read.parquet(path).count() == 100
 
 
 def test_load_table_normalizes_nanos_timestamps(spark, sf_dir):
