@@ -360,6 +360,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries_df, k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-10 (rows-only: KMeans cells; recall tested vs exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, queries_df, k=10)
+
+
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-50 all-pairs cosine (exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -484,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "neardup_cosine": q_neardup_cosine,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "events_hourly": q_events_hourly,

@@ -258,6 +258,88 @@ def lsh_neardup_pairs(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans coarse quantizer + cell probing.
+
+    The corpus is partitioned into ``n_cells`` Voronoi cells (Spark ML
+    KMeans, fixed seed → deterministic given the data); each query probes
+    its ``n_probe`` nearest cells and scores only those members with exact
+    cosine. Versus LSH: better candidate quality on clustered data (cells
+    adapt to the distribution), at the cost of a training pass. At 100 TB
+    you train on a sample and assign with one broadcast of the centroid
+    matrix — assignment below is exactly that broadcast-join shape.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("fv", array_to_vector(F.col("cv")))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell"
+    ).fit(v)
+    assigned = model.transform(v).select("neighbor_id", "cv", "cell")
+
+    # centroids as a tiny literal table: (cell, centroid array)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = vectors.sparkSession.createDataFrame(
+        centers, ["cell", "centroid"]
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    # rank cells per query by centroid distance, keep n_probe
+    qc = q.crossJoin(F.broadcast(centers_df)).select(
+        "query_id",
+        "qv",
+        "cell",
+        dot(F.col("qv"), F.col("centroid")).alias("aff"),
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("aff").desc(), F.col("cell").asc()
+    )
+    probed = (
+        qc.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    pairs = assigned.join(F.broadcast(probed), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     *,

