@@ -147,7 +147,7 @@ def q_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style pricing rollup on lineitem (headline bench query)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") < F.lit("2024-12-01").cast("timestamp_ntz")
+        F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp_ntz")
     )
     # All money arithmetic in DECIMAL: the inputs are exact 2-dp values, so
     # cast→multiply→sum is exact and engine-independent. Rounding double
@@ -215,6 +215,35 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: top-10 open orders by revenue for one segment.
+
+    Filter pushdown on both scan sides, shuffle join on the order key,
+    single agg, TakeOrderedAndProject for the top-k.
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         # join / window / rollup breadth
         "revenue_by_nation": q_revenue_by_nation,
+        "shipping_priority": q_shipping_priority,
         "customers_without_orders": q_customers_without_orders,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
@@ -712,7 +742,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem
-            WHERE l_shipdate < TIMESTAMP '2024-12-01'
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
             GROUP BY 1, 2
         )
         SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
@@ -734,6 +764,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY 1, 2
+        """,
+        "shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
         """,
         "customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment
