@@ -303,6 +303,48 @@ def q_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (sort-based, not
+    approx — hash-matches the oracle; at 100 TB switch to
+    approx_percentile where 0.1% error is fine)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
+        F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bucket = floor(v/25))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 25).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("bucket_lo", (F.col("bucket") * 25).cast("double"))
+    )
+
+
+def q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type."""
+    ev = adapters.staging_events(spark, sf_dir)
+    types = sorted(["view", "click", "purchase", "signup", "error"])
+    out = (
+        ev.groupBy("event_date")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; a count should read 0
+    return out.select(
+        "event_date",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP over (returnflag, linestatus) — subtotal hierarchy."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -512,6 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "revenue_rollup": q_revenue_rollup,
+        "value_percentiles": q_value_percentiles,
+        "value_histogram": q_value_histogram,
+        "daily_type_pivot": q_daily_type_pivot,
+        # (oracle entries for these three are defined in oracle_sql below)
         # extension surface (SURVEY §7.4 / BASELINE north star)
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -825,6 +871,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5)  AS p50,
+               quantile_cont(value, 0.9)  AS p90,
+               quantile_cont(value, 0.99) AS p99,
+               MIN(value) AS v_min,
+               MAX(value) AS v_max
+        FROM events
+        GROUP BY 1
+        """,
+        "value_histogram": """
+        SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(floor(value / 25) AS BIGINT) * 25 AS DOUBLE) AS bucket_lo
+        FROM events
+        GROUP BY 1
+        """,
+        "daily_type_pivot": f"""
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(COUNT(*) FILTER (WHERE COALESCE(event_type,'unknown') = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (WHERE COALESCE(event_type,'unknown') = 'error') AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (WHERE COALESCE(event_type,'unknown') = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (WHERE COALESCE(event_type,'unknown') = 'signup') AS BIGINT) AS n_signup,
+               CAST(COUNT(*) FILTER (WHERE COALESCE(event_type,'unknown') = 'view') AS BIGINT) AS n_view
+        FROM events
+        GROUP BY 1
         """,
         "doc_stats": _DOC_STATS_CTE
         + """

@@ -28,12 +28,14 @@ HEADLINE = (
     "top_brands_by_revenue",
     "events_summary",
     "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority",
+    "sessionize",
     "doc_stats",
     "dedup_exact",
     "neardup_jaccard",
     "minhash_lsh_pairs",
     "knn_cosine",
-    "sessionize",
     "events_hourly",
 )
 
