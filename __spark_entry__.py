@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark import adapters
-from airflow_retail_etl_spark.adapters import FUNNEL_TYPES, PRODUCT_KEY_REGEX
+from airflow_retail_etl_spark.adapters import FUNNEL_TYPES
 from airflow_retail_etl_spark.functions import text as tf
 from airflow_retail_etl_spark.functions.columns import money_sum, split_hierarchy
 from airflow_retail_etl_spark.operators import (

@@ -2,8 +2,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import functions as F
-
 from airflow_retail_etl_spark.operators.star import (
     build_dim,
     dedup_keep_first,
