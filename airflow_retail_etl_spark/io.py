@@ -98,6 +98,33 @@ def save_as_table(
     writer.saveAsTable(name)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: Sequence[str] = ("dt",),
+    files_per_partition: int = 1,
+) -> None:
+    """Rewrite a partitioned dataset with bounded files per partition.
+
+    The janitor for long-lived tables: streaming appends and wide writes
+    accumulate small files; this rewrites each partition into
+    ``files_per_partition`` files via dynamic partition overwrite (readers
+    see old-or-new, never partial). Run it per recently-written partition,
+    not the whole table, in production."""
+    df = spark.read.parquet(path).cache()
+    df.count()  # materialize before overwriting the path being read
+    try:
+        write_partitioned(
+            df,
+            path,
+            partition_by=partition_by,
+            files_per_partition=files_per_partition,
+        )
+    finally:
+        df.unpersist()
+
+
 def repair_partitions(spark: SparkSession, table: str) -> None:
     """Pick up externally-added partitions (the crawler's only real job)."""
     spark.sql(f"MSCK REPAIR TABLE {table}")

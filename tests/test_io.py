@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 from airflow_retail_etl_spark.io import (
+    compact_partitions,
     save_as_table,
     write_csv,
     write_mart,
@@ -23,6 +24,19 @@ def test_write_mart_partition_layout(spark, tmp_path):
 def test_write_mart_skips_empty(spark, tmp_path):
     df = spark.createDataFrame([], "id int, v string")
     assert not write_mart(df, str(tmp_path), "m", "2019-10-05")
+
+
+def test_compact_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2019-10-01", i) for i in range(64)], ["dt", "v"]
+    ).repartition(8)
+    write_partitioned(df, path)  # 8 writer tasks → up to 8 files
+    before = len(list((tmp_path / "t" / "dt=2019-10-01").glob("*.parquet")))
+    compact_partitions(spark, path)
+    after = len(list((tmp_path / "t" / "dt=2019-10-01").glob("*.parquet")))
+    assert after == 1 < before
+    assert spark.read.parquet(path).count() == 64
 
 
 def test_write_csv_roundtrip(spark, tmp_path):
