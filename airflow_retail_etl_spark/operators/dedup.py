@@ -195,11 +195,13 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, kind=kind, n=n, num_hashes=num_hashes
     )
+    # band WITHOUT the shingle arrays: the (band,bucket) self-join shuffles
+    # ~20 bytes/row instead of the ~1KB shingle payload × 21 bands × 2
+    # sides; shingles re-attach to the (much smaller) candidate pair set.
+    # explode_outer: see jaccard_pairs — avoids InferFiltersFromGenerate
+    # re-inlining the signature computation below the exchange.
     banded = sigs.select(
         "id",
-        "shingles",
-        # explode_outer: see jaccard_pairs — avoids InferFiltersFromGenerate
-        # re-inlining the signature computation below the exchange
         F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -211,7 +213,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "shingles", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -221,18 +223,22 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sigs.select("id", "shingles")
+    verified = (
+        candidates.join(
+            sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a"
+        )
+        .join(
+            sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b"
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.select(
+        verified.select(
             "id_a", "id_b", (inter / union).alias("jaccard")
         ).filter(F.col("jaccard") >= min_jaccard)
     )
