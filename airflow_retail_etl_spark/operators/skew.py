@@ -86,8 +86,23 @@ def salted_join(
     Each big-side row gets one salt; each small-side row is exploded into
     all ``salt_buckets`` salts, so the join key becomes (key, salt) and a
     hot key spreads over ``salt_buckets`` reducers. Row multiplicity is
-    unchanged — results are exactly the plain join's.
+    unchanged — results are exactly the plain join's — for join types that
+    preserve only the big (left) side: each big row carries exactly one
+    salt, while small-side rows are replicated per salt, so a
+    small-side-preserving join (right/full outer) would emit unmatched
+    small rows ``salt_buckets`` times. Those types are rejected.
     """
+    allowed = {
+        "inner", "cross",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got {how!r};"
+            " right/full outer would replicate unmatched small-side rows"
+        )
     big_salted = big.withColumn("__salt", _salt(big, salt_buckets))
     small_salted = small.withColumn(
         "__salt",

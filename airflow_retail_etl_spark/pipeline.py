@@ -128,11 +128,11 @@ def build_marts(spark: SparkSession, cfg: PipelineConfig, date: str) -> dict[str
         cart_value=cart,
         purchase_value=purchase,
     )
+    # reference grain: head(10) of the (date, brand, category_code) funnel
+    # frame itself (retail_pipeline.py:73), not a brand-level re-aggregation;
+    # tiebreak pins the survivor set where pandas' head() order was accidental
     top_brands = marts.top_k(
-        funnel.groupBy("brand").agg(F.sum("revenue").alias("revenue")),
-        "revenue",
-        10,
-        tiebreak=["brand"],
+        funnel, "revenue", 10, tiebreak=["brand", "category_code"]
     )
     out = {
         "daily_revenue_summary": revenue,

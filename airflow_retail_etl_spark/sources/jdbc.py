@@ -19,6 +19,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def jdbc_read_options(
+    url: str,
+    query: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Reader options for a pushed-down, optionally range-partitioned scan.
+
+    Spark's JDBC source rejects ``query`` combined with ``partitionColumn``
+    ("Options 'query' and 'partitionColumn' can not be specified together"),
+    so the partitioned path wraps the query as a ``dbtable`` derived table —
+    the documented escape hatch, same pushdown, and Spark appends the
+    per-partition range predicates to it.
+    """
+    opts: dict[str, str] = {"url": url}
+    if partition_column is None:
+        opts["query"] = query
+    else:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        opts["dbtable"] = f"({query}) AS __spark_jdbc_src"
+        opts["partitionColumn"] = partition_column
+        opts["lowerBound"] = str(lower_bound)
+        opts["upperBound"] = str(upper_bound)
+        opts["numPartitions"] = str(num_partitions)
+    opts.update(properties or {})
+    return opts
+
+
 def read_jdbc_query(
     spark: SparkSession,
     url: str,
@@ -31,21 +66,16 @@ def read_jdbc_query(
     properties: dict[str, str] | None = None,
 ) -> DataFrame:
     """SQL-pushdown table scan, optionally range-partitioned."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
+    opts = jdbc_read_options(
+        url,
+        query,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        num_partitions=num_partitions,
+        properties=properties,
     )
-    for key, value in (properties or {}).items():
-        reader = reader.option(key, value)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
-        )
-    return reader.load()
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def write_jdbc(

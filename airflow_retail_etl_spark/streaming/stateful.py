@@ -79,9 +79,14 @@ def _sessionize_fn(gap_ms: int):
 
         if state.exists:
             start_ms, last_ms, n = state.get
+            # a late in-watermark event may predate the stored session start;
+            # pull the start back so the emitted span covers it. (Events that
+            # arrive out of order can only extend the open session — a
+            # retroactive re-split to match a full batch sort is impossible
+            # in append-mode streaming; see tests for the equivalence bound.)
+            start_ms = min(start_ms, ts_ms[0])
         else:
             start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
-            ts_ms = ts_ms  # first event counted in the loop
 
         for t in ts_ms:
             if t - last_ms > gap_ms:

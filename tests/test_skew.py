@@ -51,3 +51,10 @@ def test_salted_join_matches_plain(spark, events, sf_dir):
 def test_salted_agg_rejects_non_algebraic(events):
     with pytest.raises(ValueError):
         salted_agg(events, ["user_id"], {"x": ("avg", F.col("value"))})
+
+
+def test_salted_join_rejects_small_side_preserving(events, spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError):
+            salted_join(events, part, "p_partkey", how=how)

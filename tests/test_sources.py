@@ -87,3 +87,43 @@ def test_date_sequence_inclusive(spark):
         "2019-10-02",
         "2019-10-03",
     ]
+
+
+def test_jdbc_read_options_unpartitioned_uses_query():
+    from airflow_retail_etl_spark.sources.jdbc import jdbc_read_options
+
+    opts = jdbc_read_options("jdbc:postgresql://h/db", "SELECT * FROM t")
+    assert opts["query"] == "SELECT * FROM t"
+    assert "partitionColumn" not in opts and "dbtable" not in opts
+
+
+def test_jdbc_read_options_partitioned_uses_dbtable_subquery():
+    # Spark rejects 'query' + 'partitionColumn' together; the partitioned
+    # path must wrap the query as a dbtable derived table instead.
+    from airflow_retail_etl_spark.sources.jdbc import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:postgresql://h/db",
+        "SELECT id, v FROM t",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=4,
+        properties={"fetchsize": "500"},
+    )
+    assert "query" not in opts
+    assert opts["dbtable"] == "(SELECT id, v FROM t) AS __spark_jdbc_src"
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "0"
+    assert opts["upperBound"] == "1000"
+    assert opts["numPartitions"] == "4"
+    assert opts["fetchsize"] == "500"
+
+
+def test_jdbc_read_options_partitioned_requires_bounds():
+    from airflow_retail_etl_spark.sources.jdbc import jdbc_read_options
+
+    with pytest.raises(ValueError):
+        jdbc_read_options(
+            "jdbc:postgresql://h/db", "SELECT 1", partition_column="id"
+        )

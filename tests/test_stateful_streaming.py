@@ -111,3 +111,51 @@ def test_streaming_sessionize_batch_equivalence_of_closed(spark, event_dir, tmp_
         for r in spark.table("sessions_out2").collect()
     }
     assert closed_batch <= got
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for direct unit tests of the session fn."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def test_late_in_window_event_moves_session_start_back():
+    import pandas as pd
+
+    from airflow_retail_etl_spark.streaming.stateful import _sessionize_fn
+
+    gap_ms = 30 * 60 * 1000
+    fn = _sessionize_fn(gap_ms)
+    t0 = int(pd.Timestamp("2024-01-01 10:00:00").value // 1_000_000)
+    # existing open session [10:00, 10:10] with 2 events
+    state = _FakeState((t0, t0 + 10 * 60_000, 2))
+    # late event at 09:55 — within watermark, predates the stored start
+    late = pd.DataFrame(
+        {"event_time": [pd.Timestamp("2024-01-01 09:55:00")]}
+    )
+    emitted = list(fn((1,), iter([late]), state))
+    assert emitted == []  # session stays open — no gap exceeded
+    start_ms, last_ms, n = state.get
+    assert start_ms == t0 - 5 * 60_000  # start pulled back to 09:55
+    assert last_ms == t0 + 10 * 60_000  # end unchanged
+    assert n == 3
