@@ -403,18 +403,44 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (scale path; rows-only — xxhash64 has no
-    DuckDB equivalent). Verified against exact Jaccard in tests."""
+    """MinHash+LSH near-dup pairs — full pipeline, oracle-checked.
+
+    Same signatures→banding→band-join→exact-verify plan as the production
+    path, but with the cross-engine md5/Kirsch–Mitzenmacher hash family
+    (functions.xhash) so DuckDB replicates CANDIDATE GENERATION bit-exactly:
+    the oracle computes the same 63 minima, the same 21 band buckets, the
+    same candidate pairs, and the same verified Jaccard — recall behaviour
+    included, not just precision. The xxhash64 production path (same plan,
+    cheaper hash) is benched in bench.py and recall-tested in
+    tests/test_dedup.py.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", min_jaccard=0.2
+        docs,
+        "text",
+        "doc_id",
+        min_jaccard=0.3,
+        hash="md5km",
+        max_bucket_size=None,  # the oracle models the uncapped join
     ).orderBy("id_a", "id_b")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only: xxhash64-based)."""
+    """SimHash signatures, oracle-checked bit-for-bit.
+
+    md5-derived token hashes (functions.xhash) instead of xxhash64, so the
+    64 per-bit majority votes produce the identical signature in DuckDB.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "text", "doc_id")
+    return dedup.simhash(docs, "text", "doc_id", hash="md5")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole block bucketing + Hamming verify,
+    fully replicated in the oracle (md5 signatures + same block join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash(docs, "text", "doc_id", hash="md5")
+    return dedup.simhash_pairs(sigs, max_hamming=3, max_bucket_size=None)
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,17 +451,34 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (rows-only; recall tested vs exact)."""
+    """LSH-bucketed approximate top-10, oracle-checked INCLUDING recall.
+
+    The hyperplanes are a deterministic seeded matrix, so the oracle inlines
+    them as literals and replicates the exact bucketing (sign of 64-d dot
+    products: the minimum |projection| across SFs is ~1e-6 — nine orders
+    above double rounding — so numpy-vs-DuckDB summation order cannot flip
+    a sign; validated in tests/test_xhash.py).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.lsh_topk(emb, queries_df, k=10)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ANN top-10 (rows-only: KMeans cells; recall tested vs exact)."""
+    """IVF top-10 in integrity mode: probe ALL cells ⇒ must equal the exact
+    brute-force top-k, which the oracle computes.
+
+    KMeans cells aren't SQL-replicable, but with n_probe = n_cells the cell
+    structure must not change the answer — so this query form proves the
+    IVF machinery (training, assignment, probing, rescoring) loses or
+    duplicates no vectors. Approximate-recall behaviour at n_probe < n_cells
+    is pinned separately in tests/test_similarity.py.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(emb, queries_df, k=10)
+    return similarity.ivf_topk(
+        emb, queries_df, k=10, n_cells=16, n_probe=16, fit_fraction=0.5
+    )
 
 
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,9 +488,9 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, LSH-blocked scale path (rows-only: candidate set
-    depends on the hash planes; precision verified exactly, recall tested
-    vs brute force in tests/test_similarity.py)."""
+    """Embedding near-dup, LSH-blocked scale path — oracle-checked end to
+    end via the same inlined-hyperplane replication as q_ann_lsh (candidate
+    blocks AND verified sims both match bit-for-bit)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # testdata embeddings are near-orthogonal (max pair cosine ≈0.51), so a
     # production-style 0.8 threshold would return nothing; 0.4 exercises the
@@ -565,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": q_neardup_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -670,6 +714,136 @@ WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine sketch replication (functions.xhash) — the DuckDB side of the
+# md5-hash-family LSH/SimHash pipelines, so candidate generation itself is
+# oracle-checked, not just rows-only.
+# ---------------------------------------------------------------------------
+
+from airflow_retail_etl_spark.functions import xhash  # noqa: E402
+
+
+def _simhash_bits_sql(hs: str, n: str) -> str:
+    """Sum of 64 per-bit majority-vote terms ≡ Spark's bitwiseOR chain
+    (masks are disjoint). HUGEINT accumulation sidesteps i64 overflow on
+    the sign bit; the final value always fits BIGINT."""
+    terms = [
+        # bit 63 = sign bit of the signed token hash, contributed as -2^63
+        f"CASE WHEN 2*len(list_filter({hs}, x -> x < 0)) > {n} "
+        f"THEN CAST(-9223372036854775808 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    ]
+    for b in range(63):
+        mask = 1 << b
+        terms.append(
+            f"CASE WHEN 2*len(list_filter({hs}, x -> (x & {mask}) != 0)) > {n} "
+            f"THEN CAST({mask} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+        )
+    return "CAST(" + "\n  + ".join(terms) + " AS BIGINT)"
+
+
+_SIMHASH_CTE = f"""
+WITH norm AS (
+    SELECT doc_id,
+           list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           list_transform(toks, t -> {xhash.duck_md5_long('t')}) AS hs,
+           len(toks) AS n
+    FROM norm
+), sigs AS (
+    SELECT doc_id AS id, {{bits}} AS simhash FROM h
+)
+""".replace("{bits}", _simhash_bits_sql("hs", "n"))
+
+
+#: minhash md5km replication: 63 Kirsch–Mitzenmacher minima per doc off the
+#: two md5 halves of each shingle, 21 3-row band buckets via md5 of the
+#: comma-joined minima — identical to operators.dedup with hash="md5km".
+_MINHASH_LSH_SQL = f"""
+, shx AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), halves AS (
+    SELECT doc_id,
+           {xhash.duck_md5_u64('s', 1)} AS u1,
+           {xhash.duck_md5_u64('s', 2)} AS u2
+    FROM shx
+), sigm AS (
+    SELECT doc_id, i.i AS i,
+           MIN({xhash.duck_km_hash('u1', 'u2', 'i.i')}) AS mh
+    FROM halves, (SELECT unnest(generate_series(0, 62)) AS i) i
+    GROUP BY 1, 2
+), bandedm AS (
+    SELECT doc_id, i // 3 AS band,
+           md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+    FROM sigm GROUP BY doc_id, i // 3
+), candm AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandedm a JOIN bandedm b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM candm c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.3
+"""
+
+
+def _planes_sql(tables: int, planes: int, dims: int) -> str:
+    """The seeded hyperplane matrix as a DOUBLE[][] literal (plane k =
+    w[k], 1-indexed), so DuckDB buckets with the exact same planes Spark's
+    pandas_udf matmul uses. repr() round-trips doubles exactly."""
+    from airflow_retail_etl_spark.operators.similarity import _plane_matrix
+
+    w = _plane_matrix(tables, planes, dims)
+    cols = [
+        "[" + ", ".join(repr(float(x)) for x in w[:, j]) + "]"
+        for j in range(tables * planes)
+    ]
+    return "[" + ",\n".join(cols) + "]"
+
+
+def _lsh_buckets_cte(tables: int, planes: int) -> str:
+    """(vec_id, tbl, bucket) per vector: bit p of a table's bucket = sign
+    of the projection on plane tbl·planes+p — identical packing to
+    similarity._bucket_signatures_udf."""
+    return f"""
+, planes AS (
+    SELECT {_planes_sql(tables, planes, 64)} AS w
+), buck AS (
+    SELECT vec_id, t.tbl AS tbl,
+           list_sum(list_transform(generate_series(0, {planes - 1}), p ->
+               CASE WHEN list_dot_product(e, w[t.tbl*{planes} + p + 1]) >= 0
+                    THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END
+           )) AS bucket
+    FROM v, (SELECT unnest(generate_series(0, {tables - 1})) AS tbl) t, planes
+)
+"""
+
+
+#: exact cosine top-10 per query vector — the oracle for brute-force kNN
+#: AND for IVF in integrity mode (probe-all ⇒ must equal brute force).
+_KNN_SQL = (
+    _VEC_CTE
+    + """
+    , q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.e, c.e)
+                   / sqrt(list_dot_product(q.e, q.e)
+                          * list_dot_product(c.e, c.e)) AS sim
+        FROM q JOIN v c ON c.vec_id != q.vec_id
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM p
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           round(sim, 6) AS sim
+    FROM r WHERE rank <= 10
+    """
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -926,23 +1100,69 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY jaccard DESC, id_a ASC, id_b ASC
         LIMIT 100
         """,
-        "knn_cosine": _VEC_CTE
+        "knn_cosine": _KNN_SQL,
+        "ann_ivf": _KNN_SQL,
+        "ann_lsh": _VEC_CTE
+        + _lsh_buckets_cte(16, 4)
         + """
-        , q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
-        p AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   list_dot_product(q.e, c.e)
-                       / sqrt(list_dot_product(q.e, q.e)
-                              * list_dot_product(c.e, c.e)) AS sim
-            FROM q JOIN v c ON c.vec_id != q.vec_id
+        , qb AS (SELECT * FROM buck WHERE vec_id % 50 = 0
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM qb q JOIN buck c
+              ON q.tbl = c.tbl AND q.bucket = c.bucket
+             AND c.vec_id != q.vec_id
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(vq.e, vc.e)
+                       / sqrt(list_dot_product(vq.e, vq.e)
+                              * list_dot_product(vc.e, vc.e)) AS sim
+            FROM cand
+            JOIN v vq ON vq.vec_id = query_id
+            JOIN v vc ON vc.vec_id = neighbor_id
         ), r AS (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-            FROM p
+            FROM scored
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                round(sim, 6) AS sim
         FROM r WHERE rank <= 10
+        """,
+        "neardup_cosine_lsh": _VEC_CTE
+        + _lsh_buckets_cte(12, 8)
+        + """
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT id_a, id_b,
+                   list_dot_product(va.e, vb.e)
+                       / sqrt(list_dot_product(va.e, va.e)
+                              * list_dot_product(vb.e, vb.e)) AS sim
+            FROM cand
+            JOIN v va ON va.vec_id = id_a
+            JOIN v vb ON vb.vec_id = id_b
+        )
+        SELECT id_a, id_b, round(sim, 6) AS sim
+        FROM scored WHERE sim >= 0.4
+        """,
+        "minhash_lsh_pairs": _JACCARD_CTE + _MINHASH_LSH_SQL,
+        "simhash": _SIMHASH_CTE + "SELECT id, simhash FROM sigs",
+        "simhash_pairs": _SIMHASH_CTE
+        + """
+        , banded AS (
+            SELECT id, simhash, b.blk AS blk,
+                   (simhash >> (b.blk * 16)) & 65535 AS block_val
+            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS blk) b
+        ), cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   a.simhash AS sa, b.simhash AS sb
+            FROM banded a JOIN banded b
+              ON a.blk = b.blk AND a.block_val = b.block_val AND a.id < b.id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "neardup_cosine": _VEC_CTE
         + """

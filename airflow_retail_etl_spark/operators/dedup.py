@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions import xhash
 from airflow_retail_etl_spark.functions.text import (
     char_shingles_from,
     fingerprint,
@@ -90,14 +91,27 @@ def jaccard_pairs(
     kind: str = "token",
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs sharing ≥1 shingle, with exact Jaccard similarity.
 
     Inverted-index join: explode distinct shingles, equi-join on the shingle,
     count co-occurrences per (id_a < id_b) pair, then
     J = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard).
+
+    ``max_doc_freq`` is the stop-shingle skew guard (SCALE.md): a shingle
+    appearing in more than that many documents contributes freq² rows to the
+    self-join — one shingle shared by 1M docs is 10¹² join rows. With the cap
+    set, such shingles are dropped from CANDIDATE GENERATION only, and every
+    surviving candidate pair is re-scored on the full shingle sets, so
+    reported Jaccard values stay exact; only pairs whose overlap consists
+    EXCLUSIVELY of capped (ubiquitous) shingles are missed — at a sane cap
+    those pairs are boilerplate-overlap noise, not near-duplicates. Default
+    None keeps the single-join exact plan (the oracle-checked verifier).
     """
     sh = _with_shingles(df, text_col, id_col, kind=kind, n=n)
+    if max_doc_freq is not None:
+        return _capped_jaccard_pairs(sh, max_doc_freq, min_jaccard)
     # carry |set| through the explode: the pair aggregation then has both
     # sizes in its group keys (functionally dependent on the ids), so no
     # post-aggregation size-lookup joins — one shuffle join + one agg total.
@@ -136,6 +150,42 @@ def jaccard_pairs(
     return out
 
 
+def _capped_jaccard_pairs(
+    sh: DataFrame, max_doc_freq: int, min_jaccard: float
+) -> DataFrame:
+    """Skew-guarded exact Jaccard: candidates from capped inverted index,
+    verification on the full shingle sets.
+
+    Shingle doc-frequencies are one extra aggregation on the already-exploded
+    index; the filter drops the quadratic hot keys BEFORE the self-join. The
+    candidate set then re-attaches both full shingle arrays and scores with
+    array_intersect — the same verify shape as minhash_lsh_pairs, so the
+    Jaccard values are exact even though capped shingles generated no
+    candidates.
+    """
+    inv = sh.select("id", F.explode_outer("shingles").alias("s"))
+    rare = inv.groupBy("s").agg(F.count("*").alias("df_s")).filter(
+        F.col("df_s") <= max_doc_freq
+    )
+    capped = inv.join(rare.select("s"), "s", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    full = sh.select("id", "shingles")
+    verified = candidates.join(
+        full.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a"
+    ).join(full.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = verified.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -144,6 +194,7 @@ def minhash_signatures(
     kind: str = "token",
     n: int = 3,
     num_hashes: int = 64,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingles, sig) — MinHash signatures via explode + hash-agg.
 
@@ -152,23 +203,46 @@ def minhash_signatures(
     once — an Aggregate is a materialization barrier, so downstream band
     slicing can't re-inline the computation the way CollapseProject does to
     pure projections — and (b) shrinks to one row per doc at the partial-agg
-    stage, so the shuffle carries num_hashes longs per doc regardless of
+    stage, so the shuffle carries num_hashes values per doc regardless of
     document size. The shingle sets ride along via an id-equi join that
     reuses the same hash partitioning (no extra shuffle).
+
+    ``hash`` picks the family: ``"xxhash64"`` (production — fastest, JVM
+    intrinsic) or ``"md5km"`` (cross-engine: Kirsch–Mitzenmacher double
+    hashing off the two md5 halves, bit-replicable in DuckDB — see
+    functions.xhash — at ~one md5 per shingle instead of num_hashes
+    xxhash64 calls).
     """
     sh = _with_shingles(df, text_col, id_col, kind=kind, n=n)
     inv = sh.select("id", F.explode_outer("shingles").alias("s"))
-    mins = inv.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return sh.join(mins, "id").select(
-        "id",
-        "shingles",
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    if hash == "xxhash64":
+        mins = inv.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        sig = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    elif hash == "md5km":
+        halves = inv.select(
+            "id",
+            xhash.md5_u64(F.col("s"), 1).alias("u1"),
+            xhash.md5_u64(F.col("s"), 2).alias("u2"),
+        )
+        mins = halves.groupBy("id").agg(
+            *[
+                F.min(
+                    xhash.km_hash(F.col("u1"), F.col("u2"), i).cast(
+                        "decimal(21,0)"
+                    )
+                ).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        sig = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    else:
+        raise ValueError(f"unknown hash family: {hash!r}")
+    return sh.join(mins, "id").select("id", "shingles", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -181,6 +255,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 63,
     bands: int = 21,
     min_jaccard: float = 0.5,
+    hash: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs at scale: MinHash → banded LSH → exact-Jaccard verify.
 
@@ -190,11 +266,45 @@ def minhash_lsh_pairs(
     verified with exact Jaccard on the shingle sets, so precision is exact
     and only recall depends on the curve.
     Returns (id_a, id_b, jaccard) for verified pairs.
+
+    ``max_bucket_size`` caps the band self-join (SCALE.md skew guard): a
+    (band, bucket) shared by m docs contributes m² candidate rows, and a
+    corpus with a large exact-duplicate cluster puts ALL its copies in the
+    same bucket in EVERY band — quadratic blowup the S-curve math never
+    sees. Buckets above the cap are dropped from candidate generation;
+    members of such mega-buckets are (near-)identical clusters that
+    ``exact_dedup`` should collapse first (run it before this operator —
+    the guard is the backstop, not the strategy). None disables.
+
+    ``hash``: "xxhash64" (production) or "md5km" (cross-engine — signatures
+    AND band buckets derived from md5 so DuckDB can replicate candidate
+    generation bit-exactly; see functions.xhash).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, text_col, id_col, kind=kind, n=n, num_hashes=num_hashes
+        df, text_col, id_col, kind=kind, n=n, num_hashes=num_hashes, hash=hash
     )
+    if hash == "xxhash64":
+        def bucket_of(band):
+            return F.xxhash64(
+                F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
+            )
+    else:
+        # md5 of the comma-joined decimal minima — string in, hex out, both
+        # replicable in DuckDB (md5(string_agg(mh::VARCHAR, ',' ORDER BY i)))
+        def bucket_of(band):
+            return F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(
+                            F.col("sig"), band * rows_per_band + 1, rows_per_band
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            )
+
     # band WITHOUT the shingle arrays: the (band,bucket) self-join shuffles
     # ~20 bytes/row instead of the ~1KB shingle payload × 21 bands × 2
     # sides; shingles re-attach to the (much smaller) candidate pair set.
@@ -206,14 +316,12 @@ def minhash_lsh_pairs(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda band: F.struct(
-                    band.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
+                    band.alias("band"), bucket_of(band).alias("bucket")
                 ),
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -244,18 +352,63 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _cap_buckets(
+    df: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than the cap before a self-join.
+
+    One window count partitioned by the bucket keys — the same hash
+    partitioning the self-join needs anyway, so the exchange is shared; no
+    collect, no second scan. m members in a bucket → m² candidate pairs, so
+    the cap bounds per-bucket join work at max_bucket_size².
+    """
+    if max_bucket_size is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, *, hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
-    bit b of the signature = majority vote of bit b across token xxhash64
-    values. Computed with HOFs over a 64-element bit index — one projection,
-    no shuffle. Near-dups are pairs with small Hamming distance (see
-    simhash_pairs).
+    bit b of the signature = majority vote of bit b across token hash
+    values, computed with HOFs over the hash array — one projection + one
+    materialization exchange, no join. Near-dups are pairs with small
+    Hamming distance (see simhash_pairs).
+
+    ``hash``: "xxhash64" (production) or "md5" (signed i64 off the first
+    md5 half — bit-replicable in DuckDB, see functions.xhash, so the full
+    signature is oracle-checkable).
+
+    The token-hash array is materialized behind an exchange before the 64
+    per-bit majority votes: each vote references the array twice, and
+    CollapseProject would otherwise re-inline the tokenize+hash expression
+    128 times per row (the HOF re-evaluation trap — see _with_shingles).
     """
     toks = F.array_distinct(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash == "xxhash64":
+        def hash_fn(t):
+            return F.xxhash64(t)
+    elif hash == "md5":
+        def hash_fn(t):
+            return xhash.md5_long(t)
+    else:
+        raise ValueError(f"unknown hash family: {hash!r}")
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, hash_fn).alias("hashes"),
+    ).repartition("id")
+    hashes = F.col("hashes")
     n_tok = F.size(hashes)
 
     # Per bit: majority vote across token hashes. Bit masks are Python-side
@@ -281,17 +434,26 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sig = bit_set(0)
     for b in range(1, 64):
         sig = sig.bitwiseOR(bit_set(b))
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return hashed.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(
-    sigs: DataFrame, *, max_hamming: int = 3, prefix_bits: int = 16
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup candidates from SimHash signatures, banded by bit blocks.
 
     Splits the 64-bit signature into 4 16-bit blocks; any pair within
     Hamming distance 3 must agree on ≥1 whole block (pigeonhole), so
     block-equality bucketing finds all such pairs without O(n²) compare.
+
+    ``max_bucket_size`` guards the block self-join the same way as in
+    minhash_lsh_pairs: an exact-dup cluster shares ALL blocks, so its m
+    copies alone generate 4m² candidate rows — collapse with exact_dedup
+    first; the cap is the backstop. None disables.
     """
     blocks = 64 // prefix_bits
     mask = (1 << prefix_bits) - 1
@@ -312,6 +474,7 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.blk", "bb.block_val")
+    banded = _cap_buckets(banded, ["blk", "block_val"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

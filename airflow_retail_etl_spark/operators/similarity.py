@@ -268,6 +268,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 7,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: KMeans coarse quantizer + cell probing.
 
@@ -275,9 +276,15 @@ def ivf_topk(
     KMeans, fixed seed → deterministic given the data); each query probes
     its ``n_probe`` nearest cells and scores only those members with exact
     cosine. Versus LSH: better candidate quality on clustered data (cells
-    adapt to the distribution), at the cost of a training pass. At 100 TB
-    you train on a sample and assign with one broadcast of the centroid
-    matrix — assignment below is exactly that broadcast-join shape.
+    adapt to the distribution), at the cost of a training pass.
+
+    ``fit_fraction`` trains the quantizer on a seeded Bernoulli sample of
+    the corpus — THE 100 TB path: centroid quality converges with a few
+    hundred points per cell, so training on ~10⁻⁵ of a huge corpus is
+    statistically equivalent and removes the only full-data iterative pass.
+    Assignment is unchanged either way: one broadcast of the centroid
+    matrix, no shuffle of the corpus. None fits on everything (small-data
+    default).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -286,9 +293,12 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("fv", array_to_vector(F.col("cv")))
+    fit_input = (
+        v if fit_fraction is None else v.sample(fit_fraction, seed=seed)
+    )
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell"
-    ).fit(v)
+    ).fit(fit_input)
     assigned = model.transform(v).select("neighbor_id", "cv", "cell")
 
     # centroids as a tiny literal table: (cell, centroid array)

@@ -88,3 +88,106 @@ def test_simhash_pairs_banding(docs):
     sigs = dedup.simhash(docs, "text", "doc_id")
     out = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(sigs, max_hamming=3).collect()}
     assert out[(1, 3)] == 0
+
+
+def test_md5_hash_families_preserve_semantics(docs):
+    # md5km minhash and md5 simhash must find the same structure as the
+    # xxhash64 production family (different hashes, same algorithm)
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", min_jaccard=0.5, hash="md5km"
+        ).collect()
+    }
+    assert out[(1, 3)] == 1.0
+    assert 0.5 < out[(1, 2)] < 1.0
+    sigs = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash(docs, "text", "doc_id", hash="md5").collect()
+    }
+    assert sigs[1] == sigs[3]
+
+
+def test_unknown_hash_family_rejected(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash(docs, "text", "doc_id", hash="sha1")
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(docs, "text", "doc_id", hash="sha1")
+
+
+# --- skew guards (SCALE.md): adversarial corpora ---------------------------
+
+def _boilerplate_corpus(spark):
+    """Every doc shares one ubiquitous boilerplate trigram; true near-dup
+    pairs also share rare shingles."""
+    footer = "copyright acme corp all rights reserved"
+    rows = []
+    for i in range(40):
+        rows.append((i, f"unique document body number {i} {footer}"))
+    # one true near-dup pair with rare overlap
+    rows.append((100, f"rare alpha beta gamma delta payload {footer}"))
+    rows.append((101, f"rare alpha beta gamma delta payload extra {footer}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_jaccard_stop_shingle_cap_bounds_candidates(spark):
+    df = _boilerplate_corpus(spark)
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df, "text", "doc_id", min_jaccard=0.5, max_doc_freq=10
+        ).collect()
+    }
+    # the true near-dup pair survives (rare shingles generate it) with an
+    # EXACT jaccard — scored on the full sets, cap affects candidates only
+    assert (100, 101) in capped
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df, "text", "doc_id", min_jaccard=0.5
+        ).collect()
+    }
+    assert capped[(100, 101)] == full[(100, 101)]
+    # candidate generation is bounded: the 40 boilerplate-only docs share
+    # ONLY capped shingles, so they form no pairs at all
+    boiler_pairs = [
+        p for p in capped if p[0] < 100 and p[1] < 100
+    ]
+    assert boiler_pairs == []
+
+
+def test_minhash_bucket_cap_bounds_megabucket(spark):
+    # 60 exact copies of one doc → every band puts all 60 in one bucket;
+    # with the cap they generate no candidates, while a distinct near-dup
+    # pair is still found
+    rows = [(i, "identical spam content repeated across the corpus") for i in range(60)]
+    rows += [
+        (200, "legitimate document alpha beta gamma delta epsilon zeta"),
+        (201, "legitimate document alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            df, "text", "doc_id", min_jaccard=0.5, max_bucket_size=50
+        ).collect()
+    }
+    assert (200, 201) in out
+    spam_pairs = [p for p in out if p[0] < 100 and p[1] < 100]
+    assert spam_pairs == []  # mega-bucket dropped, not exploded
+    # cap disabled → the 60·59/2 spam pairs all come back
+    uncapped = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", min_jaccard=0.5, max_bucket_size=None
+    ).count()
+    assert uncapped == 60 * 59 // 2 + 1
+
+
+def test_simhash_block_cap_bounds_megabucket(spark):
+    rows = [(i, "identical spam content repeated across the corpus") for i in range(60)]
+    rows += [(200, "legitimate document alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.simhash(df, "text", "doc_id")
+    capped = dedup.simhash_pairs(sigs, max_bucket_size=50).count()
+    assert capped == 0  # only spam-cluster pairs exist, and they're capped
+    uncapped = dedup.simhash_pairs(sigs, max_bucket_size=None).count()
+    assert uncapped == 60 * 59 // 2

@@ -7,16 +7,13 @@ import pytest
 
 import __spark_entry__ as entry
 
-#: queries that intentionally have no SQL oracle (hash-seeded candidate
-#: generation with no DuckDB equivalent); each must have an exactness or
-#: recall test in tests/ instead.
-ROWS_ONLY = {
-    "ann_ivf",
-    "ann_lsh",
-    "minhash_lsh_pairs",
-    "neardup_cosine_lsh",
-    "simhash",
-}
+#: queries that intentionally have no SQL oracle. Empty since round 2: the
+#: former rows-only LSH/ANN queries are now oracle-checked via cross-engine
+#: md5 hash families (functions.xhash), inlined hyperplane literals, and
+#: IVF integrity mode (probe-all ≡ brute force). Approximate-recall
+#: behaviour of the production xxhash64/sampled paths stays pinned in
+#: tests/test_dedup.py and tests/test_similarity.py.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_oracle_key_has_a_query():
