@@ -551,6 +551,22 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid.lang_id(docs)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: synthesize WAV/PPM/multi-frame-PPM
+    payloads per document (deterministic contract in
+    multimodal.synth_payload), then parse them back with the pure-Python
+    codecs via mapInPandas Arrow batches. Every decoded stat (header
+    fields, byte counts, square-wave peak/rms, constant-color channel
+    means) is an exact function of doc_id, so the oracle predicts the
+    decoder's output without ever seeing the bytes — a wrong byte anywhere
+    in synth OR parse shows up as a hash mismatch.
+    """
+    from airflow_retail_etl_spark import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.synth_media_corpus(docs))
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata columns."""
     docs = load_table(spark, sf_dir, "documents")
@@ -618,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lang_id": q_lang_id,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1241,6 +1258,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id, lang AS predicted_lang,
                CAST(score AS INTEGER) AS score
         FROM ranked WHERE rk = 1
+        """,
+        "multimodal_decode": """
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 3 AS m,
+                   1000 + doc_id % 29000 AS amp,
+                   100 + 2*(doc_id % 200) AS n_aud,
+                   CAST(8 + doc_id % 32 AS INTEGER) AS w,
+                   CAST(8 + doc_id % 16 AS INTEGER) AS h,
+                   2 + doc_id % 4 AS k
+            FROM documents
+        ), img AS (
+            SELECT *,
+                   length('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                          || CAST(h AS VARCHAR) || chr(10) || '255'
+                          || chr(10)) + 3*w*h AS frame_bytes
+            FROM base
+        )
+        SELECT doc_id AS asset_id,
+               ['image','audio','video'][CAST(m + 1 AS INTEGER)] AS media_type,
+               CAST(CASE WHEN m = 1 THEN 44 + 2*n_aud
+                         WHEN m = 0 THEN frame_bytes
+                         ELSE k * frame_bytes END AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN m = 1 THEN 8000 END AS INTEGER) AS sample_rate,
+               CAST(CASE WHEN m = 1 THEN 1 END AS INTEGER) AS n_channels,
+               CAST(CASE WHEN m = 1 THEN 2 END AS INTEGER) AS sample_width,
+               CAST(CASE WHEN m = 1 THEN n_aud
+                         WHEN m = 2 THEN k END AS BIGINT) AS n_frames,
+               CASE WHEN m = 1 THEN CAST(n_aud AS DOUBLE) / 8
+                    WHEN m = 2 THEN k * 40.0 END AS duration_ms,
+               CASE WHEN m = 1 THEN CAST(amp AS DOUBLE) END AS peak,
+               CASE WHEN m = 1 THEN CAST(amp AS DOUBLE) END AS rms,
+               CAST(CASE WHEN m != 1 THEN w END AS INTEGER) AS width,
+               CAST(CASE WHEN m != 1 THEN h END AS INTEGER) AS height,
+               CAST(CASE WHEN m != 1 THEN 255 END AS INTEGER) AS maxval,
+               CASE WHEN m != 1 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+               CASE WHEN m != 1 THEN CAST((7*doc_id) % 256 AS DOUBLE) END AS mean_g,
+               CASE WHEN m != 1 THEN CAST((13*doc_id) % 256 AS DOUBLE) END AS mean_b
+        FROM img
         """,
         "multimodal_bytes": """
         SELECT doc_id AS asset_id,

@@ -3,13 +3,17 @@
 Media (image/audio/video) travels as an opaque ``binary`` column plus typed
 metadata (schemas.MEDIA_SCHEMA). The Spark-side plumbing — schema, Arrow
 batch shape, partition-parallel decode via ``mapInPandas`` — is real and
-tested; the actual codec step is stubbed (no image/audio libraries in this
-environment) behind ``decode_stub``:
+tested, and so are three pure-Python codecs that need no external library:
 
-- ``fake=True`` (default) produces a deterministic fake "decode" (byte stats
-  + content hash) so pipelines and tests exercise the full path.
-- ``fake=False`` raises NotImplementedError where a real codec (Pillow,
-  torchaudio, pyav, …) would plug in.
+- WAV (RIFF PCM16) via the stdlib ``wave`` module + numpy sample stats;
+- PPM (P6 binary) via direct byte parsing;
+- "video" as concatenated PPM frames (one decode per frame, frame count and
+  per-frame stats extracted).
+
+``decode_stub(fake=True)`` remains the deterministic byte-stats fake for
+pipelines whose payloads aren't in one of those formats; ``fake=False`` now
+performs a REAL decode of the payload (and raises ValueError for formats it
+cannot parse — the plug point for Pillow/torchaudio/pyav codecs).
 
 Scale posture: decode runs per-partition in Arrow batches (one Python worker
 round-trip per batch, not per row); metadata-only operations (filtering by
@@ -19,6 +23,9 @@ size/type, checksumming) stay JVM-side and never deserialize payloads.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,20 +46,160 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_stub(payload: bytes, media_type: str, *, fake: bool = True) -> list[float]:
-    """Stand-in for a real media decoder.
+#: Output schema of decode_media over mapInPandas — unified across media
+#: types (inapplicable fields are NULL), so one frame serves mixed corpora.
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_width", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("maxval", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
 
-    Real implementation would decode image pixels / audio samples / video
-    frames here. The deterministic fake derives an 8-dim "feature" from
-    byte statistics so the surrounding plumbing is fully testable.
+_VIDEO_FRAME_MS = 40.0  # 25 fps
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real RIFF/PCM WAV decode: header via the stdlib ``wave`` parser,
+    sample statistics via numpy over the raw frames. 16-bit PCM only (the
+    synthesizer's format); wave itself rejects non-PCM."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_width = w.getsampwidth()
+        sample_rate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sample_width != 2:
+        raise ValueError(f"only PCM16 supported, got width {sample_width}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "sample_width": sample_width,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000.0 / sample_rate,
+        "peak": float(np.max(np.abs(samples))) if samples.size else None,
+        "rms": float(np.sqrt(np.mean(samples**2))) if samples.size else None,
+    }
+
+
+def _parse_ppm_header(payload: bytes, off: int) -> tuple[int, int, int, int]:
+    """Parse one P6 header starting at ``off``; returns (w, h, maxval,
+    pixel_data_offset). Raises ValueError on malformed input."""
+    if payload[off : off + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = off + 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raw pixels
+    return fields[0], fields[1], fields[2], i
+
+
+def decode_ppm(payload: bytes, off: int = 0) -> tuple[dict, int]:
+    """Real binary-PPM (P6) decode from ``off``: header + per-channel pixel
+    means via numpy. Returns (stats, offset past this image) so video
+    payloads (concatenated frames) can be walked frame by frame."""
+    import numpy as np
+
+    w, h, maxval, data_off = _parse_ppm_header(payload, off)
+    end = data_off + 3 * w * h
+    if end > len(payload):
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(payload[data_off:end], dtype=np.uint8).reshape(h, w, 3)
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    stats = {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
+    return stats, end
+
+
+def decode_video_ppm(payload: bytes) -> dict:
+    """Decode a concatenated-P6-frames "video": frame count, first-frame
+    geometry, per-channel means across ALL frames."""
+    frames = []
+    off = 0
+    while off < len(payload):
+        stats, off = decode_ppm(payload, off)
+        frames.append(stats)
+    n = len(frames)
+    return {
+        "width": frames[0]["width"],
+        "height": frames[0]["height"],
+        "maxval": frames[0]["maxval"],
+        "n_frames": n,
+        "duration_ms": n * _VIDEO_FRAME_MS,
+        "mean_r": sum(f["mean_r"] for f in frames) / n,
+        "mean_g": sum(f["mean_g"] for f in frames) / n,
+        "mean_b": sum(f["mean_b"] for f in frames) / n,
+    }
+
+
+def decode_payload(payload: bytes, media_type: str) -> dict:
+    """Dispatch a REAL decode by media type. ValueError for undecodable
+    payloads — the honest failure mode (and the plug point for richer
+    codecs: Pillow/torchaudio/pyav would slot in here)."""
+    if media_type == "audio":
+        return decode_wav(payload)
+    if media_type == "image":
+        return decode_ppm(payload)[0]
+    if media_type == "video":
+        return decode_video_ppm(payload)
+    raise ValueError(f"no decoder for media_type={media_type!r}")
+
+
+def decode_stub(payload: bytes, media_type: str, *, fake: bool = True) -> list[float]:
+    """Feature leaf: deterministic byte-stats fake, or a REAL decode.
+
+    ``fake=True`` derives an 8-dim "feature" from a content hash — for
+    payloads in formats we can't parse. ``fake=False`` decodes the payload
+    (WAV/PPM/concatenated-PPM) and returns an 8-dim feature of real decoded
+    quantities; raises ValueError if the payload isn't parseable.
     """
-    if not fake:
-        raise NotImplementedError(
-            f"real {media_type} decoding requires codec libraries not "
-            "available in this environment; plug in at decode_stub()"
-        )
     if payload is None:
         return []
+    if not fake:
+        d = decode_payload(bytes(payload), media_type)
+        return [
+            float(d.get("n_frames") or 0),
+            float(d.get("sample_rate") or 0),
+            float(d.get("duration_ms") or 0),
+            float(d.get("rms") or 0.0),
+            float(d.get("width") or 0),
+            float(d.get("height") or 0),
+            float(d.get("mean_r") or 0.0),
+            float(d.get("mean_g") or 0.0),
+        ]
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:8]]
 
@@ -79,6 +226,98 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("stub").alias("codec"),
         ).alias("meta"),
     )
+
+
+def synth_payload(doc_id: int, media_type: str) -> bytes:
+    """Deterministic real-format payload for ``doc_id`` — the synthesis
+    contract the correctness oracle predicts (see __spark_entry__
+    multimodal_decode):
+
+    - audio: mono PCM16 WAV, 8000 Hz, n = 100 + 2·(id % 200) frames of an
+      alternating ±A square wave with A = 1000 + id % 29000 — so peak = A
+      and rms = A exactly (A² is a perfect square in float64), mean = 0.
+    - image: binary PPM (P6), w = 8 + id % 32, h = 8 + id % 16, constant
+      color (id % 256, 7·id % 256, 13·id % 256) — channel means are exact.
+    - video: 2 + id % 4 concatenated PPM frames of that image.
+    """
+    if media_type == "audio":
+        amp = 1000 + doc_id % 29000
+        n = 100 + 2 * (doc_id % 200)
+        pcm = struct.pack(
+            f"<{n}h", *[amp if i % 2 == 0 else -amp for i in range(n)]
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm)
+        return buf.getvalue()
+    w_, h_ = 8 + doc_id % 32, 8 + doc_id % 16
+    rgb = bytes([doc_id % 256, (7 * doc_id) % 256, (13 * doc_id) % 256])
+    frame = b"P6\n%d %d\n255\n" % (w_, h_) + rgb * (w_ * h_)
+    if media_type == "image":
+        return frame
+    if media_type == "video":
+        return frame * (2 + doc_id % 4)
+    raise ValueError(f"no synthesizer for media_type={media_type!r}")
+
+
+def synth_media_corpus(docs: DataFrame) -> DataFrame:
+    """(asset_id, media_type, media) with REAL format bytes per document.
+
+    The synthesis leaf runs in Arrow batches via mapInPandas (same shape as
+    a real ingest decode); media_type cycles by id like media_from_documents.
+    """
+    types = ["image", "audio", "video"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            mtypes = [types[i % 3] for i in ids]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": mtypes,
+                    "media": [
+                        synth_payload(int(i), t) for i, t in zip(ids, mtypes)
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_media(media_df: DataFrame) -> DataFrame:
+    """Partition-parallel REAL decode via mapInPandas → DECODE_SCHEMA.
+
+    One Arrow batch in/out; payload bytes never hit the driver. Fields that
+    don't apply to a media type are NULL.
+    """
+    cols = [f.name for f in DECODE_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[dict] = []
+            for asset_id, mtype, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["media"]
+            ):
+                row = dict.fromkeys(cols)
+                row["asset_id"] = asset_id
+                row["media_type"] = mtype
+                row["n_bytes"] = len(payload)
+                row.update(decode_payload(bytes(payload), mtype))
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media_df.mapInPandas(batches, DECODE_SCHEMA)
 
 
 def extract_features(media_df: DataFrame, *, fake: bool = True) -> DataFrame:

@@ -42,9 +42,92 @@ def test_extract_features_roundtrip(spark, media):
         assert all(0.0 <= x <= 1.0 for x in r["feature"])
 
 
-def test_decode_stub_real_path_is_gated():
-    with pytest.raises(NotImplementedError):
-        decode_stub(b"bytes", "image", fake=False)
+def test_decode_stub_real_path_rejects_unparseable():
+    with pytest.raises(ValueError):
+        decode_stub(b"not a real payload", "image", fake=False)
+
+
+def test_wav_roundtrip_exact_stats():
+    from airflow_retail_etl_spark.multimodal import decode_wav, synth_payload
+
+    d = decode_wav(synth_payload(7, "audio"))
+    # contract: A = 1000 + 7 % 29000 = 1007, n = 100 + 2·7 = 114
+    assert d["sample_rate"] == 8000
+    assert d["n_channels"] == 1 and d["sample_width"] == 2
+    assert d["n_frames"] == 114
+    assert d["peak"] == 1007.0
+    assert d["rms"] == 1007.0  # ±A square wave: rms is exactly A
+    assert d["duration_ms"] == 114 * 1000.0 / 8000
+
+
+def test_wav_decoder_handles_arbitrary_pcm():
+    # not just the synthesizer's wave shape: a ramp signal decodes too
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    from airflow_retail_etl_spark.multimodal import decode_wav
+
+    samples = list(range(-100, 100))
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    d = decode_wav(buf.getvalue())
+    assert d["n_channels"] == 2
+    assert d["sample_rate"] == 44100
+    assert d["n_frames"] == len(samples) // 2  # stereo: 2 samples/frame
+    assert d["peak"] == 100.0
+    assert d["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(np.array(samples, dtype=np.float64) ** 2)))
+    )
+
+
+def test_ppm_roundtrip_and_comments():
+    from airflow_retail_etl_spark.multimodal import decode_ppm, synth_payload
+
+    d, end = decode_ppm(synth_payload(10, "image"))
+    assert (d["width"], d["height"], d["maxval"]) == (18, 18, 255)
+    assert d["mean_r"] == 10.0 and d["mean_g"] == 70.0 and d["mean_b"] == 130.0
+    # a PPM with a comment line still parses (real-format robustness)
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 5, 6, 7])
+    d2, _ = decode_ppm(ppm)
+    assert (d2["width"], d2["height"]) == (2, 1)
+    assert d2["mean_r"] == 3.0  # (1+5)/2
+
+
+def test_video_frames_walk():
+    from airflow_retail_etl_spark.multimodal import (
+        decode_video_ppm,
+        synth_payload,
+    )
+
+    d = decode_video_ppm(synth_payload(6, "video"))  # k = 2 + 6 % 4 = 4
+    assert d["n_frames"] == 4
+    assert d["duration_ms"] == 160.0
+    assert d["mean_r"] == 6.0
+
+
+def test_decode_media_end_to_end_spark(spark):
+    from airflow_retail_etl_spark.multimodal import (
+        decode_media,
+        synth_media_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(12)], ["doc_id", "text"]
+    )
+    out = {r["asset_id"]: r for r in decode_media(synth_media_corpus(docs)).collect()}
+    assert len(out) == 12
+    assert out[1]["media_type"] == "audio" and out[1]["rms"] == 1001.0
+    assert out[3]["media_type"] == "image" and out[3]["width"] == 11
+    assert out[5]["media_type"] == "video" and out[5]["n_frames"] == 3
+    # unified schema: inapplicable fields are NULL
+    assert out[3]["sample_rate"] is None and out[1]["width"] is None
 
 
 def test_frame_sample_plan_explodes_jvm_side(media):
