@@ -357,6 +357,34 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style SCD-1 dim upsert (star.upsert_dim): a deterministic
+    day-2 batch of attribute changes (keys %5: brand prefixed, price +1)
+    and brand-new keys (keys %7, offset ids) merged into the day-1 dim —
+    updates win on match, inserts land, untouched rows survive."""
+    part = load_table(spark, sf_dir, "part")
+    base = star.build_dim(
+        part, ["p_partkey", "p_brand", "p_retailprice"], not_null=["p_partkey"]
+    ).select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+    )
+    changed = base.filter(F.col("product_id") % 5 == 0).select(
+        "product_id",
+        F.concat(F.lit("NEW-"), F.col("brand")).alias("brand"),
+        (F.col("price") + F.lit(1.0)).alias("price"),
+    )
+    inserts = base.filter(F.col("product_id") % 7 == 0).select(
+        (F.col("product_id") + F.lit(10_000_000)).alias("product_id"),
+        F.lit("INSERTED").alias("brand"),
+        F.col("price"),
+    )
+    return star.upsert_dim(
+        base, changed.unionByName(inserts), ["product_id"], ["brand", "price"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension operators: text analysis, dedup, similarity, multimodal, windows
 # ---------------------------------------------------------------------------
@@ -616,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "value_histogram": q_value_histogram,
         "daily_type_pivot": q_daily_type_pivot,
+        "dim_upsert": q_dim_upsert,
         # (oracle entries for these three are defined in oracle_sql below)
         # extension surface (SURVEY §7.4 / BASELINE north star)
         "doc_stats": q_doc_stats,
@@ -1089,6 +1118,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) FILTER (WHERE COALESCE(event_type,'unknown') = 'view') AS BIGINT) AS n_view
         FROM events
         GROUP BY 1
+        """,
+        "dim_upsert": """
+        WITH base AS (
+            SELECT DISTINCT p_partkey AS product_id, p_brand AS brand,
+                            p_retailprice AS price
+            FROM part WHERE p_partkey IS NOT NULL
+        ), changed AS (
+            SELECT product_id, 'NEW-' || brand AS brand, price + 1.0 AS price
+            FROM base WHERE product_id % 5 = 0
+        ), inserts AS (
+            SELECT product_id + 10000000 AS product_id,
+                   'INSERTED' AS brand, price
+            FROM base WHERE product_id % 7 = 0
+        ), upd AS (
+            SELECT * FROM changed UNION ALL SELECT * FROM inserts
+        )
+        SELECT product_id, brand, price FROM upd
+        UNION ALL
+        SELECT b.product_id, b.brand, b.price
+        FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.product_id = b.product_id)
         """,
         "doc_stats": _DOC_STATS_CTE
         + """

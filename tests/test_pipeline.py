@@ -116,3 +116,29 @@ def test_dim_date_calendar(spark, cfg):
     assert cal.count() == 5
     r = cal.filter(F.col("date") == dt.date(2019, 10, 1)).first()
     assert (r["weekday"], r["week"]) == (1, 40)  # Tuesday, ISO week 40
+
+
+def test_build_dims_incremental_snapshots(spark, cfg):
+    from airflow_retail_etl_spark.pipeline import build_dims_incremental
+
+    build_dims_incremental(spark, cfg, "2019-10-01")
+    build_dims_incremental(spark, cfg, "2019-10-02")
+    prod = spark.read.parquet(f"{cfg.warehouse_root}/dim_product_scd")
+    latest = prod.filter(F.col("dt") == "2019-10-02")
+    # the latest snapshot is the COMPLETE dim: day-1 products survive,
+    # day-2 products merged in
+    assert {r["product_id"] for r in latest.collect()} == {1, 2, 3}
+    day1 = prod.filter(F.col("dt") == "2019-10-01")
+    assert {r["product_id"] for r in day1.collect()} == {1, 2}
+    # re-running day 2 is idempotent (dynamic partition overwrite)
+    build_dims_incremental(spark, cfg, "2019-10-02")
+    again = spark.read.parquet(f"{cfg.warehouse_root}/dim_product_scd").filter(
+        F.col("dt") == "2019-10-02"
+    )
+    assert again.count() == 3
+    users = spark.read.parquet(f"{cfg.warehouse_root}/dim_user_scd").filter(
+        F.col("dt") == "2019-10-02"
+    )
+    # accumulated (user, session) pairs across both days: day-1 {1,2,3}
+    # plus day-2's new user 4 (user 1's pair is unchanged → no dup)
+    assert users.count() == 4

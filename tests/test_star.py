@@ -64,3 +64,44 @@ def test_dim_date_parts_match_pandas_semantics(spark):
     )
     r2 = out[dt.date(2020, 1, 2)]
     assert (r2["weekday"], r2["week"]) == (3, 1)
+
+
+def test_upsert_dim_updates_win_and_inserts_land(spark):
+    from airflow_retail_etl_spark.operators import star
+
+    existing = spark.createDataFrame(
+        [(1, "apple", 10.0), (2, "acme", 5.0), (3, "zeta", 7.0)],
+        ["product_id", "brand", "price"],
+    )
+    updates = spark.createDataFrame(
+        [(2, "acme-v2", 6.0), (4, "newco", 1.0)],
+        ["product_id", "brand", "price"],
+    )
+    out = {
+        r["product_id"]: (r["brand"], r["price"])
+        for r in star.upsert_dim(
+            existing, updates, ["product_id"], ["brand", "price"]
+        ).collect()
+    }
+    assert out == {
+        1: ("apple", 10.0),
+        2: ("acme-v2", 6.0),  # update wins over existing
+        3: ("zeta", 7.0),
+        4: ("newco", 1.0),  # insert
+    }
+
+
+def test_upsert_dim_multiday_fold_is_deterministic(spark):
+    from airflow_retail_etl_spark.operators import star
+
+    state = spark.createDataFrame([(1, "a")], ["k", "v"])
+    days = [
+        [(1, "b"), (2, "x")],
+        [(2, "y"), (2, "z"), (3, "m")],  # in-batch dup key: min v wins
+        [(1, "c")],
+    ]
+    for batch in days:
+        state = star.upsert_dim(
+            state, spark.createDataFrame(batch, ["k", "v"]), ["k"], ["v"]
+        )
+    assert {tuple(r) for r in state.collect()} == {(1, "c"), (2, "y"), (3, "m")}
