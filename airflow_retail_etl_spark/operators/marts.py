@@ -30,20 +30,30 @@ def daily_revenue_summary(
     view_value: str = "view",
     cart_value: str = "cart",
     purchase_value: str = "purchase",
+    exact: bool = True,
 ) -> DataFrame:
     """Daily KPI aggregate A2 + funnel ratios P8.
 
     Reference: retail_pipeline.py:34-51 — per event_date: revenue, exact
     distinct users, conditional funnel counts, then cart/purchase rates.
-    ``countDistinct`` stays exact (SURVEY §4.3.2); distinct-aggregation is
-    planned by Spark as a two-phase expand+hash-agg, still one logical pass.
-    Division-by-zero yields NULL (ANSI), a documented delta from pandas ``inf``
-    (SURVEY §4.3.1).
+    ``countDistinct`` stays exact by default (SURVEY §4.3.2);
+    distinct-aggregation is planned by Spark as a two-phase expand+hash-agg,
+    still one logical pass. ``exact=False`` switches unique_users to
+    HyperLogLog++ (``approx_count_distinct``, rsd 5%) — the 100 TB scale
+    mode: no expand, partial aggregation shrinks to one sketch per
+    (date, partition) instead of carrying every distinct user through the
+    shuffle. Division-by-zero yields NULL (ANSI), a documented delta from
+    pandas ``inf`` (SURVEY §4.3.1).
     """
     t = F.col(type_col)
+    uniques = (
+        F.countDistinct(user_col)
+        if exact
+        else F.approx_count_distinct(user_col)
+    )
     agg = events.groupBy(date_col).agg(
         money_sum(F.col(revenue_col), t == purchase_value).alias("revenue"),
-        F.countDistinct(user_col).alias("unique_users"),
+        uniques.alias("unique_users"),
         conditional_count(t == purchase_value).alias("purchases"),
         conditional_count(t == cart_value).alias("carts"),
         conditional_count(t == view_value).alias("views"),

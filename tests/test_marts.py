@@ -73,3 +73,25 @@ def test_events_summary_filters_and_counts(spark):
     out = events_summary(df, allowed_types=("view", "addtocart")).collect()
     assert len(out) == 1
     assert out[0]["event_count"] == 2
+
+
+def test_daily_revenue_summary_approx_mode(spark, sf_dir):
+    from airflow_retail_etl_spark import adapters
+    from airflow_retail_etl_spark.operators import marts
+
+    ev = adapters.staging_events(spark, sf_dir)
+    exact = {
+        r["event_date"]: r["unique_users"]
+        for r in marts.daily_revenue_summary(ev).collect()
+    }
+    approx = {
+        r["event_date"]: r["unique_users"]
+        for r in marts.daily_revenue_summary(ev, exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for d, n in exact.items():
+        # HLL++ default rsd is 5%; allow 3 sigma
+        assert abs(approx[d] - n) <= max(3, 0.15 * n), (d, n, approx[d])
+    # the approx plan must NOT contain the distinct expand
+    plan = marts.daily_revenue_summary(ev, exact=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
