@@ -61,15 +61,22 @@ def q_dim_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 distinct + D3 deterministic keep-first dedup + P6 category split."""
+    """D2 distinct + D3 deterministic keep-first dedup + P6 category split.
+
+    The D2 DISTINCT and D3 keep-first FUSE into the single window pass:
+    keep-first's survivor is the ordering-minimum row per key, which is
+    invariant under duplicate rows, so a separate distinct would only add
+    an exchange. (The pipeline keeps distinct-then-window for the
+    high-duplication events source, where the map-side-combined distinct
+    shrinks the window's shuffle input — see pipeline.build_dims.)
+    """
     src = adapters.product_dim_source(spark, sf_dir)
-    dim = star.build_dim(
-        src,
-        ["product_id", "brand", "category_code", "price"],
-        not_null=["product_id"],
-    )
     dim = star.dedup_keep_first(
-        dim, ["product_id"], ["brand", "category_code", "price"]
+        src.select("product_id", "brand", "category_code", "price").filter(
+            F.col("product_id").isNotNull()
+        ),
+        ["product_id"],
+        ["brand", "category_code", "price"],
     )
     cat, sub1, sub2 = split_hierarchy(F.col("category_code"), sep=" ")
     return dim.select(
@@ -244,6 +251,61 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(
         F.col("revenue").desc(), F.col("l_orderkey").asc()
     ).limit(10)
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style: yearly revenue per nation inside one region, where
+    the supplying and ordering nations match (local supply chains).
+
+    The widest join graph in the suite — lineitem⋈orders⋈customer⋈supplier
+    ⋈nation⋈region. nation/region are tiny catalogs → explicit broadcast;
+    the fact-sized sides shuffle on their join keys; the
+    c_nationkey = s_nationkey locality condition rides on the supplier
+    join, so no extra exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens vs BPE-style pre-tokens per doc
+    (the count a pretraining pipeline feeds its token accountant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tf.token_count(t).alias("n_ws_tokens"),
+        tf.bpe_token_count(t).alias("n_bpe_tokens"),
+        tf.char_count(t).alias("n_chars"),
+    )
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         # join / window / rollup breadth
         "revenue_by_nation": q_revenue_by_nation,
+        "regional_revenue": q_regional_revenue,
         "shipping_priority": q_shipping_priority,
         "customers_without_orders": q_customers_without_orders,
         "high_value_customers": q_high_value_customers,
@@ -649,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extension surface (SURVEY §7.4 / BASELINE north star)
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1030,6 +1094,32 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY 1, 2
+        """,
+        "regional_revenue": """
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        """,
+        "token_stats": f"""
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                    '{tf.BPE_SPLIT_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars
+        FROM documents
         """,
         "shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,

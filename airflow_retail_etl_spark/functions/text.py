@@ -73,6 +73,20 @@ def quality_score(text: Column) -> Column:
     return F.round(score, 6)
 
 
+#: BPE-style pre-tokenization pattern (GPT-2-family shape, simplified to
+#: the regex subset Java (Spark) and RE2 (DuckDB oracle) agree on): a
+#: token is an optional leading space + a letter run, digit run, or
+#: punctuation run. Subword merges happen AFTER this split in a real BPE,
+#: so this count upper-bounds-approximates "BPE tokens before merges" —
+#: the quantity pretraining-data pipelines budget on.
+BPE_SPLIT_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens over the lowercased text."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_SPLIT_PATTERN))
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))

@@ -41,10 +41,12 @@ HEADLINE = (
     "events_summary",
     "pricing_summary",
     "revenue_by_nation",
+    "regional_revenue",
     "shipping_priority",
     "sessionize",
     "dim_upsert",
     "doc_stats",
+    "token_stats",
     "dedup_exact",
     "neardup_jaccard",
     "minhash_lsh_pairs",

@@ -75,3 +75,18 @@ def test_no_python_udfs_in_relational_queries(spark, q, sf_dir):
     ):
         plan = formatted_plan(q[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_dim_product_is_single_exchange(spark, q, sf_dir):
+    # D2+D3 fuse into one window pass: exactly one shuffle (on the dim key).
+    # The formatted plan prints each node in the tree AND the detail list,
+    # so count the numbered detail headers.
+    plan = formatted_plan(q["dim_product"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_regional_revenue_broadcasts_catalogs(spark, q, sf_dir):
+    df = q["regional_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # region filter reaches its scan
+    assert "r_name" in formatted_plan(df)

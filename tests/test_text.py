@@ -52,3 +52,20 @@ def test_quality_score_band(spark):
     good = _one(spark, "the quick brown fox jumps over the lazy dog", tf.quality_score(F.col("text")))
     bad = _one(spark, "!!! ??? ...", tf.quality_score(F.col("text")))
     assert 0.0 <= bad < good <= 1.0
+
+
+def test_bpe_token_count_examples(spark):
+    from airflow_retail_etl_spark.functions.text import bpe_token_count
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("hello world",),       # 2 letter runs
+            ("it's 2024!",),        # it + ' + s + 2024 + !
+            ("",),                  # empty
+            ("a1b",),               # a + 1 + b
+        ],
+        ["text"],
+    )
+    out = [r["n"] for r in df.select(bpe_token_count(F.col("text")).alias("n")).collect()]
+    assert out == [2, 5, 0, 3]
