@@ -72,6 +72,31 @@ def hourly_event_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    *,
+    id_cols: tuple[str, ...] = ("event_id",),
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Exactly-once-per-key streaming deduplication.
+
+    The streaming complement of ``operators.dedup.exact_dedup``: an
+    at-least-once feed (replayed files, retried producers) is reduced to
+    one row per key. ``within_watermark=True`` uses
+    ``dropDuplicatesWithinWatermark`` — state for a key is EVICTED once the
+    watermark passes it, so state size is O(keys per watermark horizon),
+    not O(all keys ever): the only shape that runs forever at 100 TB/day.
+    The input must already carry a watermark (``stream_events`` sets one).
+    ``within_watermark=False`` keeps state for every key seen (exact global
+    dedup — bounded feeds / batch frames only, where it equals
+    ``dropDuplicates``).
+    """
+    cols = list(id_cols)
+    if within_watermark and events.isStreaming:
+        return events.dropDuplicatesWithinWatermark(cols)
+    return events.dropDuplicates(cols)
+
+
 def run_available_now(
     df: DataFrame,
     *,

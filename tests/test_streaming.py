@@ -72,3 +72,46 @@ def test_append_mode_respects_watermark(spark, event_dir, tmp_path):
     max_emitted = result.agg(F.max("window_start")).first()[0]
     max_event = batch.agg(F.max("event_time")).first()[0]
     assert max_emitted < max_event
+
+
+def test_streaming_dedup_collapses_replayed_batches(spark, tmp_path):
+    import datetime as dt
+
+    from airflow_retail_etl_spark.streaming import streaming_dedup
+
+    b = dt.datetime(2024, 1, 1, 10, 0, 0)
+    path = str(tmp_path / "dup_events")
+    rows1 = [(1, b), (2, b + dt.timedelta(minutes=1))]
+    rows2 = [(2, b + dt.timedelta(minutes=1)),  # exact replay of event 2
+             (3, b + dt.timedelta(minutes=2))]
+    df1 = spark.createDataFrame(rows1, ["event_id", "event_time"])
+    df1.write.mode("append").parquet(path)
+    spark.createDataFrame(rows2, ["event_id", "event_time"]).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = stream_events(
+        spark, path, df1.schema, watermark="10 minutes"
+    )
+    deduped = streaming_dedup(stream, id_cols=("event_id",))
+    assert deduped.isStreaming
+    run_available_now(
+        deduped,
+        checkpoint=str(tmp_path / "ckpt"),
+        out_path="dedup_out",
+        out_format="memory",
+        output_mode="append",
+    )
+    got = [r["event_id"] for r in spark.table("dedup_out").collect()]
+    assert sorted(got) == [1, 2, 3]  # the replayed event 2 emitted once
+
+
+def test_streaming_dedup_batch_form_equals_drop_duplicates(spark, sf_dir):
+    from airflow_retail_etl_spark.streaming import streaming_dedup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    )
+    doubled = ev.unionByName(ev)
+    out = streaming_dedup(doubled, id_cols=("event_id",))
+    assert out.count() == ev.select("event_id").distinct().count()
