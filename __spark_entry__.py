@@ -424,10 +424,12 @@ def q_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-2 batch of attribute changes (keys %5: brand prefixed, price +1)
     and brand-new keys (keys %7, offset ids) merged into the day-1 dim —
     updates win on match, inserts land, untouched rows survive."""
+    # part is key-unique per row content, so build_dim's DISTINCT would add
+    # an exchange per reference of `base` (it's referenced three times) for
+    # nothing — upsert_dim's keep-first survivor is duplicate-invariant
+    # anyway (same fusion argument as q_dim_product)
     part = load_table(spark, sf_dir, "part")
-    base = star.build_dim(
-        part, ["p_partkey", "p_brand", "p_retailprice"], not_null=["p_partkey"]
-    ).select(
+    base = part.filter(F.col("p_partkey").isNotNull()).select(
         F.col("p_partkey").alias("product_id"),
         F.col("p_brand").alias("brand"),
         F.col("p_retailprice").alias("price"),
