@@ -454,6 +454,76 @@ def q_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.8 breadth): INTERSECT for multi-stage funnel
+    membership, EXCEPT for churn-style cohorts — one tagged frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+
+    def users_of(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    both = (
+        users_of(PURCHASE)
+        .intersect(users_of(CART))
+        .select(F.lit("purchase_and_cart").alias("op"), "user_id")
+    )
+    lapsed = (
+        users_of(VIEW)
+        .subtract(users_of(PURCHASE))
+        .select(F.lit("view_never_purchase").alias("op"), "user_id")
+    )
+    return both.unionByName(lapsed)
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation, oracle-graded: the salted plan must
+    produce EXACTLY the plain GROUP BY result (algebraic partials compose
+    exactly; sums accumulate in DECIMAL per the numerics policy)."""
+    from airflow_retail_etl_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    out = skew.salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n": ("count", F.lit(1)),
+            "v_sum": ("sum", F.round(F.col("value"), 2).cast("decimal(18,2)")),
+            "v_min": ("min", F.col("value")),
+            "v_max": ("max", F.col("value")),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "user_id",
+        "n",
+        F.col("v_sum").cast("double").alias("v_sum"),
+        "v_min",
+        "v_max",
+    )
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality gate report (reference README.md:121 TODO):
+    null/unique/referential/range checks as one lazy union of aggregates."""
+    from airflow_retail_etl_spark import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.run_checks(
+        [
+            quality.check_not_null(ev, ["event_id", "ts", "user_id"]),
+            quality.check_unique_key(ev, ["event_id"]),
+            quality.check_referential(li, "l_orderkey", orders, "o_orderkey"),
+            quality.check_in_range(
+                ev, "value", min_value=0.0, max_value=1_000_000.0
+            ),
+        ]
+    )
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token/char counts, punct & stopword ratios, quality."""
     docs = load_table(spark, sf_dir, "documents")
@@ -710,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "daily_type_pivot": q_daily_type_pivot,
         "dim_upsert": q_dim_upsert,
+        "set_ops": q_set_ops,
+        "salted_agg": q_salted_agg,
+        "quality_report": q_quality_report,
         # (oracle entries for these three are defined in oracle_sql below)
         # extension surface (SURVEY §7.4 / BASELINE north star)
         "doc_stats": q_doc_stats,
@@ -1210,6 +1283,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) FILTER (WHERE COALESCE(event_type,'unknown') = 'view') AS BIGINT) AS n_view
         FROM events
         GROUP BY 1
+        """,
+        "set_ops": f"""
+        WITH p AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = '{PURCHASE}' AND user_id IS NOT NULL),
+             c AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = '{CART}' AND user_id IS NOT NULL),
+             v AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = '{VIEW}' AND user_id IS NOT NULL)
+        SELECT 'purchase_and_cart' AS op, user_id
+        FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+        UNION ALL
+        SELECT 'view_never_purchase' AS op, user_id
+        FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+        """,
+        "salted_agg": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+               MIN(value) AS v_min,
+               MAX(value) AS v_max
+        FROM events
+        GROUP BY 1
+        """,
+        "quality_report": """
+        SELECT 'not_null' AS "check", 'event_id' AS "column",
+               CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS violations,
+               CAST(COUNT(*) AS BIGINT) AS total,
+               COUNT(*) FILTER (WHERE event_id IS NULL) = 0 AS passed
+        FROM events
+        UNION ALL
+        SELECT 'not_null', 'ts',
+               CAST(COUNT(*) FILTER (WHERE ts IS NULL) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (WHERE ts IS NULL) = 0
+        FROM events
+        UNION ALL
+        SELECT 'not_null', 'user_id',
+               CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (WHERE user_id IS NULL) = 0
+        FROM events
+        UNION ALL
+        SELECT 'unique_key', 'event_id',
+               CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
+               CAST(SUM(n) AS BIGINT),
+               COALESCE(SUM(n - 1), 0) = 0
+        FROM (SELECT COUNT(*) AS n FROM events GROUP BY event_id)
+        UNION ALL
+        SELECT 'referential', 'l_orderkey->o_orderkey',
+               CAST(COUNT(*) FILTER (WHERE NOT EXISTS (
+                   SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (WHERE NOT EXISTS (
+                   SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'in_range', 'value',
+               CAST(COUNT(*) FILTER (WHERE value < 0.0 OR value > 1000000.0) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) FILTER (WHERE value < 0.0 OR value > 1000000.0) = 0
+        FROM events
         """,
         "dim_upsert": """
         WITH base AS (

@@ -74,13 +74,16 @@ def check_referential(
         on=child_key,
         how="left_anti",
     )
-    total = child.count()
-    return orphans.agg(
+    # total via a 1-row × 1-row cross join so the whole report stays ONE
+    # lazy plan (no driver-side count() action at build time)
+    o = orphans.agg(F.count("*").alias("violations"))
+    t = child.agg(F.count("*").alias("total"))
+    return o.crossJoin(t).select(
         F.lit("referential").alias("check"),
         F.lit(f"{child_key}->{parent_key}").alias("column"),
-        F.count("*").alias("violations"),
-        F.lit(total).alias("total"),
-        (F.count("*") == 0).alias("passed"),
+        F.col("violations").cast("bigint").alias("violations"),
+        F.col("total"),
+        (F.col("violations") == 0).alias("passed"),
     )
 
 

@@ -45,6 +45,9 @@ HEADLINE = (
     "shipping_priority",
     "sessionize",
     "dim_upsert",
+    "set_ops",
+    "salted_agg",
+    "quality_report",
     "doc_stats",
     "token_stats",
     "dedup_exact",
