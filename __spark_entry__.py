@@ -454,6 +454,76 @@ def q_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.temporal): every event annotated with the
+    user's most recent at-or-before purchase. Implemented as union + one
+    window pass (no inequality join); the oracle is DuckDB's native
+    ASOF LEFT JOIN — bit-exact including the no-prior-purchase NULLs."""
+    from airflow_retail_etl_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == PURCHASE) & F.col("user_id").isNotNull()
+        )
+        .select("user_id", "ts", "value", "event_id")
+    )
+    # right side must be unique per (user, ts): deterministic keep-first
+    purchases = star.dedup_keep_first(
+        purchases, ["user_id", "ts"], ["event_id"]
+    ).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    out = temporal.asof_join(
+        ev,
+        purchases,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["p_ts", "last_purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_ts").alias("last_purchase_ts"),
+        "last_purchase_value",
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators.temporal.range_join): events ⋈
+    deterministic daytime promo windows (06:00–18:00 per active day) via
+    bucketized equi-join + exact BETWEEN filter. Oracle: plain BETWEEN
+    join in DuckDB."""
+    from airflow_retail_etl_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    promos = days.select(
+        F.col("d").cast("string").alias("promo_id"),
+        (F.col("d").cast("timestamp_ntz") + F.expr("INTERVAL 6 HOURS")).alias(
+            "promo_start"
+        ),
+        (F.col("d").cast("timestamp_ntz") + F.expr("INTERVAL 18 HOURS")).alias(
+            "promo_end"
+        ),
+    )
+    return temporal.range_join(
+        ev,
+        promos,
+        left_ts="ts",
+        start_col="promo_start",
+        end_col="promo_end",
+        bucket="6 hours",
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.8 breadth): INTERSECT for multi-stage funnel
     membership, EXCEPT for churn-style cohorts — one tagged frame."""
@@ -780,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "daily_type_pivot": q_daily_type_pivot,
         "dim_upsert": q_dim_upsert,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "set_ops": q_set_ops,
         "salted_agg": q_salted_agg,
         "quality_report": q_quality_report,
@@ -1283,6 +1355,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) FILTER (WHERE COALESCE(event_type,'unknown') = 'view') AS BIGINT) AS n_view
         FROM events
         GROUP BY 1
+        """,
+        "asof_join": f"""
+        WITH p0 AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+            FROM events
+            WHERE event_type = '{PURCHASE}' AND user_id IS NOT NULL
+        ), p AS (
+            SELECT user_id, ts AS p_ts, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, ts ORDER BY event_id) AS rn
+                  FROM p0)
+            WHERE rn = 1
+        ), e AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               p.p_ts AS last_purchase_ts,
+               p.value AS last_purchase_value
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts >= p.p_ts
+        """,
+        "range_join": """
+        WITH days AS (
+            SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+            FROM events
+        ), promos AS (
+            SELECT CAST(d AS VARCHAR) AS promo_id,
+                   CAST(d AS TIMESTAMP) + INTERVAL 6 HOUR AS promo_start,
+                   CAST(d AS TIMESTAMP) + INTERVAL 18 HOUR AS promo_end
+            FROM days
+        ), e AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        )
+        SELECT e.event_id, e.ts, e.value,
+               p.promo_id, p.promo_start, p.promo_end
+        FROM e JOIN promos p
+          ON e.ts >= p.promo_start AND e.ts <= p.promo_end
         """,
         "set_ops": f"""
         WITH p AS (SELECT DISTINCT user_id FROM events

@@ -45,6 +45,8 @@ HEADLINE = (
     "shipping_priority",
     "sessionize",
     "dim_upsert",
+    "asof_join",
+    "range_join",
     "set_ops",
     "salted_agg",
     "quality_report",
