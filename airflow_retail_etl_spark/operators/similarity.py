@@ -305,14 +305,22 @@ def ivf_topk(
     fit_input = (
         v if fit_fraction is None else v.sample(fit_fraction, seed=seed)
     )
-    model = KMeans(
-        k=n_cells,
-        seed=seed,
-        featuresCol="fv",
-        predictionCol="cell",
-        initMode=init_mode,
-        maxIter=max_iter,
-    ).fit(fit_input)
+    # cache the slim training projection: Lloyd's re-reads its input every
+    # iteration, and uncached that means maxIter parquet scans + vector
+    # conversions. The training set is the SAMPLE (small by design at
+    # scale), so memory-only caching is safe; released right after fit.
+    fit_df = fit_input.select("fv").cache()
+    try:
+        model = KMeans(
+            k=n_cells,
+            seed=seed,
+            featuresCol="fv",
+            predictionCol="cell",
+            initMode=init_mode,
+            maxIter=max_iter,
+        ).fit(fit_df)
+    finally:
+        fit_df.unpersist()
     assigned = model.transform(v).select("neighbor_id", "cv", "cell")
 
     # centroids as a tiny literal table: (cell, centroid array)
