@@ -610,6 +610,48 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style keyword extraction: top-3 terms per document.
+
+    Exact rational scoring — score = tf · (N / df) — instead of the usual
+    log-idf: same ordering for tf-idf's purpose, but every value is one
+    integer division away from exact, so both engines produce identical
+    doubles (libm log differs in the last ulp between engines and would
+    break the hash). Deterministic tiebreak (score desc, term asc).
+    One explode + two hash aggregations + one window — no joins against
+    the corpus beyond the tiny doc-frequency side, which Spark broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tf.tokens(tf.normalize_text(F.col("text")))).alias("term"),
+    )
+    tf_ = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf_.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting over normalized text."""
     docs = load_table(spark, sf_dir, "documents")
@@ -860,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
+        "top_terms": q_top_terms,
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1488,6 +1531,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
         SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+        """,
+        "top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ), df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+        ), n AS (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 3
         """,
         "dedup_exact": f"""
         SELECT md5({_NORM_TEXT}) AS fingerprint,

@@ -52,6 +52,7 @@ HEADLINE = (
     "quality_report",
     "doc_stats",
     "token_stats",
+    "top_terms",
     "dedup_exact",
     "neardup_jaccard",
     "minhash_lsh_pairs",
