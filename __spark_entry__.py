@@ -676,6 +676,33 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: pairs → connected components.
+
+    Edges are exact token-3-gram Jaccard pairs at J≥0.5 (the oracle-checked
+    verifier path); every document is a node, so unpaired docs come out as
+    singleton clusters. cluster_id = min doc_id reachable (the keeper);
+    cluster_size rides on one window over the final assignment. The oracle
+    replicates the transitive closure with a recursive CTE — so the
+    ITERATIVE distributed algorithm (min-label propagation + pointer
+    jumping, operators/dedup.py:connected_components) is graded bit-exact
+    against a declarative fixpoint, not just row counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", kind="token", n=3, min_jaccard=0.5
+    )
+    cc = dedup.connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    w = Window.partitionBy("comp")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — full pipeline, oracle-checked.
 
@@ -905,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
+        "dup_clusters": q_dup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1568,6 +1596,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM jac
         ORDER BY jaccard DESC, id_a ASC, id_b ASC
         LIMIT 100
+        """,
+        # transitive closure by recursive CTE ≡ Spark's iterative
+        # label-propagation fixpoint (connected_components)
+        "dup_clusters": _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+        , edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.5
+            UNION ALL
+            SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+        ), reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ), cc AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+        )
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM cc
         """,
         "knn_cosine": _KNN_SQL,
         "ann_ivf": _KNN_SQL,

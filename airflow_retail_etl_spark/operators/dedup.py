@@ -374,6 +374,99 @@ def _cap_buckets(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate CLUSTERS: (node, comp).
+
+    The last stage of a dedup pipeline at scale: pair generators
+    (jaccard_pairs / minhash_lsh_pairs / simhash_pairs) emit edges, but the
+    unit of deduplication is the connected component — A~B and B~C must
+    collapse to one keeper even when A~C was never emitted. ``comp`` is the
+    MINIMUM node id reachable from ``node`` (deterministic keeper).
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round is two hash joins on the component-id key:
+
+    1. propagate — comp(n) ← min(comp(n), min over neighbors comp(m));
+    2. jump      — comp(n) ← comp(comp(n))  (path halving).
+
+    Propagation alone needs O(diameter) rounds — a 1M-long chain would need
+    1M shuffles; the jump step doubles the pointer distance covered per
+    round, so convergence is O(log d) rounds. Each round ends in an eager
+    ``localCheckpoint``: the lineage is truncated (no exponential plan
+    growth across iterations) and the iterate is pinned so the convergence
+    check and the next round share one materialization. The per-round
+    driver action is a LIMIT-1 existence probe ("did any label change?"),
+    not a collect of data rows — state lives executor-side throughout.
+
+    ``nodes``: optional one-column DataFrame of the full node universe;
+    nodes with no edges come out as singleton components (comp = self).
+    Default: nodes appearing in ``pairs``.
+    """
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes is None:
+        universe = edges.select(F.col("src").alias("node")).distinct()
+    else:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    assign = universe.select(
+        "node", F.col("node").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                assign.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("nbr_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        prop = assign.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        jump = (
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+                ).alias("y"),
+                F.col("x.comp") == F.col("y.c_node"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("y.c_comp"), F.col("x.comp")).alias("comp"),
+            )
+        )
+        new_assign = jump.localCheckpoint(eager=True)
+        changed = (
+            new_assign.alias("n")
+            .join(assign.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        assign = new_assign
+        if changed == 0:
+            break
+    return assign
+
+
 def simhash(
     df: DataFrame, text_col: str, id_col: str, *, hash: str = "xxhash64"
 ) -> DataFrame:

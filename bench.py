@@ -55,6 +55,7 @@ HEADLINE = (
     "top_terms",
     "dedup_exact",
     "neardup_jaccard",
+    "dup_clusters",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",

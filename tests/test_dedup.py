@@ -191,3 +191,41 @@ def test_simhash_block_cap_bounds_megabucket(spark):
     assert capped == 0  # only spam-cluster pairs exist, and they're capped
     uncapped = dedup.simhash_pairs(sigs, max_bucket_size=None).count()
     assert uncapped == 60 * 59 // 2
+
+
+def _cc_map(assign):
+    return {r["node"]: r["comp"] for r in assign.collect()}
+
+
+def test_connected_components_transitivity(spark):
+    # A~B, B~C but never A~C: all three must share one keeper
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    out = _cc_map(dedup.connected_components(pairs))
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # 300-long path: min-propagation alone needs 300 rounds; pointer
+    # jumping must close it within the default max_iter=25 (O(log d))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["id_a", "id_b"]
+    )
+    out = _cc_map(dedup.connected_components(pairs))
+    assert set(out.values()) == {0}
+    assert len(out) == 301
+
+
+def test_connected_components_singletons_from_universe(spark):
+    pairs = spark.createDataFrame([(2, 5)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    out = _cc_map(dedup.connected_components(pairs, nodes=nodes))
+    assert out == {1: 1, 2: 2, 3: 3, 4: 4, 5: 2, 6: 6, 7: 7}
+
+
+def test_connected_components_star_and_reversed_edges(spark):
+    # hub id is NOT the minimum; edges arrive in both orientations
+    pairs = spark.createDataFrame(
+        [(50, 7), (50, 9), (3, 50), (50, 12)], ["id_a", "id_b"]
+    )
+    out = _cc_map(dedup.connected_components(pairs))
+    assert set(out.values()) == {3}
