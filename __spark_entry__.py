@@ -676,6 +676,55 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample of the events stream.
+
+    The classic training-data rebalance: keep 5% of 'view', 50% of 'cart',
+    every 'purchase' — membership decided by an md5 hash threshold on
+    event_id (operators/sampling.py), so the EXACT sampled row set is
+    reproducible in DuckDB, across reruns, and across repartitionings.
+    Zero shuffles: the predicate evaluates on the scan.
+    """
+    from airflow_retail_etl_spark.operators import sampling
+
+    events = load_table(spark, sf_dir, "events")
+    return sampling.stratified_sample(
+        events,
+        "event_type",
+        {"view": 0.05, "cart": 0.5, "purchase": 1.0},
+        "event_id",
+    ).select("event_id", "event_type", "user_id", "value")
+
+
+def q_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 documents per language: smallest-k-by-hash (bottom-k).
+
+    Uniform without-replacement draw per stratum with engine-portable
+    membership; one window over the lang key.
+    """
+    from airflow_retail_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_exact_k(docs, ["lang"], 20, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 32-token chunks, 8-token overlap.
+
+    Zero-shuffle generate over the documents table — the LLM-pipeline step
+    between cleaning and packing. Oracle replicates the span arithmetic
+    with generate_series + list_slice.
+    """
+    from airflow_retail_etl_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(
+        docs, "text", "doc_id", chunk_size=32, overlap=8
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: pairs → connected components.
 
@@ -933,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
         "dup_clusters": q_dup_clusters,
+        "doc_chunks": q_doc_chunks,
+        "stratified_sample": q_stratified_sample,
+        "sample_k_per_stratum": q_sample_k_per_stratum,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1051,6 +1103,9 @@ WITH v AS (
 # ---------------------------------------------------------------------------
 
 from airflow_retail_etl_spark.functions import xhash  # noqa: E402
+from airflow_retail_etl_spark.operators.sampling import (  # noqa: E402
+    threshold_for as _thr,
+)
 
 
 def _simhash_bits_sql(hs: str, n: str) -> str:
@@ -1596,6 +1651,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM jac
         ORDER BY jaccard DESC, id_a ASC, id_b ASC
         LIMIT 100
+        """,
+        # same md5-u64 draw + integer thresholds as operators.sampling
+        "stratified_sample": f"""
+        SELECT event_id, event_type, user_id, value FROM events
+        WHERE {xhash.duck_md5_u64("CAST(event_id AS VARCHAR)")} <
+              CASE event_type
+                  WHEN 'cart' THEN CAST('{_thr(0.5)}' AS HUGEINT)
+                  WHEN 'purchase' THEN CAST('{_thr(1.0)}' AS HUGEINT)
+                  WHEN 'view' THEN CAST('{_thr(0.05)}' AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT)
+              END
+        """,
+        "sample_k_per_stratum": f"""
+        WITH r AS (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                                ASC, doc_id ASC) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, source FROM r WHERE rk <= 20
+        """,
+        # chunk_size=32, overlap=8 → stride 24; same integer-ceil span math
+        # as operators.chunking.chunk_documents
+        "doc_chunks": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, string_split(t, ' ') AS toks FROM norm
+        ), spans AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0,
+                       greatest(1, (len(toks) - 8 + 23) // 24) - 1
+                   )) AS chunk_id
+            FROM tok
+        ), sliced AS (
+            SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                   CAST(chunk_id * 24 AS INTEGER) AS start_token,
+                   list_slice(toks, chunk_id * 24 + 1,
+                              chunk_id * 24 + 32) AS piece
+            FROM spans
+        )
+        SELECT doc_id, chunk_id, start_token,
+               CAST(len(piece) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(piece, ' ') AS chunk_text
+        FROM sliced
         """,
         # transitive closure by recursive CTE ≡ Spark's iterative
         # label-propagation fixpoint (connected_components)

@@ -1,0 +1,116 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across runs, engines,
+and partitionings — useless for a pipeline whose sample membership must be
+auditable and re-derivable at 100 TB. These operators sample by HASH: a row
+is in the sample iff a 64-bit md5-derived integer of its key falls under a
+threshold. Properties that matter at scale:
+
+- **Embarrassingly parallel** — membership is a pure per-row predicate; no
+  shuffle, no coordination, survives any repartitioning. ``sample_exact_k``
+  adds one window (one shuffle on the strata key) for exact-size strata.
+- **Deterministic & engine-portable** — md5 arithmetic is integer-exact in
+  both Spark and DuckDB (functions.xhash), so the oracle reproduces the
+  exact sample, and reruns/backfills select identical rows.
+- **Consistent across tables** — hashing the same key column (e.g.
+  user_id) in two tables yields ALIGNED samples: the sampled fact rows
+  always find their sampled dimension rows (the "consistent sampling"
+  property hash-threshold gives for free and RNG sampling cannot).
+- **Uniform** — md5 output bits are uniform, so P(u < f·2^64) = f per
+  stratum; smallest-k-by-hash is a uniform without-replacement draw
+  (the bottom-k / KMV construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.functions import xhash
+
+#: u is uniform on [0, 2^64); keep iff u < fraction · 2^64
+TWO64 = xhash.TWO64
+
+
+def _sample_u(key: Column, seed: str) -> Column:
+    """Uniform 64-bit draw (DECIMAL 20,0) from a seeded key.
+
+    Unseeded draws hash the bare key so the oracle twin is just
+    ``md5(CAST(key AS VARCHAR))``; seeded draws join seed and key with an
+    explicit 0x1F unit separator so (seed="a", key="bc") and (seed="ab",
+    key="c") cannot collide.
+    """
+    if seed == "":
+        return xhash.md5_u64(key)
+    return xhash.md5_u64(F.concat_ws("\x1f", F.lit(seed), key))
+
+
+def threshold_for(fraction: float) -> int:
+    """Integer keep-threshold for a sampling fraction (exact, no FP compare)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return int(fraction * TWO64)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, *, seed: str = ""
+) -> DataFrame:
+    """Uniform deterministic sample: keep iff md5-u64(seed,key) < f·2^64."""
+    thr = F.lit(str(threshold_for(fraction))).cast("decimal(21,0)")
+    return df.filter(_sample_u(F.col(key_col).cast("string"), seed) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    *,
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum hash-threshold sample (e.g. downsample 'view' events to
+    5% while keeping every 'purchase').
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed keep
+    ``default_fraction``. The threshold is a CASE expression over the
+    stratum column — still a pure per-row predicate, zero shuffles, and the
+    filter sits directly on the scan so column pruning and pushdown apply.
+    """
+    thr: Column = F.lit(str(threshold_for(default_fraction))).cast(
+        "decimal(21,0)"
+    )
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(str(threshold_for(frac))).cast("decimal(21,0)"),
+        ).otherwise(thr)
+    return df.filter(_sample_u(F.col(key_col).cast("string"), seed) < thr)
+
+
+def sample_exact_k(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum: smallest-k-by-hash.
+
+    The bottom-k construction: rank rows in each stratum by their hash draw
+    (ties broken by key) and keep rank ≤ k — a uniform without-replacement
+    sample whose membership is stable under any data layout. One window =
+    one shuffle on the strata key; at 100 TB prefer per-partition pre-trim
+    via AQE or run after a stratum-keyed repartition so the exchange is
+    shared with downstream per-stratum work.
+    """
+    u = _sample_u(F.col(key_col).cast("string"), seed)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        u.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

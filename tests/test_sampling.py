@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pytest
+
+from airflow_retail_etl_spark.operators.sampling import (
+    hash_sample,
+    sample_exact_k,
+    stratified_sample,
+    threshold_for,
+)
+
+
+@pytest.fixture(scope="module")
+def rows_df(spark):
+    data = [
+        (i, ["view", "cart", "purchase"][i % 3], f"u{i % 7}") for i in range(300)
+    ]
+    return spark.createDataFrame(data, ["event_id", "event_type", "user_id"])
+
+
+def test_hash_sample_deterministic_and_layout_independent(spark, rows_df):
+    a = {r.event_id for r in hash_sample(rows_df, "event_id", 0.3).collect()}
+    b = {
+        r.event_id
+        for r in hash_sample(rows_df.repartition(13), "event_id", 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < 300
+
+
+def test_hash_sample_fraction_roughly_respected(spark, rows_df):
+    n = hash_sample(rows_df, "event_id", 0.5).count()
+    assert 100 <= n <= 200  # 300 draws at p=0.5; generous 4-sigma-ish band
+
+
+def test_hash_sample_consistent_across_tables(spark, rows_df):
+    other = rows_df.select("user_id").distinct()
+    sampled_users = {
+        r.user_id for r in hash_sample(other, "user_id", 0.5).collect()
+    }
+    fact_users = {
+        r.user_id for r in hash_sample(rows_df, "user_id", 0.5).collect()
+    }
+    # sampling the SAME key at the same fraction aligns across tables
+    assert fact_users == {u for u in sampled_users if u in fact_users}
+    assert {r.user_id for r in rows_df.collect()} & sampled_users == fact_users
+
+
+def test_hash_sample_seed_changes_membership(spark, rows_df):
+    a = {r.event_id for r in hash_sample(rows_df, "event_id", 0.5).collect()}
+    b = {
+        r.event_id
+        for r in hash_sample(rows_df, "event_id", 0.5, seed="s2").collect()
+    }
+    assert a != b
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark, rows_df):
+    out = stratified_sample(
+        rows_df,
+        "event_type",
+        {"purchase": 1.0, "view": 0.0},
+        "event_id",
+        default_fraction=0.5,
+    )
+    by_type = {
+        r.event_type: r.n
+        for r in out.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_type.get("purchase") == 100  # keep all
+    assert "view" not in by_type  # drop all
+    assert 0 < by_type.get("cart", 0) < 100  # default fraction applies
+
+
+def test_sample_exact_k_sizes_and_determinism(spark, rows_df):
+    out = sample_exact_k(rows_df, ["event_type"], 10, "event_id")
+    sizes = {r.event_type: r.n for r in out.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert sizes == {"view": 10, "cart": 10, "purchase": 10}
+    again = sample_exact_k(rows_df.repartition(7), ["event_type"], 10, "event_id")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_sample_exact_k_small_stratum_kept_whole(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["k", "s"])
+    out = sample_exact_k(df, ["s"], 5, "k")
+    assert out.count() == 3
+
+
+def test_threshold_for_bounds():
+    assert threshold_for(0.0) == 0
+    assert threshold_for(1.0) == 2**64
+    with pytest.raises(ValueError):
+        threshold_for(1.5)
