@@ -676,6 +676,36 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination report over the documents corpus.
+
+    A deterministic 5% hash-slice of the corpus plays the "benchmark" role
+    (operators/sampling.py semantics, so the oracle reproduces the split
+    exactly); every remaining training doc is flagged if it shares a token
+    3-gram with any eval doc. Train grams probe a BROADCAST eval gram set —
+    the training side never shuffles until the per-doc hit count.
+    """
+    from airflow_retail_etl_spark.operators import decontam, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = sampling.hash_sample(docs, "doc_id", 0.05)
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    rep = decontam.contamination(
+        train, eval_df, "text", "doc_id", n=3
+    ).withColumnRenamed("id", "doc_id")
+    n_hits = F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long")
+    return (
+        train.select("doc_id")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_hit_ngrams"),
+            (n_hits > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsample of the events stream.
 
@@ -981,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
+        "decontaminate": q_decontaminate,
         "dup_clusters": q_dup_clusters,
         "doc_chunks": q_doc_chunks,
         "stratified_sample": q_stratified_sample,
@@ -1662,6 +1693,36 @@ def oracle_sql() -> dict[str, str]:
                   WHEN 'view' THEN CAST('{_thr(0.05)}' AS HUGEINT)
                   ELSE CAST(0 AS HUGEINT)
               END
+        """,
+        # same 5% hash split + token-3-gram overlap as operators.decontam
+        "decontaminate": f"""
+        WITH split AS (
+            SELECT doc_id, {_NORM_TEXT} AS t,
+                   {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                       < CAST('{_thr(0.05)}' AS HUGEINT) AS is_eval
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, is_eval,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   )) AS shingles
+            FROM (SELECT doc_id, is_eval, string_split(t, ' ') AS toks
+                  FROM split)
+        ), ev_g AS (
+            SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE is_eval
+        ), tr_g AS (
+            SELECT doc_id, unnest(shingles) AS g FROM sh WHERE NOT is_eval
+        ), hits AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tr_g JOIN ev_g USING (g) GROUP BY 1
+        )
+        SELECT t.doc_id,
+               COALESCE(h.n, CAST(0 AS BIGINT)) AS n_hit_ngrams,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM sh t LEFT JOIN hits h USING (doc_id)
+        WHERE NOT t.is_eval
+        ORDER BY t.doc_id
         """,
         "sample_k_per_stratum": f"""
         WITH r AS (

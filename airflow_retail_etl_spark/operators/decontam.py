@@ -1,0 +1,90 @@
+"""Eval-set decontamination for training corpora.
+
+Before pretraining, any document that shares an n-gram with a benchmark
+or held-out eval set must be dropped ("decontamination" — the n-gram
+overlap rule popularized by the GPT-3 / PaLM data cards). The shape is
+asymmetric: the training corpus is the 100 TB side, the eval set is
+thousands of documents — so the plan is
+
+1. shingle the EVAL side and collapse to its distinct n-gram set
+   (small: |eval docs| × |grams/doc|, at most a few million strings);
+2. shingle the TRAIN side (linear explode, no shuffle — the generate runs
+   on the scan partition);
+3. broadcast-hash-join train grams against the eval gram set — the train
+   corpus is never shuffled, each partition probes the broadcast set;
+4. aggregate hits per train doc (one shuffle keyed by doc id), or
+   left-anti straight to the kept corpus.
+
+At even larger eval sets, swap step 3's broadcast for a Bloom-filter
+prefilter plus a shuffled semi-join; the operator keeps the exact join
+because exactness is the point of the gate. No Python in the loop; the
+whole pipeline is built-in HOFs + one equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.operators.dedup import _with_shingles
+
+
+def eval_ngram_set(
+    eval_df: DataFrame, text_col: str, id_col: str, *, n: int = 13
+) -> DataFrame:
+    """Distinct token n-grams of the eval set: one column ``g``."""
+    sh = _with_shingles(eval_df, text_col, id_col, kind="token", n=n)
+    return sh.select(F.explode_outer("shingles").alias("g")).distinct()
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Per-train-doc contamination report: (id, n_hit_ngrams).
+
+    ``n_hit_ngrams`` counts the DISTINCT train-doc n-grams that also occur
+    anywhere in the eval set (per-doc shingle sets are already distinct,
+    so a plain post-join count is a distinct count). Docs with zero hits
+    are absent — left-join this frame to flag a full corpus, or use
+    :func:`decontaminate` to drop hits directly.
+
+    A document shorter than ``n`` tokens contributes its whole text as a
+    single shingle (see text.token_shingles_from), so tiny eval items
+    still decontaminate exact copies of themselves.
+    """
+    ev = F.broadcast(eval_ngram_set(eval_df, text_col, id_col, n=n))
+    tr = _with_shingles(train, text_col, id_col, kind="token", n=n)
+    grams = tr.select("id", F.explode_outer("shingles").alias("g"))
+    return (
+        grams.join(ev, "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+    max_hit_ngrams: int = 0,
+) -> DataFrame:
+    """Training corpus minus contaminated docs (all original columns).
+
+    Keeps docs with at most ``max_hit_ngrams`` eval-overlapping n-grams
+    (default 0: any overlap drops the doc — the conservative standard).
+    """
+    hits = contamination(train, eval_df, text_col, id_col, n=n)
+    drop = hits.filter(F.col("n_hit_ngrams") > max_hit_ngrams)
+    return train.join(
+        drop.withColumnRenamed("id", id_col).select(id_col),
+        id_col,
+        "left_anti",
+    )
