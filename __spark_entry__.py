@@ -755,6 +755,25 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing of the chunk stream.
+
+    Chunks are hash-bucketed by doc (8 buckets — the parallelism unit),
+    laid end-to-end per bucket, and sliced every 128 tokens; each chunk
+    gets its (bucket, seq_id, seq_offset) training address from one window
+    over the bucket exchange. The oracle replays the identical running-sum
+    arithmetic in DuckDB window functions.
+    """
+    from airflow_retail_etl_spark.operators import chunking, packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(
+        docs, "text", "doc_id", chunk_size=32, overlap=8
+    )
+    packed = packing.pack_chunks(chunks, max_tokens=128, n_buckets=8)
+    return packed.orderBy("doc_id", "chunk_id")
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: pairs → connected components.
 
@@ -1014,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dup_clusters": q_dup_clusters,
         "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "sample_k_per_stratum": q_sample_k_per_stratum,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1086,6 +1106,34 @@ WITH base AS (
            CAST(n_punct AS DOUBLE) / NULLIF(n_chars_actual, 0) AS punct_ratio,
            CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) AS stopword_ratio
     FROM base
+)
+"""
+
+#: sliding-window chunk stream (mirrors operators.chunking.chunk_documents
+#: at chunk_size=32, overlap=8 → stride 24); terminal CTE is ``chunks``
+_DOC_CHUNKS_CTE = f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+), tok AS (
+    SELECT doc_id, string_split(t, ' ') AS toks FROM norm
+), spans AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(
+               0,
+               greatest(1, (len(toks) - 8 + 23) // 24) - 1
+           )) AS chunk_id
+    FROM tok
+), sliced AS (
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * 24 AS INTEGER) AS start_token,
+           list_slice(toks, chunk_id * 24 + 1,
+                      chunk_id * 24 + 32) AS piece
+    FROM spans
+), chunks AS (
+    SELECT doc_id, chunk_id, start_token,
+           CAST(len(piece) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(piece, ' ') AS chunk_text
+    FROM sliced
 )
 """
 
@@ -1737,29 +1785,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # chunk_size=32, overlap=8 → stride 24; same integer-ceil span math
         # as operators.chunking.chunk_documents
-        "doc_chunks": f"""
-        WITH norm AS (
-            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
-        ), tok AS (
-            SELECT doc_id, string_split(t, ' ') AS toks FROM norm
-        ), spans AS (
-            SELECT doc_id, toks,
-                   unnest(generate_series(
-                       0,
-                       greatest(1, (len(toks) - 8 + 23) // 24) - 1
-                   )) AS chunk_id
-            FROM tok
-        ), sliced AS (
-            SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
-                   CAST(chunk_id * 24 AS INTEGER) AS start_token,
-                   list_slice(toks, chunk_id * 24 + 1,
-                              chunk_id * 24 + 32) AS piece
-            FROM spans
+        "doc_chunks": _DOC_CHUNKS_CTE
+        + """
+        SELECT doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text
+        FROM chunks
+        """,
+        # md5-bucketed concat-and-chop over the same chunk stream
+        # (operators.packing.pack_chunks: max_tokens=128, n_buckets=8)
+        "pack_sequences": _DOC_CHUNKS_CTE
+        + f"""
+        , b AS (
+            SELECT doc_id, chunk_id, n_chunk_tokens,
+                   CAST({xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")} % 8
+                        AS INTEGER) AS bucket
+            FROM chunks
+        ), w AS (
+            SELECT doc_id, chunk_id, bucket,
+                   CAST(n_chunk_tokens AS BIGINT) AS n,
+                   CAST(sum(n_chunk_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM b
         )
-        SELECT doc_id, chunk_id, start_token,
-               CAST(len(piece) AS INTEGER) AS n_chunk_tokens,
-               array_to_string(piece, ' ') AS chunk_text
-        FROM sliced
+        SELECT doc_id, chunk_id, bucket,
+               CAST((cum - n) // 128 AS BIGINT) AS seq_id,
+               CAST((cum - n) % 128 AS INTEGER) AS seq_offset,
+               n AS n_tokens,
+               ((cum - n + greatest(n - 1, 0)) // 128) > ((cum - n) // 128)
+                   AS spans_boundary
+        FROM w
+        ORDER BY doc_id, chunk_id
         """,
         # transitive closure by recursive CTE ≡ Spark's iterative
         # label-propagation fixpoint (connected_components)
