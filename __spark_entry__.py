@@ -454,6 +454,39 @@ def q_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 versioned dimension from event snapshots (operators.scd).
+
+    Daily per-user status = last event_type of the day (row_number over
+    (ts, event_id) — deterministic under ties); scd2_from_snapshots turns
+    the snapshot stack into half-open version intervals with one window
+    shuffle on user_id. Complements the SCD-1 dim_upsert query; the oracle
+    replays change detection with IS DISTINCT FROM + lag/lead windows.
+    """
+    from airflow_retail_etl_spark.operators import scd
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "snap_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snaps = (
+        events.select(
+            "user_id",
+            F.to_date("ts").alias("snap_date"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "snap_date", "event_type")
+    )
+    hist = scd.scd2_from_snapshots(
+        snaps, ["user_id"], ["event_type"], "snap_date"
+    )
+    return hist.orderBy("user_id", "effective_from")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.temporal): every event annotated with the
     user's most recent at-or-before purchase. Implemented as union + one
@@ -1017,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "daily_type_pivot": q_daily_type_pivot,
         "dim_upsert": q_dim_upsert,
+        "scd2_user_status": q_scd2_user_status,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "set_ops": q_set_ops,
@@ -1679,6 +1713,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.product_id, b.brand, b.price
         FROM base b
         WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.product_id = b.product_id)
+        """,
+        # daily last-event-of-day snapshots → SCD-2 change detection
+        # (operators.scd.scd2_from_snapshots)
+        "scd2_user_status": """
+        WITH r AS (
+            SELECT user_id, CAST(ts AS DATE) AS snap_date, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ), s AS (
+            SELECT user_id, snap_date, event_type FROM r WHERE rn = 1
+        ), c AS (
+            SELECT user_id, snap_date, event_type,
+                   (lag(TRUE) OVER w IS NULL)
+                   OR (event_type IS DISTINCT FROM lag(event_type) OVER w)
+                       AS chg
+            FROM s WINDOW w AS (PARTITION BY user_id ORDER BY snap_date)
+        ), ch AS (
+            SELECT * FROM c WHERE chg
+        )
+        SELECT user_id, event_type, snap_date AS effective_from,
+               lead(snap_date) OVER w2 AS effective_to,
+               lead(snap_date) OVER w2 IS NULL AS is_current
+        FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
+        ORDER BY user_id, effective_from
         """,
         "doc_stats": _DOC_STATS_CTE
         + """
