@@ -487,6 +487,51 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("user_id", "effective_from")
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (functions.pii) — counts + redacted hash.
+
+    The synthetic corpus carries no real PII, so the query plants
+    deterministic markers first (an email on doc_id%10==0, a phone + IP on
+    doc_id%10==5 — same arithmetic in the oracle), then counts and redacts
+    with the shared Java∩RE2 patterns. One projection, zero shuffles;
+    md5(redacted) pins every replacement byte.
+    """
+    from airflow_retail_etl_spark.functions import pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 10
+    injected = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            mod == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-867-5309 from 192.168.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    t = docs.select("doc_id", injected.alias("t"))
+    counts = [
+        pii.pii_count(F.col("t"), k).alias(f"n_{k}")
+        for k, _, _ in pii.PII_PATTERNS
+    ]
+    return t.select(
+        "doc_id",
+        *counts,
+        F.md5(pii.redact_pii(F.col("t"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.temporal): every event annotated with the
     user's most recent at-or-before purchase. Implemented as union + one
@@ -1051,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_type_pivot": q_daily_type_pivot,
         "dim_upsert": q_dim_upsert,
         "scd2_user_status": q_scd2_user_status,
+        "pii_redaction": q_pii_redaction,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "set_ops": q_set_ops,
@@ -1215,6 +1261,7 @@ WITH v AS (
 # oracle-checked, not just rows-only.
 # ---------------------------------------------------------------------------
 
+from airflow_retail_etl_spark.functions import pii as _pii  # noqa: E402
 from airflow_retail_etl_spark.functions import xhash  # noqa: E402
 from airflow_retail_etl_spark.operators.sampling import (  # noqa: E402
     threshold_for as _thr,
@@ -1739,6 +1786,29 @@ def oracle_sql() -> dict[str, str]:
                lead(snap_date) OVER w2 IS NULL AS is_current
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
+        """,
+        # identical marker injection + Java∩RE2 patterns (functions.pii)
+        "pii_redaction": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE
+                       WHEN doc_id % 10 = 0 THEN text || ' contact user'
+                            || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       WHEN doc_id % 10 = 5 THEN
+                            text || ' call 555-867-5309 from 192.168.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                       ELSE text
+                   END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               {", ".join(
+                   f"CAST({_pii.duck_pii_count('t', k)} AS INTEGER)"
+                   f" AS n_{k}"
+                   for k, _, _ in _pii.PII_PATTERNS
+               )},
+               md5({_pii.duck_redact_pii('t')}) AS redacted_md5
+        FROM t ORDER BY doc_id
         """,
         "doc_stats": _DOC_STATS_CTE
         + """
