@@ -487,6 +487,20 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("user_id", "effective_from")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-filter sweep (functions.text.gopher_flags).
+
+    Word-count / mean-word-length / symbol-ratio / alpha-word /
+    stopword / bullet-line rules as one zero-shuffle projection; every
+    measure and per-rule flag is emitted for audit, ``keep`` is their AND.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cols = tf.gopher_flags(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(k) for k, c in cols.items()]
+    ).orderBy("doc_id")
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the corpus (functions.pii) — counts + redacted hash.
 
@@ -1097,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_upsert": q_dim_upsert,
         "scd2_user_status": q_scd2_user_status,
         "pii_redaction": q_pii_redaction,
+        "quality_filter": q_quality_filter,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "set_ops": q_set_ops,
@@ -1786,6 +1801,58 @@ def oracle_sql() -> dict[str, str]:
                lead(snap_date) OVER w2 IS NULL AS is_current
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
+        """,
+        # Gopher rules over the same token/line arithmetic as
+        # functions.text.gopher_flags; empty docs fail closed via NULLIF
+        "quality_filter": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                        END AS ltoks,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_words,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS mean_word_len,
+                   CAST(len(regexp_extract_all(text, '{tf.SYMBOL_PATTERN}'))
+                        AS DOUBLE) / NULLIF(len(toks), 0) AS symbol_ratio,
+                   CAST(len(list_filter(toks,
+                            t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS alpha_word_frac,
+                   CAST(len(list_intersect(list_distinct(ltoks),
+                            {_STOPWORDS_SQL})) AS INTEGER)
+                       AS n_distinct_stopwords,
+                   CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                       / NULLIF(len(lines), 0) AS bullet_line_frac
+            FROM base
+        ), f AS (
+            SELECT *,
+                   COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+                       AS flag_word_count,
+                   COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+                       AS flag_mean_word_len,
+                   COALESCE(symbol_ratio <= 0.1, FALSE) AS flag_symbol_ratio,
+                   COALESCE(alpha_word_frac >= 0.8, FALSE)
+                       AS flag_alpha_words,
+                   COALESCE(n_distinct_stopwords >= 2, FALSE)
+                       AS flag_stopwords,
+                   COALESCE(bullet_line_frac <= 0.9, FALSE) AS flag_bullets
+            FROM m
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               alpha_word_frac, n_distinct_stopwords, bullet_line_frac,
+               flag_word_count, flag_mean_word_len, flag_symbol_ratio,
+               flag_alpha_words, flag_stopwords, flag_bullets,
+               flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
+               AND flag_alpha_words AND flag_stopwords AND flag_bullets
+                   AS keep
+        FROM f ORDER BY doc_id
         """,
         # identical marker injection + Java∩RE2 patterns (functions.pii)
         "pii_redaction": f"""

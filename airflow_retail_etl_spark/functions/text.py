@@ -87,6 +87,84 @@ def bpe_token_count(text: Column) -> Column:
     return F.regexp_count(F.lower(text), F.lit(BPE_SPLIT_PATTERN))
 
 
+#: symbols the Gopher symbol-to-word rule counts (hash marks + ellipses)
+SYMBOL_PATTERN = r"#|\.\.\."
+
+#: a line "is a bullet" if it starts with -, *, or • after optional space
+BULLET_PATTERN = r"^\s*[-*•]"
+
+
+def alpha_word_frac(text: Column) -> Column:
+    """Fraction of words containing at least one ASCII letter (NULL if empty)."""
+    toks = tokens(text)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    return n_alpha / F.nullif(F.size(toks), F.lit(0))
+
+
+def distinct_stopword_count(
+    text: Column, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
+    """How many DISTINCT stopwords appear (the Gopher ≥2-stopwords rule)."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.array_intersect(toks, stop_arr))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' or '...' occurrences) / word count (NULL if empty)."""
+    return F.regexp_count(text, F.lit(SYMBOL_PATTERN)) / F.nullif(
+        token_count(text), F.lit(0)
+    )
+
+
+def bullet_line_frac(text: Column) -> Column:
+    """Fraction of lines that start with a bullet marker (NULL if no text)."""
+    lines = F.split(text, "\n")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(BULLET_PATTERN)))
+    return n_bullet / F.nullif(F.size(lines), F.lit(0))
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Gopher-style quality-filter rule columns (Rae et al. 2021 §A1.1).
+
+    Returns measures, per-rule booleans (NULL-safe: an empty doc fails
+    closed), and ``keep`` = AND of all rules. Pure built-in expressions —
+    filtering 100 TB is one projection with zero shuffles, and every
+    threshold is visible in the output for audit.
+    """
+    n_words = token_count(text)
+    mean_len = avg_token_len(text)
+    sym = symbol_word_ratio(text)
+    alpha = alpha_word_frac(text)
+    n_stop = distinct_stopword_count(text)
+    bullets = bullet_line_frac(text)
+
+    def ok(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
+    flags = {
+        "flag_word_count": ok((n_words >= 50) & (n_words <= 100_000)),
+        "flag_mean_word_len": ok((mean_len >= 3.0) & (mean_len <= 10.0)),
+        "flag_symbol_ratio": ok(sym <= 0.1),
+        "flag_alpha_words": ok(alpha >= 0.8),
+        "flag_stopwords": ok(n_stop >= 2),
+        "flag_bullets": ok(bullets <= 0.9),
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_ratio": sym,
+        "alpha_word_frac": alpha,
+        "n_distinct_stopwords": n_stop,
+        "bullet_line_frac": bullets,
+        **flags,
+        "keep": keep,
+    }
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
