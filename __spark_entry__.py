@@ -487,6 +487,21 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("user_id", "effective_from")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition metrics (operators.repetition, Gopher rules).
+
+    Duplicate-line fraction is a pure array expression; duplicate/top
+    bigram fractions go through the scalable explode → (doc, gram) count →
+    per-doc rollup (uniform shuffle keys, map-side partial agg). Docs with
+    no bigrams surface NULL metrics and keep=true.
+    """
+    from airflow_retail_etl_spark.operators import repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition.repetition_report(docs, "text", "doc_id", n=2)
+    return rep.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality-filter sweep (functions.text.gopher_flags).
 
@@ -1112,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_status": q_scd2_user_status,
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
+        "repetition": q_repetition,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "set_ops": q_set_ops,
@@ -1801,6 +1817,52 @@ def oracle_sql() -> dict[str, str]:
                lead(snap_date) OVER w2 IS NULL AS is_current
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
+        """,
+        # explode → (doc, gram) count → per-doc rollup, LEFT JOIN back so
+        # gram-less docs keep NULL metrics (operators.repetition, n=2)
+        "repetition": f"""
+        WITH norm AS (
+            SELECT doc_id, text, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split(t, ' ') END AS toks
+            FROM norm
+        ), g AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> concat_ws(' ', toks[i], toks[i+1]))
+                       ELSE CAST([] AS VARCHAR[]) END) AS g
+            FROM tok
+        ), per_gram AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2
+        ), per_doc AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(c) AS BIGINT) AS max_c
+            FROM per_gram GROUP BY 1
+        ), ln AS (
+            SELECT doc_id,
+                   CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / NULLIF(len(lines), 0) AS dup_line_frac
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+                  FROM documents)
+        )
+        SELECT n.doc_id,
+               COALESCE(p.total, 0) AS n_ngrams,
+               CAST(p.total - p.n_distinct AS DOUBLE)
+                   / NULLIF(p.total, 0) AS dup_ngram_frac,
+               CAST(p.max_c AS DOUBLE) / NULLIF(p.total, 0) AS top_ngram_frac,
+               ln.dup_line_frac,
+               COALESCE(CAST(p.total - p.n_distinct AS DOUBLE)
+                            / NULLIF(p.total, 0) <= 0.2, TRUE)
+               AND COALESCE(CAST(p.max_c AS DOUBLE)
+                                / NULLIF(p.total, 0) <= 0.2, TRUE) AS keep
+        FROM norm n
+        LEFT JOIN per_doc p USING (doc_id)
+        JOIN ln USING (doc_id)
+        ORDER BY n.doc_id
         """,
         # Gopher rules over the same token/line arithmetic as
         # functions.text.gopher_flags; empty docs fail closed via NULLIF
