@@ -487,6 +487,23 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("user_id", "effective_from")
 
 
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators.mixing): rebalance the event
+    stream to a 1:2:4 view:cart:purchase weight mix.
+
+    Per-source stats are a broadcast micro-aggregate; membership is the
+    exact cross-multiplied integer hash rule, so the corpus never shuffles
+    and DuckDB reproduces the mix bit-for-bit.
+    """
+    from airflow_retail_etl_spark.operators import mixing
+
+    events = load_table(spark, sf_dir, "events")
+    out = mixing.mix_corpus(
+        events, "event_type", {"view": 1, "cart": 2, "purchase": 4}, "event_id"
+    )
+    return out.select("event_id", "event_type", "user_id").orderBy("event_id")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition metrics (operators.repetition, Gopher rules).
 
@@ -1128,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
         "repetition": q_repetition,
+        "mix_corpus": q_mix_corpus,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "set_ops": q_set_ops,
@@ -1817,6 +1835,31 @@ def oracle_sql() -> dict[str, str]:
                lead(snap_date) OVER w2 IS NULL AS is_current
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
+        """,
+        # same binding-source argmin + exact integer threshold as
+        # operators.mixing.mix_corpus (weights view:1 cart:2 purchase:4)
+        "mix_corpus": f"""
+        WITH counts AS (
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+        ), w AS (
+            SELECT event_type, n,
+                   CASE event_type WHEN 'cart' THEN 2
+                        WHEN 'purchase' THEN 4
+                        WHEN 'view' THEN 1 END AS wt
+            FROM counts
+        ), ws AS (
+            SELECT * FROM w WHERE wt IS NOT NULL
+        ), arg AS (
+            SELECT n AS p, wt AS q FROM ws
+            ORDER BY CAST(n AS DOUBLE) / wt ASC, event_type ASC LIMIT 1
+        )
+        SELECT e.event_id, e.event_type, e.user_id
+        FROM events e JOIN ws USING (event_type) CROSS JOIN arg
+        WHERE {xhash.duck_md5_u64("CAST(event_id AS VARCHAR)")}
+                  * CAST(ws.n AS HUGEINT) * CAST(arg.q AS HUGEINT)
+              < CAST(arg.p AS HUGEINT) * CAST(ws.wt AS HUGEINT)
+                  * CAST('18446744073709551616' AS HUGEINT)
+        ORDER BY event_id
         """,
         # explode → (doc, gram) count → per-doc rollup, LEFT JOIN back so
         # gram-less docs keep NULL metrics (operators.repetition, n=2)

@@ -1,0 +1,91 @@
+"""Corpus mixing: rebalance a multi-source corpus to target weights.
+
+Training mixes are specified as source weights ("2 parts web to 1 part
+books"); the engine must downsample each source so the output follows the
+weights while keeping as much data as possible. With integer weights
+``W_s`` and source sizes ``n_s``, the largest feasible mix scales every
+source's output to ``c·W_s`` where ``c = min_s n_s/W_s`` — the binding
+source is kept whole and every other source is hash-thresholded down.
+
+Scale shape: the per-source stats are one tiny aggregation (|sources|
+rows — broadcast), the argmin is a limit(1) on that aggregate, and
+membership is then a pure per-row predicate over the broadcast stats —
+the corpus itself never shuffles. Membership hashes the row key
+(operators.sampling draw), so the mix is deterministic, engine-portable,
+and consistent across reruns.
+
+The keep rule ``u < (c·W_s/n_s)·2^64`` is evaluated as the cross-
+multiplied INTEGER comparison ``u·n_s·q < p·W_s·2^64`` (where c = p/q is
+the binding source's exact count/weight ratio) — no float thresholds, so
+Spark DECIMAL and DuckDB HUGEINT agree bit-for-bit. Magnitudes stay
+within DECIMAL(38)/HUGEINT for n_s·q below ~10^14, far past any real
+source count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.operators.sampling import _sample_u
+
+
+def _weight_expr(group_col: str, weights: dict[str, int]) -> Column:
+    out: Column = F.lit(None).cast("int")
+    for value, w in sorted(weights.items()):
+        if w <= 0 or w != int(w):
+            raise ValueError(f"weights must be positive integers, got {w!r}")
+        out = F.when(F.col(group_col) == F.lit(value), F.lit(int(w))).otherwise(
+            out
+        )
+    return out
+
+
+def mix_corpus(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int],
+    key_col: str,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Largest deterministic subsample of ``df`` matching ``weights``.
+
+    Groups absent from ``weights`` are dropped. The binding group (max
+    n_s/W_s deficit) survives whole; every other group is thinned by the
+    hash-threshold rule, so expected output sizes are exactly
+    ``c·W_s``. All original columns pass through.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    stats = (
+        df.groupBy(group_col)
+        .count()
+        .select(
+            group_col,
+            F.col("count").cast("decimal(20,0)").alias("__n"),
+            _weight_expr(group_col, weights)
+            .cast("decimal(10,0)")
+            .alias("__w"),
+        )
+        .filter(F.col("__w").isNotNull())
+    )
+    # ratio ordered as DOUBLE (ties broken by group) to match the oracle's
+    # division type; the chosen (p, q) pair is then used exactly
+    arg = (
+        stats.orderBy(
+            (F.col("__n").cast("double") / F.col("__w").cast("double")).asc(),
+            F.col(group_col).asc(),
+        )
+        .limit(1)
+        .select(F.col("__n").alias("__p"), F.col("__w").alias("__q"))
+    )
+    joined = df.join(F.broadcast(stats), group_col).crossJoin(
+        F.broadcast(arg)
+    )
+    u = _sample_u(F.col(key_col).cast("string"), seed)
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    keep = (u * F.col("__n") * F.col("__q")) < (
+        F.col("__p") * F.col("__w") * two64
+    )
+    return joined.filter(keep).drop("__n", "__w", "__p", "__q")
