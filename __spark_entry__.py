@@ -925,6 +925,44 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection: one survivor per duplicate cluster.
+
+    The step after dup_clusters that actually shrinks the corpus: per
+    connected component keep the highest-quality_score doc (ties → min
+    doc_id). Two windows over one cluster-keyed exchange on top of the
+    cluster assignment; the oracle extends the recursive-CTE closure with
+    the identical argmax.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", kind="token", n=3, min_jaccard=0.5
+    )
+    cc = dedup.connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    scored = docs.select(
+        "doc_id", tf.quality_score(F.col("text")).alias("quality_score")
+    )
+    joined = cc.withColumnRenamed("node", "doc_id").join(scored, "doc_id")
+    w = Window.partitionBy("comp")
+    wr = Window.partitionBy("comp").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.col("comp").alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            "quality_score",
+            F.row_number().over(wr).alias("__rk"),
+        )
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .orderBy("doc_id")
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — full pipeline, oracle-checked.
 
@@ -1161,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": q_neardup_jaccard,
         "decontaminate": q_decontaminate,
         "dup_clusters": q_dup_clusters,
+        "dedup_resolve": q_dedup_resolve,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -2137,6 +2176,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                    AS cluster_size
         FROM cc
+        """,
+        # recursive closure + per-cluster quality argmax
+        # (q_dedup_resolve; quality formula identical to doc_stats)
+        "dedup_resolve": _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+        , edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.5
+            UNION ALL
+            SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+        ), reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ), cc AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+        )
+        """
+        + _DOC_STATS_CTE.replace("WITH ", ", ", 1)
+        + """
+        , q AS (
+            SELECT doc_id,
+                   round(0.4 * CASE WHEN n_tokens BETWEEN 5 AND 100000
+                                    THEN 1.0 ELSE 0.0 END
+                         + 0.4 * least(coalesce(stopword_ratio, 0) * 4.0, 1.0)
+                         + 0.2 * (1.0 - least(coalesce(punct_ratio, 0) * 5.0,
+                                              1.0)),
+                         6) AS quality_score
+            FROM stats
+        ), ranked AS (
+            SELECT cc.doc_id, cc.cluster_id, q.quality_score,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY q.quality_score DESC, cc.doc_id ASC) AS rk,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+            FROM cc JOIN q USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, CAST(csize AS BIGINT) AS cluster_size,
+               quality_score
+        FROM ranked WHERE rk = 1 ORDER BY doc_id
         """,
         "knn_cosine": _KNN_SQL,
         "ann_ivf": _KNN_SQL,
