@@ -66,6 +66,17 @@ HEADLINE = (
     "multimodal_bytes",
     "multimodal_decode",
     "events_hourly",
+    "scd2_user_status",
+    "decontaminate",
+    "doc_chunks",
+    "pack_sequences",
+    "stratified_sample",
+    "sample_k_per_stratum",
+    "mix_corpus",
+    "quality_filter",
+    "repetition",
+    "pii_redaction",
+    "dedup_resolve",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
