@@ -487,6 +487,28 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("user_id", "effective_from")
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-500 terms by total frequency with doc freq.
+
+    The tokenizer-training precursor: explode normalized tokens, aggregate
+    (term, doc) then term — both shuffles carry uniform keys and collapse
+    map-side; the top-K is a TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tf.tokens(tf.normalize_text(F.col("text"))).alias("toks"),
+    ).repartition("doc_id")
+    terms = base.select(
+        "doc_id", F.explode_outer("toks").alias("term")
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    per_doc = terms.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("c").alias("tf"), F.count("*").alias("df")
+    )
+    return vocab.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(500)
+
+
 def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixing (operators.mixing): rebalance the event
     stream to a 1:2:4 view:cart:purchase weight mix.
@@ -1184,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "repetition": q_repetition,
         "mix_corpus": q_mix_corpus,
+        "vocab": q_vocab,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "set_ops": q_set_ops,
@@ -1874,6 +1897,19 @@ def oracle_sql() -> dict[str, str]:
                lead(snap_date) OVER w2 IS NULL AS is_current
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
+        """,
+        "vocab": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS term
+            FROM documents
+        ), f AS (
+            SELECT term, doc_id, COUNT(*) AS c
+            FROM toks WHERE term != '' GROUP BY 1, 2
+        )
+        SELECT term, CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM f GROUP BY term
+        ORDER BY tf DESC, term ASC LIMIT 500
         """,
         # same binding-source argmin + exact integer threshold as
         # operators.mixing.mix_corpus (weights view:1 cart:2 purchase:4)
