@@ -487,6 +487,33 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("user_id", "effective_from")
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding maintenance (functions.vectors): L2 norm + symmetric int8
+    quantization + reconstruction-error audit, one zero-shuffle projection.
+
+    md5 over the stringified quantized array pins every int8 element; the
+    oracle replays the identical round/scale arithmetic with list HOFs.
+    """
+    from airflow_retail_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        V.l2_norm(e).alias("l2_norm"),
+        V.quant_scale(e).alias("scale"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    V.quantize_int8(e), lambda q: q.cast("string")
+                ),
+                ",",
+            )
+        ).alias("q_md5"),
+        V.dequant_error(e).alias("max_err"),
+    ).orderBy("vec_id")
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-500 terms by total frequency with doc freq.
 
@@ -1207,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "mix_corpus": q_mix_corpus,
         "vocab": q_vocab,
+        "embed_quantize": q_embed_quantize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "set_ops": q_set_ops,
@@ -1897,6 +1925,32 @@ def oracle_sql() -> dict[str, str]:
                lead(snap_date) OVER w2 IS NULL AS is_current
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
+        """,
+        # same fold/round arithmetic as functions.vectors (float32 widening
+        # is exact in both engines, so the doubles agree bit-for-bit)
+        "embed_quantize": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), m AS (
+            SELECT vec_id, e,
+                   sqrt(list_dot_product(e, e)) AS l2_norm,
+                   COALESCE(list_max(list_transform(e, x -> abs(x))), 0.0)
+                       AS mx
+            FROM v
+        )
+        SELECT vec_id, l2_norm, mx / 127.0 AS scale,
+               md5(array_to_string(
+                   CASE WHEN mx = 0 THEN
+                       list_transform(e, x -> CAST(0 AS TINYINT))
+                   ELSE
+                       list_transform(e,
+                           x -> CAST(round(x * 127.0 / mx) AS TINYINT))
+                   END, ',')) AS q_md5,
+               COALESCE(list_max(list_transform(e,
+                   x -> abs(x - (CASE WHEN mx = 0 THEN 0.0
+                                 ELSE round(x * 127.0 / mx) * (mx / 127.0)
+                                 END)))), 0.0) AS max_err
+        FROM m ORDER BY vec_id
         """,
         "vocab": f"""
         WITH toks AS (
