@@ -90,3 +90,48 @@ def test_regional_revenue_broadcasts_catalogs(spark, q, sf_dir):
     assert has_broadcast_join(df)
     # region filter reaches its scan
     assert "r_name" in formatted_plan(df)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, q, sf_dir):
+    # the training side must probe a broadcast eval-gram set, never
+    # shuffle itself against it
+    df = q["decontaminate"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_mix_corpus_broadcasts_stats_and_never_shuffles_corpus(spark, q, sf_dir):
+    plan = formatted_plan(q["mix_corpus"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+    # plain Exchanges only for the two micro-aggregates (stats, argmin)
+    # and the presentation sort — the corpus scan feeds the joins directly
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_pack_sequences_single_window_exchange(spark, q, sf_dir):
+    # chunking repartitions by doc, packing windows by bucket, the query
+    # sorts for presentation: exactly three exchanges, no more
+    plan = formatted_plan(q["pack_sequences"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "Window" in plan
+
+
+def test_stratified_sample_is_pure_scan_filter(spark, q, sf_dir):
+    # membership must evaluate on the scan: no Exchange at all
+    plan = formatted_plan(q["stratified_sample"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_quality_filter_and_pii_are_zero_shuffle_projections(spark, q, sf_dir):
+    for name in ("quality_filter", "pii_redaction"):
+        plan = formatted_plan(q[name](spark, sf_dir))
+        # only the presentation orderBy may exchange (range partitioning)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark, q, sf_dir):
+    # snapshot dedup + change detection + interval close all hash by
+    # user_id: the plan must not re-exchange between the windows
+    plan = formatted_plan(q["scd2_user_status"](spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, plan  # user-key hash, day-key hash, final sort
