@@ -17,6 +17,14 @@ SLOW = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+#: for properties whose single example runs several Spark jobs (iterated
+#: upserts, windowed packing) — fewer, smaller examples
+HEAVY = settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
 
 @SLOW
 @given(st.lists(cents, min_size=1, max_size=50))
@@ -65,3 +73,108 @@ def test_jaccard_bounds_and_identity(spark, texts):
     for r in jaccard_pairs(df, "text", "doc_id").collect():
         assert 0.0 <= r["jaccard"] <= 1.0
         assert r["id_a"] < r["id_b"]
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40),  # chunk token counts
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=32),  # max_tokens
+)
+def test_packing_covers_stream_exactly(spark, counts, max_tokens):
+    """Chop packing: addresses are a gapless re-layout of the token stream."""
+    from airflow_retail_etl_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [(1, i, n) for i, n in enumerate(counts)],
+        ["doc_id", "chunk_id", "n_chunk_tokens"],
+    )
+    rows = sorted(
+        pack_chunks(df, max_tokens=max_tokens, n_buckets=1).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    offset = 0
+    for r in rows:
+        assert r.seq_id == offset // max_tokens
+        assert r.seq_offset == offset % max_tokens
+        spans = (offset + max(r.n_tokens - 1, 0)) // max_tokens > r.seq_id
+        assert r.spans_boundary == spans
+        offset += r.n_tokens
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.sampled_from(["a", "b", None]),        # attr (NULLs included)
+            st.integers(min_value=0, max_value=3),    # day
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_scd2_fold_equals_rebuild_on_random_histories(spark, raw):
+    """scd2_upsert folded day-by-day == scd2_from_snapshots, any history."""
+    import datetime as dt
+    from collections import Counter
+
+    from airflow_retail_etl_spark.operators.scd import (
+        scd2_from_snapshots,
+        scd2_upsert,
+    )
+
+    # one snapshot row per (key, day): last write wins deterministically
+    snap = {}
+    for key, attr, day in raw:
+        snap[(key, day)] = attr
+    rows = [
+        (k, v, dt.date(2020, 1, d + 1)) for (k, d), v in snap.items()
+    ]
+    snaps = spark.createDataFrame(rows, "k long, a string, d date")
+    full = scd2_from_snapshots(snaps, ["k"], ["a"], "d")
+
+    days = sorted({r[2] for r in rows})
+    hist = (
+        snaps.filter(F.col("d") == days[0])
+        .select(
+            "k",
+            "a",
+            F.col("d").alias("effective_from"),
+            F.lit(None).cast("date").alias("effective_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    for day in days[1:]:
+        batch = snaps.filter(F.col("d") == day).drop("d")
+        hist = scd2_upsert(hist, batch, ["k"], ["a"], F.lit(day))
+    assert Counter(map(tuple, hist.collect())) == Counter(
+        map(tuple, full.collect())
+    )
+
+
+@HEAVY
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=5),
+)
+def test_exact_k_sampling_sizes_and_stability(spark, keys, k):
+    from airflow_retail_etl_spark.operators.sampling import sample_exact_k
+
+    df = spark.createDataFrame([(x, x % 3) for x in set(keys)], ["key", "s"])
+    out = sample_exact_k(df, ["s"], k, "key")
+    sizes = {
+        r.s: r.n
+        for r in out.groupBy("s").count().withColumnRenamed("count", "n").collect()
+    }
+    full = {
+        r.s: r.n
+        for r in df.groupBy("s").count().withColumnRenamed("count", "n").collect()
+    }
+    for stratum, n in sizes.items():
+        assert n == min(k, full[stratum])
+    again = sample_exact_k(df.repartition(5), ["s"], k, "key")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
