@@ -224,6 +224,86 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+
+    Returnflag filter pushes to the lineitem scan; fact-sized joins hash
+    on their keys; nation broadcasts; the top-20 is a
+    TakeOrderedAndProject. Money in DECIMAL per policy.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(disc_price).cast("double").alias("lost_revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per order-year revenue share of each supplier
+    nation inside one region.
+
+    Exact DECIMAL revenue per (year, nation); the share divides doubles
+    derived from those exact sums (one IEEE division — cross-engine
+    stable). region/nation broadcast; one window over the year for the
+    denominator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+    catalog = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(catalog),
+            supplier.s_nationkey == catalog.n_nationkey,
+        )
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("n_name").alias("supplier_nation"),
+        )
+        .agg(F.sum(disc_price).alias("rev_dec"))
+    )
+    w = Window.partitionBy("order_year")
+    return (
+        per.select(
+            "order_year",
+            "supplier_nation",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(w).cast("double")
+            ).alias("share"),
+        )
+        .orderBy("order_year", "supplier_nation")
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: top-10 open orders by revenue for one segment.
 
@@ -1217,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         # join / window / rollup breadth
         "revenue_by_nation": q_revenue_by_nation,
+        "returned_items": q_returned_items,
+        "market_share": q_market_share,
         "regional_revenue": q_regional_revenue,
         "shipping_priority": q_shipping_priority,
         "customers_without_orders": q_customers_without_orders,
@@ -1666,6 +1748,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY 1, 2
+        """,
+        "returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(3,2)))
+                    AS DOUBLE) AS lost_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_returned_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY lost_revenue DESC, c_custkey ASC
+        LIMIT 20
+        """,
+        "market_share": """
+        WITH per AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   n_name AS supplier_nation,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(3,2))) AS rev_dec
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY 1, 2
+        )
+        SELECT order_year, supplier_nation,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(rev_dec AS DOUBLE)
+                   / CAST(SUM(rev_dec) OVER (PARTITION BY order_year)
+                          AS DOUBLE) AS share
+        FROM per
+        ORDER BY order_year, supplier_nation
         """,
         "regional_revenue": """
         SELECT n_name AS nation,

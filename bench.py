@@ -41,6 +41,8 @@ HEADLINE = (
     "events_summary",
     "pricing_summary",
     "revenue_by_nation",
+    "returned_items",
+    "market_share",
     "regional_revenue",
     "shipping_priority",
     "sessionize",
