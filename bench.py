@@ -79,6 +79,8 @@ HEADLINE = (
     "repetition",
     "pii_redaction",
     "dedup_resolve",
+    "vocab",
+    "embed_quantize",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
