@@ -1054,6 +1054,40 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per doc (dedup.winnow_fingerprints, md5
+    family so the oracle replays every fingerprint; production uses
+    xxhash64 — same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(
+        docs, "text", "doc_id", k=5, window=4, hash_family="md5"
+    )
+    return fps.select(
+        F.col("id").alias("doc_id"),
+        F.size("fps").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort("fps"), lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("fp_md5"),
+    ).orderBy("doc_id")
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidates: pairs sharing ≥3 winnowing fingerprints
+    (top-100). The inverted index joins the ~2/(w+1)-sampled fingerprint
+    sets, not full shingle sets — winnowing's point at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(
+        docs, "text", "doc_id", k=5, window=4, hash_family="md5"
+    )
+    pairs = dedup.winnow_overlap_pairs(fps, min_shared=3)
+    return pairs.orderBy(
+        F.col("n_shared").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(100)
+
+
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-doc selection: one survivor per duplicate cluster.
 
@@ -1333,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dup_clusters": q_dup_clusters,
         "dedup_resolve": q_dedup_resolve,
+        "winnow": q_winnow,
+        "winnow_pairs": q_winnow_pairs,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -1487,6 +1523,27 @@ from airflow_retail_etl_spark.functions import xhash  # noqa: E402
 from airflow_retail_etl_spark.operators.sampling import (  # noqa: E402
     threshold_for as _thr,
 )
+
+#: winnowing fingerprint sets (mirrors dedup.winnow_fingerprints with
+#: k=5, window=4, md5 hash family); terminal CTE is ``f``
+_WINNOW_CTE = f"""
+WITH n AS (
+    SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+), h AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(length(t) - 4, 1)),
+               i -> {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 5)")}
+           ) AS hs
+    FROM n
+), f AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 3, 1)),
+               j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+    FROM h
+)
+"""
 
 
 def _simhash_bits_sql(hs: str, n: str) -> str:
@@ -2385,6 +2442,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                    AS cluster_size
         FROM cc
+        """,
+        # same k=5 gram hashes + window-4 minima as winnow_fingerprints
+        "winnow": _WINNOW_CTE
+        + """
+        SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+               md5(array_to_string(list_sort(fps), ',')) AS fp_md5
+        FROM f ORDER BY doc_id
+        """,
+        "winnow_pairs": _WINNOW_CTE
+        + """
+        , inv AS (
+            SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM inv a JOIN inv b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_shared FROM pairs
+        WHERE n_shared >= 3
+        ORDER BY n_shared DESC, id_a ASC, id_b ASC
+        LIMIT 100
         """,
         # recursive closure + per-cluster quality argmax
         # (q_dedup_resolve; quality formula identical to doc_stats)

@@ -588,3 +588,104 @@ def simhash_pairs(
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003).
+
+    The partial-overlap detector exact/MinHash dedup lacks: hash every
+    positional char k-gram, slide a window of ``window`` hashes, keep each
+    window's MINIMUM — any shared substring of length ≥ k+window−1 is
+    GUARANTEED to surface at least one common fingerprint, while only
+    ~2/(window+1) of positions are kept. Output: (id, fps array<bigint>).
+
+    All HOF projections, zero shuffles beyond the materialization
+    exchanges: the k-gram hash array and the window minima are separate
+    SELECTs behind repartitions — the Catalyst lambda re-evaluation trap
+    (see _with_shingles) would otherwise recompute the hash array once
+    per window position, turning O(n·w) into O(n²·k) regex-free but
+    quadratic work.
+
+    ``hash_family="md5"`` switches to the engine-portable md5 hash
+    (functions.xhash.md5_long) so the DuckDB oracle replays fingerprints
+    bit-exactly; production keeps xxhash64.
+    """
+    if hash_family == "md5":
+        def hash_gram(g: Column) -> Column:
+            return xhash.md5_long(g)
+    elif hash_family == "xxhash64":
+        def hash_gram(g: Column) -> Column:
+            return F.xxhash64(g)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("t"),
+    ).repartition("id")
+    hashes = base.select(
+        "id",
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(1))
+            ),
+            lambda i: hash_gram(F.col("t").substr(i, F.lit(k))),
+        ).alias("hs"),
+    ).repartition("id")
+    return hashes.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("hs") - (window - 1), F.lit(1)),
+                ),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, window)),
+            )
+        ).alias("fps"),
+    )
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    *,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """Pairs sharing ≥ ``min_shared`` winnowing fingerprints.
+
+    Inverted-index join on the (already ~2/(window+1)-sampled)
+    fingerprints; ``max_doc_freq`` drops boilerplate fingerprints before
+    the self-join, same skew rationale as jaccard_pairs.
+    """
+    inv = fps.select("id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    if max_doc_freq is not None:
+        rare = (
+            inv.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+        )
+        inv = inv.join(rare.select("fp"), "fp", "left_semi")
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -81,6 +81,8 @@ HEADLINE = (
     "dedup_resolve",
     "vocab",
     "embed_quantize",
+    "winnow",
+    "winnow_pairs",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

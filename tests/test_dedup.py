@@ -229,3 +229,85 @@ def test_connected_components_star_and_reversed_edges(spark):
     )
     out = _cc_map(dedup.connected_components(pairs))
     assert set(out.values()) == {3}
+
+
+def test_winnow_guarantee_shared_substring_surfaces(spark):
+    """Any shared run of >= k+window-1 chars yields a common fingerprint."""
+    from airflow_retail_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "totally different content with nothing in common xyz"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    pairs = winnow_overlap_pairs(fps, min_shared=2).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_density_and_determinism(spark):
+    from airflow_retail_etl_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 10 + "abcdefghijklmnopqrstuvwxyz" * 4)], ["doc_id", "text"]
+    )
+    r1 = winnow_fingerprints(docs, "text", "doc_id").collect()[0]
+    r2 = winnow_fingerprints(
+        docs.repartition(3), "text", "doc_id"
+    ).collect()[0]
+    assert sorted(r1.fps) == sorted(r2.fps)
+    n_grams = len("x" * 10 + "abcdefghijklmnopqrstuvwxyz" * 4) - 4
+    # winnowing keeps roughly 2/(w+1) of positions; distinct-set is smaller
+    assert 0 < len(r1.fps) < n_grams / 2
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from airflow_retail_etl_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, "text", "doc_id").collect()[0].fps
+    assert len(fps) == 1
+
+
+def test_winnow_md5_family_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from airflow_retail_etl_spark.functions import xhash
+    from airflow_retail_etl_spark.operators.dedup import winnow_fingerprints
+
+    texts = ["hello winnowing world", "ab", "", "aaaaaaaaaa"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.id: sorted(r.fps)
+        for r in winnow_fingerprints(
+            docs, "text", "doc_id", hash_family="md5"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    duck = dict(
+        con.sql(f"""
+        WITH n AS (SELECT doc_id, {norm} AS t FROM docs),
+        h AS (SELECT doc_id,
+                list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                    i -> {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 5)")}) AS hs
+              FROM n)
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 1)),
+                   j -> list_min(list_slice(hs, j, j + 3))))) AS fps
+        FROM h
+        """).fetchall()
+    )
+    assert got == {k: list(v) for k, v in duck.items()}
