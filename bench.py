@@ -83,6 +83,7 @@ HEADLINE = (
     "embed_quantize",
     "winnow",
     "winnow_pairs",
+    "bpe_tokenize",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from airflow_retail_etl_spark.operators.bpe import (
+    EOW,
+    apply_bpe,
+    learn_bpe_merges,
+    word_shapes,
+)
+
+
+def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python reference BPE (greedy left-to-right merge)."""
+    words: Counter = Counter()
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        if norm:
+            words.update(norm.split(" "))
+    shapes = {tuple(list(w) + [EOW]): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in shapes.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # deterministic: max count, then lexicographically smallest (a, b)
+        top_n = max(pairs.values())
+        cands = sorted(p for p, n in pairs.items() if n == top_n)
+        a, b = cands[0]
+        merges.append((a, b))
+        new_shapes = {}
+        for syms, c in shapes.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_shapes[tuple(out)] = new_shapes.get(tuple(out), 0) + c
+        shapes = new_shapes
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wider wide wide widest",
+]
+
+
+def test_word_shapes_chars_plus_eow(spark):
+    df = spark.createDataFrame([("ab ab c",)], ["text"])
+    rows = {tuple(r.syms): r.weight for r in word_shapes(df, "text").collect()}
+    assert rows == {("a", "b", EOW): 2, ("c", EOW): 1}
+
+
+def test_merges_match_reference_implementation(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    got = learn_bpe_merges(df, "text", n_merges=10)
+    assert got == _ref_bpe(TEXTS, 10)
+
+
+def test_overlapping_pairs_merge_greedily(spark):
+    df = spark.createDataFrame([(1, "aaa aaa aaa aaa")], ["doc_id", "text"])
+    merges = learn_bpe_merges(df, "text", n_merges=1)
+    assert merges == [("a", "a")]
+    row = apply_bpe(df, "text", "doc_id", merges).collect()[0]
+    # greedy left-to-right: aaa</w> → ["aa", "a", EOW]
+    assert row.bpe_tokens[:2] == ["aa", "a"]
+
+
+def test_apply_bpe_reconstructs_words(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    merges = learn_bpe_merges(df, "text", n_merges=8)
+    out = {r.id: r for r in apply_bpe(df, "text", "doc_id", merges).collect()}
+    for i, t in enumerate(TEXTS):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        joined = "".join(out[i].bpe_tokens).replace(EOW, "")
+        assert joined == norm.replace(" ", "")
+        assert out[i].n_bpe_tokens == len(out[i].bpe_tokens)
+        # merging strictly reduces or preserves token count vs chars
+        n_chars = len(norm.replace(" ", "")) + len(norm.split(" "))
+        assert out[i].n_bpe_tokens <= n_chars
