@@ -578,19 +578,30 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
-    return emb.select(
+    # max|x| materialized behind the exchange: quantize/error lambdas read
+    # it per element, and inlining the fold would re-run it per element
+    # (the vectors.quantize_int8_from docstring trap)
+    base = emb.select(
         "vec_id",
+        e.alias("e"),
         V.l2_norm(e).alias("l2_norm"),
-        V.quant_scale(e).alias("scale"),
+        V.max_abs(e).alias("mx"),
+    ).repartition("vec_id")
+    mx = F.col("mx")
+    return base.select(
+        "vec_id",
+        "l2_norm",
+        (mx / 127.0).alias("scale"),
         F.md5(
             F.array_join(
                 F.transform(
-                    V.quantize_int8(e), lambda q: q.cast("string")
+                    V.quantize_int8_from(F.col("e"), mx),
+                    lambda q: q.cast("string"),
                 ),
                 ",",
             )
         ).alias("q_md5"),
-        V.dequant_error(e).alias("max_err"),
+        V.dequant_error_from(F.col("e"), mx).alias("max_err"),
     ).orderBy("vec_id")
 
 
@@ -1123,9 +1134,11 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets, not full shingle sets — winnowing's point at scale."""
     docs = load_table(spark, sf_dir, "documents")
     fps = dedup.winnow_fingerprints(
-        docs, "text", "doc_id", k=5, window=4, hash_family="md5"
+        docs, "text", "doc_id", k=16, window=8, hash_family="md5"
     )
-    pairs = dedup.winnow_overlap_pairs(fps, min_shared=3)
+    pairs = dedup.winnow_overlap_pairs(
+        fps, min_shared=3, max_doc_freq=200
+    )
     return pairs.orderBy(
         F.col("n_shared").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(100)
@@ -1568,23 +1581,25 @@ from airflow_retail_etl_spark.operators.sampling import (  # noqa: E402
     threshold_for as _thr,
 )
 
-#: winnowing fingerprint sets (mirrors dedup.winnow_fingerprints with
-#: k=5, window=4, md5 hash family); terminal CTE is ``f``
-_WINNOW_CTE = f"""
+def _winnow_cte(k: int, window: int) -> str:
+    """Winnowing fingerprint sets (mirrors dedup.winnow_fingerprints,
+    md5 hash family); terminal CTE is ``f``."""
+    gram = xhash.duck_md5_long(f"substr(t, CAST(i AS INTEGER), {k})")
+    return f"""
 WITH n AS (
     SELECT doc_id, {_NORM_TEXT} AS t FROM documents
 ), h AS (
     SELECT doc_id,
            list_transform(
-               generate_series(1, greatest(length(t) - 4, 1)),
-               i -> {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 5)")}
+               generate_series(1, greatest(length(t) - {k - 1}, 1)),
+               i -> {gram}
            ) AS hs
     FROM n
 ), f AS (
     SELECT doc_id,
            list_distinct(list_transform(
-               generate_series(1, greatest(len(hs) - 3, 1)),
-               j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+               generate_series(1, greatest(len(hs) - {window - 1}, 1)),
+               j -> list_min(list_slice(hs, j, j + {window - 1})))) AS fps
     FROM h
 )
 """
@@ -2516,16 +2531,22 @@ def oracle_sql() -> dict[str, str]:
         FROM merged ORDER BY doc_id
         """,
         # same k=5 gram hashes + window-4 minima as winnow_fingerprints
-        "winnow": _WINNOW_CTE
+        "winnow": _winnow_cte(5, 4)
         + """
         SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
                md5(array_to_string(list_sort(fps), ',')) AS fp_md5
         FROM f ORDER BY doc_id
         """,
-        "winnow_pairs": _WINNOW_CTE
+        # k=16 grams (discriminative even on low-entropy corpora) and the
+        # doc-frequency cap mirror q_winnow_pairs exactly
+        "winnow_pairs": _winnow_cte(16, 8)
         + """
-        , inv AS (
+        , inv0 AS (
             SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f
+        ), df AS (
+            SELECT fp FROM inv0 GROUP BY fp HAVING COUNT(*) <= 200
+        ), inv AS (
+            SELECT doc_id, fp FROM inv0 SEMI JOIN df USING (fp)
         ), pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(COUNT(*) AS BIGINT) AS n_shared

@@ -51,13 +51,16 @@ def max_abs(vec: Column) -> Column:
     )
 
 
-def quantize_int8(vec: Column) -> Column:
-    """Symmetric int8 quantization: round(127·x / max|x|) per element.
+def quantize_int8_from(vec: Column, m: Column) -> Column:
+    """Symmetric int8 quantization given an ALREADY-MATERIALIZED max|x|.
 
-    The zero vector quantizes to zeros (guard against 0/0). Pair with
-    :func:`quant_scale` to reconstruct.
+    ``m`` must be a plain column reference: it is read once per element
+    inside the lambda, and Catalyst re-inlines nested expressions per
+    element — passing ``max_abs(vec)`` directly turns the O(d) transform
+    into an O(d²) fold-per-element (the HOF re-evaluation trap; see
+    dedup._with_shingles). Materialize behind an exchange first.
+    The zero vector quantizes to zeros (guard against 0/0).
     """
-    m = max_abs(vec)
     return F.transform(
         vec,
         lambda x: F.when(m == 0.0, F.lit(0))
@@ -66,18 +69,20 @@ def quantize_int8(vec: Column) -> Column:
     )
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Convenience form inlining max|x| — row-at-a-time/test use only;
+    bulk paths use quantize_int8_from on a materialized max column."""
+    return quantize_int8_from(vec, max_abs(vec))
+
+
 def quant_scale(vec: Column) -> Column:
     """Dequantization scale: x ≈ q · scale."""
     return max_abs(vec) / 127.0
 
 
-def dequant_error(vec: Column) -> Column:
-    """Max absolute reconstruction error of int8 quantization (DOUBLE).
-
-    One fused expression (quantize → dequantize → compare) so the oracle
-    can grade the whole round trip.
-    """
-    m = max_abs(vec)
+def dequant_error_from(vec: Column, m: Column) -> Column:
+    """Max abs reconstruction error given a MATERIALIZED max|x| column
+    (same re-evaluation caveat as quantize_int8_from)."""
     s = m / 127.0
     return F.aggregate(
         F.transform(
@@ -92,3 +97,8 @@ def dequant_error(vec: Column) -> Column:
         F.lit(0.0),
         lambda acc, e: F.greatest(acc, e),
     )
+
+
+def dequant_error(vec: Column) -> Column:
+    """Convenience form (inlined max) — see dequant_error_from."""
+    return dequant_error_from(vec, max_abs(vec))

@@ -658,17 +658,29 @@ def winnow_overlap_pairs(
     fps: DataFrame,
     *,
     min_shared: int = 2,
-    max_doc_freq: int | None = 10_000,
+    max_doc_freq: int | None = 1_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs sharing ≥ ``min_shared`` winnowing fingerprints.
 
     Inverted-index join on the (already ~2/(window+1)-sampled)
     fingerprints; ``max_doc_freq`` drops boilerplate fingerprints before
-    the self-join, same skew rationale as jaccard_pairs.
+    the self-join, same skew rationale as jaccard_pairs. Pick ``k`` large
+    enough to discriminate on low-entropy corpora — a tiny vocabulary
+    makes short grams near-universal, and then the cap (not the join)
+    must do the pruning.
+
+    ``materialize`` eagerly checkpoints the exploded index: it feeds the
+    doc-frequency stats AND both self-join sides, and without pinning it
+    each consumer would re-run the per-position hashing (the expensive
+    leaf) — the checkpoint trades a small (id, fp) spill for 3× the hash
+    compute.
     """
     inv = fps.select("id", F.explode_outer("fps").alias("fp")).filter(
         F.col("fp").isNotNull()
     )
+    if materialize:
+        inv = inv.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         rare = (
             inv.groupBy("fp")
