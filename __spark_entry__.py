@@ -940,6 +940,33 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators.sampling draw).
+
+    The canonical dataset split: the md5 draw of doc_id lands in
+    [0, .9)→train, [.9, .95)→val, [.95, 1)→test. Pure per-row predicate —
+    membership survives any layout, rerun, or engine, and the SAME doc
+    never migrates between splits when the corpus grows (hash, not rank).
+    """
+    from airflow_retail_etl_spark.operators.sampling import (
+        _sample_u,
+        threshold_for,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = _sample_u(F.col("doc_id").cast("string"), "")
+    t_train = F.lit(str(threshold_for(0.9))).cast("decimal(21,0)")
+    t_val = F.lit(str(threshold_for(0.95))).cast("decimal(21,0)")
+    split = (
+        F.when(u < t_train, "train")
+        .when(u < t_val, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id", "lang", "source", split.alias("split")
+    ).orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination report over the documents corpus.
 
@@ -1421,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
         "decontaminate": q_decontaminate,
+        "split_assign": q_split_assign,
         "dup_clusters": q_dup_clusters,
         "dedup_resolve": q_dedup_resolve,
         "winnow": q_winnow,
@@ -2407,6 +2435,16 @@ def oracle_sql() -> dict[str, str]:
                   WHEN 'view' THEN CAST('{_thr(0.05)}' AS HUGEINT)
                   ELSE CAST(0 AS HUGEINT)
               END
+        """,
+        # same md5 draw + 90/5/5 thresholds as q_split_assign
+        "split_assign": f"""
+        SELECT doc_id, lang, source,
+               CASE WHEN {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                         < CAST('{_thr(0.9)}' AS HUGEINT) THEN 'train'
+                    WHEN {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                         < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
         """,
         # same 5% hash split + token-3-gram overlap as operators.decontam
         "decontaminate": f"""

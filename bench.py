@@ -84,6 +84,7 @@ HEADLINE = (
     "winnow",
     "winnow_pairs",
     "bpe_tokenize",
+    "split_assign",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
@@ -125,11 +126,26 @@ def _production_sketches():
             emb, queries_df, k=10, n_cells=16, n_probe=12, fit_fraction=0.5
         )
 
+    def winnow_prod(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.winnow_fingerprints(
+            docs, "text", "doc_id", k=16, window=8, hash_family="xxhash64"
+        )
+
+    def winnow_pairs_prod(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        fps = dedup.winnow_fingerprints(
+            docs, "text", "doc_id", k=16, window=8, hash_family="xxhash64"
+        )
+        return dedup.winnow_overlap_pairs(fps, min_shared=3, max_doc_freq=200)
+
     return {
         "minhash_lsh_pairs": minhash_prod,
         "simhash": simhash_prod,
         "simhash_pairs": simhash_pairs_prod,
         "ann_ivf": ann_ivf_prod,
+        "winnow": winnow_prod,
+        "winnow_pairs": winnow_pairs_prod,
     }
 
 
