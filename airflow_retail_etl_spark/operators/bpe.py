@@ -110,47 +110,61 @@ def learn_bpe_merges(
     return merges
 
 
+#: token/word boundary markers for the string-form merge pass. Both are
+#: outside normalized text's alphabet by construction; a literal "</w>"
+#: in text char-splits into <,/,w,> so it can never collide with EOW.
+_SEP = "•"  # • wraps every symbol: •sym•
+_WSEP = "‖"  # ‖ joins words, so merges cannot cross word boundaries
+
+
 def apply_bpe(
     df: DataFrame, text_col: str, id_col: str, merges: list[tuple[str, str]]
 ) -> DataFrame:
     """Tokenize with a learned merge list: (id, bpe_tokens, n_bpe_tokens).
 
-    Merges apply in learned order — the same greedy pass as training, as
-    one chained projection (no shuffles; the merge list is a plan
-    constant, exactly how a trained tokenizer ships)."""
-    out = df.select(
+    Merges apply in learned order as chained NATIVE string replaces over
+    a boundary-marked form (each symbol wrapped ``•sym•``, words joined
+    by ``‖``): ``replace`` resumes scanning after each match, which IS
+    the greedy left-to-right merge of the training fold — the
+    equivalence is pinned by tests and the DuckDB oracle, and native
+    replace stays inside whole-stage codegen where the equivalent nested
+    HOF folds (one per merge) ran interpreted and ~5× slower. No
+    shuffles; the merge list is a plan constant, exactly how a trained
+    tokenizer ships."""
+    wrapped_word = lambda w: F.concat(  # noqa: E731  # •c••c•…••</w>•
+        F.lit(_SEP),
+        F.array_join(F.split(w, ""), _SEP + _SEP),
+        F.lit(_SEP + _SEP + EOW + _SEP),
+    )
+    base = df.select(
         F.col(id_col).alias("id"),
         tokens(normalize_text(F.col(text_col))).alias("toks"),
     ).repartition("id")
-    word_syms = out.select(
-        "id",
-        F.transform(
-            F.col("toks"),
-            lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))),
-        ).alias("words"),
-    ).repartition("id")
-    col = F.col("words")
+    s = F.array_join(
+        F.transform(F.col("toks"), wrapped_word), _WSEP
+    )
     for a, b in merges:
-        merged = a + b
-        col = F.transform(
-            col,
-            lambda syms: F.aggregate(
-                syms,
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
-                    & (x == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(merged)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ),
+        s = F.replace(
+            s,
+            F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"),
+            F.lit(f"{_SEP}{a}{b}{_SEP}"),
         )
-    flat = F.flatten(col)
-    return word_syms.select(
+    joined = F.btrim(
+        F.replace(
+            F.replace(s, F.lit(_WSEP), F.lit("")),
+            F.lit(_SEP + _SEP),
+            F.lit(_SEP),
+        ),
+        F.lit(_SEP),
+    )
+    # the merge chain feeds three output expressions; materialize it once
+    # behind an exchange instead of evaluating the replaces per reference
+    mid = base.select("id", joined.alias("j")).repartition("id")
+    toks_out = F.when(
+        F.length("j") == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("j"), _SEP))
+    return mid.select(
         "id",
-        flat.alias("bpe_tokens"),
-        F.size(flat).alias("n_bpe_tokens"),
+        toks_out.alias("bpe_tokens"),
+        F.size(toks_out).alias("n_bpe_tokens"),
     )
