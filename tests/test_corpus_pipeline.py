@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.corpus_pipeline import (
+    CorpusConfig,
+    funnel_stats,
+    run_corpus_build,
+)
+from airflow_retail_etl_spark.sources.tables import load_table
+
+CFG = CorpusConfig(
+    decontam_ngram=3,
+    chunk_size=32,
+    chunk_overlap=8,
+    max_tokens=128,
+    pack_buckets=8,
+)
+
+
+@pytest.fixture(scope="module")
+def build(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from airflow_retail_etl_spark.operators.sampling import hash_sample
+
+    eval_df = hash_sample(docs, "doc_id", 0.05, seed="eval")
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    return run_corpus_build(train, eval_df, CFG), train, eval_df
+
+
+def test_funnel_monotonically_narrows(spark, build):
+    stages, train, _ = build
+    stats = {r.stage: r.n_docs for r in funnel_stats(stages, CFG).collect()}
+    n0 = train.count()
+    assert stats["gated"] <= n0
+    assert stats["clean"] == stats["gated"]  # redaction drops nothing
+    assert stats["decontaminated"] <= stats["clean"]
+    assert stats["exact_deduped"] <= stats["decontaminated"]
+    assert stats["resolved"] <= stats["exact_deduped"]
+    assert stats["resolved"] > 0
+
+
+def test_no_eval_overlap_survives(spark, build):
+    stages, _, eval_df = build
+    from airflow_retail_etl_spark.operators.decontam import contamination
+
+    hits = contamination(
+        stages["resolved"], eval_df, "text", "doc_id", n=CFG.decontam_ngram
+    )
+    assert hits.count() == 0
+
+
+def test_no_exact_duplicates_survive(spark, build):
+    stages, _, _ = build
+    from airflow_retail_etl_spark.functions.text import fingerprint
+
+    dup_groups = (
+        stages["resolved"]
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup_groups.count() == 0
+
+
+def test_split_and_packing_outputs(spark, build):
+    stages, _, _ = build
+    splits = {
+        r.split for r in stages["with_split"].select("split").distinct().collect()
+    }
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    packed = stages["packed"]
+    assert packed.columns == [
+        "doc_id", "chunk_id", "bucket", "seq_id", "seq_offset",
+        "n_tokens", "spans_boundary",
+    ]
+    # every train chunk got exactly one packing address
+    assert packed.count() == stages["train_chunks"].count()
+
+
+def test_build_is_deterministic(spark, build):
+    stages, train, eval_df = build
+    again = run_corpus_build(train.repartition(7), eval_df, CFG)
+    a = {tuple(r) for r in stages["resolved"].select("doc_id").collect()}
+    b = {tuple(r) for r in again["resolved"].select("doc_id").collect()}
+    assert a == b
