@@ -254,6 +254,44 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders.
+
+    The qualifying-order set is a HAVING aggregate semi-joined back to
+    the fact — aggregate once, filter by key, never re-scan; quantities
+    sum in DECIMAL (doubles would hash-diverge across partitionings).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__tq"))
+        .filter(F.col("__tq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            F.col("o_orderkey"),
+            F.col("o_orderdate"),
+            F.col("o_totalprice"),
+        )
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: per order-year revenue share of each supplier
     nation inside one region.
@@ -1416,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "returned_items": q_returned_items,
         "market_share": q_market_share,
+        "large_orders": q_large_orders,
         "regional_revenue": q_regional_revenue,
         "shipping_priority": q_shipping_priority,
         "customers_without_orders": q_customers_without_orders,
@@ -1907,6 +1946,23 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3
         ORDER BY lost_revenue DESC, c_custkey ASC
         LIMIT 20
+        """,
+        "large_orders": """
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem
+        SEMI JOIN big USING (l_orderkey)
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 100
         """,
         "market_share": """
         WITH per AS (

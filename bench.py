@@ -43,6 +43,7 @@ HEADLINE = (
     "revenue_by_nation",
     "returned_items",
     "market_share",
+    "large_orders",
     "regional_revenue",
     "shipping_priority",
     "sessionize",
