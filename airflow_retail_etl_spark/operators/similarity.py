@@ -39,6 +39,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def cosine_hoisted(a: Column, b: Column, aa: Column, bb: Column) -> Column:
+    """cosine() with the self-dots precomputed per VECTOR instead of per
+    PAIR. ``aa``/``bb`` must be ``dot(v, v)`` of the respective side —
+    then dot(a,b)/sqrt(aa·bb) is the bit-identical float expression with
+    one 64-element fold per pair instead of three. On an n×m candidate
+    set this is the difference between (n+m) and 2·n·m self-dot folds."""
+    return dot(a, b) / F.sqrt(aa * bb)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -55,15 +64,17 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qq", dot(F.col("qv"), F.col("qv")))
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("cc", dot(F.col("cv"), F.col("cv")))
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qq"), F.col("cc")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -162,11 +173,13 @@ def lsh_topk(
     scored with exact cosine, so returned sims are exact; only recall is
     approximate.
     """
+    # self-dots hoisted BEFORE the table explode: one fold per vector, not
+    # one per (vector × table × candidate) row downstream
     c = _with_buckets(
         vectors.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
-        ),
+        ).withColumn("cc", dot(F.col("cv"), F.col("cv"))),
         "cv",
         tables=tables,
         planes=planes,
@@ -176,7 +189,7 @@ def lsh_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv"),
-        ),
+        ).withColumn("qq", dot(F.col("qv"), F.col("qv"))),
         "qv",
         tables=tables,
         planes=planes,
@@ -187,7 +200,9 @@ def lsh_topk(
     ).filter(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qq"), F.col("cc")
+        ).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -224,7 +239,7 @@ def lsh_neardup_pairs(
     """
     base = vectors.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nn", dot(F.col("v"), F.col("v")))
     banded = _with_buckets(
         base, "v", tables=tables, planes=planes, dims=dims
     ).select("id", "table", "bucket")
@@ -245,13 +260,17 @@ def lsh_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = candidates.join(
-        base.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a"
-    ).join(base.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        base.withColumnsRenamed({"id": "id_a", "v": "va", "nn": "na"}), "id_a"
+    ).join(
+        base.withColumnsRenamed({"id": "id_b", "v": "vb", "nn": "nb"}), "id_b"
+    )
     return (
         verified.select(
             "id_a",
             "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("sim"),
+            cosine_hoisted(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= min_sim)
         .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
@@ -298,10 +317,14 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("fv", array_to_vector(F.col("cv")))
+    v = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cc", dot(F.col("cv"), F.col("cv")))
+        .withColumn("fv", array_to_vector(F.col("cv")))
+    )
     fit_input = (
         v if fit_fraction is None else v.sample(fit_fraction, seed=seed)
     )
@@ -321,7 +344,7 @@ def ivf_topk(
         ).fit(fit_df)
     finally:
         fit_df.unpersist()
-    assigned = model.transform(v).select("neighbor_id", "cv", "cell")
+    assigned = model.transform(v).select("neighbor_id", "cv", "cc", "cell")
 
     # centroids as a tiny literal table: (cell, centroid array)
     centers = [
@@ -333,11 +356,12 @@ def ivf_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qq", dot(F.col("qv"), F.col("qv")))
     # rank cells per query by centroid distance, keep n_probe
     qc = q.crossJoin(F.broadcast(centers_df)).select(
         "query_id",
         "qv",
+        "qq",
         "cell",
         dot(F.col("qv"), F.col("centroid")).alias("aff"),
     )
@@ -347,7 +371,7 @@ def ivf_topk(
     probed = (
         qc.withColumn("cr", F.row_number().over(w_cells))
         .filter(F.col("cr") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qq", "cell")
     )
 
     pairs = assigned.join(F.broadcast(probed), "cell").filter(
@@ -355,7 +379,9 @@ def ivf_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qq"), F.col("cc")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -388,12 +414,14 @@ def cosine_neardup_pairs(
     """
     v = vectors.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nn", dot(F.col("v"), F.col("v")))
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        cosine_hoisted(
+            F.col("a.v"), F.col("b.v"), F.col("a.nn"), F.col("b.nn")
+        ).alias("sim"),
     )
     if min_sim is not None:
         pairs = pairs.filter(F.col("sim") >= min_sim)
