@@ -1427,6 +1427,48 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per doc (operators.lm.unigram_score): the
+    KenLM-style fluency/quality signal. Per-token −ln p rounded to 9
+    decimals and DECIMAL-accumulated ⇒ row-order-independent, so the
+    DuckDB twin (same model, same ln on identical IEEE inputs) hashes
+    bit-exact."""
+    from airflow_retail_etl_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.unigram_score(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "n_tokens", "avg_nll"
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per doc (operators.lm.tfidf_keywords). Scores
+    rounded to 6 decimals BEFORE ranking so ℝ-equal-but-float-different
+    scores (2·ln4 vs 4·ln2) collapse onto the deterministic term
+    tiebreak in both engines."""
+    from airflow_retail_etl_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.tfidf_keywords(docs, "text", "doc_id", k=5).select(
+        F.col("id").alias("doc_id"), "term", "tf", "score", "rank"
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch incremental dedup (dedup.incremental_dedup): docs with
+    doc_id % 10 = 0 arrive as the new batch against the rest as the
+    indexed corpus; survivors are incoming docs near-duplicating neither
+    an existing doc nor a smaller-id batch sibling (exact token-3-gram
+    Jaccard ≥ 0.5 — the oracle replays the same pair set + drop rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    out = dedup.incremental_dedup(
+        existing, incoming, "text", "doc_id", min_jaccard=0.5
+    )
+    return out.select("doc_id", "source", "lang", "n_chars").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1483,14 +1525,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- corpus / LLM-pipeline surface --------------------------------
         "quality_report": q_quality_report,
         "doc_stats": q_doc_stats,
-        "top_terms": q_top_terms,
+        "tfidf_keywords": q_tfidf_keywords,
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
         "mix_corpus": q_mix_corpus,
         "embed_quantize": q_embed_quantize,
         "decontaminate": q_decontaminate,
-        "split_assign": q_split_assign,
-        "doc_chunks": q_doc_chunks,
+        "unigram_score": q_unigram_score,
+        "incremental_dedup": q_incremental_dedup,
         "pack_sequences": q_pack_sequences,
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
@@ -1514,6 +1556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
         "shipping_priority": q_shipping_priority,
+        "top_terms": q_top_terms,
+        "split_assign": q_split_assign,
+        "doc_chunks": q_doc_chunks,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -2898,5 +2943,80 @@ def oracle_sql() -> dict[str, str]:
                list_extract(['image', 'audio', 'video'],
                             CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type
         FROM documents
+        """,
+        # unigram-LM cross-entropy: same model fit, same ln on identical
+        # IEEE inputs (exact-int counts, exact division), per-token nll
+        # rounded to 9dp and DECIMAL-accumulated (order-independent)
+        "unigram_score": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0
+        ), model AS (
+            SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+        ), tot AS (
+            SELECT SUM(n) AS total_n FROM model
+        ), scored AS (
+            SELECT doc_id,
+                   round(-ln(CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE)),
+                         9) AS nll
+            FROM tok JOIN model USING (tok) CROSS JOIN tot
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   SUM(CAST(nll AS DECIMAL(28,9))) AS s
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_tokens, 0) AS INTEGER) AS n_tokens,
+               round(CAST(p.s AS DOUBLE) / p.n_tokens, 6) AS avg_nll
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # TF-IDF top-5 per doc; scores rounded BEFORE ranking so ℝ-equal
+        # float-different scores collapse onto the term tiebreak
+        "tfidf_keywords": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+        ), dfq AS (
+            SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ), nd AS (
+            SELECT COUNT(*) AS N FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf,
+                   round(tf.tf * ln(CAST(N AS DOUBLE) / CAST(df AS DOUBLE)),
+                         6) AS score
+            FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, tok AS term, tf, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 5
+        """,
+        # incremental batch dedup: pairs (id_a < id_b) at J>=0.5; an
+        # incoming doc (doc_id % 10 = 0) drops when it is id_b of any pair
+        # (partner existing or smaller incoming) or id_a against existing
+        "incremental_dedup": _JACCARD_CTE
+        + """
+        , pth AS (
+            SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+        ), drops AS (
+            SELECT DISTINCT id_b AS drop_id FROM pth WHERE id_b % 10 = 0
+            UNION
+            SELECT DISTINCT id_a FROM pth
+            WHERE id_a % 10 = 0 AND id_b % 10 != 0
+        )
+        SELECT doc_id, source, lang, n_chars
+        FROM documents
+        WHERE doc_id % 10 = 0
+          AND doc_id NOT IN (SELECT drop_id FROM drops)
+        ORDER BY doc_id
         """,
     }

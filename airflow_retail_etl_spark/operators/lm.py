@@ -1,0 +1,166 @@
+"""Corpus-statistics language-model operators (SURVEY §7.4 extension).
+
+Training-data pipelines score documents against a unigram language model
+(fluency/quality proxy: high average surprisal ⇒ gibberish or boilerplate
+mismatch) and extract characteristic terms (TF-IDF) for topic mixing and
+reporting. Both are pure relational plans:
+
+- model fit = one token-keyed aggregation over the corpus (map-side
+  partial agg; vocabulary ≪ corpus);
+- scoring = one token-keyed join (AQE chooses broadcast when the model
+  fits) + one doc-keyed aggregation;
+- no Python anywhere — explode/groupBy/join built-ins only.
+
+Determinism policy (see README "Correctness"): per-token log-probs are
+rounded to 9 decimals and accumulated in DECIMAL, so the per-document sum
+is independent of row order and bit-identical across engines; floating
+aggregation of raw doubles would not be. ln() itself is evaluated on
+bit-identical inputs in both engines (counts are exact ints, the division
+is IEEE-exact), and agreement is pinned by the oracle gate.
+
+At 100 TB: the vocabulary aggregation is the only corpus-wide shuffle and
+combines map-side; the model table (vocab × 16B) broadcasts for scoring.
+Add a ``min_count`` floor to bound vocabulary under adversarial inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: accumulator type for order-independent log-prob sums
+_ACC = "decimal(28,9)"
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) pairs: lowercase, whitespace-collapsed split.
+
+    Matches the normalization the dedup family uses (and the `_NORM_TEXT`
+    oracle expression). Empty/whitespace-only documents produce NO rows —
+    callers re-attach them with a left join.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        df.select(F.col(id_col).alias("id"), norm.alias("__t"))
+        .filter(F.length("__t") > 0)
+        .select("id", F.explode(F.split(F.col("__t"), " ")).alias("tok"))
+    )
+
+
+def unigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """Fit a unigram LM over the corpus: (tok, n, logp).
+
+    p(t) = n(t) / N with N = total token count; logp = ln p. One shuffle
+    (token-keyed count with map-side combine) + a broadcast of the 1-row
+    total. ``min_count`` drops hapax noise and bounds the vocabulary.
+    """
+    counts = (
+        _tokens(docs, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    # "total_n", not "N": Spark resolution is case-insensitive by default,
+    # so `N` would collide with the per-token `n`
+    total = counts.agg(F.sum("n").alias("total_n"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "n",
+        F.log(F.col("n") / F.col("total_n")).alias("logp"),
+    )
+
+
+def unigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    model: DataFrame | None = None,
+    unseen_logp: float = -30.0,
+) -> DataFrame:
+    """Per-document unigram cross-entropy: (id, n_tokens, avg_nll).
+
+    avg_nll = mean over tokens of −ln p(t) (nats/token) — the standard
+    LM-based quality signal (KenLM-style filters threshold exactly this).
+    ``model`` defaults to a model fit on ``docs`` itself; pass a model fit
+    on a reference corpus to score incoming data against clean text.
+    Out-of-vocabulary tokens score ``unseen_logp``.
+
+    Plan: token explode → token-keyed model join → doc-keyed aggregation.
+    Per-token −ln p is rounded to 9 decimals and summed in DECIMAL, so the
+    result is row-order-independent (bit-exact vs the oracle). Empty
+    documents surface with n_tokens = 0 and NULL avg_nll.
+    """
+    m = (model if model is not None else unigram_model(docs, text_col, id_col))
+    tok = _tokens(docs, text_col, id_col)
+    nll = F.round(-F.coalesce(F.col("logp"), F.lit(unseen_logp)), 9)
+    per_doc = (
+        tok.join(m.select("tok", "logp"), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(nll.cast(_ACC)).alias("__nll_sum"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+        F.round(
+            F.col("__nll_sum").cast("double") / F.col("n_tokens"), 6
+        ).alias("avg_nll"),
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    score(d, t) = tf(d, t) · ln(N / df(t)), N = number of documents.
+    Rounded to 6 decimals BEFORE ranking so the (score DESC, term ASC)
+    order is engine-stable: distinct (tf, df) pairs can be equal in ℝ
+    (2·ln 4 = 4·ln 2) yet differ in the last float ulp per engine —
+    rounding collapses them onto the deterministic term tiebreak.
+
+    Plan: (doc, term) count → term-keyed doc-frequency agg → scalar-N
+    broadcast → per-doc window top-k. The df aggregation is vocabulary-
+    sized; the window partitions by document, so no global sort exists.
+    """
+    tf = (
+        _tokens(docs, text_col, id_col)
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "tok",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", F.col("tok").alias("term"), "tf", "score", "rank")
+    )

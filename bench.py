@@ -86,6 +86,9 @@ HEADLINE = (
     "winnow_pairs",
     "bpe_tokenize",
     "split_assign",
+    "unigram_score",
+    "tfidf_keywords",
+    "incremental_dedup",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

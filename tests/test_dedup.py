@@ -311,3 +311,45 @@ def test_winnow_md5_family_matches_duckdb(spark):
         """).fetchall()
     )
     assert got == {k: list(v) for k, v in duck.items()}
+
+
+def test_incremental_dedup_semantics(spark):
+    """Incoming docs drop vs existing matches and smaller-id batch
+    siblings; non-duplicates and the whole existing side survive."""
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    existing = mk([
+        (1, base),
+        (2, "one two three four five six seven eight"),
+    ])
+    incoming = mk([
+        (10, base),                                   # dup of existing 1
+        (11, "unique penguin walrus narwhal dolphin seal otter orca"),
+        (12, "unique penguin walrus narwhal dolphin seal otter orca"),
+        # ^ dup of smaller-id sibling 11 → drops even though 11 survives
+        (13, "totally fresh content nine ten eleven twelve thirteen"),
+    ])
+    out = dedup.incremental_dedup(
+        existing, incoming, "text", "doc_id", min_jaccard=0.5
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+
+def test_incremental_dedup_pluggable_pair_generator(spark):
+    """An LSH pair generator plugs in for candidate generation at scale."""
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    existing = mk([(1, text)])
+    incoming = mk([(10, text), (11, "completely different words here "
+                                    "painting garden bicycle mountain")])
+
+    def lsh_pairs(df, text_col, id_col, min_jaccard):
+        return dedup.minhash_lsh_pairs(
+            df, text_col, id_col, min_jaccard=min_jaccard
+        )
+
+    out = dedup.incremental_dedup(
+        existing, incoming, "text", "doc_id",
+        min_jaccard=0.5, pairs_fn=lsh_pairs,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [11]
