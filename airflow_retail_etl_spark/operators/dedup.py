@@ -438,6 +438,7 @@ def connected_components(
         prop = assign.join(nbr_min, "node", "left").select(
             "node",
             F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            F.col("comp").alias("old"),
         )
         jump = (
             prop.alias("x")
@@ -451,17 +452,17 @@ def connected_components(
             .select(
                 F.col("x.node").alias("node"),
                 F.coalesce(F.col("y.c_comp"), F.col("x.comp")).alias("comp"),
+                F.col("x.old").alias("old"),
             )
         )
         new_assign = jump.localCheckpoint(eager=True)
+        # convergence probe is a bare scan of the iterate just pinned —
+        # the previous label rides along as `old`, so no join with the
+        # prior assignment is needed
         changed = (
-            new_assign.alias("n")
-            .join(assign.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_assign.filter(F.col("comp") != F.col("old")).limit(1).count()
         )
-        assign = new_assign
+        assign = new_assign.select("node", "comp")
         if changed == 0:
             break
     return assign
