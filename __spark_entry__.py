@@ -1427,6 +1427,136 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated minimum: for every small part (p_size ≤
+    10), the supplier shipping it at the lowest unit price.
+
+    The correlated subquery (min cost per part) is one window pass over
+    the part-filtered lineitems — the part filter joins BEFORE the window
+    so the exchange carries only qualifying parts; supplier/nation attach
+    to winners only (broadcast at mart scale). Deterministic suppkey
+    tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    uc = li.join(
+        F.broadcast(part.select("p_partkey", "p_name")),
+        li["l_partkey"] == part["p_partkey"],
+    ).select(
+        "p_partkey",
+        "p_name",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("cost").asc(), F.col("l_suppkey").asc()
+    )
+    winners = (
+        uc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return winners.join(
+        F.broadcast(supp), winners["l_suppkey"] == supp["s_suppkey"]
+    ).join(
+        F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"]
+    ).select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        "n_name",
+        F.round(F.col("cost"), 6).alias("unit_cost"),
+    )
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: per nation, customers with above-average balance
+    and no RECENT order (none in the 90 days up to the newest order).
+
+    Two scalar subqueries (global avg balance via DECIMAL accumulation,
+    global max order date) broadcast as 1-row joins; recency is an
+    anti-join against the date-filtered orders; one nation-keyed agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.agg(
+        (
+            F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    cutoff = orders.agg(
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), 90).alias(
+            "cutoff"
+        )
+    )
+    recent = orders.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("o_orderdate").cast("date") >= F.col("cutoff")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent.select("o_custkey"),
+        rich["c_custkey"] == recent["o_custkey"],
+        "left_anti",
+    )
+    return (
+        dormant.join(
+            F.broadcast(nat), dormant["c_nationkey"] == nat["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_significant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose lineitem revenue exceeds 0.1% of the
+    global total (HAVING against a scalar subquery over the same agg).
+
+    One part-keyed DECIMAL rollup reused for both the per-part values and
+    the 1-row global total (broadcast) — the fraction test is a filter,
+    not a second scan shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        money_sum(F.col("l_extendedprice")).alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    # threshold relative to the MEAN part value (scale-invariant — a
+    # fixed fraction of the global total admits nothing once the part
+    # count grows 10×)
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.col("total_value") / F.col("n_parts") * 1.2
+        )
+        .select(
+            "l_partkey",
+            "part_value",
+            F.round(F.col("part_value") / F.col("total_value"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("l_partkey")
+    )
+
+
 def q_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy per doc (operators.lm.unigram_score): the
     KenLM-style fluency/quality signal. Per-token −ln p rounded to 9
@@ -1556,6 +1686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
         "shipping_priority": q_shipping_priority,
+        "min_cost_supplier": q_min_cost_supplier,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "significant_parts": q_significant_parts,
         "top_terms": q_top_terms,
         "split_assign": q_split_assign,
         "doc_chunks": q_doc_chunks,
@@ -2943,6 +3076,72 @@ def oracle_sql() -> dict[str, str]:
                list_extract(['image', 'audio', 'video'],
                             CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type
         FROM documents
+        """,
+        # TPC-H Q2 shape: correlated per-part minimum via window
+        "min_cost_supplier": """
+        WITH uc AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   l.l_extendedprice / l.l_quantity AS cost
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_size <= 10
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_partkey ORDER BY cost ASC, l_suppkey ASC
+            ) AS rn
+            FROM uc
+        )
+        SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+               round(r.cost, 6) AS unit_cost
+        FROM r
+        JOIN part p ON p.p_partkey = r.l_partkey
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE r.rn = 1
+        """,
+        # TPC-H Q22 shape: two scalar subqueries + anti-join + nation agg
+        "dormant_rich_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*) AS avg_bal
+            FROM customer
+        ), cutoff AS (
+            SELECT CAST(MAX(o_orderdate) AS DATE) - 90 AS cutoff FROM orders
+        ), recent AS (
+            SELECT DISTINCT o_custkey
+            FROM orders, cutoff WHERE CAST(o_orderdate AS DATE) >= cutoff
+        ), dormant AS (
+            SELECT c.*
+            FROM customer c, avg_bal
+            WHERE c.c_acctbal > avg_bal
+              AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+        )
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(d.c_acctbal, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_balance
+        FROM dormant d JOIN nation n ON n.n_nationkey = d.c_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """,
+        # TPC-H Q11 shape: HAVING against a scalar fraction of the total
+        "significant_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice, 2)
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+            SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value,
+                   COUNT(*) AS n_parts
+            FROM per_part
+        )
+        SELECT l_partkey, part_value,
+               round(part_value / total_value, 6) AS share
+        FROM per_part, tot
+        WHERE part_value > total_value / n_parts * 1.2
+        ORDER BY l_partkey
         """,
         # unigram-LM cross-entropy: same model fit, same ln on identical
         # IEEE inputs (exact-int counts, exact division), per-token nll

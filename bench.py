@@ -89,6 +89,9 @@ HEADLINE = (
     "unigram_score",
     "tfidf_keywords",
     "incremental_dedup",
+    "min_cost_supplier",
+    "dormant_rich_customers",
+    "significant_parts",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
