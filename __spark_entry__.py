@@ -1326,6 +1326,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, oracle-checked end to end: the seeded
+    codebook (and its squared norms) are injected as IDENTICAL literals
+    into both engines, so encoding (per-subspace argmin), the ADC
+    compressed-domain scan, the 6dp-rounded shortlist ranking, and the
+    exact-cosine rescore all replicate bit-for-bit in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.pq_topk(emb, queries_df, k=10, shortlist=50)
+
+
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-50 all-pairs cosine (exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1705,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sample_k_per_stratum": q_sample_k_per_stratum,
         "neardup_cosine": q_neardup_cosine,
+        "ann_pq": q_ann_pq,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -1963,6 +1975,84 @@ def _lsh_buckets_cte(tables: int, planes: int) -> str:
     FROM v, (SELECT unnest(generate_series(0, {tables - 1})) AS tbl) t, planes
 )
 """
+
+
+def _pq_sql(m: int, ksub: int, dsub: int, shortlist: int, k: int) -> str:
+    """Full PQ replication: the codebook and its squared norms are the
+    SAME numpy-computed literals the Spark plan embeds (repr round-trips
+    doubles exactly), so encoding, ADC, shortlist, and rescore replicate
+    operators.similarity.pq_topk bit-for-bit."""
+    import numpy as np
+
+    from airflow_retail_etl_spark.operators.similarity import _pq_codebook
+
+    cb = _pq_codebook(m, ksub, dsub)
+    cent = "[" + ",\n".join(
+        "[" + ", ".join(repr(float(x)) for x in cb[s, j]) + "]"
+        for s in range(m)
+        for j in range(ksub)
+    ) + "]"
+    c2 = "[" + ", ".join(
+        repr(float(np.dot(cb[s, j], cb[s, j])))
+        for s in range(m)
+        for j in range(ksub)
+    ) + "]"
+    dist = (
+        f"c2[s*{ksub} + j + 1] - 2 * list_dot_product("
+        f"list_slice(e, s*{dsub}+1, s*{dsub}+{dsub}), c[s*{ksub} + j + 1])"
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cb AS (
+        SELECT {cent} AS c, {c2} AS c2
+    ), enc AS (
+        SELECT vec_id, e, list_dot_product(e, e) AS cc,
+               list_transform(generate_series(0, {m - 1}), s ->
+                   list_position(
+                       list_transform(generate_series(0, {ksub - 1}),
+                                      j -> {dist}),
+                       list_min(
+                       list_transform(generate_series(0, {ksub - 1}),
+                                      j -> {dist}))
+                   )) AS codes
+        FROM v, cb
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe,
+               list_dot_product(e, e) AS qq,
+               list_transform(generate_series(0, {m * ksub - 1}), i ->
+                   list_dot_product(
+                       list_slice(e, (i // {ksub})*{dsub}+1,
+                                  (i // {ksub})*{dsub}+{dsub}),
+                       c[i + 1])) AS lut
+        FROM v, cb WHERE vec_id % 50 = 0
+    ), adc AS (
+        SELECT q.query_id, enc.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(0, {m - 1}),
+                         s -> lut[s*{ksub} + codes[s+1]]))
+                     / sqrt(qq * cc), 6) AS adc
+        FROM enc, q WHERE enc.vec_id != q.query_id
+    ), short AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC
+        ) AS sr FROM adc
+    ), resc AS (
+        SELECT s.query_id, s.neighbor_id,
+               list_dot_product(q.qe, v.e)
+                   / sqrt(q.qq * list_dot_product(v.e, v.e)) AS sim
+        FROM short s
+        JOIN q ON q.query_id = s.query_id
+        JOIN v ON v.vec_id = s.neighbor_id
+        WHERE s.sr <= {shortlist}
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+        ) AS rank FROM resc
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           round(sim, 6) AS sim
+    FROM r WHERE rank <= {k}
+    """
 
 
 #: exact cosine top-10 per query vector — the oracle for brute-force kNN
@@ -3077,6 +3167,8 @@ def oracle_sql() -> dict[str, str]:
                             CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type
         FROM documents
         """,
+        # PQ ANN: codebook literals shared verbatim with the Spark plan
+        "ann_pq": _pq_sql(m=8, ksub=16, dsub=8, shortlist=50, k=10),
         # TPC-H Q2 shape: correlated per-part minimum via window
         "min_cost_supplier": """
         WITH uc AS (

@@ -432,3 +432,207 @@ def cosine_neardup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN scan + exact rescore
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebook(m: int, ksub: int, dsub: int):
+    """Deterministic seeded PQ codebook, shape (m, ksub, dsub).
+
+    Data-independent by design (same rationale as _plane_matrix): the
+    codebook is a pure function of the seed, so the DuckDB oracle inlines
+    the identical centroids as literals and replicates ENCODING and ADC
+    bit-for-bit. Production systems would k-means each subspace on a
+    corpus sample; that swaps the literals, not the plan.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(20250801 + 1)
+    return rng.standard_normal((m, ksub, dsub))
+
+
+def _pq_literals(m: int, ksub: int, dsub: int):
+    """(centroids, c2) as Column literals shared verbatim with the oracle.
+
+    c2 (squared centroid norms) is NOT recomputed per engine — it is a
+    numpy-computed constant injected into both plans, so argmin inputs
+    are identical doubles everywhere.
+    """
+    import numpy as np
+
+    cb = _pq_codebook(m, ksub, dsub)
+    cent = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cb[s, j]])
+        for s in range(m)
+        for j in range(ksub)
+    ])
+    c2 = F.array(*[
+        F.lit(float(np.dot(cb[s, j], cb[s, j])))
+        for s in range(m)
+        for j in range(ksub)
+    ])
+    return cent, c2
+
+
+def pq_encode(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """Encode each vector as ``m`` sub-codes: (id, v, nn, codes).
+
+    code[s] = argmin_j ‖v_s − c_sj‖² computed as c2 − 2·⟨v_s, c_sj⟩ (the
+    ‖v_s‖² term is constant under the argmin), entirely with built-in
+    HOFs over inlined centroid literals — engine-replicable, first-index
+    tiebreak (array_position ≡ list_position). The distance table is
+    materialized behind an exchange before the argmin projection (the
+    Catalyst lambda re-evaluation trap — see operators/dedup.py).
+
+    Codes are 1-based centroid positions; 100 TB storage cost is
+    m·log₂(ksub) bits per vector (here 8 nibbles) vs dims·8 B raw.
+    """
+    dsub = dims // m
+    cent, c2 = _pq_literals(m, ksub, dsub)
+    base = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nn", dot(F.col("v"), F.col("v"))).repartition("id")
+    dists = base.select(
+        "id",
+        "v",
+        "nn",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda j: F.element_at(c2, s * ksub + j + 1)
+                - 2.0
+                * dot(
+                    F.slice(F.col("v"), s * dsub + 1, dsub),
+                    F.element_at(cent, s * ksub + j + 1),
+                ),
+            ),
+        ).alias("ds"),
+    ).repartition("id")
+    return dists.select(
+        "id",
+        "v",
+        "nn",
+        F.transform(
+            F.col("ds"), lambda d: F.array_position(d, F.array_min(d))
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    shortlist: int = 50,
+) -> DataFrame:
+    """PQ ANN: asymmetric-distance scan over codes + exact rescore.
+
+    Each query precomputes a LUT of ⟨q_s, c_sj⟩ partial dots (m·ksub
+    doubles, broadcast); scanning a corpus vector is then m table lookups
+    on its codes instead of a dims-wide dot — the compressed-domain scan
+    that makes exhaustive ANN affordable when vectors no longer fit
+    (codes are ~1/64th the bytes). The ADC shortlist (top ``shortlist``
+    per query by approximate cosine, rounded to 6dp before ranking for
+    engine-stable order) is re-scored with exact cosine, so returned sims
+    are exact; only recall is approximate. ``shortlist`` ≥ corpus size
+    degenerates to brute force exactly (integrity mode, tested).
+
+    At 100 TB this composes with IVF cells (encode per cell, scan probed
+    cells only); the scan shuffles (query_id, neighbor_id, adc) keys
+    only — vectors re-attach to the shortlist.
+    """
+    dsub = dims // m
+    cent, _ = _pq_literals(m, ksub, dsub)
+    enc = pq_encode(
+        vectors, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, dims=dims
+    ).withColumnsRenamed({"id": "neighbor_id", "v": "cv", "nn": "cc"})
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qq", dot(F.col("qv"), F.col("qv"))).withColumn(
+        "lut",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m * ksub - 1)),
+            lambda i: dot(
+                F.slice(
+                    F.col("qv"),
+                    (i / ksub).cast("int") * dsub + 1,
+                    dsub,
+                ),
+                F.element_at(cent, i + 1),
+            ),
+        ),
+    )
+    adc = (
+        enc.select("neighbor_id", "cc", "codes")
+        .crossJoin(F.broadcast(q.select("query_id", "qq", "lut")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.col("lut"),
+                        # array_position yields LONG; element_at wants INT
+                        (
+                            s * ksub + F.element_at(F.col("codes"), s + 1)
+                        ).cast("int"),
+                    ),
+                )
+                / F.sqrt(F.col("qq") * F.col("cc")),
+                6,
+            ).alias("adc"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("sr", F.row_number().over(w_short))
+        .filter(F.col("sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        cand.join(enc.select("neighbor_id", "cv", "cc"), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qq")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_hoisted(
+                F.col("qv"), F.col("cv"), F.col("qq"), F.col("cc")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )

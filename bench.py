@@ -90,6 +90,7 @@ HEADLINE = (
     "tfidf_keywords",
     "incremental_dedup",
     "min_cost_supplier",
+    "ann_pq",
     "dormant_rich_customers",
     "significant_parts",
 )
