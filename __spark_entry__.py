@@ -1401,6 +1401,43 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention cohort: per activity date, how many active
+    users return the following day.
+
+    (user, date) distinct → self semi-join shifted by one day → two
+    date-keyed aggs. The distinct and both aggs combine map-side; the
+    semi-join is an equi-join on (user_id, date), so AQE picks the
+    strategy by size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    # presence at d+1, keyed back to day d
+    nxt = days.select("user_id", F.date_sub("d", 1).alias("d"))
+    retained = (
+        days.join(nxt, ["user_id", "d"], "left_semi")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    active = days.groupBy("d").agg(F.count(F.lit(1)).alias("n_active"))
+    return (
+        active.join(retained, "d", "left")
+        .select(
+            F.col("d").alias("event_date"),
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)).cast("double")
+                / F.col("n_active"),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("event_date")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram language ID, self-trained on the labeled corpus."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1717,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_stratum": q_sample_k_per_stratum,
         "neardup_cosine": q_neardup_cosine,
         "ann_pq": q_ann_pq,
+        "user_retention": q_user_retention,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -3166,6 +3204,26 @@ def oracle_sql() -> dict[str, str]:
                list_extract(['image', 'audio', 'video'],
                             CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type
         FROM documents
+        """,
+        # next-day retention: (user, day) distinct + shifted self-join
+        "user_retention": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), ret AS (
+            SELECT a.d, COUNT(*) AS n_retained
+            FROM days a
+            JOIN days b ON b.user_id = a.user_id AND b.d = a.d + 1
+            GROUP BY a.d
+        ), act AS (
+            SELECT d, COUNT(*) AS n_active FROM days GROUP BY d
+        )
+        SELECT act.d AS event_date,
+               act.n_active,
+               COALESCE(ret.n_retained, 0) AS n_retained,
+               round(CAST(COALESCE(ret.n_retained, 0) AS DOUBLE)
+                     / act.n_active, 6) AS retention_rate
+        FROM act LEFT JOIN ret ON ret.d = act.d
+        ORDER BY event_date
         """,
         # PQ ANN: codebook literals shared verbatim with the Spark plan
         "ann_pq": _pq_sql(m=8, ksub=16, dsub=8, shortlist=50, k=10),

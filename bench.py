@@ -93,6 +93,7 @@ HEADLINE = (
     "ann_pq",
     "dormant_rich_customers",
     "significant_parts",
+    "user_retention",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
