@@ -135,3 +135,28 @@ def test_scd2_windows_share_one_exchange(spark, q, sf_dir):
     plan = formatted_plan(q["scd2_user_status"](spark, sf_dir))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 3, plan  # user-key hash, day-key hash, final sort
+
+
+def test_min_cost_supplier_broadcasts_catalogs(spark, q, sf_dir):
+    # part filter joins before the window; supplier/nation attach to
+    # winners only — all three as broadcasts, fact side never broadcast
+    df = q["min_cost_supplier"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_round4_queries_are_python_free(spark, q, sf_dir):
+    # the PQ path in particular must stay HOF-only (its verifiability
+    # depends on built-in evaluation; contrast ann_lsh, whose Arrow
+    # matmul is the documented exception)
+    for name in (
+        "ann_pq",
+        "unigram_score",
+        "tfidf_keywords",
+        "incremental_dedup",
+        "user_retention",
+        "min_cost_supplier",
+        "dormant_rich_customers",
+        "significant_parts",
+    ):
+        plan = formatted_plan(q[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
