@@ -1401,6 +1401,48 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly flags via global z-scores.
+
+    Mean/variance come from DECIMAL-accumulated Σx and Σx² (x is 2dp-exact,
+    x² engine-identical) so the moments — and therefore every z-score —
+    are partitioning-independent and bit-equal cross-engine WITHOUT any
+    transcendental: only +, −, ×, ÷, sqrt (all IEEE-exact). The anomaly
+    flag thresholds the ROUNDED z, keeping the boundary deterministic.
+    One agg + a 1-row broadcast over the daily mart.
+    """
+    daily = q_daily_revenue_summary(spark, sf_dir).select(
+        "event_date", "revenue"
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("revenue") * F.col("revenue")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("s2"),
+    ).select(
+        (F.col("s1") / F.col("n")).alias("mean_rev"),
+        F.sqrt(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("sigma"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "event_date",
+            "revenue",
+            F.round(
+                (F.col("revenue") - F.col("mean_rev")) / F.col("sigma"), 6
+            ).alias("z"),
+        )
+        .withColumn("is_anomaly", F.abs(F.col("z")) >= 1.5)
+        .orderBy("event_date")
+    )
+
+
 def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day retention cohort: per activity date, how many active
     users return the following day.
@@ -1632,6 +1674,18 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per doc (operators.lm.bigram_score):
+    conditional p(w2|w1) model, same 9dp-round + DECIMAL determinism
+    policy as unigram_score."""
+    from airflow_retail_etl_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.bigram_score(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "n_bigrams", "avg_nll"
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch incremental dedup (dedup.incremental_dedup): docs with
     doc_id % 10 = 0 arrive as the new batch against the rest as the
@@ -1755,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         "ann_pq": q_ann_pq,
         "user_retention": q_user_retention,
+        "revenue_anomalies": q_revenue_anomalies,
+        "bigram_score": q_bigram_score,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -3205,6 +3261,32 @@ def oracle_sql() -> dict[str, str]:
                             CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type
         FROM documents
         """,
+        # z-score anomalies over the daily mart: DECIMAL moments, IEEE-only
+        # arithmetic (+,-,x,/,sqrt), flag thresholds the rounded z
+        "revenue_anomalies": _STAGING_CTE
+        + f"""
+        , daily AS (
+            SELECT event_date,
+                   {_money('price', f"event_type = '{PURCHASE}'")} AS revenue
+            FROM staging GROUP BY 1
+        ), st AS (
+            SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS mean_rev,
+                   sqrt(CAST(SUM(CAST(revenue * revenue AS DECIMAL(38,4)))
+                             AS DOUBLE) / COUNT(*)
+                        - (CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*))
+                          * (CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                                  AS DOUBLE) / COUNT(*))) AS sigma
+            FROM daily
+        )
+        SELECT event_date, revenue,
+               round((revenue - mean_rev) / sigma, 6) AS z,
+               abs(round((revenue - mean_rev) / sigma, 6)) >= 1.5
+                   AS is_anomaly
+        FROM daily, st
+        ORDER BY event_date
+        """,
         # next-day retention: (user, day) distinct + shifted self-join
         "user_retention": """
         WITH days AS (
@@ -3348,6 +3430,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, tok AS term, tf, score, CAST(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 5
+        """,
+        # bigram-LM cross-entropy: conditional counts, same ln/DECIMAL
+        # policy; bigrams as "w1 w2" strings (tokens are space-free)
+        "bigram_score": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tk AS (
+            SELECT doc_id, string_split(t, ' ') AS tk
+            FROM norm WHERE length(t) > 0
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS bg
+            FROM tk
+        ), pair_c AS (
+            SELECT bg, COUNT(*) AS c_pair FROM bg GROUP BY bg
+        ), ctx_c AS (
+            SELECT split_part(bg, ' ', 1) AS w1, SUM(c_pair) AS c_ctx
+            FROM pair_c GROUP BY 1
+        ), model AS (
+            SELECT bg,
+                   ln(CAST(c_pair AS DOUBLE) / CAST(c_ctx AS DOUBLE)) AS logp
+            FROM pair_c JOIN ctx_c ON split_part(bg, ' ', 1) = w1
+        ), scored AS (
+            SELECT b.doc_id, round(-COALESCE(m.logp, -30.0), 9) AS nll
+            FROM bg b LEFT JOIN model m USING (bg)
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   SUM(CAST(nll AS DECIMAL(28,9))) AS s
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+               round(CAST(p.s AS DOUBLE) / p.n_bigrams, 6) AS avg_nll
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id)
         """,
         # incremental batch dedup: pairs (id_a < id_b) at J>=0.5; an
         # incoming doc (doc_id % 10 = 0) drops when it is id_b of any pair

@@ -164,3 +164,70 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("id", F.col("tok").alias("term"), "tf", "score", "rank")
     )
+
+
+def bigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    unseen_logp: float = -30.0,
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy: (id, n_bigrams, avg_nll).
+
+    p(w₂|w₁) = c(w₁ w₂) / c₁(w₁) with c₁ counting w₁ as a bigram LEFT
+    (so probabilities per context sum to 1 with no end-padding). The
+    conditional model is sharper than the unigram one — word-salad text
+    with plausible unigrams scores high nll here.
+
+    Adjacent pairs come from zip_with over two array slices (no
+    positional self-join); the model is one bigram-keyed count plus one
+    context-keyed count joined on the fly. Same determinism policy as
+    unigram_score: 9dp-rounded −ln p, DECIMAL accumulation. Documents
+    with < 2 tokens surface with n_bigrams = 0 and NULL avg_nll.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = (
+        docs.select(F.col(id_col).alias("id"), norm.alias("__t"))
+        .filter(F.length("__t") > 0)
+        .select("id", F.split(F.col("__t"), " ").alias("tk"))
+    )
+    # bigram strings "w1 w2": tokens are whitespace-split, so the space
+    # separator is unambiguous
+    bg = toks.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    pair_c = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_pair"))
+    ctx_c = (
+        pair_c.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c_pair").alias("c_ctx"))
+    )
+    model = pair_c.join(
+        ctx_c, F.substring_index(pair_c["bg"], " ", 1) == ctx_c["w1"]
+    ).select(
+        "bg", F.log(F.col("c_pair") / F.col("c_ctx")).alias("logp")
+    )
+    nll = F.round(-F.coalesce(F.col("logp"), F.lit(unseen_logp)), 9)
+    per_doc = (
+        bg.join(model, "bg", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(nll.cast(_ACC)).alias("__nll_sum"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+        F.round(
+            F.col("__nll_sum").cast("double") / F.col("n_bigrams"), 6
+        ).alias("avg_nll"),
+    )

@@ -94,6 +94,8 @@ HEADLINE = (
     "dormant_rich_customers",
     "significant_parts",
     "user_retention",
+    "revenue_anomalies",
+    "bigram_score",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

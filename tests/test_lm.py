@@ -102,3 +102,48 @@ def test_no_python_udfs_in_lm_plans(toy_docs):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_bigram_score_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in lm.bigram_score(docs, "text", "doc_id").collect()}
+    # corpus bigrams: doc1 → (a b), (b a), (a b); doc2 → (a b)
+    # c(a b)=3, c(b a)=1, ctx a→3, b→1... ctx(a)=3? "a b" appears 3x and
+    # "a ?" only as "a b" → p(b|a) = 3/3 = 1; p(a|b) = 1/1 = 1
+    import math
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_nll"] == pytest.approx(0.0, abs=1e-9)
+    assert out[2]["n_bigrams"] == 1
+    # single-token doc: no bigrams
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_nll"] is None
+
+
+def test_bigram_flags_word_salad(spark):
+    # repeated fluent phrase vs a permutation with unseen transitions:
+    # unigram model sees identical token bags, bigram nll separates them
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(10)] + [(99, "mat the on sat cat the")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {r["id"]: r["avg_nll"] for r in lm.unigram_score(docs, "text", "doc_id").collect()}
+    bi = {r["id"]: r["avg_nll"] for r in lm.bigram_score(docs, "text", "doc_id").collect()}
+    assert uni[99] == pytest.approx(uni[0], abs=1e-6)   # unigram can't tell
+    assert bi[99] > bi[0] + 1.0                          # bigram can
+
+
+def test_scores_invariant_under_partitioning(spark, sf_dir):
+    """The DECIMAL-accumulation policy's point: re-partitioning the corpus
+    never changes a score bit."""
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    variants = []
+    for parts in (1, 7):
+        d = docs.repartition(parts)
+        uni = sorted(map(tuple, lm.unigram_score(d, "text", "doc_id").collect()))
+        bi = sorted(map(tuple, lm.bigram_score(d, "text", "doc_id").collect()))
+        tfi = sorted(map(tuple, lm.tfidf_keywords(d, "text", "doc_id").collect()))
+        variants.append((uni, bi, tfi))
+    assert variants[0] == variants[1]
