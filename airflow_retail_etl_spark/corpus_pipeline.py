@@ -5,6 +5,8 @@ production corpus build runs them (cheapest filters first so expensive
 stages see the fewest rows):
 
 1. quality gate     — gopher_flags keep (projection)
+1b. LM fluency gate — optional unigram cross-entropy threshold
+                      (operators/lm.py; off by default)
 2. PII redaction    — regex scrub (projection)
 3. decontamination  — drop eval-overlapping docs (broadcast probe)
 4. exact dedup      — collapse byte-identical copies FIRST (uniform
@@ -50,11 +52,32 @@ class CorpusConfig:
     pack_buckets: int = 64
     train_frac: float = 0.9
     val_frac: float = 0.05
+    #: drop docs whose unigram-LM cross-entropy exceeds this (nats/token);
+    #: None disables the LM gate (KenLM-style filters typically prune the
+    #: top few percent of surprisal)
+    lm_nll_max: float | None = None
 
 
 def quality_gate(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     flags = tf.gopher_flags(F.col(cfg.text_col))
     return df.filter(flags["keep"])
+
+
+def lm_gate(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Optional fluency gate: drop docs whose self-corpus unigram
+    cross-entropy exceeds ``lm_nll_max`` (the avg_nll operators.lm
+    computes — gibberish and boilerplate-mismatch score high). No-op when
+    the threshold is None; empty docs (NULL score) are dropped when the
+    gate is on, matching production LM filters."""
+    if cfg.lm_nll_max is None:
+        return df
+    from airflow_retail_etl_spark.operators import lm
+
+    scores = lm.unigram_score(df, cfg.text_col, cfg.id_col)
+    keep = scores.filter(
+        F.col("avg_nll").isNotNull() & (F.col("avg_nll") <= cfg.lm_nll_max)
+    ).select(F.col("id").alias(cfg.id_col))
+    return df.join(keep, cfg.id_col, "left_semi")
 
 
 def redact(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
@@ -109,7 +132,8 @@ def run_corpus_build(
 ) -> dict[str, DataFrame]:
     """Full build; returns every stage boundary keyed by stage name."""
     gated = quality_gate(docs, cfg)
-    clean = redact(gated, cfg)
+    fluent = lm_gate(gated, cfg)
+    clean = redact(fluent, cfg)
     decon = decontam.decontaminate(
         clean, eval_df, cfg.text_col, cfg.id_col, n=cfg.decontam_ngram
     )
@@ -134,6 +158,7 @@ def run_corpus_build(
     )
     return {
         "gated": gated,
+        "fluent": fluent,
         "clean": clean,
         "decontaminated": decon,
         "exact_deduped": exact,
@@ -153,6 +178,7 @@ def funnel_stats(stages: dict[str, DataFrame], cfg: CorpusConfig) -> DataFrame:
     parts = []
     for name in (
         "gated",
+        "fluent",
         "clean",
         "decontaminated",
         "exact_deduped",

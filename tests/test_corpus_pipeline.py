@@ -86,3 +86,31 @@ def test_build_is_deterministic(spark, build):
     a = {tuple(r) for r in stages["resolved"].select("doc_id").collect()}
     b = {tuple(r) for r in again["resolved"].select("doc_id").collect()}
     assert a == b
+
+
+def test_lm_gate_prunes_high_surprisal_docs(spark):
+    """With lm_nll_max set, the fluency gate drops the word-salad tail
+    and empty docs; default config keeps the stage a no-op."""
+    from dataclasses import replace
+
+    from airflow_retail_etl_spark.corpus_pipeline import (
+        CorpusConfig,
+        lm_gate,
+        quality_gate,
+    )
+
+    fluent_text = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the green hills beyond the river in the morning light"
+    )
+    salad = " ".join(f"zq{i}x wv{i*7}b" for i in range(20))
+    rows = [(i, fluent_text) for i in range(20)] + [(99, salad)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cfg_off = CorpusConfig()
+    assert lm_gate(docs, cfg_off) is docs  # stage is a strict no-op
+
+    cfg_on = replace(cfg_off, lm_nll_max=4.0)
+    kept = {r["doc_id"] for r in lm_gate(docs, cfg_on).collect()}
+    assert 99 not in kept          # hapax-salad doc scores way above 4 nats
+    assert set(range(20)) <= kept  # repeated fluent docs score low
