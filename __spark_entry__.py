@@ -1401,6 +1401,30 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed semi-structured parsing (S-family breadth): from_json with an
+    explicit schema instead of the regex extraction the staging path uses
+    — the Spark-idiomatic route for JSON event payloads (schema'd struct
+    access prunes and pushes down; malformed/empty payloads become NULL
+    fields, grouped under the NULL key). One projection + one agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json(
+            F.coalesce(F.col("props"), F.lit("{}")), "k BIGINT"
+        ).alias("p"),
+        "value",
+    )
+    return (
+        parsed.groupBy(F.col("p.k").alias("prop_k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .orderBy(F.col("prop_k").asc_nulls_first())
+    )
+
+
 def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-revenue anomaly flags via global z-scores.
 
@@ -1811,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention": q_user_retention,
         "revenue_anomalies": q_revenue_anomalies,
         "bigram_score": q_bigram_score,
+        "json_props_rollup": q_json_props_rollup,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -3260,6 +3285,17 @@ def oracle_sql() -> dict[str, str]:
                list_extract(['image', 'audio', 'video'],
                             CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type
         FROM documents
+        """,
+        # typed JSON parsing: NULL-keyed group collects empty/missing k
+        "json_props_rollup": """
+        SELECT TRY_CAST(json_extract_string(COALESCE(props, '{}'), '$.k')
+                        AS BIGINT) AS prop_k,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY prop_k ASC NULLS FIRST
         """,
         # z-score anomalies over the daily mart: DECIMAL moments, IEEE-only
         # arithmetic (+,-,x,/,sqrt), flag thresholds the rounded z

@@ -96,6 +96,7 @@ HEADLINE = (
     "user_retention",
     "revenue_anomalies",
     "bigram_score",
+    "json_props_rollup",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
