@@ -1401,6 +1401,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue deltas via lag over the daily mart: absolute
+    change and percent change (NULL on the first day and on zero bases —
+    ANSI NULLIF, not inf). The window is date-ordered over the 30-row
+    mart, not the raw events."""
+    daily = q_daily_revenue_summary(spark, sf_dir).select(
+        "event_date", "revenue"
+    )
+    w = Window.orderBy("event_date")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "event_date",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round(
+            (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)) * 100.0,
+            6,
+        ).alias("pct_change"),
+    ).orderBy("event_date")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling (A-ES, sampling.weighted_
+    sample_k): 64 docs drawn with probability proportional to length —
+    the token-budget-aware corpus draw. Hash-derived u keeps membership
+    deterministic; the 9dp-rounded pow key makes the ranking
+    engine-stable (policy as in TF-IDF)."""
+    from airflow_retail_etl_spark.operators.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_k(docs, "n_chars", 64, "doc_id")
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
 def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed semi-structured parsing (S-family breadth): from_json with an
     explicit schema instead of the regex extraction the staging path uses
@@ -1836,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_anomalies": q_revenue_anomalies,
         "bigram_score": q_bigram_score,
         "json_props_rollup": q_json_props_rollup,
+        "revenue_growth": q_revenue_growth,
+        "weighted_sample": q_weighted_sample,
         "multimodal_bytes": q_multimodal_bytes,
     }
 
@@ -3285,6 +3321,38 @@ def oracle_sql() -> dict[str, str]:
                list_extract(['image', 'audio', 'video'],
                             CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type
         FROM documents
+        """,
+        # A-ES weighted draw: same md5 u64, (u+0.5)/2^64, pow key, top-64
+        "weighted_sample": f"""
+        WITH d AS (
+            SELECT doc_id, n_chars,
+                   round(pow((CAST({xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                              AS DOUBLE) + 0.5) / 1.8446744073709552e+19,
+                             1.0 / CAST(n_chars AS DOUBLE)), 9) AS aes
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ), top AS (
+            SELECT doc_id, n_chars FROM d
+            ORDER BY aes DESC, doc_id ASC LIMIT 64
+        )
+        SELECT doc_id, n_chars FROM top ORDER BY doc_id
+        """,
+        # lag-based day-over-day deltas over the daily mart
+        "revenue_growth": _STAGING_CTE
+        + f"""
+        , daily AS (
+            SELECT event_date,
+                   {_money('price', f"event_type = '{PURCHASE}'")} AS revenue
+            FROM staging GROUP BY 1
+        )
+        SELECT event_date, revenue,
+               round(revenue - lag(revenue) OVER (ORDER BY event_date), 2)
+                   AS delta,
+               round((revenue - lag(revenue) OVER (ORDER BY event_date))
+                     / NULLIF(lag(revenue) OVER (ORDER BY event_date), 0.0)
+                     * 100.0, 6) AS pct_change
+        FROM daily
+        ORDER BY event_date
         """,
         # typed JSON parsing: NULL-keyed group collects empty/missing k
         "json_props_rollup": """

@@ -114,3 +114,44 @@ def sample_exact_k(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted without-replacement sample of ``k`` rows: A-ES keys.
+
+    Efraimidis–Spirakis: draw u ~ U(0,1) per row (hash-derived, so the
+    draw is deterministic and engine-portable like every sampler here)
+    and keep the top-k rows by u^(1/w) — inclusion probability is
+    proportional to weight, membership survives repartitioning and
+    reruns. Rows with weight ≤ 0 or NULL are never selected.
+
+    The A-ES key is rounded to 9 decimals BEFORE ranking (pow is not
+    IEEE-exact across engines; ties fall to the deterministic key
+    tiebreak — same policy as TF-IDF ranking). The top-k runs as
+    orderBy+limit, which Spark plans as TakeOrderedAndProject —
+    partition-local top-k's merged on the driver, no global sort, no
+    single-task window.
+    """
+    u64 = _sample_u(F.col(key_col).cast("string"), seed)
+    # (u64 + 0.5) / 2^64 ∈ (0, 1): decimal→double conversion is
+    # nearest-double in both engines, +0.5 keeps the draw off the edges
+    u = (u64.cast("double") + F.lit(0.5)) / F.lit(float(TWO64))
+    aes = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    return (
+        eligible.withColumn("__aes", aes)
+        .orderBy(F.col("__aes").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__aes")
+    )

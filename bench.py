@@ -97,6 +97,8 @@ HEADLINE = (
     "revenue_anomalies",
     "bigram_score",
     "json_props_rollup",
+    "revenue_growth",
+    "weighted_sample",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import pytest
 
+from airflow_retail_etl_spark.operators import sampling
 from airflow_retail_etl_spark.operators.sampling import (
     hash_sample,
     sample_exact_k,
@@ -90,3 +91,32 @@ def test_threshold_for_bounds():
     assert threshold_for(1.0) == 2**64
     with pytest.raises(ValueError):
         threshold_for(1.5)
+
+
+def test_weighted_sample_k_exact_size_and_determinism(spark, sf_dir):
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sampling.weighted_sample_k(docs, "n_chars", 25, "doc_id")
+    b = sampling.weighted_sample_k(docs.repartition(13), "n_chars", 25, "doc_id")
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb and len(ra) == 25
+
+
+def test_weighted_sample_k_respects_weights(spark):
+    # 1000x-weighted rows should dominate the draw
+    rows = [(i, 1000.0 if i < 30 else 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, ["rid", "w"])
+    got = [r["rid"] for r in
+           sampling.weighted_sample_k(df, "w", 20, "rid").collect()]
+    heavy = sum(1 for r in got if r < 30)
+    assert heavy >= 15  # ~uniform would give ~2 of 20
+
+
+def test_weighted_sample_k_excludes_nonpositive_weights(spark):
+    rows = [(1, 0.0), (2, -3.0), (3, None), (4, 5.0), (5, 2.0)]
+    df = spark.createDataFrame(rows, ["rid", "w"])
+    got = {r["rid"] for r in
+           sampling.weighted_sample_k(df, "w", 10, "rid").collect()}
+    assert got == {4, 5}
