@@ -1802,7 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "revenue_rollup": q_revenue_rollup,
-        "value_percentiles": q_value_percentiles,
+        "ann_pq": q_ann_pq,
         "daily_type_pivot": q_daily_type_pivot,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1865,7 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sample_k_per_stratum": q_sample_k_per_stratum,
         "neardup_cosine": q_neardup_cosine,
-        "ann_pq": q_ann_pq,
+        "value_percentiles": q_value_percentiles,
         "user_retention": q_user_retention,
         "revenue_anomalies": q_revenue_anomalies,
         "bigram_score": q_bigram_score,
