@@ -284,43 +284,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, kind=kind, n=n, num_hashes=num_hashes, hash=hash
     )
-    if hash == "xxhash64":
-        def bucket_of(band):
-            return F.xxhash64(
-                F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
-            )
-    else:
-        # md5 of the comma-joined decimal minima — string in, hex out, both
-        # replicable in DuckDB (md5(string_agg(mh::VARCHAR, ',' ORDER BY i)))
-        def bucket_of(band):
-            return F.md5(
-                F.array_join(
-                    F.transform(
-                        F.slice(
-                            F.col("sig"), band * rows_per_band + 1, rows_per_band
-                        ),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            )
-
-    # band WITHOUT the shingle arrays: the (band,bucket) self-join shuffles
-    # ~20 bytes/row instead of the ~1KB shingle payload × 21 bands × 2
-    # sides; shingles re-attach to the (much smaller) candidate pair set.
-    # explode_outer: see jaccard_pairs — avoids InferFiltersFromGenerate
-    # re-inlining the signature computation below the exchange.
-    banded = sigs.select(
-        "id",
-        F.explode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"), bucket_of(band).alias("bucket")
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded(sigs, bands, rows_per_band, hash)
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -349,6 +313,169 @@ def minhash_lsh_pairs(
         verified.select(
             "id_a", "id_b", (inter / union).alias("jaccard")
         ).filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int, hash: str) -> DataFrame:
+    """(id, band, bucket) from signature rows — the LSH banding step.
+
+    Bands WITHOUT the shingle arrays: the (band, bucket) joins shuffle
+    ~20 bytes/row instead of the ~1KB shingle payload × bands × 2 sides;
+    shingles re-attach to the (much smaller) candidate pair set.
+    explode_outer: see jaccard_pairs — avoids InferFiltersFromGenerate
+    re-inlining the signature computation below the exchange.
+    """
+    if hash == "xxhash64":
+        def bucket_of(band):
+            return F.xxhash64(
+                F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
+            )
+    else:
+        # md5 of the comma-joined decimal minima — string in, hex out, both
+        # replicable in DuckDB (md5(string_agg(mh::VARCHAR, ',' ORDER BY i)))
+        def bucket_of(band):
+            return F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(
+                            F.col("sig"), band * rows_per_band + 1, rows_per_band
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            )
+
+    return sigs.select(
+        "id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"), bucket_of(band).alias("bucket")
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    kind: str = "token",
+    n: int = 3,
+    num_hashes: int = 63,
+    bands: int = 21,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Persistable LSH index of a corpus: (id, shingles, band, bucket).
+
+    The incremental-dedup building block: sign and band the corpus ONCE,
+    write this table out, and each day's batch joins against it instead
+    of re-shingling/re-hashing the whole corpus
+    (incremental_lsh_dedup). Shingle sets ride along because the exact-
+    Jaccard verify needs them — the classic space-for-compute trade an
+    indexed dedup service makes. Rows per doc = ``bands``; admitted
+    batches append their own index rows.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, kind=kind, n=n, num_hashes=num_hashes, hash=hash
+    )
+    banded = _banded(sigs, bands, rows_per_band, hash)
+    return banded.join(sigs.select("id", "shingles"), "id").select(
+        "id", "shingles", "band", "bucket"
+    )
+
+
+def incremental_lsh_dedup(
+    index: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    kind: str = "token",
+    n: int = 3,
+    num_hashes: int = 63,
+    bands: int = 21,
+    min_jaccard: float = 0.5,
+    hash: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Admit incoming docs against a PRECOMPUTED corpus index — the
+    100 TB form of incremental_dedup.
+
+    ``index`` is ``minhash_band_index`` output (typically a parquet table
+    maintained across batches). Work per batch scales with the BATCH:
+    the incoming docs are signed/banded, candidates come from the
+    (band, bucket) join incoming-vs-index plus the incoming self-join,
+    and exact Jaccard verifies both (index rows carry shingles; no
+    corpus re-read). Drop rule matches incremental_dedup: an incoming
+    doc falls to any verified match with the index or with a smaller-id
+    batch sibling. Returns the surviving incoming rows; append
+    ``minhash_band_index`` of the survivors to the index for the next
+    batch. Same ``max_bucket_size`` skew backstop on both joins.
+    """
+    rows_per_band = num_hashes // bands
+    inc_sigs = minhash_signatures(
+        incoming, text_col, id_col,
+        kind=kind, n=n, num_hashes=num_hashes, hash=hash,
+    )
+    inc_banded = _cap_buckets(
+        _banded(inc_sigs, bands, rows_per_band, hash),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
+    ex_banded = _cap_buckets(
+        index.select("id", "band", "bucket"), ["band", "bucket"],
+        max_bucket_size,
+    )
+    # incoming × index candidates (keys only)
+    cross = (
+        inc_banded.alias("a")
+        .join(
+            ex_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("inc_id"), F.col("b.id").alias("ex_id"))
+        .dropDuplicates(["inc_id", "ex_id"])
+    )
+    inc_sh = inc_sigs.select("id", "shingles")
+    ex_sh = index.select("id", "shingles").dropDuplicates(["id"])
+    inter_u = lambda a, b: (
+        F.size(F.array_intersect(a, b))
+        / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+    )
+    cross_drop = (
+        cross.join(inc_sh.withColumnsRenamed({"id": "inc_id", "shingles": "sa"}), "inc_id")
+        .join(ex_sh.withColumnsRenamed({"id": "ex_id", "shingles": "sb"}), "ex_id")
+        .filter(inter_u(F.col("sa"), F.col("sb")) >= min_jaccard)
+        .select(F.col("inc_id").alias("drop_id"))
+    )
+    # incoming × incoming: smaller id wins
+    self_cand = (
+        inc_banded.alias("a")
+        .join(
+            inc_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    self_drop = (
+        self_cand.join(inc_sh.withColumnsRenamed({"id": "id_a", "shingles": "sa"}), "id_a")
+        .join(inc_sh.withColumnsRenamed({"id": "id_b", "shingles": "sb"}), "id_b")
+        .filter(inter_u(F.col("sa"), F.col("sb")) >= min_jaccard)
+        .select(F.col("id_b").alias("drop_id"))
+    )
+    drops = cross_drop.unionByName(self_drop).distinct()
+    return incoming.join(
+        drops, incoming[id_col] == drops["drop_id"], "left_anti"
     )
 
 

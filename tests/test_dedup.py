@@ -353,3 +353,54 @@ def test_incremental_dedup_pluggable_pair_generator(spark):
         min_jaccard=0.5, pairs_fn=lsh_pairs,
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [11]
+
+
+def test_incremental_lsh_dedup_with_persisted_index(spark, tmp_path):
+    """Multi-batch admission against a persisted band index: batch work
+    never re-signs the corpus, survivors append their own index rows."""
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    existing = mk([(1, corpus_text), (2, other)])
+    idx_path = str(tmp_path / "index")
+    dedup.minhash_band_index(existing, "text", "doc_id").write.parquet(idx_path)
+
+    # day 1: one dup of the corpus, one fresh, one within-batch dup pair
+    fresh = "penguin walrus narwhal dolphin seal otter orca whale manatee dugong"
+    day1 = mk([(10, corpus_text), (11, fresh), (12, fresh)])
+    index = spark.read.parquet(idx_path)
+    s1 = dedup.incremental_lsh_dedup(index, day1, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in s1.collect()) == [11]
+
+    # append survivors' index rows; day 2 dup of day-1 survivor must drop
+    dedup.minhash_band_index(
+        day1.join(s1.select("doc_id"), "doc_id", "left_semi"),
+        "text", "doc_id",
+    ).write.mode("append").parquet(idx_path)
+    day2 = mk([(20, fresh), (21, "completely novel words paint garden "
+                                 "bicycle mountain river cloud stone fire")])
+    s2 = dedup.incremental_lsh_dedup(
+        spark.read.parquet(idx_path), day2, "text", "doc_id"
+    )
+    assert sorted(r["doc_id"] for r in s2.collect()) == [21]
+
+
+def test_incremental_lsh_agrees_with_exact_on_catchable_pairs(spark, sf_dir):
+    """On the real corpus at J>=0.5 the banded path admits the same set
+    as the exact-Jaccard incremental_dedup (the 21x3 S-curve catches
+    these pairs; both use the same drop rule)."""
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter("doc_id % 10 = 0")
+    existing = docs.filter("doc_id % 10 != 0")
+    exact = dedup.incremental_dedup(
+        existing, incoming, "text", "doc_id", min_jaccard=0.5
+    )
+    index = dedup.minhash_band_index(existing, "text", "doc_id")
+    lsh = dedup.incremental_lsh_dedup(
+        index, incoming, "text", "doc_id", min_jaccard=0.5
+    )
+    assert sorted(r["doc_id"] for r in exact.collect()) == sorted(
+        r["doc_id"] for r in lsh.collect()
+    )
