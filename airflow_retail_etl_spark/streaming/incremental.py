@@ -94,3 +94,86 @@ def scd2_stream_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus admission: foreachBatch → incremental LSH dedup
+# ---------------------------------------------------------------------------
+
+
+def admit_doc_batch(
+    batch: DataFrame,
+    *,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+) -> None:
+    """Admit one micro-batch of documents against the persisted LSH index.
+
+    Survivors (docs near-duplicating neither the indexed corpus nor a
+    smaller-id batch sibling) append to ``out_path``; their band-index
+    rows append to ``index_path`` so the NEXT batch sees them. Batch
+    work scales with the batch (dedup.incremental_lsh_dedup); the index
+    grows by bands rows per admitted doc.
+    """
+    from airflow_retail_etl_spark.operators import dedup
+
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    index = _read_history(spark, index_path)
+    if index is None:
+        survivors = dedup.incremental_dedup(
+            batch.limit(0), batch, text_col, id_col, min_jaccard=min_jaccard
+        )
+    else:
+        survivors = dedup.incremental_lsh_dedup(
+            index, batch, text_col, id_col, min_jaccard=min_jaccard
+        )
+    # pin survivors before the two writes so admission evaluates once
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("append").parquet(out_path)
+    dedup.minhash_band_index(survivors, text_col, id_col).write.mode(
+        "append"
+    ).parquet(index_path)
+
+
+def dedup_stream_sink(
+    docs: DataFrame,
+    *,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    available_now: bool = True,
+):
+    """Start a document stream deduplicating through the LSH index store.
+
+    The streaming face of incremental corpus dedup: exactly-once
+    micro-batches (checkpointed), each admitted with the SAME operator
+    the batch path uses — the admitted corpus and its index stay
+    consistent across restarts. Returns the StreamingQuery.
+    """
+
+    def _admit(batch: DataFrame, _batch_id: int) -> None:
+        admit_doc_batch(
+            batch,
+            index_path=index_path,
+            out_path=out_path,
+            text_col=text_col,
+            id_col=id_col,
+            min_jaccard=min_jaccard,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,79 @@
+"""Streaming corpus admission (foreachBatch → incremental LSH dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from airflow_retail_etl_spark.streaming.incremental import dedup_stream_sink
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+FRESH = "penguin walrus narwhal dolphin seal otter orca whale manatee dugong"
+NOVEL = "completely novel words paint garden bicycle mountain river cloud fire"
+
+DAY1 = [(1, BASE), (2, FRESH), (3, FRESH)]          # 3 dups 2 in-batch
+DAY2 = [(10, BASE), (11, FRESH), (12, NOVEL)]        # 10,11 dup the corpus
+
+
+def _drain(spark, feed, index, out, ckpt):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)   # one micro-batch per day file
+        # (each day is coalesced to a single parquet part below)
+        .load(feed)
+    )
+    q = dedup_stream_sink(
+        stream,
+        index_path=index,
+        out_path=out,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(180)
+
+
+def test_streamed_admission_maintains_index_across_batches(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for day in (DAY1, DAY2):
+        spark.createDataFrame(day, SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain(spark, feed, index, out, ckpt)
+
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    # day 1: 1 and 2 admitted (3 drops to sibling 2); day 2: only 12 —
+    # 10 dups indexed doc 1, 11 dups indexed doc 2
+    assert admitted == [1, 2, 12]
+    # the index holds exactly the admitted docs' band rows (21 bands each)
+    idx = spark.read.parquet(index)
+    assert sorted(
+        r["doc_id"] for r in
+        idx.select(idx["id"].alias("doc_id")).distinct().collect()
+    ) == [1, 2, 12]
+    assert idx.count() == 3 * 21
+
+
+def test_streamed_admission_is_restart_safe(spark, tmp_path):
+    """Draining day 1, then appending day 2 and re-starting from the same
+    checkpoint must not re-admit or re-index day-1 docs."""
+    feed = str(tmp_path / "feed")
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(DAY1, SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain(spark, feed, index, out, ckpt)
+    spark.createDataFrame(DAY2, SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain(spark, feed, index, out, ckpt)
+
+    admitted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert admitted == [1, 2, 12]
+    assert spark.read.parquet(index).count() == 3 * 21
