@@ -3354,10 +3354,19 @@ def oracle_sql() -> dict[str, str]:
         FROM daily
         ORDER BY event_date
         """,
-        # typed JSON parsing: NULL-keyed group collects empty/missing k
+        # typed JSON parsing: NULL-keyed group collects empty/missing k.
+        # Aligned with Spark from_json('k BIGINT') semantics beyond the
+        # clean testdata: json_valid() guards malformed payloads (DuckDB
+        # json_extract would error where Spark yields a NULL struct), and
+        # the json_type gate keeps quoted numerics ('{"k":"5"}') and JSON
+        # doubles NULL exactly as Spark's typed parser does.
         "json_props_rollup": """
-        SELECT TRY_CAST(json_extract_string(COALESCE(props, '{}'), '$.k')
-                        AS BIGINT) AS prop_k,
+        SELECT CASE WHEN json_valid(COALESCE(props, '{}'))
+                     AND json_type(COALESCE(props, '{}'), '$.k')
+                         IN ('BIGINT', 'UBIGINT')
+                    THEN TRY_CAST(json_extract(COALESCE(props, '{}'), '$.k')
+                                  AS BIGINT)
+               END AS prop_k,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_value

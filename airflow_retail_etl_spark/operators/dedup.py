@@ -445,14 +445,31 @@ def incremental_lsh_dedup(
     )
     inc_sh = inc_sigs.select("id", "shingles")
     ex_sh = index.select("id", "shingles").dropDuplicates(["id"])
-    inter_u = lambda a, b: (
-        F.size(F.array_intersect(a, b))
-        / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
-    )
+
+    def _verified(df: DataFrame) -> DataFrame:
+        # intersection size projected ONCE, jaccard derived from the
+        # column — array_intersect is the dominant per-pair cost and a
+        # lambda inlining it twice doubles the verify step
+        inter = F.size(F.array_intersect("sa", "sb"))
+        return (
+            df.withColumn("__inter", inter)
+            .filter(
+                F.col("__inter")
+                / (F.size("sa") + F.size("sb") - F.col("__inter"))
+                >= min_jaccard
+            )
+        )
+
     cross_drop = (
-        cross.join(inc_sh.withColumnsRenamed({"id": "inc_id", "shingles": "sa"}), "inc_id")
-        .join(ex_sh.withColumnsRenamed({"id": "ex_id", "shingles": "sb"}), "ex_id")
-        .filter(inter_u(F.col("sa"), F.col("sb")) >= min_jaccard)
+        _verified(
+            cross.join(
+                inc_sh.withColumnsRenamed({"id": "inc_id", "shingles": "sa"}),
+                "inc_id",
+            ).join(
+                ex_sh.withColumnsRenamed({"id": "ex_id", "shingles": "sb"}),
+                "ex_id",
+            )
+        )
         .select(F.col("inc_id").alias("drop_id"))
     )
     # incoming × incoming: smaller id wins
@@ -468,9 +485,15 @@ def incremental_lsh_dedup(
         .dropDuplicates(["id_a", "id_b"])
     )
     self_drop = (
-        self_cand.join(inc_sh.withColumnsRenamed({"id": "id_a", "shingles": "sa"}), "id_a")
-        .join(inc_sh.withColumnsRenamed({"id": "id_b", "shingles": "sb"}), "id_b")
-        .filter(inter_u(F.col("sa"), F.col("sb")) >= min_jaccard)
+        _verified(
+            self_cand.join(
+                inc_sh.withColumnsRenamed({"id": "id_a", "shingles": "sa"}),
+                "id_a",
+            ).join(
+                inc_sh.withColumnsRenamed({"id": "id_b", "shingles": "sb"}),
+                "id_b",
+            )
+        )
         .select(F.col("id_b").alias("drop_id"))
     )
     drops = cross_drop.unionByName(self_drop).distinct()

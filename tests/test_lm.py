@@ -133,6 +133,37 @@ def test_bigram_flags_word_salad(spark):
     assert bi[99] > bi[0] + 1.0                          # bigram can
 
 
+def test_bigram_min_count_bounds_model(spark):
+    # adversarial vocabulary: every document contributes unique bigrams, so
+    # the unfloored model grows with the corpus; min_count=2 keeps only the
+    # repeated fluent phrase's transitions and scores everything else unseen
+    fluent = "the cat sat"
+    rows = [(i, fluent) for i in range(5)] + [
+        (100 + i, f"tok{i}a tok{i}b tok{i}c") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in lm.bigram_score(
+            docs, "text", "doc_id", min_count=2
+        ).collect()
+    }
+    # fluent docs: both transitions kept (count 5 ≥ 2), deterministic p=1
+    assert out[0]["avg_nll"] == pytest.approx(0.0, abs=1e-9)
+    # unique-pair docs: every bigram floored out of the model → unseen
+    assert out[100]["avg_nll"] == pytest.approx(30.0, abs=1e-6)
+    # and the default floor of 1 is the identity (the oracle relies on it)
+    unfloored = {
+        r["id"]: r["avg_nll"]
+        for r in lm.bigram_score(docs, "text", "doc_id").collect()
+    }
+    floored1 = {
+        r["id"]: r["avg_nll"]
+        for r in lm.bigram_score(docs, "text", "doc_id", min_count=1).collect()
+    }
+    assert unfloored == floored1
+
+
 def test_scores_invariant_under_partitioning(spark, sf_dir):
     """The DECIMAL-accumulation policy's point: re-partitioning the corpus
     never changes a score bit."""
