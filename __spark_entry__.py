@@ -1337,6 +1337,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, queries_df, k=10, shortlist=50)
 
 
+def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (similarity.ivf_pq_topk) in integrity mode: probing ALL
+    cells makes the cell-gated ADC scan enumerate exactly the pair set
+    pq_topk scans exhaustively, so the result must equal the PQ oracle
+    regardless of how KMeans carved the cells — proving the composition
+    (cell assignment → per-cell code scan → shortlist → rescore) loses
+    and duplicates nothing. Production recall at n_probe < n_cells with
+    a trained codebook is pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_pq_topk(
+        emb, queries_df, k=10, shortlist=50,
+        n_cells=16, n_probe=16, fit_fraction=0.5,
+    )
+
+
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-50 all-pairs cosine (exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1802,7 +1818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "revenue_rollup": q_revenue_rollup,
-        "ann_pq": q_ann_pq,
+        # ivf_pq supersedes ann_pq as the PQ-family window representative:
+        # identical oracle (probe-all ≡ exhaustive ADC) plus the IVF cell
+        # composition on top — strictly more machinery under the same check
+        "ivf_pq": q_ivf_pq,
         "daily_type_pivot": q_daily_type_pivot,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1873,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_growth": q_revenue_growth,
         "weighted_sample": q_weighted_sample,
         "multimodal_bytes": q_multimodal_bytes,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -3422,6 +3442,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # PQ ANN: codebook literals shared verbatim with the Spark plan
         "ann_pq": _pq_sql(m=8, ksub=16, dsub=8, shortlist=50, k=10),
+        # probe-all IVF-PQ ≡ exhaustive PQ scan: same oracle by design
+        "ivf_pq": _pq_sql(m=8, ksub=16, dsub=8, shortlist=50, k=10),
         # TPC-H Q2 shape: correlated per-part minimum via window
         "min_cost_supplier": """
         WITH uc AS (

