@@ -3156,7 +3156,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": _KNN_SQL,
         "ann_ivf": _KNN_SQL,
         "ann_lsh": _VEC_CTE
-        + _lsh_buckets_cte(16, 4)
+        + _lsh_buckets_cte(24, 4)
         + """
         , qb AS (SELECT * FROM buck WHERE vec_id % 50 = 0
         ), cand AS (

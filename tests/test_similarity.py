@@ -102,8 +102,8 @@ def test_lsh_topk_recall_on_testdata(spark, sf_dir):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     # uniformly random 64-d vectors are LSH's worst case; multi-table
-    # (p=4, L=16) measures ~0.76 here — assert a safe floor
-    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # (p=4, L=24) measures 0.94 here — same floor as the IVF family
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
     ranks = [r["rank"] for r in approx if r["query_id"] == approx[0]["query_id"]]
     assert ranks == sorted(ranks)
 
