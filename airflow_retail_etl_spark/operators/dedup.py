@@ -370,24 +370,40 @@ def minhash_band_index(
     bands: int = 21,
     hash: str = "xxhash64",
 ) -> DataFrame:
-    """Persistable LSH index of a corpus: (id, shingles, band, bucket).
+    """Persistable LSH band index of a corpus: (id, band, bucket).
 
     The incremental-dedup building block: sign and band the corpus ONCE,
     write this table out, and each day's batch joins against it instead
-    of re-shingling/re-hashing the whole corpus
-    (incremental_lsh_dedup). Shingle sets ride along because the exact-
-    Jaccard verify needs them — the classic space-for-compute trade an
-    indexed dedup service makes. Rows per doc = ``bands``; admitted
-    batches append their own index rows.
+    of re-shingling/re-hashing the whole corpus (incremental_lsh_dedup).
+    Rows per doc = ``bands``, ~20 bytes each — KEYS ONLY. The exact-
+    Jaccard verify's shingle sets live in the companion one-row-per-id
+    ``shingle_store`` table: storing them here would copy every doc's
+    shingle array ×bands (21× by default) for no read-time benefit,
+    since the band join never looks at them. Persist the band table
+    PARTITIONED BY band: the per-band directory layout means any reader
+    that filters bands (single-band probes, replay exclusion by a
+    second partition key) scans 1/bands of the files, and the band
+    column itself costs no storage (it is directory metadata).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, kind=kind, n=n, num_hashes=num_hashes, hash=hash
     )
-    banded = _banded(sigs, bands, rows_per_band, hash)
-    return banded.join(sigs.select("id", "shingles"), "id").select(
-        "id", "shingles", "band", "bucket"
-    )
+    return _banded(sigs, bands, rows_per_band, hash)
+
+
+def shingle_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    kind: str = "token",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingles), one row per doc — the band index's verify-side
+    companion table (the space-for-compute trade an indexed dedup
+    service makes, stored ONCE per doc instead of once per band)."""
+    return _with_shingles(df, text_col, id_col, kind=kind, n=n)
 
 
 def incremental_lsh_dedup(
@@ -403,20 +419,25 @@ def incremental_lsh_dedup(
     min_jaccard: float = 0.5,
     hash: str = "xxhash64",
     max_bucket_size: int | None = 10_000,
+    index_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Admit incoming docs against a PRECOMPUTED corpus index — the
     100 TB form of incremental_dedup.
 
-    ``index`` is ``minhash_band_index`` output (typically a parquet table
-    maintained across batches). Work per batch scales with the BATCH:
+    ``index`` is ``minhash_band_index`` output (typically a parquet
+    table maintained across batches, partitioned by band) and
+    ``index_shingles`` its ``shingle_store`` companion for the exact-
+    Jaccard verify — no corpus re-read, no re-hashing. A legacy
+    combined index (shingles column riding every band row) still works
+    with ``index_shingles=None``. Work per batch scales with the BATCH:
     the incoming docs are signed/banded, candidates come from the
     (band, bucket) join incoming-vs-index plus the incoming self-join,
-    and exact Jaccard verifies both (index rows carry shingles; no
-    corpus re-read). Drop rule matches incremental_dedup: an incoming
-    doc falls to any verified match with the index or with a smaller-id
-    batch sibling. Returns the surviving incoming rows; append
-    ``minhash_band_index`` of the survivors to the index for the next
-    batch. Same ``max_bucket_size`` skew backstop on both joins.
+    and exact Jaccard verifies both. Drop rule matches
+    incremental_dedup: an incoming doc falls to any verified match with
+    the index or with a smaller-id batch sibling. Returns the surviving
+    incoming rows; append the survivors' ``minhash_band_index`` +
+    ``shingle_store`` rows for the next batch. Same ``max_bucket_size``
+    skew backstop on both joins.
     """
     rows_per_band = num_hashes // bands
     inc_sigs = minhash_signatures(
@@ -444,7 +465,12 @@ def incremental_lsh_dedup(
         .dropDuplicates(["inc_id", "ex_id"])
     )
     inc_sh = inc_sigs.select("id", "shingles")
-    ex_sh = index.select("id", "shingles").dropDuplicates(["id"])
+    ex_sh = (
+        index_shingles.select("id", "shingles")
+        if index_shingles is not None
+        # legacy combined layout: shingles duplicated onto band rows
+        else index.select("id", "shingles").dropDuplicates(["id"])
+    )
 
     def _verified(df: DataFrame) -> DataFrame:
         # intersection size projected ONCE, jaccard derived from the

@@ -106,6 +106,7 @@ def admit_doc_batch(
     *,
     index_path: str,
     out_path: str,
+    batch_id: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
@@ -113,31 +114,71 @@ def admit_doc_batch(
     """Admit one micro-batch of documents against the persisted LSH index.
 
     Survivors (docs near-duplicating neither the indexed corpus nor a
-    smaller-id batch sibling) append to ``out_path``; their band-index
-    rows append to ``index_path`` so the NEXT batch sees them. Batch
-    work scales with the batch (dedup.incremental_lsh_dedup); the index
-    grows by bands rows per admitted doc.
+    smaller-id batch sibling) land under ``out_path``; their band rows
+    and shingle sets land under ``index_path`` (``bands/`` partitioned
+    by band — directory-level pruning for any band-filtered read — plus
+    ``shingles/``, one row per doc) so the NEXT batch sees them. Batch
+    work scales with the batch (dedup.incremental_lsh_dedup).
+
+    IDEMPOTENT PER BATCH: foreachBatch is at-least-once, so every write
+    is a dynamic partition OVERWRITE keyed by ``batch_id`` — a replayed
+    batch rewrites its own partitions instead of appending duplicates —
+    and the index reads EXCLUDE the current batch_id (partition-pruned),
+    so a crash that indexed this batch before checkpointing cannot make
+    the replay self-match and drop its own docs. Replay therefore
+    recomputes the identical survivor set and the rewrite is a no-op:
+    effectively exactly-once output on top of at-least-once delivery.
     """
     from airflow_retail_etl_spark.operators import dedup
 
     if batch.isEmpty():
         return
     spark = batch.sparkSession
-    index = _read_history(spark, index_path)
-    if index is None:
-        survivors = dedup.incremental_dedup(
-            batch.limit(0), batch, text_col, id_col, min_jaccard=min_jaccard
-        )
+    bands = _read_history(spark, f"{index_path}/bands")
+    shingles = _read_history(spark, f"{index_path}/shingles")
+    if bands is None or shingles is None:
+        # bootstrap: empty index with the correct schema (first batch
+        # self-dedups through the same LSH path as every later one)
+        bands = dedup.minhash_band_index(batch.limit(0), text_col, id_col)
+        shingles = dedup.shingle_store(batch.limit(0), text_col, id_col)
     else:
-        survivors = dedup.incremental_lsh_dedup(
-            index, batch, text_col, id_col, min_jaccard=min_jaccard
+        bands = bands.filter(F.col("batch_id") != batch_id).select(
+            "id", "band", "bucket"
         )
-    # pin survivors before the two writes so admission evaluates once
+        shingles = shingles.filter(F.col("batch_id") != batch_id).select(
+            "id", "shingles"
+        )
+    survivors = dedup.incremental_lsh_dedup(
+        bands,
+        batch,
+        text_col,
+        id_col,
+        min_jaccard=min_jaccard,
+        index_shingles=shingles,
+    )
+    # pin survivors before the three writes so admission evaluates once
     survivors = survivors.localCheckpoint(eager=True)
-    survivors.write.mode("append").parquet(out_path)
-    dedup.minhash_band_index(survivors, text_col, id_col).write.mode(
-        "append"
-    ).parquet(index_path)
+    bid = F.lit(batch_id).cast("long")
+
+    def _overwrite(df: DataFrame, path: str, *partition_cols: str) -> None:
+        (
+            df.withColumn("batch_id", bid)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols, "batch_id")
+            .parquet(path)
+        )
+
+    _overwrite(survivors, out_path)
+    _overwrite(
+        dedup.minhash_band_index(survivors, text_col, id_col),
+        f"{index_path}/bands",
+        "band",
+    )
+    _overwrite(
+        dedup.shingle_store(survivors, text_col, id_col),
+        f"{index_path}/shingles",
+    )
 
 
 def dedup_stream_sink(
@@ -153,17 +194,20 @@ def dedup_stream_sink(
 ):
     """Start a document stream deduplicating through the LSH index store.
 
-    The streaming face of incremental corpus dedup: exactly-once
-    micro-batches (checkpointed), each admitted with the SAME operator
-    the batch path uses — the admitted corpus and its index stay
-    consistent across restarts. Returns the StreamingQuery.
+    The streaming face of incremental corpus dedup: checkpointed
+    micro-batches, each admitted with the SAME operator the batch path
+    uses, and each batch's writes idempotent per batch_id (see
+    admit_doc_batch) — so the at-least-once foreachBatch contract still
+    yields an exactly-once admitted corpus, consistent with its index
+    across restarts and replays. Returns the StreamingQuery.
     """
 
-    def _admit(batch: DataFrame, _batch_id: int) -> None:
+    def _admit(batch: DataFrame, batch_id: int) -> None:
         admit_doc_batch(
             batch,
             index_path=index_path,
             out_path=out_path,
+            batch_id=batch_id,
             text_col=text_col,
             id_col=id_col,
             min_jaccard=min_jaccard,

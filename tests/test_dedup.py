@@ -357,32 +357,52 @@ def test_incremental_dedup_pluggable_pair_generator(spark):
 
 def test_incremental_lsh_dedup_with_persisted_index(spark, tmp_path):
     """Multi-batch admission against a persisted band index: batch work
-    never re-signs the corpus, survivors append their own index rows."""
+    never re-signs the corpus, survivors append their own index rows.
+    Bands persist partitioned by band (keys only); shingles persist once
+    per doc in the companion store."""
     mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
     corpus_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     other = "one two three four five six seven eight nine ten"
     existing = mk([(1, corpus_text), (2, other)])
-    idx_path = str(tmp_path / "index")
-    dedup.minhash_band_index(existing, "text", "doc_id").write.parquet(idx_path)
+    bands_path = str(tmp_path / "index" / "bands")
+    sh_path = str(tmp_path / "index" / "shingles")
+    dedup.minhash_band_index(existing, "text", "doc_id").write.partitionBy(
+        "band"
+    ).parquet(bands_path)
+    dedup.shingle_store(existing, "text", "doc_id").write.parquet(sh_path)
 
     # day 1: one dup of the corpus, one fresh, one within-batch dup pair
     fresh = "penguin walrus narwhal dolphin seal otter orca whale manatee dugong"
     day1 = mk([(10, corpus_text), (11, fresh), (12, fresh)])
-    index = spark.read.parquet(idx_path)
-    s1 = dedup.incremental_lsh_dedup(index, day1, "text", "doc_id")
+    s1 = dedup.incremental_lsh_dedup(
+        spark.read.parquet(bands_path), day1, "text", "doc_id",
+        index_shingles=spark.read.parquet(sh_path),
+    )
     assert sorted(r["doc_id"] for r in s1.collect()) == [11]
 
     # append survivors' index rows; day 2 dup of day-1 survivor must drop
-    dedup.minhash_band_index(
-        day1.join(s1.select("doc_id"), "doc_id", "left_semi"),
-        "text", "doc_id",
-    ).write.mode("append").parquet(idx_path)
+    survivors1 = day1.join(s1.select("doc_id"), "doc_id", "left_semi")
+    dedup.minhash_band_index(survivors1, "text", "doc_id").write.mode(
+        "append"
+    ).partitionBy("band").parquet(bands_path)
+    dedup.shingle_store(survivors1, "text", "doc_id").write.mode(
+        "append"
+    ).parquet(sh_path)
     day2 = mk([(20, fresh), (21, "completely novel words paint garden "
                                  "bicycle mountain river cloud stone fire")])
     s2 = dedup.incremental_lsh_dedup(
-        spark.read.parquet(idx_path), day2, "text", "doc_id"
+        spark.read.parquet(bands_path), day2, "text", "doc_id",
+        index_shingles=spark.read.parquet(sh_path),
     )
     assert sorted(r["doc_id"] for r in s2.collect()) == [21]
+
+    # the band table is keys-only (no shingle payload ×21), and a
+    # band-filtered read prunes at the DIRECTORY level — the plan's scan
+    # carries a partition filter, not a data filter over all files
+    bands_df = spark.read.parquet(bands_path)
+    assert "shingles" not in bands_df.columns
+    plan = bands_df.filter("band = 3")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "band" in plan.split("PartitionFilters")[1][:80]
 
 
 def test_incremental_lsh_agrees_with_exact_on_catchable_pairs(spark, sf_dir):
@@ -399,7 +419,8 @@ def test_incremental_lsh_agrees_with_exact_on_catchable_pairs(spark, sf_dir):
     )
     index = dedup.minhash_band_index(existing, "text", "doc_id")
     lsh = dedup.incremental_lsh_dedup(
-        index, incoming, "text", "doc_id", min_jaccard=0.5
+        index, incoming, "text", "doc_id", min_jaccard=0.5,
+        index_shingles=dedup.shingle_store(existing, "text", "doc_id"),
     )
     assert sorted(r["doc_id"] for r in exact.collect()) == sorted(
         r["doc_id"] for r in lsh.collect()

@@ -53,13 +53,17 @@ def test_streamed_admission_maintains_index_across_batches(spark, tmp_path):
     # day 1: 1 and 2 admitted (3 drops to sibling 2); day 2: only 12 —
     # 10 dups indexed doc 1, 11 dups indexed doc 2
     assert admitted == [1, 2, 12]
-    # the index holds exactly the admitted docs' band rows (21 bands each)
-    idx = spark.read.parquet(index)
+    # the band index holds exactly the admitted docs' band rows (21 bands
+    # each, keys only — shingles live once per doc in the companion store)
+    idx = spark.read.parquet(f"{index}/bands")
     assert sorted(
         r["doc_id"] for r in
         idx.select(idx["id"].alias("doc_id")).distinct().collect()
     ) == [1, 2, 12]
     assert idx.count() == 3 * 21
+    assert "shingles" not in idx.columns
+    sh = spark.read.parquet(f"{index}/shingles")
+    assert sh.count() == 3
 
 
 def test_streamed_admission_is_restart_safe(spark, tmp_path):
@@ -76,4 +80,36 @@ def test_streamed_admission_is_restart_safe(spark, tmp_path):
 
     admitted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert admitted == [1, 2, 12]
-    assert spark.read.parquet(index).count() == 3 * 21
+    assert spark.read.parquet(f"{index}/bands").count() == 3 * 21
+
+
+def test_admit_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch with the same
+    batch_id (crash-after-index-write, restart-before-checkpoint) must
+    not duplicate admitted docs OR self-match the batch against its own
+    index rows and drop everything — the two failure modes of the old
+    append-based writes."""
+    from airflow_retail_etl_spark.streaming.incremental import admit_doc_batch
+
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    b1 = spark.createDataFrame(DAY1, SCHEMA)
+    admit_doc_batch(b1, index_path=index, out_path=out, batch_id=0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+
+    # full replay of batch 0 (worst case: its index rows already persisted)
+    admit_doc_batch(b1, index_path=index, out_path=out, batch_id=0)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == first
+    assert spark.read.parquet(f"{index}/bands").count() == 2 * 21
+
+    # and the next batch still sees the batch-0 index
+    admit_doc_batch(
+        spark.createDataFrame(DAY2, SCHEMA),
+        index_path=index, out_path=out, batch_id=1,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 12]
