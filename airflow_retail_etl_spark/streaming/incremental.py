@@ -181,6 +181,59 @@ def admit_doc_batch(
     )
 
 
+def replay_admission(
+    batches: Sequence[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_jaccard: float = 0.5,
+    hash: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Replay ordered document batches through incremental LSH admission,
+    entirely as DataFrames — the batch face of dedup_stream_sink.
+
+    Exactly the per-micro-batch logic admit_doc_batch runs (empty typed
+    index bootstrap, incremental_lsh_dedup per batch, survivors' band +
+    shingle rows feeding the next batch) with the parquet store replaced
+    by accumulating DataFrames, so the admission SEMANTICS — drop on a
+    verified match with any previously admitted doc or a smaller-id
+    batch sibling — are testable and oracle-checkable without a
+    checkpoint directory. Each batch's survivors are eagerly
+    localCheckpoint'ed: the fold is inherently sequential (batch N's
+    index depends on N−1's survivors), and checkpointing keeps plan
+    depth constant in the number of batches instead of stacking N
+    dedup plans. Returns the admitted union in arrival order.
+    """
+    from airflow_retail_etl_spark.operators import dedup
+
+    first = batches[0]
+    bands = dedup.minhash_band_index(
+        first.limit(0), text_col, id_col, hash=hash
+    )
+    shingles = dedup.shingle_store(first.limit(0), text_col, id_col)
+    admitted: DataFrame | None = None
+    for b in batches:
+        surv = dedup.incremental_lsh_dedup(
+            bands,
+            b,
+            text_col,
+            id_col,
+            min_jaccard=min_jaccard,
+            hash=hash,
+            max_bucket_size=max_bucket_size,
+            index_shingles=shingles,
+        ).localCheckpoint(eager=True)
+        admitted = surv if admitted is None else admitted.unionByName(surv)
+        bands = bands.unionByName(
+            dedup.minhash_band_index(surv, text_col, id_col, hash=hash)
+        )
+        shingles = shingles.unionByName(
+            dedup.shingle_store(surv, text_col, id_col)
+        )
+    return admitted
+
+
 def dedup_stream_sink(
     docs: DataFrame,
     *,

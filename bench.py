@@ -93,6 +93,7 @@ HEADLINE = (
     "unigram_score",
     "tfidf_keywords",
     "incremental_dedup",
+    "streaming_admission",
     "min_cost_supplier",
     "ann_pq",
     "ivf_pq",
@@ -145,6 +146,19 @@ def _production_sketches():
             emb, queries_df, k=10, n_cells=16, n_probe=12, fit_fraction=0.5
         )
 
+    def streaming_admission_prod(spark, sf_dir):
+        # production hash family + skew caps (the graded form is md5km +
+        # uncapped so DuckDB replays it; a real pipeline never would)
+        from airflow_retail_etl_spark.sources.tables import load_table as lt
+        from airflow_retail_etl_spark.streaming.incremental import (
+            replay_admission,
+        )
+        from pyspark.sql import functions as F
+
+        docs = lt(spark, sf_dir, "documents")
+        batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        return replay_admission(batches, "text", "doc_id", min_jaccard=0.5)
+
     def ivf_pq_prod(spark, sf_dir):
         # the scale configuration: probe a quarter of the cells, sampled
         # quantizer fit (the graded registry form probes ALL cells so the
@@ -177,6 +191,7 @@ def _production_sketches():
         "simhash_pairs": simhash_pairs_prod,
         "ann_ivf": ann_ivf_prod,
         "ivf_pq": ivf_pq_prod,
+        "streaming_admission": streaming_admission_prod,
         "winnow": winnow_prod,
         "winnow_pairs": winnow_pairs_prod,
     }

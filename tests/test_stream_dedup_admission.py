@@ -113,3 +113,30 @@ def test_admit_batch_replay_is_idempotent(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [1, 2, 12]
+
+
+def test_replay_admission_equals_streamed_sink(spark, tmp_path):
+    """replay_admission (the registry/batch face) admits exactly the set
+    the checkpointed foreachBatch sink admits for the same arrival order
+    — stream ≡ batch for corpus admission."""
+    from airflow_retail_etl_spark.streaming.incremental import (
+        replay_admission,
+    )
+
+    feed = str(tmp_path / "feed")
+    for day in (DAY1, DAY2):
+        spark.createDataFrame(day, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    _drain(spark, feed, str(tmp_path / "index"), str(tmp_path / "out"),
+           str(tmp_path / "ckpt"))
+    streamed = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+
+    batches = [spark.createDataFrame(d, SCHEMA) for d in (DAY1, DAY2)]
+    replayed = sorted(
+        r["doc_id"] for r in replay_admission(batches).collect()
+    )
+    assert replayed == streamed == [1, 2, 12]
