@@ -161,15 +161,19 @@ def _production_sketches():
 
     def ivf_pq_prod(spark, sf_dir):
         # the scale configuration: probe a quarter of the cells, sampled
-        # quantizer fit (the graded registry form probes ALL cells so the
-        # oracle applies; production never would)
+        # 2-iteration quantizer fit (the graded registry form probes ALL
+        # cells so the oracle applies; production never would). Recall at
+        # this probe budget is an operating point for CLUSTERED corpora —
+        # the uniform-random testdata is IVF's adversarial case, and the
+        # production recall pin (n_probe=12, trained codebook, >=0.8)
+        # lives in tests/test_similarity.py
         from airflow_retail_etl_spark.operators import similarity
 
         emb = load_table(spark, sf_dir, "embeddings")
         queries_df = emb.filter("vec_id % 50 = 0")
         return similarity.ivf_pq_topk(
             emb, queries_df, k=10, shortlist=50,
-            n_cells=16, n_probe=4, fit_fraction=0.25,
+            n_cells=16, n_probe=4, fit_fraction=0.25, max_iter=2,
         )
 
     def winnow_prod(spark, sf_dir):
