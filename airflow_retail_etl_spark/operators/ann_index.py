@@ -1,0 +1,238 @@
+"""Persisted IVF-PQ ANN index: build once, query many (SURVEY §7.4
+extension — the vector-side sibling of the dedup band index).
+
+An in-memory `ivf_pq_topk` refits the coarse quantizer and re-encodes the
+corpus on every call; an ANN *service* does that once. Layout under
+``<path>``:
+
+- ``cells/``      — (id, v, nn, codes) parquet, PARTITIONED BY ``cell``.
+                    The partition column is directory metadata, and the
+                    query path joins the scan against a broadcast of the
+                    probed (query, cell) pairs, so Spark's dynamic
+                    partition pruning turns "probe n_probe of n_cells"
+                    into READING n_probe/n_cells of the files — the scan
+                    cost a 100 TB index actually pays (plan-pinned).
+- ``centroids/``  — (cell, centroid) coarse-quantizer centers (tiny).
+- ``codebook/``   — (s, j, c) PQ codebook rows (m·ksub vectors, tiny).
+
+The stored tables are self-describing: the query path reconstructs the
+LUT/ADC expressions from the persisted codebook (m·ksub constant rows —
+control-plane data on the order of the plan itself, same class as the
+inlined seeded literals), never from anything implicit in the session.
+
+``append_to_ann_index`` admits new vectors without refitting: assignment
+to the EXISTING centroids (Euclidean argmin, matching KMeans transform)
+and encoding with the STORED codebook are both pure projections over a
+broadcast of the constants, appended as new files inside the assigned
+cell partitions — per-batch work ∝ batch, the same incremental contract
+as the dedup band index. Re-fit (build again) when drift degrades
+recall; centroid quality only gates candidate generation, never
+correctness of returned sims (exact rescore).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.operators.similarity import (
+    _fit_coarse_cells,
+    _ivf_corpus,
+    _pq_codebook,
+    _pq_literals,
+    _pq_query_side,
+    _pq_shortlist_rescore,
+    _adc_col,
+    as_double,
+    dot,
+    pq_encode,
+)
+
+
+def build_ann_index(
+    vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    n_cells: int = 16,
+    seed: int = 7,
+    fit_fraction: float | None = None,
+    init_mode: str = "random",
+    max_iter: int = 4,
+    codebook=None,
+) -> None:
+    """Fit, encode, and persist the index (overwrites ``path``).
+
+    Exactly ivf_pq_topk's corpus side — sampled-fit coarse cells, PQ
+    codes riding the assignment — with the three tables written out
+    instead of consumed inline. ``codebook`` defaults to the seeded
+    literals; pass ``pq_train_codebook`` output for data-adapted codes.
+    """
+    dsub = dims // m
+    cb = _pq_codebook(m, ksub, dsub) if codebook is None else codebook
+    assert cb.shape == (m, ksub, dsub), cb.shape
+
+    assigned, centers_df = _fit_coarse_cells(
+        _ivf_corpus(vectors, id_col, vec_col),
+        n_cells=n_cells,
+        seed=seed,
+        fit_fraction=fit_fraction,
+        init_mode=init_mode,
+        max_iter=max_iter,
+    )
+    enc = pq_encode(
+        assigned,
+        id_col="neighbor_id",
+        vec_col="cv",
+        m=m,
+        ksub=ksub,
+        dims=dims,
+        codebook=cb,
+        keep=("cell",),
+    )
+    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    centers_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = vectors.sparkSession
+    cb_rows = [
+        (s, j, [float(x) for x in cb[s, j]])
+        for s in range(m)
+        for j in range(ksub)
+    ]
+    spark.createDataFrame(cb_rows, ["s", "j", "c"]).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebook")
+
+
+def _load_codebook(spark: SparkSession, path: str):
+    """Stored codebook rows → ndarray (m, ksub, dsub).
+
+    A driver-side read of m·ksub constant vectors — the query plan needs
+    them as LITERALS (the LUT/ADC expressions are built from them), so
+    this is plan construction, not a data collect.
+    """
+    rows = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r["s"] for r in rows)
+    ksub = 1 + max(r["j"] for r in rows)
+    cb = np.empty((m, ksub, len(rows[0]["c"])))
+    for r in rows:
+        cb[r["s"], r["j"]] = r["c"]
+    return cb
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Top-k against the persisted index — ivf_pq_topk's query side over
+    the stored tables.
+
+    The cells scan joins a BROADCAST of the probed (query, cell) pairs
+    on the partition column, so dynamic partition pruning restricts the
+    scan to the probed cells' directories (pinned in tests): per-query
+    I/O is n_probe/n_cells of the index, which is the entire point of
+    persisting it. Shortlist + exact rescore as everywhere else; m/ksub
+    come from the stored codebook, not arguments — the index is
+    self-describing.
+    """
+    cb = _load_codebook(spark, path)
+    m, ksub, dsub = cb.shape
+    cent, _ = _pq_literals(m, ksub, dsub, cb)
+
+    q = _pq_query_side(queries, id_col, vec_col, cent, m, ksub, dsub)
+    centers_df = spark.read.parquet(f"{path}/centroids")
+    qc = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("aff", dot(F.col("qv"), F.col("centroid")))
+        .drop("centroid")
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("aff").desc(), F.col("cell").asc()
+    )
+    probed = (
+        qc.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "qq", "lut", "cell")
+    )
+
+    enc = spark.read.parquet(f"{path}/cells").withColumnsRenamed(
+        {"id": "neighbor_id", "v": "cv", "nn": "cc"}
+    )
+    adc = (
+        enc.select("neighbor_id", "cc", "codes", "cell")
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_col(m, ksub).alias("adc"))
+    )
+    return _pq_shortlist_rescore(adc, enc, q, k=k, shortlist=shortlist)
+
+
+def append_to_ann_index(
+    vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit new vectors into the existing index without refitting.
+
+    Assignment = Euclidean argmin over the STORED centroids (matching
+    KMeans transform: ‖v−c‖² ranking via c² − 2⟨v,c⟩, the ‖v‖² term
+    constant under the argmin; deterministic cell tiebreak), encoding =
+    the STORED codebook — both broadcast-constant projections, so the
+    append shuffles nothing but its own batch and lands as new files in
+    the assigned cell partitions. The incremental contract of the dedup
+    band index, for vectors.
+    """
+    spark = vectors.sparkSession
+    cb = _load_codebook(spark, path)
+    m, ksub, dsub = cb.shape
+    centers_df = spark.read.parquet(f"{path}/centroids").select(
+        "cell",
+        F.col("centroid"),
+        dot(F.col("centroid"), F.col("centroid")).alias("c2c"),
+    )
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cc", dot(F.col("cv"), F.col("cv")))
+    scored = v.crossJoin(F.broadcast(centers_df)).select(
+        "neighbor_id",
+        "cv",
+        "cc",
+        "cell",
+        (F.col("c2c") - 2.0 * dot(F.col("cv"), F.col("centroid"))).alias(
+            "d2"
+        ),
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("neighbor_id", "cv", "cc", "cell")
+    )
+    enc = pq_encode(
+        assigned,
+        id_col="neighbor_id",
+        vec_col="cv",
+        m=m,
+        ksub=ksub,
+        dims=m * dsub,
+        codebook=cb,
+        keep=("cell",),
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
