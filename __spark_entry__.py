@@ -1800,6 +1800,189 @@ def q_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "n_chars").orderBy("doc_id")
 
 
+def _disc_price():
+    """l_extendedprice·(1−l_discount) in DECIMAL — the money policy all
+    TPC-H-shape revenue sums share (README "Correctness")."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between every (supplier nation →
+    customer nation) pair by order year. Two independent nation hops off
+    the same lineitem row — supplier side and customer side — with the
+    tiny nation table broadcast into both; the fact tables shuffle on
+    their join keys only. Output is |nations|² × years, a reporting-
+    sized result regardless of corpus scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a part-name family by supplier nation
+    and order year. The testdata carries no partsupp table, so supply
+    cost is proxied as 0.6·p_retailprice·l_quantity — the SHAPE (LIKE
+    filter on part, 5-table join, nation×year rollup of a signed
+    expression) is what's exercised; all arithmetic stays in DECIMAL
+    until the final cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit(0.6).cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per order month, promo parts' share of revenue —
+    a conditional-over-total ratio of two DECIMAL sums taken in ONE
+    aggregation pass (no second scan, no self-join); the division
+    happens once per output row on exact accumulators, rounded to 6dp.
+    Part joins on its key (AQE broadcasts at dimension size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.month("o_orderdate").cast("int").alias("order_month"))
+        .agg(
+            F.sum(promo).alias("__promo"),
+            F.sum(_disc_price()).alias("__total"),
+        )
+        .select(
+            "order_month",
+            F.round(
+                F.lit(100.0)
+                * F.col("__promo").cast("double")
+                / F.nullif(F.col("__total").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("promo_share"),
+        )
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size),
+    excluding flagged suppliers. The part-supplier relation is derived
+    from lineitem (the testdata ships no partsupp) and distinct'd to
+    relation cardinality BEFORE the dimension join; the exclusion list
+    (negative account balance, the complaints stand-in) is a broadcast
+    anti-join. Top 40 by count with full key tiebreaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        rel.join(
+            F.broadcast(flagged),
+            rel.l_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
+        .join(part, rel.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(40)
+    )
+
+
+def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a bad order —
+    returned lineitems in multi-supplier orders where NO other supplier
+    returned anything (EXISTS + NOT EXISTS as one semi- and one
+    anti-join on slim distinct key projections; the testdata has no
+    commit/receipt dates, so the return flag is the lateness stand-in).
+    Top 20 by blame count, supplier-name tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    all_keys = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    ).distinct()
+    ret_keys = returned.select(
+        F.col("l_orderkey").alias("ro_key"), F.col("l_suppkey").alias("rs_key")
+    ).distinct()
+    blamed = (
+        returned.join(
+            all_keys,
+            (returned.l_orderkey == all_keys.o_key)
+            & (returned.l_suppkey != all_keys.s_key),
+            "left_semi",
+        )
+        .join(
+            ret_keys,
+            (returned.l_orderkey == ret_keys.ro_key)
+            & (returned.l_suppkey != ret_keys.rs_key),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(supplier, blamed.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1927,6 +2110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "multimodal_bytes": q_multimodal_bytes,
         "ann_pq": q_ann_pq,
+        "volume_shipping": q_volume_shipping,
+        "product_profit": q_product_profit,
+        "promo_revenue_share": q_promo_revenue_share,
+        "supplier_part_counts": q_supplier_part_counts,
+        "blamed_suppliers": q_blamed_suppliers,
     }
 
 
@@ -3690,6 +3878,92 @@ def oracle_sql() -> dict[str, str]:
         # incremental batch dedup: pairs (id_a < id_b) at J>=0.5; an
         # incoming doc (doc_id % 10 = 0) drops when it is id_b of any pair
         # (partner existing or smaller incoming) or id_a against existing
+        # TPC-H breadth pack (Q7/Q9/Q14/Q16/Q21 shapes on the subset schema)
+        "volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name != n2.n_name
+        GROUP BY 1, 2, 3
+        """,
+        "product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(3,2))
+                        - CAST(p_retailprice AS DECIMAL(18,2))
+                          * CAST(0.6 AS DECIMAL(2,1))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+        """,
+        "promo_revenue_share": """
+        WITH agg AS (
+            SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
+                   SUM(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(1 - l_discount AS DECIMAL(3,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS p,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(3,2))) AS t
+            FROM lineitem
+            JOIN part   ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        )
+        SELECT order_month,
+               round(100.0 * CAST(p AS DOUBLE)
+                     / NULLIF(CAST(t AS DOUBLE), 0.0), 6) AS promo_share
+        FROM agg
+        """,
+        "supplier_part_counts": """
+        WITH rel AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM rel
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        LIMIT 40
+        """,
+        "blamed_suppliers": """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey != l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+        """,
         "streaming_admission": _JACCARD_CTE + _STREAMING_ADMISSION_SQL,
         "incremental_dedup": _JACCARD_CTE
         + """

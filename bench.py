@@ -105,6 +105,11 @@ HEADLINE = (
     "json_props_rollup",
     "revenue_growth",
     "weighted_sample",
+    "volume_shipping",
+    "product_profit",
+    "promo_revenue_share",
+    "supplier_part_counts",
+    "blamed_suppliers",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
