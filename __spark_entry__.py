@@ -1576,6 +1576,30 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(multimodal.synth_media_corpus(docs))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: synthesized P6 payloads (image rows
+    of the multimodal corpus, asset_id % 3 = 0) go through the
+    nearest-neighbor resize_ppm in mapInPandas Arrow batches, and the
+    RESIZED bytes are re-decoded for their stats — byte count and
+    channel means of the produced payload. The synthesis contract makes
+    every output analytic in doc_id (constant-color source ⇒ resized
+    means are the source color; fixed 16×12 target ⇒ 589-byte payload),
+    so the oracle checks the whole synth → resize → re-decode loop."""
+    from airflow_retail_etl_spark import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_media_corpus(docs)
+    out = multimodal.resize_images(media, width=16, height=12)
+    return (
+        out.filter(F.col("media_type") == "image")
+        .select(
+            "asset_id", "media_type", "src_width", "src_height",
+            "width", "height", "n_bytes", "mean_r", "mean_g", "mean_b",
+        )
+        .orderBy("asset_id")
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata columns."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2115,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "supplier_part_counts": q_supplier_part_counts,
         "blamed_suppliers": q_blamed_suppliers,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -3878,6 +3903,22 @@ def oracle_sql() -> dict[str, str]:
         # incremental batch dedup: pairs (id_a < id_b) at J>=0.5; an
         # incoming doc (doc_id % 10 = 0) drops when it is id_b of any pair
         # (partner existing or smaller incoming) or id_a against existing
+        # resize loop: constant-color 16x12 P6 out => means = source color,
+        # n_bytes = len("P6\n16 12\n255\n") + 3*16*12 = 589 exactly
+        "multimodal_resize": """
+        SELECT doc_id AS asset_id,
+               'image' AS media_type,
+               CAST(8 + doc_id % 32 AS INTEGER) AS src_width,
+               CAST(8 + doc_id % 16 AS INTEGER) AS src_height,
+               CAST(16 AS INTEGER) AS width,
+               CAST(12 AS INTEGER) AS height,
+               CAST(589 AS BIGINT) AS n_bytes,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+               CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_g,
+               CAST((13 * doc_id) % 256 AS DOUBLE) AS mean_b
+        FROM documents WHERE doc_id % 3 = 0
+        ORDER BY asset_id
+        """,
         # TPC-H breadth pack (Q7/Q9/Q14/Q16/Q21 shapes on the subset schema)
         "volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -72,6 +72,7 @@ HEADLINE = (
     "neardup_cosine_lsh",
     "multimodal_bytes",
     "multimodal_decode",
+    "multimodal_resize",
     "events_hourly",
     "scd2_user_status",
     "decontaminate",

@@ -141,3 +141,53 @@ def test_frame_sample_plan_explodes_jvm_side(media):
     assert row["count"] == max(src["d"] // 1000, 1)
     # no Python stage in this plan — it's all Catalyst
     assert "mapInPandas" not in frames._jdf.queryExecution().toString()
+
+
+def test_resize_ppm_nearest_neighbor_math():
+    """Pin the floor index mapping on a NON-constant image: resized pixel
+    (y, x) must equal source pixel (⌊y·h/H⌋, ⌊x·w/W⌋)."""
+    import numpy as np
+
+    from airflow_retail_etl_spark.multimodal import decode_ppm, resize_ppm
+    from airflow_retail_etl_spark.multimodal import _parse_ppm_header
+
+    w, h = 10, 6
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = ((x * 3) % 256, (y * 5) % 256, (x + y) % 256)
+    payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+    out = resize_ppm(payload, 4, 3)
+    ow, oh, maxval, off = _parse_ppm_header(out, 0)
+    assert (ow, oh, maxval) == (4, 3, 255)
+    got = np.frombuffer(out[off:], dtype=np.uint8).reshape(3, 4, 3)
+    ys = (np.arange(3) * h) // 3
+    xs = (np.arange(4) * w) // 4
+    assert (got == px[ys][:, xs]).all()
+    # upscale round-trips too (pure index repetition)
+    up = resize_ppm(out, 8, 6)
+    stats = decode_ppm(up)[0]
+    assert (stats["width"], stats["height"]) == (8, 6)
+
+
+def test_resize_images_passthrough_and_stats(spark):
+    """resize_images over a mixed corpus: image rows carry re-decoded
+    stats of the RESIZED bytes; audio/video rows pass through NULL."""
+    from airflow_retail_etl_spark import multimodal
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], ["doc_id"]
+    )
+    media = multimodal.synth_media_corpus(docs)
+    out = multimodal.resize_images(media, width=16, height=12)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        if r["media_type"] == "image":
+            assert (r["width"], r["height"]) == (16, 12)
+            assert r["n_bytes"] == 589
+            assert r["mean_r"] == float(i % 256)
+            assert r["src_width"] == 8 + i % 32
+        else:
+            assert r["width"] is None and r["media"] is None
