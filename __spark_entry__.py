@@ -1824,6 +1824,48 @@ def q_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "n_chars").orderBy("doc_id")
 
 
+def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over the daily mart via a RANGE window frame
+    (event-time bounds, not row counts — days absent from the mart
+    shrink the frame, exactly what a calendar-window metric means).
+    Ordering key is days-since-epoch so the frame arithmetic is integer;
+    the frame SUM accumulates in DECIMAL and divides once per row
+    (partition-count invariant, 6dp-rounded)."""
+    daily = q_daily_revenue_summary(spark, sf_dir).select(
+        "event_date", "revenue"
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("event_date")))
+        .rangeBetween(-6, 0)
+    )
+    s = F.sum(F.col("revenue").cast("decimal(18,2)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "event_date",
+        "revenue",
+        F.round(s.cast("double") / n, 6).alias("ma7"),
+        n.cast("int").alias("n_days_in_frame"),
+    ).orderBy("event_date")
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, event_date) with the grouping_id bitmask —
+    all four aggregation granularities (cell, per-type, per-day, grand
+    total) in ONE pass with partial aggregation; the GROUPING SETS
+    expansion happens inside the Expand operator, not as four scans.
+    Complements revenue_rollup's hierarchical ROLLUP form."""
+    ev = adapters.staging_events(spark, sf_dir)
+    return (
+        ev.cube("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("price")).alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "event_date", "gid", "n_events", "total_value")
+    )
+
+
 def _disc_price():
     """l_extendedprice·(1−l_discount) in DECIMAL — the money policy all
     TPC-H-shape revenue sums share (README "Correctness")."""
@@ -2140,6 +2182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": q_supplier_part_counts,
         "blamed_suppliers": q_blamed_suppliers,
         "multimodal_resize": q_multimodal_resize,
+        "revenue_moving_avg": q_revenue_moving_avg,
+        "revenue_cube": q_revenue_cube,
     }
 
 
@@ -3670,6 +3714,39 @@ def oracle_sql() -> dict[str, str]:
                      * 100.0, 6) AS pct_change
         FROM daily
         ORDER BY event_date
+        """,
+        # 7-day RANGE-frame moving average over the daily mart: integer
+        # days-since-epoch ordering key, DECIMAL frame sum / one division
+        "revenue_moving_avg": _STAGING_CTE
+        + f"""
+        , daily AS (
+            SELECT event_date,
+                   {_money('price', f"event_type = '{PURCHASE}'")} AS revenue
+            FROM staging GROUP BY 1
+        ), framed AS (
+            SELECT event_date, revenue,
+                   SUM(CAST(revenue AS DECIMAL(18,2))) OVER w AS s,
+                   COUNT(*) OVER w AS n
+            FROM daily
+            WINDOW w AS (
+                ORDER BY datediff('day', DATE '1970-01-01', event_date)
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_date, revenue,
+               round(CAST(s AS DOUBLE) / n, 6) AS ma7,
+               CAST(n AS INTEGER) AS n_days_in_frame
+        FROM framed ORDER BY event_date
+        """,
+        # CUBE + grouping_id bitmask (DuckDB GROUPING(a,b) matches Spark's
+        # grouping_id(): high bit = first key aggregated away)
+        "revenue_cube": _STAGING_CTE
+        + f"""
+        SELECT event_type, event_date,
+               CAST(GROUPING(event_type, event_date) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_money('price')} AS total_value
+        FROM staging
+        GROUP BY CUBE(event_type, event_date)
         """,
         # typed JSON parsing: NULL-keyed group collects empty/missing k.
         # Aligned with Spark from_json('k BIGINT') semantics beyond the

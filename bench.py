@@ -111,6 +111,8 @@ HEADLINE = (
     "promo_revenue_share",
     "supplier_part_counts",
     "blamed_suppliers",
+    "revenue_moving_avg",
+    "revenue_cube",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
