@@ -525,6 +525,30 @@ def q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivoted daily mart back to long form via
+    DataFrame.unpivot — one Expand pass, no per-column UNION stack. The
+    round-trip emits every (day, type) cell including the zero-filled
+    ones, so the oracle is the dense day×type frame, not the sparse
+    event counts."""
+    wide = q_daily_type_pivot(spark, sf_dir)
+    types = sorted(["view", "click", "purchase", "signup", "error"])
+    return (
+        wide.unpivot(
+            ["event_date"],
+            [f"n_{t}" for t in types],
+            "event_type",
+            "n_events",
+        )
+        .select(
+            "event_date",
+            F.substring("event_type", 3, 100).alias("event_type"),
+            "n_events",
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP over (returnflag, linestatus) — subtotal hierarchy."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2184,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
+        "daily_type_unpivot": q_daily_type_unpivot,
     }
 
 
@@ -3714,6 +3739,26 @@ def oracle_sql() -> dict[str, str]:
                      * 100.0, 6) AS pct_change
         FROM daily
         ORDER BY event_date
+        """,
+        # unpivot round-trip: dense day x type frame (zeros included)
+        "daily_type_unpivot": _STAGING_CTE
+        + """
+        , days AS (SELECT DISTINCT event_date FROM staging),
+        t(event_type) AS (
+            VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+        ), c AS (
+            SELECT event_date, event_type, COUNT(*) AS n
+            FROM staging
+            WHERE event_type IN ('click','error','purchase','signup','view')
+            GROUP BY 1, 2
+        )
+        SELECT d.event_date, t.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM days d
+        CROSS JOIN t
+        LEFT JOIN c ON c.event_date = d.event_date
+                   AND c.event_type = t.event_type
+        ORDER BY d.event_date, t.event_type
         """,
         # 7-day RANGE-frame moving average over the daily mart: integer
         # days-since-epoch ordering key, DECIMAL frame sum / one division

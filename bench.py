@@ -113,6 +113,7 @@ HEADLINE = (
     "blamed_suppliers",
     "revenue_moving_avg",
     "revenue_cube",
+    "daily_type_unpivot",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
