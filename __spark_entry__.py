@@ -2073,6 +2073,174 @@ def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority for one quarter, keeping
+    only orders with at least one LATE lineitem (shipped >30 days after
+    the order date — the commit/receipt-date lateness test re-expressed
+    on the columns the testdata carries). The EXISTS is a left-semi join
+    whose condition references both sides, so each order is counted once
+    no matter how many lines were late; the date filter prunes the
+    orders scan before the join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: what-if revenue from dropping a discount band —
+    a pure scan-aggregate whose three predicates (shipdate year, discount
+    band, small quantity) all push to the parquet scan; no join, no
+    intermediate shuffle beyond the single partial→final agg. Revenue
+    accumulates price×discount in DECIMAL, cast to double once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the filter ('4-NOT SPECIFIED'
+    priority, the comment-pattern stand-in) lives in the join condition,
+    not a WHERE, so filtered-out customers still appear with count 0.
+    Two aggregations: per-customer count (shuffle on custkey), then the
+    tiny histogram over counts."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter. Per-supplier revenue is a DECIMAL sum (exact, so the
+    rev = max(rev) equality is well-defined cross-engine); the global
+    max rides a single-row broadcast crossJoin over the supplier-sized
+    aggregate rather than a second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+    )
+    best = rev.agg(F.max("__rev").alias("__best"))
+    return (
+        rev.join(F.broadcast(best), F.col("__rev") == F.col("__best"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue that would vanish if small
+    orders (below 20% of the part's average quantity) stopped. The
+    per-part average is computed ONCE on the part-filtered join and
+    joined back (no correlated rescan); quantities are integral doubles
+    so the sum is exact and the average is one division — the
+    threshold compare replicates bit-for-bit cross-engine. DECIMAL
+    revenue, one final /7.0 division rounded to 6dp."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = li.join(
+        F.broadcast(avg_q), F.col("l_partkey") == F.col("a_partkey")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            / F.lit(7.0),
+            6,
+        ).alias("avg_yearly")
+    )
+
+
+def q_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive (brand, size,
+    quantity) bands. The part join stays a plain equi-join on partkey
+    (broadcast at dimension size); the OR-of-ANDs is a post-join filter
+    so no band turns the join into a cartesian product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2209,6 +2377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
         "daily_type_unpivot": q_daily_type_unpivot,
+        "order_priority_check": q_order_priority_check,
+        "forecast_revenue": q_forecast_revenue,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "brand_band_revenue": q_brand_band_revenue,
     }
 
 
@@ -4126,6 +4300,90 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY numwait DESC, s_name ASC
         LIMIT 20
+        """,
+        "order_priority_check": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        "forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        "customer_distribution": """
+        WITH co AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority != '4-NOT SPECIFIED'
+            GROUP BY 1
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM co
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+        """,
+        "top_supplier": """
+        WITH r AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(3,2))) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        FROM r
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev = (SELECT MAX(rev) FROM r)
+        ORDER BY s_suppkey
+        """,
+        "small_qty_revenue": """
+        WITH pl AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        ), a AS (
+            SELECT l_partkey AS a_partkey,
+                   SUM(l_quantity) / COUNT(*) AS avg_qty
+            FROM pl GROUP BY 1
+        )
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM pl JOIN a ON l_partkey = a_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "brand_band_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
         """,
         "streaming_admission": _JACCARD_CTE + _STREAMING_ADMISSION_SQL,
         "incremental_dedup": _JACCARD_CTE

@@ -114,6 +114,12 @@ HEADLINE = (
     "revenue_moving_avg",
     "revenue_cube",
     "daily_type_unpivot",
+    "order_priority_check",
+    "forecast_revenue",
+    "customer_distribution",
+    "top_supplier",
+    "small_qty_revenue",
+    "brand_band_revenue",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
