@@ -26,6 +26,7 @@ from airflow_retail_etl_spark.operators import (
     dedup,
     langid,
     marts,
+    semdedup as semdedup_ops,
     similarity,
     star,
 )
@@ -1377,6 +1378,18 @@ def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-blocked semantic dedup), oracle-checked end to
+    end: the seeded centroids and their squared norms are numpy-computed
+    literals shared verbatim with the DuckDB oracle, so assignment
+    (argmin, first-index tiebreak), the within-cluster pair scan, the
+    6dp-rounded cosine threshold, and the keep-lowest-id rule all
+    replicate bit-for-bit. Production (trained centroids, cluster cap)
+    is pinned in tests/test_semdedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_ops.semdedup(emb, tau=0.4).orderBy("vec_id")
+
+
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-50 all-pairs cosine (exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2329,13 +2342,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         # -- ANN / vector / multimodal ------------------------------------
         "knn_cosine": q_knn_cosine,
-        "ann_lsh": q_ann_lsh,
+        # semdedup reps cluster-blocked semantic dedup in the window;
+        # the LSH hyperplane machinery stays represented by
+        # neardup_cosine_lsh (same planes, block join, and verify path
+        # as ann_lsh, which moves just past the prefix)
+        "semdedup": q_semdedup,
         "ann_ivf": q_ann_ivf,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "multimodal_decode": q_multimodal_decode,
         # ------------------------------------------------------- entry 50
         # Same-family variants beyond the driver's window (still fully
         # oracle-checked by tools/check_oracle.py and the test suite):
+        "ann_lsh": q_ann_lsh,
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
         "shipping_priority": q_shipping_priority,
@@ -2690,6 +2708,55 @@ def _lsh_buckets_cte(tables: int, planes: int) -> str:
     FROM v, (SELECT unnest(generate_series(0, {tables - 1})) AS tbl) t, planes
 )
 """
+
+
+def _semdedup_sql(n_clusters: int, dims: int, tau: float) -> str:
+    """SemDeDup replication: centroids and squared norms are the SAME
+    numpy-computed literals operators.semdedup embeds in the Spark plan
+    (repr round-trips doubles exactly), so cluster assignment (argmin,
+    list_position first-index tiebreak ≡ array_position), the
+    within-cluster pair scan, the 6dp-rounded cosine threshold, and the
+    keep-lowest-id grouped min replicate bit-for-bit."""
+    import numpy as np
+
+    from airflow_retail_etl_spark.operators.semdedup import semdedup_centroids
+
+    cb = semdedup_centroids(n_clusters, dims)
+    cent = "[" + ",\n".join(
+        "[" + ", ".join(repr(float(x)) for x in cb[j]) + "]"
+        for j in range(n_clusters)
+    ) + "]"
+    c2 = "[" + ", ".join(
+        repr(float(np.dot(cb[j], cb[j]))) for j in range(n_clusters)
+    ) + "]"
+    dist = "c2[j+1] - 2*list_dot_product(e, c[j+1])"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cb AS (
+        SELECT {cent} AS c, {c2} AS c2
+    ), asg AS (
+        SELECT vec_id, e, list_dot_product(e, e) AS nn,
+               list_position(
+                   list_transform(generate_series(0, {n_clusters - 1}),
+                                  j -> {dist}),
+                   list_min(
+                   list_transform(generate_series(0, {n_clusters - 1}),
+                                  j -> {dist}))
+               ) AS cluster
+        FROM v, cb
+    ), d AS (
+        SELECT b.vec_id AS id_b, MIN(a.vec_id) AS dup_of
+        FROM asg a
+        JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) / sqrt(a.nn * b.nn), 6)
+              >= {tau}
+        GROUP BY 1
+    )
+    SELECT asg.vec_id, CAST(cluster AS INTEGER) AS cluster, d.dup_of
+    FROM asg LEFT JOIN d ON asg.vec_id = d.id_b
+    ORDER BY vec_id
+    """
 
 
 def _pq_sql(m: int, ksub: int, dsub: int, shortlist: int, k: int) -> str:
@@ -4301,6 +4368,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY numwait DESC, s_name ASC
         LIMIT 20
         """,
+        "semdedup": _semdedup_sql(n_clusters=16, dims=64, tau=0.4),
         "order_priority_check": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         FROM orders

@@ -70,6 +70,7 @@ HEADLINE = (
     "ann_lsh",
     "ann_ivf",
     "neardup_cosine_lsh",
+    "semdedup",
     "multimodal_bytes",
     "multimodal_decode",
     "multimodal_resize",
