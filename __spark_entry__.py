@@ -2254,6 +2254,103 @@ def q_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: purchases within one hour of the user's
+    most recent click. The pattern match is a carry-forward window (max
+    of click timestamps over an unbounded-preceding frame) — one shuffle
+    on user_id, no self-join, state O(1) per user — the batch twin of a
+    streaming last-click attribution. Daily rollup with exact distinct
+    converting users and DECIMAL-accumulated revenue."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    conv = ev.withColumn("last_click", last_click).filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_click").isNotNull()
+        & (F.col("ts") <= F.col("last_click") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        conv.groupBy(F.col("ts").cast("date").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum(F.col("value")).alias("conversion_revenue"),
+        )
+        .orderBy("event_date")
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → sorted posting list with positions.
+
+    The IR-side face of the vocab query: posexplode normalized tokens
+    (1-based positions), aggregate per term into df, posting count, and
+    a deterministic ","-joined posting string (struct array_sort gives a
+    total order on the unique (doc_id, pos) pairs, so the serialized
+    list is engine-replicable). One shuffle on term — uniform keys at
+    vocabulary scale; posting lists stream through the sort-based
+    aggregate without driver materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tf.tokens(tf.normalize_text(F.col("text"))).alias("toks"),
+    ).repartition("doc_id")
+    entries = (
+        base.select(
+            "doc_id", F.posexplode_outer("toks").alias("pos0", "term")
+        )
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .select("term", "doc_id", (F.col("pos0") + 1).alias("pos"))
+    )
+    return (
+        entries.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "pos"))),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["pos"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window engagement: 7-day windows sliding by 1 day, exact
+    distinct users + event counts per window. Spark's window() generator
+    emits each event into its 7 covering windows (epoch-aligned day
+    starts) — the batch twin of the streaming sliding aggregate, and the
+    complement of events_hourly's tumbling form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "active_users",
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2401,6 +2498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "brand_band_revenue": q_brand_band_revenue,
+        "funnel_conversion": q_funnel_conversion,
+        "inverted_index": q_inverted_index,
+        "active_users_7d": q_active_users_7d,
     }
 
 
@@ -4369,6 +4469,62 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 20
         """,
         "semdedup": _semdedup_sql(n_clusters=16, dims=64, tau=0.4),
+        "funnel_conversion": f"""
+        WITH x AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type, value,
+                   MAX(CASE WHEN event_type = 'click'
+                            THEN CAST(ts AS TIMESTAMP) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS last_click
+            FROM events
+        )
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               {_money('value')} AS conversion_revenue
+        FROM x
+        WHERE event_type = 'purchase' AND last_click IS NOT NULL
+          AND ts <= last_click + INTERVAL 1 HOUR
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        "inverted_index": f"""
+        WITH tok AS (
+            SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS pos
+            FROM tok
+        ), e AS (
+            SELECT toks[pos] AS term, doc_id, pos
+            FROM p WHERE toks[pos] != ''
+        )
+        SELECT term,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS n_postings,
+               string_agg(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(pos AS VARCHAR), ','
+                          ORDER BY doc_id, pos) AS postings
+        FROM e GROUP BY term ORDER BY term
+        """,
+        "active_users_7d": """
+        WITH e AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+        ), g AS (
+            SELECT unnest(generate_series(0, 6)) AS i
+        ), x AS (
+            SELECT date_trunc('day', e.ts) - i * INTERVAL 1 DAY
+                       AS window_start,
+                   user_id
+            FROM e, g
+        )
+        SELECT window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM x GROUP BY 1 ORDER BY 1
+        """,
         "order_priority_check": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         FROM orders

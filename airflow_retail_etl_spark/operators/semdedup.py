@@ -57,11 +57,18 @@ def semdedup_centroids(n_clusters: int = 16, dims: int = 64):
 
     Pure function of the seed (offset +2 in the sketch-seed family:
     +0 LSH planes, +1 PQ codebook) so the oracle inlines identical
-    literals. Production swaps in ``semdedup_train_centroids``."""
+    literals. Rows are UNIT-NORMALIZED: with raw Gaussian centroids the
+    ‖c‖² term dominates the argmin(‖c‖² − 2⟨v,c⟩) and every vector
+    collapses into the smallest-norm centroid (one all-pairs block —
+    measured, not hypothetical); equal norms make assignment directional
+    (spherical k-means), which is what actually spreads blocks for
+    data-independent centroids. Production swaps in
+    ``semdedup_train_centroids``."""
     import numpy as np
 
     rng = np.random.default_rng(20250801 + 2)
-    return rng.standard_normal((n_clusters, dims))
+    c = rng.standard_normal((n_clusters, dims))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
 def semdedup_train_centroids(
