@@ -392,6 +392,20 @@ def minhash_band_index(
     return _banded(sigs, bands, rows_per_band, hash)
 
 
+def band_rows(
+    sigs: DataFrame,
+    *,
+    num_hashes: int = 63,
+    bands: int = 21,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) from PRECOMPUTED ``minhash_signatures`` output —
+    ``minhash_band_index`` with the signing pass factored out, for
+    callers that checkpoint the signatures and derive both the dedup and
+    the index rows from one materialization."""
+    return _banded(sigs, bands, num_hashes // bands, hash)
+
+
 def shingle_store(
     df: DataFrame,
     text_col: str,
@@ -420,6 +434,8 @@ def incremental_lsh_dedup(
     hash: str = "xxhash64",
     max_bucket_size: int | None = 10_000,
     index_shingles: DataFrame | None = None,
+    return_artifacts: bool = False,
+    incoming_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Admit incoming docs against a PRECOMPUTED corpus index — the
     100 TB form of incremental_dedup.
@@ -438,16 +454,35 @@ def incremental_lsh_dedup(
     incoming rows; append the survivors' ``minhash_band_index`` +
     ``shingle_store`` rows for the next batch. Same ``max_bucket_size``
     skew backstop on both joins.
+
+    ``return_artifacts=True`` returns ``(survivors, bands, shingles)``
+    where the band and shingle frames are the SURVIVORS' index rows
+    derived from the signatures this call already computed (a semi-join
+    on the surviving ids) — identical rows to re-running
+    ``minhash_band_index``/``shingle_store`` on the survivors, without
+    re-shingling and re-hashing the batch. Callers that append to a
+    persisted index should use this form; the artifact bands are
+    UNCAPPED (the index stores every row — capping is a per-join
+    decision made at read time).
+
+    ``incoming_sigs``: precomputed ``minhash_signatures`` of the batch
+    (same kind/n/num_hashes/hash). The batch-sequential callers
+    (streaming.incremental) checkpoint the signatures ONCE and feed them
+    here, so the dedup, the survivor writes, and the next-batch index
+    rows all reuse one signing pass instead of re-shingling per action.
     """
     rows_per_band = num_hashes // bands
-    inc_sigs = minhash_signatures(
-        incoming, text_col, id_col,
-        kind=kind, n=n, num_hashes=num_hashes, hash=hash,
+    inc_sigs = (
+        incoming_sigs
+        if incoming_sigs is not None
+        else minhash_signatures(
+            incoming, text_col, id_col,
+            kind=kind, n=n, num_hashes=num_hashes, hash=hash,
+        )
     )
+    inc_banded_raw = _banded(inc_sigs, bands, rows_per_band, hash)
     inc_banded = _cap_buckets(
-        _banded(inc_sigs, bands, rows_per_band, hash),
-        ["band", "bucket"],
-        max_bucket_size,
+        inc_banded_raw, ["band", "bucket"], max_bucket_size
     )
     ex_banded = _cap_buckets(
         index.select("id", "band", "bucket"), ["band", "bucket"],
@@ -523,9 +558,15 @@ def incremental_lsh_dedup(
         .select(F.col("id_b").alias("drop_id"))
     )
     drops = cross_drop.unionByName(self_drop).distinct()
-    return incoming.join(
+    survivors = incoming.join(
         drops, incoming[id_col] == drops["drop_id"], "left_anti"
     )
+    if not return_artifacts:
+        return survivors
+    surv_ids = survivors.select(F.col(id_col).alias("id"))
+    surv_bands = inc_banded_raw.join(surv_ids, "id", "left_semi")
+    surv_shingles = inc_sh.join(surv_ids, "id", "left_semi")
+    return survivors, surv_bands, surv_shingles
 
 
 def _cap_buckets(

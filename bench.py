@@ -121,6 +121,9 @@ HEADLINE = (
     "top_supplier",
     "small_qty_revenue",
     "brand_band_revenue",
+    "funnel_conversion",
+    "inverted_index",
+    "active_users_7d",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
