@@ -2329,6 +2329,37 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: best-quality documents until a
+    10k-token budget is spent. The running token total uses
+    operators.selection.global_cumsum — range-repartition on the total
+    order (quality desc, doc_id), per-partition offsets broadcast back,
+    within-partition windows — NOT a single-partition global window, so
+    the selection scales; integer token counts make the two-phase sum
+    bit-identical to the sequential one."""
+    from airflow_retail_etl_spark.operators import selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        tf.token_count(F.col("text")).alias("n_tokens"),
+        tf.quality_score(F.col("text")).alias("quality_score"),
+    )
+    sel = selection.budget_select(
+        scored,
+        [F.col("quality_score").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        10_000,
+        cum_col="cum_tokens",
+    )
+    return sel.select(
+        "doc_id",
+        "quality_score",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    ).orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+
+
 def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window engagement: 7-day windows sliding by 1 day, exact
     distinct users + event counts per window. Spark's window() generator
@@ -2501,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "inverted_index": q_inverted_index,
         "active_users_7d": q_active_users_7d,
+        "corpus_budget": q_corpus_budget,
     }
 
 
@@ -4508,6 +4540,28 @@ def oracle_sql() -> dict[str, str]:
                           || CAST(pos AS VARCHAR), ','
                           ORDER BY doc_id, pos) AS postings
         FROM e GROUP BY term ORDER BY term
+        """,
+        "corpus_budget": _DOC_STATS_CTE.rstrip()
+        + """
+        , scored AS (
+            SELECT doc_id, n_tokens,
+                   round(0.4 * CASE WHEN n_tokens BETWEEN 5 AND 100000
+                                    THEN 1.0 ELSE 0.0 END
+                         + 0.4 * least(coalesce(stopword_ratio, 0) * 4.0, 1.0)
+                         + 0.2 * (1.0 - least(coalesce(punct_ratio, 0) * 5.0,
+                                              1.0)),
+                         6) AS quality_score
+            FROM stats
+        ), c AS (
+            SELECT doc_id, quality_score, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY quality_score DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM scored
+        )
+        SELECT doc_id, quality_score, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 10000
+        ORDER BY quality_score DESC, doc_id ASC
         """,
         "active_users_7d": """
         WITH e AS (

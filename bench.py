@@ -124,6 +124,7 @@ HEADLINE = (
     "funnel_conversion",
     "inverted_index",
     "active_users_7d",
+    "corpus_budget",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.operators import selection
+from airflow_retail_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _scored(spark):
+    from airflow_retail_etl_spark.functions import text as tf
+
+    docs = load_table(spark, SF, "documents")
+    return docs.select(
+        "doc_id",
+        tf.token_count(F.col("text")).alias("n_tokens"),
+        tf.quality_score(F.col("text")).alias("q"),
+    )
+
+
+def test_two_phase_equals_global_window(spark):
+    df = _scored(spark)
+    order = [F.col("q").desc(), F.col("doc_id").asc()]
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in selection.global_cumsum(df, order, "n_tokens").collect()
+    }
+    w = (
+        Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_partition_count_invariance(spark):
+    df = _scored(spark)
+    order = [F.col("q").desc(), F.col("doc_id").asc()]
+    a = {
+        r["doc_id"]: r["cum"]
+        for r in selection.global_cumsum(
+            df, order, "n_tokens", num_partitions=2
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["cum"]
+        for r in selection.global_cumsum(
+            df, order, "n_tokens", num_partitions=29
+        ).collect()
+    }
+    assert a == b
+
+
+def test_budget_select_boundary(spark):
+    df = _scored(spark)
+    order = [F.col("q").desc(), F.col("doc_id").asc()]
+    sel = selection.budget_select(df, order, "n_tokens", 1000).collect()
+    assert sel, "budget of 1000 tokens admits at least one doc"
+    assert max(r["cum"] for r in sel) <= 1000
+    # the next doc in order would cross the budget: selection is maximal
+    full = selection.global_cumsum(df, order, "n_tokens").collect()
+    over = [r for r in full if r["cum"] > 1000]
+    assert min(r["cum"] for r in over) > 1000
+
+
+def test_no_single_partition_window_over_data(spark):
+    # the data-scale window must be partitioned by the range id; only the
+    # per-partition offset pass (num_partitions rows) may run global
+    import re
+
+    df = _scored(spark)
+    order = [F.col("q").desc(), F.col("doc_id").asc()]
+    plan = (
+        selection.global_cumsum(df, order, "n_tokens")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = re.findall(r"Window \[.*", plan)
+    assert len(windows) == 2
+    data_windows = [w for w in windows if "n_tokens" in w]
+    assert data_windows and all("__pid" in w for w in data_windows)
