@@ -121,3 +121,110 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-click attribution (stateful twin of q_funnel_conversion)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("purchase_ts", T.TimestampType(), True),
+        T.StructField("click_ts", T.TimestampType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+ATTR_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_click_ms", T.LongType(), True)]
+)
+
+
+def _attribution_fn(window_ms: int, click_type: str, convert_type: str):
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # the watermark passed last_click + window: no future purchase
+            # can attribute to it — evict so state stays O(active users)
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(["event_time", "event_id"])
+        last_click = state.get[0] if state.exists else None
+        out_ts, out_click, out_val = [], [], []
+        for _, r in rows.iterrows():
+            t_ms = int(pd.Timestamp(r["event_time"]).value // 1_000_000)
+            if r["event_type"] == click_type:
+                last_click = (
+                    t_ms if last_click is None else max(last_click, t_ms)
+                )
+            elif (
+                r["event_type"] == convert_type
+                and last_click is not None
+                and t_ms - last_click <= window_ms
+                and t_ms >= last_click
+            ):
+                out_ts.append(pd.Timestamp(t_ms, unit="ms"))
+                out_click.append(pd.Timestamp(last_click, unit="ms"))
+                out_val.append(float(r["value"]))
+        if last_click is not None:
+            state.update((last_click,))
+            state.setTimeoutTimestamp(last_click + window_ms)
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ts),
+                    "purchase_ts": out_ts,
+                    "click_ts": out_click,
+                    "value": out_val,
+                }
+            )
+
+    return fn
+
+
+def streaming_attribution(
+    events: DataFrame,
+    *,
+    ts_col: str = "event_time",
+    user_col: str = "user_id",
+    window_minutes: int = 60,
+    click_type: str = "click",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Last-click attribution over a (watermarked) event stream: emit one
+    row per conversion within ``window_minutes`` of the user's most
+    recent click — the streaming face of the batch carry-forward window
+    in ``q_funnel_conversion``.
+
+    State is ONE timestamp per user with a click in flight; the
+    event-time timeout evicts it once the watermark passes
+    click + window, so state is bounded by concurrently-active users,
+    not corpus history. Emission is immediate (append mode) — a
+    conversion attributes in the micro-batch that carries it. Same
+    append-mode caveat as sessionization: a click arriving AFTER a
+    conversion it should have attributed (out of order across batches,
+    within watermark) cannot retro-emit; the watermark bounds how far
+    that can diverge from the batch answer.
+    """
+    prepared = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("event_time"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn(
+            window_minutes * 60 * 1000, click_type, convert_type
+        ),
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
