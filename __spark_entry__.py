@@ -2360,6 +2360,50 @@ def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
 
 
+def q_perplexity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus fluency profile: docs bucketed into 10 deciles by unigram
+    cross-entropy, with per-decile count and min/mean/max. The global
+    rank comes from operators.selection.global_cumsum over a weight of 1
+    (distributed row_number — range repartition + broadcast offsets),
+    NOT a single-partition ntile; the decile is integer arithmetic
+    ((rank-1)·10 div N) so both engines bucket identically. Mean is
+    DECIMAL-accumulated over the 6dp-rounded scores (transcendental
+    policy: round before any aggregation)."""
+    from airflow_retail_etl_spark.operators import lm, selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        lm.unigram_score(docs, "text", "doc_id")
+        .select(F.col("id").alias("doc_id"), "avg_nll")
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    ranked = selection.global_cumsum(
+        scored,
+        [F.asc_nulls_first("avg_nll"), F.asc("doc_id")],
+        "__one",
+        out_col="rn",
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    dec = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "decile",
+        (F.expr("((rn - 1) * 10) div __n") + 1).cast("int"),
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+            F.round(
+                F.sum(F.col("avg_nll").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_nll"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window engagement: 7-day windows sliding by 1 day, exact
     distinct users + event counts per window. Spark's window() generator
@@ -2533,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "active_users_7d": q_active_users_7d,
         "corpus_budget": q_corpus_budget,
+        "perplexity_deciles": q_perplexity_deciles,
     }
 
 
@@ -4562,6 +4607,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, quality_score, n_tokens, cum_tokens
         FROM c WHERE cum_tokens <= 10000
         ORDER BY quality_score DESC, doc_id ASC
+        """,
+        "perplexity_deciles": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0
+        ), model AS (
+            SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+        ), tot AS (
+            SELECT SUM(n) AS total_n FROM model
+        ), nll AS (
+            SELECT doc_id,
+                   round(-ln(CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE)),
+                         9) AS nll
+            FROM tok JOIN model USING (tok) CROSS JOIN tot
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   SUM(CAST(nll AS DECIMAL(28,9))) AS s
+            FROM nll GROUP BY doc_id
+        ), sc AS (
+            SELECT d.doc_id,
+                   round(CAST(p.s AS DOUBLE) / p.n_tokens, 6) AS avg_nll
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc p USING (doc_id)
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (
+                       ORDER BY avg_nll ASC NULLS FIRST, doc_id ASC) AS rn,
+                   COUNT(*) OVER () AS nn
+            FROM sc
+        )
+        SELECT CAST(((rn - 1) * 10) // nn + 1 AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(avg_nll) AS min_nll,
+               MAX(avg_nll) AS max_nll,
+               round(CAST(SUM(CAST(avg_nll AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_nll
+        FROM r GROUP BY 1 ORDER BY 1
         """,
         "active_users_7d": """
         WITH e AS (

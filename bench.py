@@ -125,6 +125,7 @@ HEADLINE = (
     "inverted_index",
     "active_users_7d",
     "corpus_budget",
+    "perplexity_deciles",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
