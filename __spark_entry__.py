@@ -2426,6 +2426,78 @@ def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers who dominate the supply of 'small%'
+    parts — their all-time shipped quantity of a part exceeds half the
+    part's 1996 shipments (the subset schema has no partsupp.availqty,
+    so the correlated scalar aggregate compares shipped-vs-shipped).
+
+    The Q20 machinery survives the adaptation: a name-filtered part
+    shortlist (broadcast — it prunes lineitem BEFORE any aggregation),
+    one (part, supp) rollup reused against a per-part correlated
+    aggregate, and a semi-join-shaped finish into supplier. Quantities
+    are integer-valued; DECIMAL accumulation keeps the comparison and
+    the reported sum exact, and the threshold test is ``2·supp ≥ year``
+    in DECIMAL — no double boundary to disagree on.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    target = part.filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    lt = li.join(
+        F.broadcast(target), li.l_partkey == target.p_partkey
+    ).select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    qty = F.sum(F.round(F.col("l_quantity"), 2).cast("decimal(18,2)"))
+    qty_ps = lt.groupBy("l_partkey", "l_suppkey").agg(qty.alias("supp_qty"))
+    qty_96 = (
+        lt.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey")
+        .agg(qty.alias("year_qty"))
+    )
+    excess = qty_ps.join(qty_96, "l_partkey").filter(
+        F.col("supp_qty") * 2 > F.col("year_qty")
+    )
+    per_supp = excess.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_excess_parts"),
+        F.sum("supp_qty").cast("double").alias("excess_qty"),
+    )
+    return (
+        supp.join(per_supp, supp.s_suppkey == per_supp.l_suppkey)
+        .select("s_suppkey", "s_name", "n_excess_parts", "excess_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier–part shipment graph (operators.graph).
+
+    The iterative-graph family beyond connected components: symmetrized
+    bipartite edges from distinct (supplier, part) lineitem pairs, three
+    fixed damped iterations. Per-edge contributions are one division
+    rounded to 9 dp and DECIMAL-accumulated, so every iterate — and the
+    oracle unrolling the same three rounds in SQL — is bit-identical
+    regardless of partitioning. State is one row per node; each round is
+    an edge⋈rank⋈degree join sharing one src exchange plus a dst-keyed
+    aggregation. Top 50 hubs by (rounded) rank, node id tiebreak.
+    """
+    from airflow_retail_etl_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.bipartite_edges(
+        li, "l_suppkey", "l_partkey", left_prefix="s:", right_prefix="p:"
+    )
+    # broadcast_state stays False even though the node table is small:
+    # explicit broadcasts force a blocking driver collect per iteration,
+    # while AQE already plans the node-sized sides as broadcast joins
+    # from runtime stats without serializing the job pipeline
+    pr = graph.pagerank(edges, n_iter=3, damping=0.85)
+    return pr.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(
+        50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2478,7 +2550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq": q_ivf_pq,
         "daily_type_pivot": q_daily_type_pivot,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
+        # pagerank reps the iterative-graph family in the window (its
+        # sibling, min-label connected components, is already exercised
+        # inside dedup_resolve); range_join moves just past the prefix —
+        # asof_join keeps the temporal-join family represented
+        "pagerank": q_pagerank,
         # -- dim maintenance / temporal / streaming-batch parity ----------
         "dim_upsert": q_dim_upsert,
         "scd2_user_status": q_scd2_user_status,
@@ -2526,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Same-family variants beyond the driver's window (still fully
         # oracle-checked by tools/check_oracle.py and the test suite):
         "ann_lsh": q_ann_lsh,
+        "range_join": q_range_join,
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
         "shipping_priority": q_shipping_priority,
@@ -2563,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "supplier_part_counts": q_supplier_part_counts,
         "blamed_suppliers": q_blamed_suppliers,
+        "excess_suppliers": q_excess_suppliers,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -2605,6 +2683,62 @@ def _money(expr: str, pred: str | None = None) -> str:
     if pred:
         cent = f"CASE WHEN {pred} THEN {cent} ELSE CAST(0 AS DECIMAL(18,2)) END"
     return f"CAST(SUM({cent}) AS DOUBLE)"
+
+
+def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB twin of operators.graph.pagerank over the
+    supplier–part bipartite graph: identical per-edge 9-dp-rounded
+    DECIMAL(38,9) contribution accumulation per round. The (1-d)/N and d
+    literals are emitted via repr() so both engines parse the exact same
+    doubles the Spark plan uses."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    sql = """
+        WITH p0 AS (
+            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem
+        ), e AS (
+            SELECT src, dst FROM p0
+            UNION ALL
+            SELECT dst, src FROM p0
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), deg AS (
+            SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
+        ), nn AS (
+            SELECT COUNT(*) AS n_nodes FROM nodes
+        ), pr0 AS (
+            SELECT node, CAST(1 AS DOUBLE) / n_nodes AS pr
+            FROM nodes CROSS JOIN nn
+        )"""
+    for i in range(1, n_iter + 1):
+        sql += f""", c{i} AS (
+            SELECT e.dst AS node,
+                   CAST(ROUND(p.pr / d.outdeg, 9) AS DECIMAL(38,9)) AS w
+            FROM e
+            JOIN pr{i - 1} p ON e.src = p.node
+            JOIN deg d ON e.src = d.src
+        ), pr{i} AS (
+            SELECT nd.node,
+                   ROUND(CAST({base} AS DOUBLE) / nn.n_nodes
+                         + CAST({d} AS DOUBLE)
+                           * CAST(COALESCE(s.w_sum,
+                                 CAST(0 AS DECIMAL(38,9))) AS DOUBLE),
+                         9) AS pr
+            FROM nodes nd
+            CROSS JOIN nn
+            LEFT JOIN (SELECT node, SUM(w) AS w_sum FROM c{i} GROUP BY 1) s
+                   ON s.node = nd.node
+        )"""
+    sql += f"""
+        SELECT node, ROUND(pr, 6) AS pagerank
+        FROM pr{n_iter}
+        ORDER BY pagerank DESC, node ASC
+        LIMIT 50
+        """
+    return sql
 
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -4764,4 +4898,34 @@ def oracle_sql() -> dict[str, str]:
           AND doc_id NOT IN (SELECT drop_id FROM drops)
         ORDER BY doc_id
         """,
+        "excess_suppliers": """
+        WITH tp AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        ), lt AS (
+            SELECT l.l_partkey, l.l_suppkey, l.l_quantity, l.l_shipdate
+            FROM lineitem l JOIN tp ON l.l_partkey = tp.p_partkey
+        ), qty_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(18,2)))
+                       AS supp_qty
+            FROM lt GROUP BY 1, 2
+        ), qty_96 AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(18,2)))
+                       AS year_qty
+            FROM lt WHERE year(l_shipdate) = 1996 GROUP BY 1
+        ), ex AS (
+            SELECT q.l_suppkey, q.l_partkey, q.supp_qty
+            FROM qty_ps q JOIN qty_96 y ON q.l_partkey = y.l_partkey
+            WHERE q.supp_qty * 2 > y.year_qty
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(DISTINCT e.l_partkey) AS BIGINT)
+                   AS n_excess_parts,
+               CAST(SUM(e.supp_qty) AS DOUBLE) AS excess_qty
+        FROM ex e JOIN supplier s ON s.s_suppkey = e.l_suppkey
+        GROUP BY 1, 2
+        ORDER BY 1
+        """,
+        "pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
     }
