@@ -2498,6 +2498,144 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shipped logistic quality model: weights over 6-dp-rounded text features
+#: (operators.classifier). Chosen so the gate splits the corpus rather than
+#: rubber-stamping it: mean logit ≈ 0 on the testdata feature distribution.
+_CLF_WEIGHTS = {
+    "f_ln_tokens": 1.2,
+    "f_ttr": 5.0,
+    "f_stop_ratio": 2.0,
+    "f_avg_len": -0.3,
+}
+_CLF_BIAS = -6.1
+
+
+def _clf_features(t):
+    """The classifier's feature map (each value 6-dp-rounded, one division
+    or one transcendental on exact inputs — engine-identical)."""
+    n_tok = tf.token_count(t)
+    return {
+        "f_ln_tokens": F.round(F.log(F.lit(1.0) + n_tok), 6),
+        "f_ttr": F.round(
+            F.size(F.array_distinct(tf.tokens(t))) / n_tok, 6
+        ),
+        "f_stop_ratio": F.round(tf.stopword_ratio(t), 6),
+        "f_avg_len": F.round(tf.avg_token_len(t), 6),
+    }
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: logistic regression over text features
+    (operators.classifier.logistic_score) — the trained-filter face of the
+    heuristic quality_filter query.
+
+    Scoring is one projection fused into the scan (zero shuffles — at
+    100 TB it runs at read bandwidth); the DECIMAL dot product and
+    6-dp-rounded sigmoid make keep/drop membership bit-reproducible, so
+    the oracle replays the identical model.
+    """
+    from airflow_retail_etl_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier.logistic_score(
+        docs.select("doc_id", "text"),
+        _clf_features(F.col("text")),
+        _CLF_WEIGHTS,
+        _CLF_BIAS,
+    )
+    return scored.select(
+        "doc_id",
+        "f_avg_len",
+        "f_ln_tokens",
+        "f_stop_ratio",
+        "f_ttr",
+        "score",
+        "keep",
+    ).orderBy("doc_id")
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash draw is taken on the
+    near-dup CLUSTER id, not the document id, so near-duplicates can never
+    straddle a split boundary (the classic eval-contamination bug that
+    per-doc splitting bakes in).
+
+    Composes the graded pair generator (exact 3-gram Jaccard ≥ 0.5) with
+    distributed connected components and the sampling module's md5
+    threshold draw — membership is a pure function of cluster content,
+    stable under corpus growth and engine choice.
+    """
+    from airflow_retail_etl_spark.operators.sampling import (
+        _sample_u,
+        threshold_for,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", kind="token", n=3, min_jaccard=0.5
+    )
+    cc = dedup.connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    u = _sample_u(F.col("cluster_id").cast("string"), "")
+    t_train = F.lit(str(threshold_for(0.9))).cast("decimal(21,0)")
+    t_val = F.lit(str(threshold_for(0.95))).cast("decimal(21,0)")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+        )
+        .withColumn(
+            "split",
+            F.when(u < t_train, "train")
+            .when(u < t_val, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: per-stage first-fail attribution for
+    the corpus gate chain (length → diversity → stopwords → classifier).
+
+    Every production cleaning pipeline reports WHERE documents die, not
+    just how many survive; first-fail attribution makes the stage counts
+    sum to the corpus. One projection computes all gate booleans (the
+    classifier gate reuses the shipped logistic model — same DECIMAL dot
+    product), then a 5-key aggregation; the share is one division off the
+    broadcast 1-row total.
+    """
+    from airflow_retail_etl_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = _clf_features(t)
+    z = classifier.linear_logit(feats, _CLF_WEIGHTS, _CLF_BIAS)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    n_tok = tf.token_count(t)
+    stage = (
+        F.when(n_tok < 30, "1_too_short")
+        .when(feats["f_ttr"] < 0.45, "2_low_diversity")
+        .when(feats["f_stop_ratio"] < 0.05, "3_no_stopwords")
+        .when(score < 0.5, "4_classifier")
+        .otherwise("5_pass")
+    )
+    staged = docs.select(stage.alias("stage"))
+    total = staged.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy("stage")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2540,7 +2678,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         # -- relational breadth: joins / windows / rollup / pivot ---------
         "revenue_by_nation": q_revenue_by_nation,
-        "regional_revenue": q_regional_revenue,
+        # quality_classifier reps the model-scoring family (DECIMAL dot
+        # product + sigmoid gate) in the window; regional_revenue moves
+        # past the prefix — revenue_by_nation keeps the multi-join
+        # revenue-rollup family represented
+        "quality_classifier": q_quality_classifier,
         "customers_without_orders": q_customers_without_orders,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "revenue_rollup": q_revenue_rollup,
@@ -2603,6 +2745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked by tools/check_oracle.py and the test suite):
         "ann_lsh": q_ann_lsh,
         "range_join": q_range_join,
+        "regional_revenue": q_regional_revenue,
+        "cluster_split": q_cluster_split,
+        "filter_funnel": q_filter_funnel,
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
         "shipping_priority": q_shipping_priority,
@@ -2739,6 +2884,65 @@ def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
         LIMIT 50
         """
     return sql
+
+
+def _clf_z_sql() -> str:
+    """The logistic model's DECIMAL dot product as a DuckDB expression —
+    generated from the SAME _CLF_WEIGHTS/_CLF_BIAS constants the Spark
+    plan uses (one source of truth for the literals)."""
+    terms = [f"CAST({format(round(_CLF_BIAS, 6), '.6f')} AS DECIMAL(18,6))"]
+    for name in sorted(_CLF_WEIGHTS):
+        w = format(round(_CLF_WEIGHTS[name], 6), ".6f")
+        terms.append(
+            f"CAST({w} AS DECIMAL(18,6)) * CAST({name} AS DECIMAL(18,6))"
+        )
+    return " + ".join(terms)
+
+
+def _clf_feat_cte() -> str:
+    """Feature CTE chain ``base → feat → zs → scored`` mirroring
+    _clf_features + operators.classifier (6-dp rounds, DECIMAL logit,
+    6-dp sigmoid)."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END
+                        AS INTEGER) AS n_tokens,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(list_distinct(
+                            string_split_regex(trim(text), '\\s+'))) END
+                        AS INTEGER) AS n_distinct_tokens,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                        AS BIGINT) AS n_nonws,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(list_filter(
+                            string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> list_contains({_STOPWORDS_SQL}, t))) END
+                        AS BIGINT) AS n_stop
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, n_tokens,
+                   ROUND(CAST(n_nonws AS DOUBLE) / NULLIF(n_tokens, 0), 6)
+                       AS f_avg_len,
+                   ROUND(ln(1 + n_tokens), 6) AS f_ln_tokens,
+                   ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 6)
+                       AS f_stop_ratio,
+                   ROUND(CAST(n_distinct_tokens AS DOUBLE)
+                         / NULLIF(n_tokens, 0), 6) AS f_ttr
+            FROM base
+        ), zs AS (
+            SELECT doc_id, n_tokens, f_avg_len, f_ln_tokens, f_stop_ratio,
+                   f_ttr,
+                   CAST({_clf_z_sql()} AS DOUBLE) AS zz
+            FROM feat
+        ), scored AS (
+            SELECT doc_id, n_tokens, f_avg_len, f_ln_tokens, f_stop_ratio,
+                   f_ttr,
+                   ROUND(CAST(1 AS DOUBLE) / (1 + exp(-zz)), 6) AS score
+            FROM zs
+        )
+    """
 
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -4928,4 +5132,51 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY 1
         """,
         "pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
+        "quality_classifier": _clf_feat_cte()
+        + """
+        SELECT doc_id, f_avg_len, f_ln_tokens, f_stop_ratio, f_ttr, score,
+               score >= CAST(0.5 AS DOUBLE) AS keep
+        FROM scored ORDER BY doc_id
+        """,
+        "filter_funnel": _clf_feat_cte()
+        + """
+        , staged AS (
+            SELECT CASE
+                WHEN n_tokens < 30 THEN '1_too_short'
+                WHEN f_ttr < CAST(0.45 AS DOUBLE) THEN '2_low_diversity'
+                WHEN f_stop_ratio < CAST(0.05 AS DOUBLE)
+                    THEN '3_no_stopwords'
+                WHEN score < CAST(0.5 AS DOUBLE) THEN '4_classifier'
+                ELSE '5_pass' END AS stage
+            FROM scored
+        ), tot AS (
+            SELECT COUNT(*) AS n_total FROM staged
+        )
+        SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS share
+        FROM staged CROSS JOIN tot
+        GROUP BY stage, n_total
+        ORDER BY stage
+        """,
+        "cluster_split": _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f"""
+        , edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.5
+            UNION ALL
+            SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+        ), reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ), cc AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN {xhash.duck_md5_u64("CAST(cluster_id AS VARCHAR)")}
+                         < CAST('{_thr(0.9)}' AS HUGEINT) THEN 'train'
+                    WHEN {xhash.duck_md5_u64("CAST(cluster_id AS VARCHAR)")}
+                         < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cc ORDER BY doc_id
+        """,
     }

@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.operators.classifier import (
+    linear_logit,
+    logistic_score,
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    df = spark.createDataFrame(
+        [(1, 0.25, 2.0), (2, 0.75, 0.0), (3, 0.5, 1.0)], "id long, a double, b double"
+    )
+    return logistic_score(
+        df,
+        {"a": F.col("a"), "b": F.col("b")},
+        {"a": 2.0, "b": -1.0},
+        0.5,
+    ).collect()
+
+
+def test_scores_match_reference_sigmoid(scored):
+    # z = 0.5 + 2a - b, DECIMAL-exact; sigmoid rounded to 6dp
+    for r in scored:
+        z = 0.5 + 2.0 * r["a"] - 1.0 * r["b"]
+        assert r["score"] == pytest.approx(
+            round(1.0 / (1.0 + math.exp(-z)), 6), abs=1e-9
+        )
+
+
+def test_keep_threshold_on_rounded_score(scored):
+    for r in scored:
+        assert r["keep"] == (r["score"] >= 0.5)
+
+
+def test_missing_feature_raises(spark):
+    with pytest.raises(ValueError, match="typo"):
+        linear_logit({"a": F.lit(1.0)}, {"a": 1.0, "typo": 2.0}, 0.0)
+
+
+def test_scoring_is_projection_only(spark):
+    # zero exchanges: the whole gate fuses into the scan stage
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") / 10.0).alias("f")
+    )
+    plan = logistic_score(
+        df, {"f": F.col("f")}, {"f": 1.0}, 0.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_entry_funnel_stages_partition_corpus(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["filter_funnel"](spark, sf).collect()
+    n_docs = entry.queries()["doc_stats"](spark, sf).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_entry_cluster_split_no_leakage(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    df = entry.queries()["cluster_split"](spark, sf)
+    # every cluster maps to exactly one split: near-dups cannot straddle
+    assert (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # and the draw actually uses the cluster id: all three splits appear
+    assert df.select("split").distinct().count() == 3
