@@ -126,6 +126,11 @@ HEADLINE = (
     "active_users_7d",
     "corpus_budget",
     "perplexity_deciles",
+    "pagerank",
+    "excess_suppliers",
+    "quality_classifier",
+    "cluster_split",
+    "filter_funnel",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
