@@ -2488,11 +2488,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.bipartite_edges(
         li, "l_suppkey", "l_partkey", left_prefix="s:", right_prefix="p:"
     )
-    # broadcast_state stays False even though the node table is small:
-    # explicit broadcasts force a blocking driver collect per iteration,
-    # while AQE already plans the node-sized sides as broadcast joins
-    # from runtime stats without serializing the job pipeline
-    pr = graph.pagerank(edges, n_iter=3, damping=0.85)
+    pr = graph.pagerank(
+        edges, n_iter=3, damping=0.85, nodes_from_sources=True
+    )
     return pr.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(
         50
     )
@@ -2861,7 +2859,7 @@ def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
     for i in range(1, n_iter + 1):
         sql += f""", c{i} AS (
             SELECT e.dst AS node,
-                   CAST(ROUND(p.pr / d.outdeg, 9) AS DECIMAL(38,9)) AS w
+                   CAST(ROUND(p.pr / d.outdeg, 9) AS DECIMAL(18,9)) AS w
             FROM e
             JOIN pr{i - 1} p ON e.src = p.node
             JOIN deg d ON e.src = d.src
@@ -2870,7 +2868,7 @@ def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
                    ROUND(CAST({base} AS DOUBLE) / nn.n_nodes
                          + CAST({d} AS DOUBLE)
                            * CAST(COALESCE(s.w_sum,
-                                 CAST(0 AS DECIMAL(38,9))) AS DOUBLE),
+                                 CAST(0 AS DECIMAL(18,9))) AS DOUBLE),
                          9) AS pr
             FROM nodes nd
             CROSS JOIN nn

@@ -27,9 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: DECIMAL type accumulating 9-dp-rounded contributions; 38-9 = 29 integer
-#: digits of headroom — overflow-safe past 10^29 edges.
-_ACC = "decimal(38,9)"
+#: DECIMAL type accumulating 9-dp-rounded contributions. Precision 18 (not
+#: 38) deliberately: ≤18 rides Spark's compact-long Decimal fast path (no
+#: per-row BigDecimal); per-edge contributions are < 1, total mass ≤ 1, so
+#: 9 integer digits is headroom, and Spark widens the SUM buffer to
+#: (28,9) on its own — still exact.
+_ACC = "decimal(18,9)"
 
 
 def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
@@ -48,7 +51,8 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 8,
     materialize: bool = True,
-    broadcast_state: bool = False,
+    broadcast_state: bool = True,
+    nodes_from_sources: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (node, pagerank).
 
@@ -69,14 +73,14 @@ def pagerank(
     deterministic, oracle-replicable, and how production link analysis is
     actually operated (bounded rounds per refresh).
 
-    ``broadcast_state=True`` broadcasts the node-sized rank/degree/sum
-    tables into the edge-sided joins — correct whenever the node table
-    fits executor memory. Measured caveat: each explicit broadcast is a
-    blocking driver collect, serializing one job per iteration; with AQE
-    on, leaving this False is usually FASTER because the node-sized sides
-    get broadcast from runtime shuffle stats without the serialization
-    (sf0.01: 5.2 s vs 10.7 s). Reserve True for plans where AQE is off or
-    misestimates the state size.
+    ``broadcast_state`` (default True) broadcasts the node-sized state
+    into the per-iteration edge join. The hint matters: the state is a
+    derived plan whose size AQE cannot estimate, so without it the edge
+    join falls back to sort-merge — sorting the full edge list by string
+    key every iteration (measured at sf0.1: 3×SortMergeJoin, 11.2 s vs
+    4.1 s with the hint). Disable only when the node table itself is too
+    big to broadcast (billion-node graphs) — the algorithm is unchanged,
+    and the joins run shuffle-side.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -88,56 +92,74 @@ def pagerank(
         # 2 + n_iter times. localCheckpoint stores the rows executor-side
         # (no driver collect) and truncates upstream lineage.
         e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     deg = out_degrees(e)
     if materialize:
-        nodes = nodes.localCheckpoint(eager=True)
         deg = deg.localCheckpoint(eager=True)
-    n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    # 1-row broadcast; 1.0/N is one division of exact inputs → identical
-    # bits in every engine
-    pr = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
-    )
+    if nodes_from_sources:
+        # caller asserts every node has an out-edge (true for symmetrized
+        # edge lists, e.g. bipartite_edges): the node set IS the degree
+        # table's key column — skips a full-edge-list distinct
+        nodes = deg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if materialize:
+            nodes = nodes.localCheckpoint(eager=True)
+    # N collapses to ONE driver-side scalar (a count, not a data collect —
+    # same control-flow class as BPE's per-merge argmax): inlining it as a
+    # literal removes a 1-row broadcast-subquery crossJoin per iteration,
+    # each of which re-derived the full node distinct. 1.0/N stays one
+    # double division of exact inputs → identical bits in every engine.
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    # state carries (node, outdeg, pr) in ONE table so each iteration
+    # joins the edge list exactly once (rank and degree arrive together);
+    # outdeg is NULL for dangling nodes — they never match as src, so the
+    # null never reaches the division
+    state = nodes.join(
+        deg.withColumnRenamed("src", "node"), "node", "left"
+    ).select("node", "outdeg", F.lit(1.0 / n_nodes).alias("pr"))
+
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_state else df
 
     for i in range(n_iter):
-        contrib = (
-            e.join(_b(pr.withColumnRenamed("node", "src")), "src")
-            .join(_b(deg), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.round(F.col("pr") / F.col("outdeg"), 9)
-                .cast(_ACC)
-                .alias("w"),
-            )
+        contrib = e.join(
+            _b(
+                state.select(
+                    F.col("node").alias("src"), "pr", "outdeg"
+                )
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("pr") / F.col("outdeg"), 9)
+            .cast(_ACC)
+            .alias("w"),
         )
         sums = contrib.groupBy("node").agg(F.sum("w").alias("w_sum"))
-        pr = (
-            nodes.join(_b(sums), "node", "left")
-            .crossJoin(F.broadcast(n_row))
-            .select(
-                "node",
-                F.round(
-                    F.lit(1.0 - damping) / F.col("n_nodes")
-                    + F.lit(damping)
-                    * F.coalesce(
-                        F.col("w_sum"), F.lit(0).cast(_ACC)
-                    ).cast("double"),
-                    9,
-                ).alias("pr"),
-            )
+        state = state.select("node", "outdeg").join(
+            _b(sums), "node", "left"
+        ).select(
+            "node",
+            "outdeg",
+            F.round(
+                F.lit(base)
+                + F.lit(damping)
+                * F.coalesce(F.col("w_sum"), F.lit(0).cast(_ACC)).cast(
+                    "double"
+                ),
+                9,
+            ).alias("pr"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
             i + 1
         ) < n_iter:
-            pr = pr.localCheckpoint(eager=True)
-    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+            state = state.localCheckpoint(eager=True)
+    return state.select("node", F.round("pr", 6).alias("pagerank"))
 
 
 def bipartite_edges(
@@ -163,4 +185,15 @@ def bipartite_edges(
             "dst"
         ),
     ).distinct()
-    return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # explode both directions off ONE distinct — a self-union would run
+    # the dedup shuffle once per branch
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
