@@ -2634,6 +2634,35 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spread (operators.graph.label_propagation):
+    suppliers are seeded with their nation key; two clamped majority-vote
+    rounds over the symmetrized supplier–part shipment graph give every
+    part the dominant nation of its suppliers (ties → smallest key).
+
+    The categorical sibling of the pagerank query — same edge list, same
+    one-edge-join-per-round shape, but pure integer voting, so the
+    oracle's unrolled SQL matches with no numeric policy at all.
+    """
+    from airflow_retail_etl_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = graph.bipartite_edges(
+        li, "l_suppkey", "l_partkey", left_prefix="s:", right_prefix="p:"
+    )
+    seeds = supp.select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
+            "node"
+        ),
+        F.col("s_nationkey").cast("int").alias("label"),
+    )
+    return (
+        graph.label_propagation(edges, seeds, n_iter=2)
+        .orderBy("node")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2784,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": q_supplier_part_counts,
         "blamed_suppliers": q_blamed_suppliers,
         "excess_suppliers": q_excess_suppliers,
+        "label_propagation": q_label_propagation,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -2880,6 +2910,52 @@ def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
         FROM pr{n_iter}
         ORDER BY pagerank DESC, node ASC
         LIMIT 50
+        """
+    return sql
+
+
+def _label_prop_oracle(n_iter: int = 2) -> str:
+    """Unrolled DuckDB twin of operators.graph.label_propagation over the
+    supplier–part graph with nation-key seeds (clamped, min-label ties)."""
+    sql = """
+        WITH p0 AS (
+            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem
+        ), e AS (
+            SELECT src, dst FROM p0
+            UNION ALL
+            SELECT dst, src FROM p0
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), seed AS (
+            SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS node,
+                   CAST(s_nationkey AS INTEGER) AS seed_label
+            FROM supplier
+        ), l0 AS (
+            SELECT nd.node, s.seed_label, s.seed_label AS label
+            FROM nodes nd LEFT JOIN seed s ON s.node = nd.node
+        )"""
+    for i in range(1, n_iter + 1):
+        sql += f""", v{i} AS (
+            SELECT e.dst, l.label, COUNT(*) AS n
+            FROM e JOIN l{i - 1} l ON e.src = l.node
+            WHERE l.label IS NOT NULL
+            GROUP BY 1, 2
+        ), b{i} AS (
+            SELECT dst AS node, label AS new_label FROM (
+                SELECT dst, label, row_number() OVER (
+                    PARTITION BY dst ORDER BY n DESC, label ASC) AS rn
+                FROM v{i})
+            WHERE rn = 1
+        ), l{i} AS (
+            SELECT l.node, l.seed_label,
+                   COALESCE(l.seed_label, b.new_label, l.label) AS label
+            FROM l{i - 1} l LEFT JOIN b{i} b ON b.node = l.node
+        )"""
+    sql += f"""
+        SELECT node, label FROM l{n_iter} ORDER BY node
         """
     return sql
 
@@ -5130,6 +5206,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY 1
         """,
         "pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
+        "label_propagation": _label_prop_oracle(n_iter=2),
         "quality_classifier": _clf_feat_cte()
         + """
         SELECT doc_id, f_avg_len, f_ln_tokens, f_stop_ratio, f_ttr, score,

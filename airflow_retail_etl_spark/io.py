@@ -98,6 +98,43 @@ def save_as_table(
     writer.saveAsTable(name)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: Sequence[str],
+    *,
+    partition_by: Sequence[str] = (),
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet write: co-locate rows by ``sort_by`` so
+    file/row-group min-max statistics prune selective scans.
+
+    ``repartitionByRange`` gives files NON-OVERLAPPING key ranges (equal
+    keys land in one partition) and ``sortWithinPartitions`` orders rows
+    inside each file — a point or range predicate on the leading sort key
+    then skips every file whose [min, max] misses it, before any row is
+    read. This is the single-key core of what table formats market as
+    data clustering/Z-ordering; at 100 TB it is the difference between a
+    full scan and touching a handful of files for keyed lookups.
+    Partition columns (coarse, low-cardinality, e.g. dt) compose with the
+    in-partition sort key (fine, high-cardinality, e.g. user_id).
+
+    The range exchange samples the sort key to pick balanced boundaries —
+    one extra shuffle at write time, bought back on every pruned read.
+    """
+    cols = [F.col(c) for c in sort_by]
+    if num_files is not None:
+        out = df.repartitionByRange(num_files, *cols)
+    else:
+        out = df.repartitionByRange(*cols)
+    out = out.sortWithinPartitions(*cols)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -1,24 +1,27 @@
-"""Iterative graph scoring over edge lists (PageRank).
+"""Iterative graph scoring over edge lists (PageRank, label propagation).
 
 Extension surface beyond the reference (which has no graph queries —
 `/root/reference/dags/retail_pipeline.py` is star-schema only): a
-training-data pipeline uses link analysis to weight crawl domains and
-rank documents by citation structure. The existing graph operator here is
-connected components (operators/dedup.py:connected_components — min-label
-propagation with pointer jumping); PageRank adds the *weighted* iterative
-family on the same edge-list representation.
+training-data pipeline uses link analysis to weight crawl domains, rank
+documents by citation structure, and spread sparse labels over similarity
+graphs. The existing graph operator here is connected components
+(operators/dedup.py:connected_components — min-label propagation with
+pointer jumping); PageRank adds the *weighted* iterative family and
+label_propagation the *categorical* one, on the same edge-list
+representation.
 
 Engine-portable numerics (the transcendental/accumulation policy,
 README "Correctness"): every per-edge contribution pr(src)/outdeg(src) is
 ONE double division on engine-identical inputs, rounded to 9 decimals,
-then accumulated in DECIMAL(38,9) — the per-node sum is independent of
+then accumulated in DECIMAL(18,9) — the per-node sum is independent of
 partition count and row order, so a DuckDB oracle unrolling the same
-iterations reproduces the scores bit-exactly.
+iterations reproduces the scores bit-exactly. Label propagation is
+integer/string-exact throughout and needs no numeric policy at all.
 
-Scale shape: state is one (node, pr) row per node; each iteration is two
-hash joins edge⋈pr⋈outdeg (both on ``src``, so they share one exchange)
-plus one aggregation shuffle on ``dst``. Nothing is ever collected to the
-driver; with ``checkpoint_every`` the lineage is truncated so hundreds of
+Scale shape: state is one row per node; each iteration joins the edge
+list exactly once against the broadcast-hinted state plus one dst-keyed
+aggregation shuffle. Nothing data-sized is ever collected to the driver;
+with ``checkpoint_every`` the lineage is truncated so hundreds of
 iterations neither grow the plan nor recompute history.
 """
 
@@ -197,3 +200,86 @@ def bipartite_edges(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    *,
+    n_iter: int = 2,
+    materialize: bool = True,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Semi-supervised label propagation: spread seed labels over the
+    edge list by synchronous majority vote, seeds clamped.
+
+    Round k+1: an unlabeled-at-seed node takes the most common current
+    label among its in-neighbors (ties → smallest label; no labeled
+    neighbor → keeps its previous state). Seeded nodes never change.
+    Every operation is integer/string-exact — counts, row_number, min
+    tiebreak — so results are deterministic under any partitioning and
+    replicable by an oracle engine unrolling the same rounds, with no
+    numeric policy needed at all.
+
+    Scale shape mirrors :func:`pagerank`: state is one row per node
+    (node, seed_label, label); each round is one edge⋈labels join
+    (broadcast-hinted state — see pagerank's docstring on why AQE cannot
+    size it), one (dst, label) count aggregation, one per-node top-1
+    window. The window partitions on dst with ≤ #distinct-labels rows
+    per node — label skew is bounded by the label vocabulary.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if materialize:
+        nodes = nodes.localCheckpoint(eager=True)
+    seed = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")
+    )
+    state = nodes.join(seed, "node", "left").select(
+        "node", "seed_label", F.col("seed_label").alias("label")
+    )
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_state else df
+
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        votes = (
+            e.join(
+                _b(
+                    state.filter(F.col("label").isNotNull()).select(
+                        F.col("node").alias("src"), "label"
+                    )
+                ),
+                "src",
+            )
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("label").alias("new_label"))
+        )
+        state = state.join(_b(best), "node", "left").select(
+            "node",
+            "seed_label",
+            F.coalesce("seed_label", "new_label", "label").alias("label"),
+        )
+    return state.select("node", "label")

@@ -121,3 +121,61 @@ def test_bipartite_edges_symmetrized_distinct(spark):
 def test_n_iter_validation(spark):
     with pytest.raises(ValueError):
         pagerank(_edges(spark, [("a", "b")]), n_iter=0)
+
+
+def test_label_propagation_spreads_and_clamps(spark):
+    from airflow_retail_etl_spark.operators.graph import label_propagation
+
+    # a—b—c chain (symmetrized); only a is seeded
+    e = _edges(
+        spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    )
+    seeds = spark.createDataFrame([("a", 7)], "node string, label int")
+    one = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, seeds, n_iter=1).collect()
+    }
+    assert one == {"a": 7, "b": 7, "c": None}  # 1 hop reaches b only
+    two = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, seeds, n_iter=2).collect()
+    }
+    assert two == {"a": 7, "b": 7, "c": 7}
+
+
+def test_label_propagation_majority_and_tiebreak(spark):
+    from airflow_retail_etl_spark.operators.graph import label_propagation
+
+    # x hears 2 votes for 1, 1 vote for 9 → majority 1;
+    # y hears 1 vote each for 1 and 9 → tie → min label 1
+    e = _edges(
+        spark,
+        [("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("c", "y")],
+    )
+    seeds = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 9)], "node string, label int"
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, seeds, n_iter=1).collect()
+    }
+    assert out["x"] == 1
+    assert out["y"] == 1
+
+
+def test_label_propagation_seed_never_flips(spark):
+    from airflow_retail_etl_spark.operators.graph import label_propagation
+
+    # seed b=5 surrounded by three 1-votes stays 5 (clamped)
+    e = _edges(
+        spark,
+        [("a", "b"), ("c", "b"), ("d", "b"), ("b", "a"), ("b", "c"), ("b", "d")],
+    )
+    seeds = spark.createDataFrame(
+        [("a", 1), ("c", 1), ("d", 1), ("b", 5)], "node string, label int"
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, seeds, n_iter=3).collect()
+    }
+    assert out["b"] == 5

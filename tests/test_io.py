@@ -70,3 +70,69 @@ def test_dynamic_partition_overwrite_keeps_other_partitions(spark, tmp_path):
     write_partitioned(d2, path)
     out = {str(r["dt"]): r["v"] for r in spark.read.parquet(path).collect()}
     assert out == {"2019-10-01": 1, "2019-10-02": 99}
+
+
+def test_write_sorted_files_have_disjoint_key_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airflow_retail_etl_spark.io import write_sorted
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "sorted")
+    write_sorted(ev, out, ["user_id"], num_files=4)
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }["user_id"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    # range partitioner ⇒ per-file key ranges don't interleave
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(
+        sorted(ranges), sorted(ranges)[1:]
+    ):
+        assert hi_a <= lo_b
+    # content survives the clustering rewrite
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_write_sorted_prunes_row_groups_vs_unsorted(spark, tmp_path):
+    # the payoff: a point predicate touches 1 file when sorted, all when not
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airflow_retail_etl_spark.io import write_sorted
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    target = ev.select("user_id").first()["user_id"]
+
+    def touched(path):
+        n = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["user_id"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= target <= st.max:
+                    n += 1
+        return n
+
+    s_path, u_path = str(tmp_path / "s"), str(tmp_path / "u")
+    write_sorted(ev, s_path, ["user_id"], num_files=8)
+    ev.repartition(8).write.parquet(u_path)
+    assert touched(s_path) == 1
+    assert touched(u_path) == 8
