@@ -2634,6 +2634,17 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators.similarity.hard_negative_topk): per query vector, the 5
+    most-similar corpus vectors with a DIFFERENT label — the batch-mining
+    step of embedding/reranker training loops. Broadcast queries, corpus
+    never shuffles, label-mismatch pruned in the join condition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.hard_negative_topk(emb, queries_df, k=5)
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label spread (operators.graph.label_propagation):
     suppliers are seeded with their nation key; two clamped majority-vote
@@ -2814,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blamed_suppliers": q_blamed_suppliers,
         "excess_suppliers": q_excess_suppliers,
         "label_propagation": q_label_propagation,
+        "hard_negatives": q_hard_negatives,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -5207,6 +5219,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
         "label_propagation": _label_prop_oracle(n_iter=2),
+        "hard_negatives": """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ), q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+        p AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   c.label AS neg_label,
+                   list_dot_product(q.e, c.e)
+                       / sqrt(list_dot_product(q.e, q.e)
+                              * list_dot_product(c.e, c.e)) AS sim
+            FROM q JOIN v c ON c.label != q.label
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM p
+        )
+        SELECT query_id, neighbor_id, neg_label,
+               CAST(rank AS INTEGER) AS rank, round(sim, 6) AS sim
+        FROM r WHERE rank <= 5
+        """,
         "quality_classifier": _clf_feat_cte()
         + """
         SELECT doc_id, f_avg_len, f_ln_tokens, f_stop_ratio, f_ttr, score,

@@ -856,3 +856,64 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id", _adc_col(m, ksub).alias("adc"))
     )
     return _pq_shortlist_rescore(adc, enc, q, k=k, shortlist=shortlist)
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query, the k most
+    similar corpus vectors carrying a DIFFERENT label.
+
+    The standard batch-mining step for embedding/reranker training —
+    negatives that are semantically close but wrong teach the margin.
+    Same plan shape as brute_force_topk (broadcast queries, corpus never
+    shuffles, one per-query top-k window); the label-mismatch predicate
+    rides the join condition, so the pruning happens before any scoring
+    rows materialize. NULL-labeled rows never match (ANSI NULL
+    comparison), on either side — unlabeled data can't be asserted
+    "different".
+
+    At 100 TB: compose with the ANN shortlists (lsh/ivf/pq) exactly like
+    exact kNN — mine negatives from the candidate set, not the corpus;
+    this exhaustive form is the verifier/oracle baseline.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qq", dot(F.col("qv"), F.col("qv")))
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cc", dot(F.col("cv"), F.col("cv")))
+    pairs = c.join(
+        F.broadcast(q), F.col("n_label") != F.col("q_label")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("n_label").alias("neg_label"),
+        cosine_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qq"), F.col("cc")
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            "rank",
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )

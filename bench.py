@@ -131,6 +131,8 @@ HEADLINE = (
     "quality_classifier",
     "cluster_split",
     "filter_funnel",
+    "label_propagation",
+    "hard_negatives",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -245,3 +245,65 @@ def test_trained_codebook_beats_seeded(spark, sf_dir):
     ).collect()
     assert cb.shape == (8, 16, 8)
     assert _recall(trained, bf) > _recall(seeded, bf) + 0.2
+
+
+def test_hard_negative_topk_excludes_query_label(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = hard_negative_topk(emb, queries, k=5)
+    labels = {
+        r["vec_id"]: r["label"] for r in queries.select("vec_id", "label").collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["neg_label"] != labels[r["query_id"]]
+        assert r["neg_label"] is not None
+    # ranks are dense from 1 per query
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hard_negatives_are_topmost_cross_label_neighbors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_topk,
+    )
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    qlabel = queries.first()["label"]
+    # exhaustive ranking with self excluded, filtered to cross-label,
+    # must equal the mined negatives (same order)
+    full = brute_force_topk(emb, queries, k=10_000)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    expected = [
+        r["neighbor_id"]
+        for r in full.join(lab, "neighbor_id")
+        .filter(F.col("nl") != qlabel)
+        .orderBy("rank")
+        .limit(5)
+        .collect()
+    ]
+    mined = [
+        r["neighbor_id"]
+        for r in hard_negative_topk(emb, queries, k=5).orderBy("rank").collect()
+    ]
+    assert mined == expected
