@@ -2634,6 +2634,44 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source reconciliation: FULL OUTER join of daily revenue as
+    seen by the orders system vs the event stream, with a match verdict
+    per day — the audit query every dual-pipeline warehouse runs.
+
+    Both sides are tiny day-keyed DECIMAL aggregates (the expensive scans
+    collapse before the join), so the full-outer join is a broadcast;
+    the verdict compares EXACT decimal sums (no float tolerance games)
+    and labels days missing from either feed.
+    """
+    ev = adapters.staging_events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    ev_daily = ev.filter(F.col("event_type") == PURCHASE).groupBy(
+        F.col("event_date").alias("day")
+    ).agg(money_sum(F.col("price")).alias("event_revenue"))
+    ord_daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(money_sum(F.col("o_totalprice")).alias("order_revenue"))
+    j = ev_daily.join(ord_daily, "day", "full_outer")
+    status = (
+        F.when(F.col("event_revenue").isNull(), "missing_in_events")
+        .when(F.col("order_revenue").isNull(), "missing_in_orders")
+        .when(
+            F.col("event_revenue") == F.col("order_revenue"), "matched"
+        )
+        .otherwise("mismatch")
+    )
+    return j.select(
+        "day",
+        "event_revenue",
+        "order_revenue",
+        status.alias("status"),
+        F.round(
+            F.col("event_revenue") - F.col("order_revenue"), 2
+        ).alias("delta"),
+    ).orderBy("day")
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining
     (operators.similarity.hard_negative_topk): per query vector, the 5
@@ -2826,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_suppliers": q_excess_suppliers,
         "label_propagation": q_label_propagation,
         "hard_negatives": q_hard_negatives,
+        "revenue_reconciliation": q_revenue_reconciliation,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -5219,6 +5258,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
         "label_propagation": _label_prop_oracle(n_iter=2),
+        "revenue_reconciliation": _STAGING_CTE
+        + f"""
+        , ev AS (
+            SELECT event_date AS day,
+                   {_money('price')} AS event_revenue
+            FROM staging WHERE event_type = '{PURCHASE}'
+            GROUP BY 1
+        ), od AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {_money('o_totalprice')} AS order_revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT COALESCE(ev.day, od.day) AS day,
+               ev.event_revenue, od.order_revenue,
+               CASE WHEN ev.event_revenue IS NULL THEN 'missing_in_events'
+                    WHEN od.order_revenue IS NULL THEN 'missing_in_orders'
+                    WHEN ev.event_revenue = od.order_revenue THEN 'matched'
+                    ELSE 'mismatch' END AS status,
+               ROUND(ev.event_revenue - od.order_revenue, 2) AS delta
+        FROM ev FULL OUTER JOIN od ON ev.day = od.day
+        ORDER BY 1
+        """,
         "hard_negatives": """
         WITH v AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e

@@ -135,6 +135,58 @@ def write_sorted(
     writer.parquet(path)
 
 
+def _interleave_bits(a: F.Column, b: F.Column, bits: int) -> F.Column:
+    """Morton/Z-value of two non-negative longs: bit i of ``a`` lands at
+    position 2i, bit i of ``b`` at 2i+1. Pure integer bit ops — exact,
+    codegen-native, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *,
+    bits: int = 21,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Two-key Z-order clustered parquet write: range-partition and sort
+    on the Morton interleave of the two keys' low ``bits`` bits.
+
+    :func:`write_sorted` prunes on ONE leading key; a predicate on the
+    second key alone touches every file. Interleaving makes each file
+    cover a compact rectangle in (a, b) space, so min-max statistics on
+    BOTH columns stay tight and range predicates on either key — or both
+    — skip most files. This is the actual mechanism behind table-format
+    Z-ordering/clustering, expressed with built-in bit ops (exact, no
+    UDF). Keys must be non-negative and < 2^bits for faithful ordering
+    (21+21 bits keeps the Z-value inside a signed 64-bit long with room
+    to spare); rescale or rank-bucket wider domains first.
+    """
+    z = _interleave_bits(
+        F.col(col_a).cast("long"), F.col(col_b).cast("long"), bits
+    ).alias("__z")
+    out = df.withColumn("__z", z)
+    if num_files is not None:
+        out = out.repartitionByRange(num_files, F.col("__z"))
+    else:
+        out = out.repartitionByRange(F.col("__z"))
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(
+        path
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

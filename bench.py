@@ -133,6 +133,7 @@ HEADLINE = (
     "filter_funnel",
     "label_propagation",
     "hard_negatives",
+    "revenue_reconciliation",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -136,3 +136,70 @@ def test_write_sorted_prunes_row_groups_vs_unsorted(spark, tmp_path):
     ev.repartition(8).write.parquet(u_path)
     assert touched(s_path) == 1
     assert touched(u_path) == 8
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    import glob
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from airflow_retail_etl_spark.io import write_sorted, write_zordered
+
+    # a 64×64 grid: every (x, y) pair once
+    grid = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(64), range(64))],
+        "x long, y long",
+    )
+
+    def touched(path, lo, hi, col):
+        n = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= hi and st.max >= lo:
+                    n += 1
+                    break
+        return n
+
+    z_path, x_path = str(tmp_path / "z"), str(tmp_path / "x")
+    write_zordered(grid, z_path, "x", "y", bits=6, num_files=16)
+    write_sorted(grid, x_path, ["x"], num_files=16)
+
+    # narrow predicate on the SECOND key: x-sorted files all span full y
+    # → zero pruning; z-ordered files cover compact rectangles → most skip
+    assert touched(x_path, 8, 15, "y") == 16
+    assert touched(z_path, 8, 15, "y") <= 8
+    # and the leading key still prunes on the z layout too
+    assert touched(z_path, 8, 15, "x") <= 8
+    # clustering is a rewrite, not a transformation of content
+    assert spark.read.parquet(z_path).count() == 64 * 64
+
+
+def test_interleave_bits_orders_like_morton(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.io import _interleave_bits
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 2), (3, 1)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", _interleave_bits(F.col("a"), F.col("b"), 4).alias("z")
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): morton(a, b) for a, b in got}
