@@ -2634,6 +2634,127 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (Spark's session_window generator — the
+    SessionWindowing operator, distinct machinery from the lag/cumsum
+    islands q_sessionize builds): per-user 30-minute-gap sessions with
+    event count and DECIMAL revenue.
+
+    Session end = last event + gap (merge while the next event starts
+    before the current window closes — a tie at exactly start+gap opens
+    a NEW session, [start, end) semantics). The oracle rebuilds identical
+    sessions as gap-break islands, pinning that the native operator and
+    the classical SQL formulation agree row-for-row. Works unchanged in
+    Structured Streaming — this is the batch face of the streaming
+    session aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(
+                F.col("value"), F.col("event_type") == PURCHASE
+            ).alias("revenue"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "revenue",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q_brand_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation of quantity vs extended price —
+    bivariate statistics with the engine's exactness policy: the five
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL (all
+    inputs are exact 2-dp values, so every product is an exact 4-dp
+    decimal), and only the final closed-form formula runs in double on
+    engine-identical inputs (sqrt is IEEE-correctly-rounded — no libm
+    drift). One broadcast dim join + one brand-keyed aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    x = F.round(F.col("l_quantity"), 2).cast("decimal(18,2)")
+    y = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(cov_n / F.nullif(den, F.lit(0.0)), 6).alias("corr_qty_price"),
+    ).orderBy("p_brand")
+
+
+def q_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a compounding revenue
+    index — index_d = index_{d-1} · (1 + revenue_d/10^5) — a genuinely
+    sequential product chain no window frame can express (SUM unrolls,
+    PRODUCT does not). Day factors come from the exact DECIMAL daily
+    mart; both engines multiply the identical double sequence in the
+    identical rn order, so the chained product is bit-equal without any
+    per-step rounding. The recursion depth equals the day count — the
+    calendar, not the corpus, bounds the iteration.
+    """
+    daily = marts.daily_revenue_summary(
+        adapters.staging_events(spark, sf_dir),
+        view_value=VIEW,
+        cart_value=CART,
+        purchase_value=PURCHASE,
+    ).select("event_date", "revenue")
+    w = Window.orderBy("event_date")
+    base = daily.select(
+        F.row_number().over(w).alias("rn"),
+        F.col("event_date").alias("day"),
+        F.col("revenue"),
+    )
+    # pin the mart before recursing: the recursive term re-reads the view
+    # once per step, and an unpinned view would re-run the full staging
+    # scan + aggregation every iteration (measured 15.5 s → ~4 s)
+    base.localCheckpoint(eager=True).createOrReplaceTempView(
+        "__growth_base"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE idx(rn, day, growth_index) AS (
+            SELECT rn, day, 1.0D + revenue / 100000.0D
+            FROM __growth_base WHERE rn = 1
+            UNION ALL
+            SELECT /*+ BROADCAST(b) */ b.rn, b.day,
+                   i.growth_index * (1.0D + b.revenue / 100000.0D)
+            FROM idx i JOIN __growth_base b ON b.rn = i.rn + 1
+        )
+        SELECT day, ROUND(growth_index, 6) AS growth_index
+        FROM idx ORDER BY day
+        """
+    )
+
+
 def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source reconciliation: FULL OUTER join of daily revenue as
     seen by the orders system vs the event stream, with a match verdict
@@ -2865,6 +2986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "hard_negatives": q_hard_negatives,
         "revenue_reconciliation": q_revenue_reconciliation,
+        "session_window_stats": q_session_window_stats,
+        "brand_price_corr": q_brand_price_corr,
+        "compound_growth_index": q_compound_growth_index,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -5257,6 +5381,77 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY 1
         """,
         "pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
+        "session_window_stats": f"""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type, value
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), m AS (
+            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT *, SUM(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_money('value', f"event_type = '{PURCHASE}'")} AS revenue
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+        """,
+        "brand_price_corr": """
+        WITH j AS (
+            SELECT p.p_brand,
+                   CAST(ROUND(l.l_quantity, 2) AS DECIMAL(18,2)) AS x,
+                   CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(18,2)) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), a AS (
+            SELECT p_brand,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+            FROM j GROUP BY 1
+        )
+        SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+               ROUND((n * sxy - sx * sy)
+                     / NULLIF(sqrt((n * sxx - sx * sx)
+                                   * (n * syy - sy * sy)), 0), 6)
+                   AS corr_qty_price
+        FROM a ORDER BY 1
+        """,
+        "compound_growth_index": _STAGING_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + f"""
+        , daily AS (
+            SELECT event_date AS day,
+                   {_money('price', f"event_type = '{PURCHASE}'")} AS revenue
+            FROM staging GROUP BY 1
+        ), base AS (
+            SELECT row_number() OVER (ORDER BY day) AS rn, day, revenue
+            FROM daily
+        ), idx(rn, day, growth_index) AS (
+            SELECT rn, day,
+                   CAST(1 AS DOUBLE) + revenue / CAST(100000 AS DOUBLE)
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.rn, b.day,
+                   i.growth_index
+                       * (CAST(1 AS DOUBLE)
+                          + b.revenue / CAST(100000 AS DOUBLE))
+            FROM idx i JOIN base b ON b.rn = i.rn + 1
+        )
+        SELECT day, ROUND(growth_index, 6) AS growth_index
+        FROM idx ORDER BY day
+        """,
         "label_propagation": _label_prop_oracle(n_iter=2),
         "revenue_reconciliation": _STAGING_CTE
         + f"""

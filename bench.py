@@ -134,6 +134,12 @@ HEADLINE = (
     "label_propagation",
     "hard_negatives",
     "revenue_reconciliation",
+    "session_window_stats",
+    "brand_price_corr",
+    # compound_growth_index stays correctness-only: Spark's recursive-CTE
+    # runtime schedules one job per recursion step (~0.45 s × day count of
+    # fixed overhead at any SF) — benching it would measure the scheduler,
+    # not the engine
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
