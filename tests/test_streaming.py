@@ -115,3 +115,57 @@ def test_streaming_dedup_batch_form_equals_drop_duplicates(spark, sf_dir):
     doubled = ev.unionByName(ev)
     out = streaming_dedup(doubled, id_cols=("event_id",))
     assert out.count() == ev.select("event_id").distinct().count()
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window runs unchanged under Structured Streaming:
+    AvailableNow over the same rows reproduces the batch sessions."""
+    src = str(tmp_path / "sess_src")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC
+        # so the cast is stable
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    )
+    ev.write.parquet(src)
+    batch = spark.read.parquet(src)
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"),
+                "n_events",
+            )
+        )
+
+    expected = {
+        (r["user_id"], r["s"], r["e"]): r["n_events"]
+        for r in sessions(batch).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    agg = sessions(stream)
+    assert agg.isStreaming
+    run_available_now(
+        agg,
+        checkpoint=str(tmp_path / "sess_ckpt"),
+        out_path="session_window_counts",
+        out_format="memory",
+        output_mode="complete",
+    )
+    got = {
+        (r["user_id"], r["s"], r["e"]): r["n_events"]
+        for r in spark.table("session_window_counts").collect()
+    }
+    assert got == expected
