@@ -2634,6 +2634,47 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_filled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LOCF: the (priority × day) grid is
+    dense (calendar crossJoin of a 5-row priority dim — both broadcast
+    micro-tables), the observed daily DECIMAL revenue is sparse, and
+    last_value(ignorenulls) carries the last observation forward — the
+    standard dashboard/feature-store densification, exercising the
+    IGNORE NULLS window path. One window per priority partition; the
+    grid is calendar-sized, never order-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    daily = orders.groupBy(
+        "o_orderpriority", day.alias("day")
+    ).agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+    bounds = orders.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    prios = orders.select("o_orderpriority").distinct()
+    grid = cal.crossJoin(F.broadcast(prios))
+    j = grid.join(daily, ["o_orderpriority", "day"], "left")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "o_orderpriority",
+        "day",
+        "revenue",
+        F.last("revenue", ignorenulls=True).over(w).alias(
+            "filled_revenue"
+        ),
+        F.col("revenue").isNotNull().alias("observed"),
+    ).orderBy("o_orderpriority", "day")
+
+
 def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (Spark's session_window generator — the
     SessionWindowing operator, distinct machinery from the lag/cumsum
@@ -2989,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": q_session_window_stats,
         "brand_price_corr": q_brand_price_corr,
         "compound_growth_index": q_compound_growth_index,
+        "gap_filled_orders": q_gap_filled_orders,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -5403,6 +5445,39 @@ def oracle_sql() -> dict[str, str]:
                {_money('value', f"event_type = '{PURCHASE}'")} AS revenue
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
+        """,
+        "gap_filled_orders": """
+        WITH daily AS (
+            SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1, 2
+        ), b AS (
+            SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                   MAX(CAST(o_orderdate AS DATE)) AS d1
+            FROM orders
+        ), cal AS (
+            SELECT CAST(UNNEST(generate_series(
+                CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                INTERVAL 1 DAY)) AS DATE) AS day
+            FROM b
+        ), p AS (
+            SELECT DISTINCT o_orderpriority FROM orders
+        ), grid AS (
+            SELECT p.o_orderpriority, cal.day FROM cal CROSS JOIN p
+        ), j AS (
+            SELECT g.o_orderpriority, g.day, d.revenue
+            FROM grid g
+            LEFT JOIN daily d ON d.o_orderpriority = g.o_orderpriority
+                             AND d.day = g.day
+        )
+        SELECT o_orderpriority, day, revenue,
+               last_value(revenue IGNORE NULLS) OVER (
+                   PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_revenue,
+               revenue IS NOT NULL AS observed
+        FROM j ORDER BY 1, 2
         """,
         "brand_price_corr": """
         WITH j AS (

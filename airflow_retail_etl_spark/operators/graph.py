@@ -117,6 +117,10 @@ def pagerank(
     # each of which re-derived the full node distinct. 1.0/N stays one
     # double division of exact inputs → identical bits in every engine.
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("pagerank")
+        )
     base = (1.0 - damping) / n_nodes
     # state carries (node, outdeg, pr) in ONE table so each iteration
     # joins the edge list exactly once (rank and degree arrive together);

@@ -136,6 +136,7 @@ HEADLINE = (
     "revenue_reconciliation",
     "session_window_stats",
     "brand_price_corr",
+    "gap_filled_orders",
     # compound_growth_index stays correctness-only: Spark's recursive-CTE
     # runtime schedules one job per recursion step (~0.45 s × day count of
     # fixed overhead at any SF) — benching it would measure the scheduler,

@@ -179,3 +179,23 @@ def test_label_propagation_seed_never_flips(spark):
         for r in label_propagation(e, seeds, n_iter=3).collect()
     }
     assert out["b"] == 5
+
+
+def test_pagerank_empty_edges(spark):
+    out = pagerank(
+        spark.createDataFrame([], "src string, dst string"), n_iter=2
+    )
+    assert out.count() == 0
+    assert out.columns == ["node", "pagerank"]
+
+
+def test_label_propagation_empty_seeds(spark):
+    from airflow_retail_etl_spark.operators.graph import label_propagation
+
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    seeds = spark.createDataFrame([], "node string, label int")
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, seeds, n_iter=2).collect()
+    }
+    assert out == {"a": None, "b": None}
