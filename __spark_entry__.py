@@ -2869,7 +2869,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("int").alias("label"),
     )
     return (
-        graph.label_propagation(edges, seeds, n_iter=2)
+        graph.label_propagation(
+            edges, seeds, n_iter=2, nodes_from_sources=True
+        )
         .orderBy("node")
     )
 

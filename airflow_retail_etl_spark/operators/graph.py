@@ -217,6 +217,7 @@ def label_propagation(
     n_iter: int = 2,
     materialize: bool = True,
     broadcast_state: bool = True,
+    nodes_from_sources: bool = False,
 ) -> DataFrame:
     """Semi-supervised label propagation: spread seed labels over the
     edge list by synchronous majority vote, seeds clamped.
@@ -243,13 +244,21 @@ def label_propagation(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if materialize:
         e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    if materialize:
-        nodes = nodes.localCheckpoint(eager=True)
+    if nodes_from_sources:
+        # same contract as pagerank: every node appears as a source
+        # (symmetrized edge lists) — the node set is one src-keyed agg,
+        # not a full-edge-list distinct
+        nodes = e.select(F.col("src").alias("node")).distinct()
+        if materialize:
+            nodes = nodes.localCheckpoint(eager=True)
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if materialize:
+            nodes = nodes.localCheckpoint(eager=True)
     seed = seeds.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")
     )
