@@ -2634,6 +2634,16 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (operators.lm.collocations): top-20
+    adjacent token pairs by PMI lift, exact rational scoring (no libm
+    log), pair-count floor 5. The phrase-mining face of the LM family."""
+    from airflow_retail_etl_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.collocations(docs, "text", "doc_id", k=20, min_pair_count=5)
+
+
 def q_gap_filled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling with LOCF: the (priority × day) grid is
     dense (calendar crossJoin of a 5-row priority dim — both broadcast
@@ -3033,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_price_corr": q_brand_price_corr,
         "compound_growth_index": q_compound_growth_index,
         "gap_filled_orders": q_gap_filled_orders,
+        "collocations": q_collocations,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -5448,6 +5459,45 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
         """,
+        "collocations": f"""
+        WITH norm AS (
+            SELECT doc_id, {{norm}} AS t FROM documents
+        ), tk AS (
+            SELECT doc_id, string_split(t, ' ') AS toks
+            FROM norm WHERE length(t) > 0
+        ), bg AS (
+            SELECT unnest(list_transform(
+                generate_series(1, len(toks) - 1),
+                i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+            FROM tk WHERE len(toks) >= 2
+        ), pair_c AS (
+            SELECT bg, COUNT(*) AS c_pair FROM bg GROUP BY 1
+        ), tok_c AS (
+            SELECT tok, COUNT(*) AS c_tok FROM (
+                SELECT unnest(toks) AS tok FROM tk) GROUP BY 1
+        ), tot AS (
+            SELECT (SELECT SUM(c_pair) FROM pair_c) AS total_pairs,
+                   (SELECT SUM(c_tok) FROM tok_c) AS total_toks
+        ), scored AS (
+            SELECT p.bg, p.c_pair, a.c_tok AS c_a, b.c_tok AS c_b,
+                   ROUND((CAST(p.c_pair AS DOUBLE) * t.total_toks
+                          * t.total_toks)
+                         / (CAST(t.total_pairs AS DOUBLE) * a.c_tok
+                            * b.c_tok), 6) AS lift
+            FROM pair_c p
+            JOIN tok_c a ON a.tok = string_split(p.bg, ' ')[1]
+            JOIN tok_c b ON b.tok = string_split(p.bg, ' ')[-1]
+            CROSS JOIN tot t
+            WHERE p.c_pair >= 5
+        )
+        SELECT bg, c_pair, c_a, c_b, lift,
+               CAST(row_number() OVER (ORDER BY lift DESC, bg ASC)
+                    AS INTEGER) AS rank
+        FROM scored
+        ORDER BY lift DESC, bg ASC LIMIT 20
+        """.replace(
+            "{norm}", _NORM_TEXT
+        ),
         "gap_filled_orders": """
         WITH daily AS (
             SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,

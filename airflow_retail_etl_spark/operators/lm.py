@@ -246,3 +246,104 @@ def bigram_score(
             F.col("__nll_sum").cast("double") / F.col("n_bigrams"), 6
         ).alias("avg_nll"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 20,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations by PMI lift: adjacent token pairs that co-occur
+    far more often than their unigram frequencies predict —
+    lift(a,b) = (c(ab)/P) / ((c(a)/T)·(c(b)/T)) with P = total adjacent
+    pairs, T = total tokens.
+
+    The score is evaluated as the exact rational c(ab)·T·T / (P·c(a)·c(b))
+    — integer-valued doubles multiplied in a fixed order, ONE division, no
+    logarithm — so both engines produce identical doubles (the same
+    no-libm trick tfidf_keywords uses); 6-dp rounding before ranking with
+    a pair tiebreak makes the top-k deterministic. ``min_pair_count``
+    suppresses one-off pairs whose lift explodes on tiny counts (the
+    standard collocation floor).
+
+    Plan: one pair-keyed count + one token-keyed count (both map-side
+    combined, vocabulary-scale outputs), two broadcast joins of the pair
+    table against the unigram counts, two 1-row broadcast totals, then a
+    global top-k window over the FLOORED pair table — the floor is what
+    keeps that sort vocabulary-sized; the corpus is scanned twice and
+    never joined against itself.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = (
+        docs.select(F.col(id_col).alias("id"), norm.alias("__t"))
+        .filter(F.length("__t") > 0)
+        .select("id", F.split(F.col("__t"), " ").alias("tk"))
+    )
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))
+                ),
+                F.slice(
+                    F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))
+                ),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg")
+    )
+    pair_c = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_pair"))
+    tok_c = (
+        toks.select(F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    totals = pair_c.agg(
+        F.sum("c_pair").alias("total_pairs")
+    ).crossJoin(tok_c.agg(F.sum("c_tok").alias("total_toks")))
+    kept = pair_c.filter(F.col("c_pair") >= min_pair_count)
+    a = tok_c.select(
+        F.col("tok").alias("__wa"), F.col("c_tok").alias("c_a")
+    )
+    b = tok_c.select(
+        F.col("tok").alias("__wb"), F.col("c_tok").alias("c_b")
+    )
+    scored = (
+        kept.join(
+            F.broadcast(a),
+            F.substring_index("bg", " ", 1) == F.col("__wa"),
+        )
+        .join(
+            F.broadcast(b),
+            F.substring_index("bg", " ", -1) == F.col("__wb"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            "c_pair",
+            "c_a",
+            "c_b",
+            F.round(
+                (
+                    F.col("c_pair").cast("double")
+                    * F.col("total_toks")
+                    * F.col("total_toks")
+                )
+                / (
+                    F.col("total_pairs").cast("double")
+                    * F.col("c_a")
+                    * F.col("c_b")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), F.col("bg").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bg", "c_pair", "c_a", "c_b", "lift", "rank")
+    )

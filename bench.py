@@ -137,6 +137,7 @@ HEADLINE = (
     "session_window_stats",
     "brand_price_corr",
     "gap_filled_orders",
+    "collocations",
     # compound_growth_index stays correctness-only: Spark's recursive-CTE
     # runtime schedules one job per recursion step (~0.45 s × day count of
     # fixed overhead at any SF) — benching it would measure the scheduler,

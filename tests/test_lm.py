@@ -178,3 +178,33 @@ def test_scores_invariant_under_partitioning(spark, sf_dir):
         tfi = sorted(map(tuple, lm.tfidf_keywords(d, "text", "doc_id").collect()))
         variants.append((uni, bi, tfi))
     assert variants[0] == variants[1]
+
+
+def test_collocations_lift_hand_computed(spark):
+    from airflow_retail_etl_spark.operators.lm import collocations
+
+    # "x y" always adjacent (4×); fillers keep unigrams busy
+    rows = [
+        (1, "x y a b a b a b"),
+        (2, "x y b a b a b a"),
+        (3, "x y a a b b a b"),
+        (4, "x y b b a a a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(df, k=5, min_pair_count=4).collect()
+    assert out, "floor=4 must keep the 4x pair"
+    top = out[0]
+    assert top["bg"] == "x y"
+    # T=32 tokens, P=28 pairs, c(xy)=4, c(x)=4, c(y)=4
+    assert top["lift"] == round((4 * 32.0 * 32) / (28.0 * 4 * 4), 6)
+    assert top["rank"] == 1
+
+
+def test_collocations_floor_drops_rare_pairs(spark):
+    from airflow_retail_etl_spark.operators.lm import collocations
+
+    df = spark.createDataFrame(
+        [(1, "p q"), (2, "r s"), (3, "p q")], "doc_id long, text string"
+    )
+    kept = {r["bg"] for r in collocations(df, min_pair_count=2).collect()}
+    assert kept == {"p q"}
