@@ -2634,6 +2634,53 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators.scd.scd2_asof): user
+    status AS OF ten days into the event window — the time-travel read
+    side of the SCD-2 family. The as-of date derives from the data (min
+    event date + 10 days, a broadcast 1-row aggregate), and the lookup
+    itself is a pure interval filter over the history: at most one
+    surviving version per user, no shuffle beyond the history build.
+    """
+    from airflow_retail_etl_spark.operators import scd
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "snap_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snaps = (
+        events.select(
+            "user_id",
+            F.to_date("ts").alias("snap_date"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "snap_date", "event_type")
+    )
+    hist = scd.scd2_from_snapshots(
+        snaps, ["user_id"], ["event_type"], "snap_date"
+    )
+    bounds = events.agg(
+        F.date_add(F.min(F.to_date("ts")), 10).alias("as_of")
+    )
+    return (
+        scd.scd2_asof(
+            hist.crossJoin(F.broadcast(bounds)), F.col("as_of")
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "effective_from",
+            "effective_to",
+            "as_of",
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction (operators.lm.collocations): top-20
     adjacent token pairs by PMI lift, exact rational scoring (no libm
@@ -3044,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_growth_index": q_compound_growth_index,
         "gap_filled_orders": q_gap_filled_orders,
         "collocations": q_collocations,
+        "scd2_asof": q_scd2_asof,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -4131,6 +4179,37 @@ def oracle_sql() -> dict[str, str]:
                lead(snap_date) OVER w2 IS NULL AS is_current
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
+        """,
+        "scd2_asof": """
+        WITH r AS (
+            SELECT user_id, CAST(ts AS DATE) AS snap_date, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ), s AS (
+            SELECT user_id, snap_date, event_type FROM r WHERE rn = 1
+        ), c AS (
+            SELECT user_id, snap_date, event_type,
+                   (lag(TRUE) OVER w IS NULL)
+                   OR (event_type IS DISTINCT FROM lag(event_type) OVER w)
+                       AS chg
+            FROM s WINDOW w AS (PARTITION BY user_id ORDER BY snap_date)
+        ), ch AS (
+            SELECT * FROM c WHERE chg
+        ), hist AS (
+            SELECT user_id, event_type, snap_date AS effective_from,
+                   lead(snap_date) OVER w2 AS effective_to
+            FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
+        ), b AS (
+            SELECT MIN(CAST(ts AS DATE)) + 10 AS as_of FROM events
+        )
+        SELECT h.user_id, h.event_type AS status, h.effective_from,
+               h.effective_to, b.as_of
+        FROM hist h CROSS JOIN b
+        WHERE h.effective_from <= b.as_of
+          AND (h.effective_to IS NULL OR h.effective_to > b.as_of)
+        ORDER BY h.user_id
         """,
         # same fold/round arithmetic as functions.vectors (float32 widening
         # is exact in both engines, so the doubles agree bit-for-bit)

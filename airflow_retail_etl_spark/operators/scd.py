@@ -141,3 +141,27 @@ def scd2_upsert(
         .unionByName(closing)
         .unionByName(opening)
     )
+
+
+def scd2_asof(
+    history: DataFrame,
+    as_of: Column,
+    *,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time slice of an SCD-2 history: the version whose
+    half-open [effective_from, effective_to) interval covers ``as_of``
+    — the time-travel read every versioned dimension exists for.
+
+    A pure filter over the history (at most one row per key survives by
+    the SCD-2 invariant): no shuffle, no window — it rides whatever
+    layout the history is stored in, and a history partitioned or
+    range-clustered on ``effective_from`` (io.write_sorted) prunes at
+    the scan. NULL effective_to (the current version) matches any
+    as_of ≥ its start.
+    """
+    return history.filter(
+        (F.col(from_col) <= as_of)
+        & (F.col(to_col).isNull() | (F.col(to_col) > as_of))
+    )

@@ -138,6 +138,7 @@ HEADLINE = (
     "brand_price_corr",
     "gap_filled_orders",
     "collocations",
+    "scd2_asof",
     # compound_growth_index stays correctness-only: Spark's recursive-CTE
     # runtime schedules one job per recursion step (~0.45 s × day count of
     # fixed overhead at any SF) — benching it would measure the scheduler,

@@ -92,3 +92,40 @@ def test_upsert_absent_key_stays_current(spark):
     )
     rows = {(r.user_id, r.tier): r.is_current for r in out.collect()}
     assert rows == {(1, "gold"): True, (2, "bronze"): True}
+
+
+def test_scd2_asof_single_version_per_key(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators.scd import (
+        scd2_asof,
+        scd2_current,
+        scd2_from_snapshots,
+    )
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "a"),
+            (1, "2024-01-03", "b"),
+            (1, "2024-01-06", "c"),
+            (2, "2024-01-02", "x"),
+        ],
+        "k int, d string, v string",
+    ).select("k", F.to_date("d").alias("d"), "v")
+    hist = scd2_from_snapshots(snaps, ["k"], ["v"], "d")
+
+    mid = scd2_asof(hist, F.lit("2024-01-04").cast("date"))
+    got = {(r["k"], r["v"]) for r in mid.collect()}
+    assert got == {(1, "b"), (2, "x")}
+    assert mid.groupBy("k").count().filter("count > 1").count() == 0
+
+    # as-of beyond the last change ≡ the current slice
+    late = scd2_asof(hist, F.lit("2030-01-01").cast("date"))
+    cur = scd2_current(hist)
+    assert {tuple(r) for r in late.select("k", "v").collect()} == {
+        tuple(r) for r in cur.select("k", "v").collect()
+    }
+
+    # as-of before any version: empty
+    early = scd2_asof(hist, F.lit("2023-12-31").cast("date"))
+    assert early.count() == 0
