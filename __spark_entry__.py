@@ -2634,6 +2634,24 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection (operators.dedup.containment_pairs):
+    top-100 pairs by shingle CONTAINMENT — inter/min(|A|,|B|) — the
+    excerpt/quote detector Jaccard structurally misses (a short doc
+    verbatim inside a long one has J≈0 but containment≈1). Same
+    inverted-index join as neardup_jaccard; both scores are single
+    divisions of exact integers, so the oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(
+        docs, "text", "doc_id", kind="token", n=3, min_containment=0.5
+    )
+    return pairs.orderBy(
+        F.col("containment").desc(),
+        F.col("id_a").asc(),
+        F.col("id_b").asc(),
+    ).limit(100)
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup (operators.scd.scd2_asof): user
     status AS OF ten days into the event window — the time-travel read
@@ -2951,7 +2969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prefix of this dict (observed: the first 50 entries in insertion
     order), so the prefix is arranged to cover one representative of
     EVERY operator family — retail star schema, relational breadth,
-    dim maintenance/temporal, corpus pipeline, hash sampling
+    model scoring (quality_classifier), iterative graph (pagerank; its
+    categorical sibling label_propagation sits past the prefix), dim
+    maintenance/temporal, corpus pipeline, hash sampling
     (stratified_sample), incremental/streaming admission
     (streaming_admission), dedup/sketch, ANN/vector (ivf_pq for the PQ
     family), streaming-batch, multimodal. Entries after the prefix are
@@ -2959,7 +2979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/check_oracle.py runs ALL of them; tests pin them too) — they
     are not lesser, just redundant within the driver's window
     (simhash ⊂ simhash_pairs, market_share ~ revenue_by_nation,
-    ann_pq ⊂ ivf_pq probe-all).
+    ann_pq ⊂ ivf_pq probe-all, hard_negatives/session_window_stats/
+    cluster_split/gap-fill/corr/recursion compose machinery the window
+    already exercises).
     """
     return {
         # -- retail star schema (SURVEY §2 core) --------------------------
@@ -3092,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_orders": q_gap_filled_orders,
         "collocations": q_collocations,
         "scd2_asof": q_scd2_asof,
+        "containment_pairs": q_containment_pairs,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -4179,6 +4202,24 @@ def oracle_sql() -> dict[str, str]:
                lead(snap_date) OVER w2 IS NULL AS is_current
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
+        """,
+        "containment_pairs": _JACCARD_CTE
+        + """
+        , cont AS (
+            SELECT i.id_a, i.id_b,
+                   CAST(i.n_inter AS DOUBLE)
+                       / least(sa.n_sh, sb.n_sh) AS containment,
+                   CAST(i.n_inter AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+        )
+        SELECT id_a, id_b, containment, jaccard
+        FROM cont
+        WHERE containment >= 0.5
+        ORDER BY containment DESC, id_a ASC, id_b ASC
+        LIMIT 100
         """,
         "scd2_asof": """
         WITH r AS (

@@ -994,3 +994,94 @@ def incremental_dedup(
     return incoming.join(
         drops, incoming[id_col] == drops["drop_id"], "left_anti"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    kind: str = "token",
+    n: int = 3,
+    min_containment: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with exact shingle CONTAINMENT — the asymmetric sibling
+    of jaccard_pairs: containment = inter / min(|A|, |B|), the fraction
+    of the SMALLER document's shingles found in the other.
+
+    Jaccard misses exactly the duplicates a training corpus most wants
+    caught: a short doc quoted inside a long one scores
+    J ≈ |A|/|B| ≈ 0 however verbatim the inclusion, while its
+    containment is ≈ 1. Same inverted-index join and skew story as
+    jaccard_pairs (``max_doc_freq`` drops ubiquitous shingles from
+    candidate generation only; surviving pairs are re-scored exactly on
+    full sets); jaccard rides along for free — both denominators are
+    functions of (n_a, n_b, inter) the aggregation already carries.
+    Returns (id_a, id_b, containment, jaccard), id_a < id_b.
+
+    Exactness note: the uncapped branch computes containment as ONE
+    division of exact integers (oracle-grade). The capped branch
+    reconstructs the intersection from the capped pipeline's jaccard
+    (i = J·(n_a+n_b)/(1+J)) — exact in ℝ, within an ulp in float64;
+    use the uncapped form where bit-reproducibility matters.
+    """
+    sh = _with_shingles(df, text_col, id_col, kind=kind, n=n)
+    if max_doc_freq is not None:
+        capped = _capped_jaccard_pairs(sh, max_doc_freq, 0.0)
+        # re-derive sizes for the containment denominator
+        sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+        sa = sizes.select(
+            F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+        )
+        sb = sizes.select(
+            F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+        )
+        j = capped.join(sa, "id_a").join(sb, "id_b")
+        # invert J = i/(na+nb-i)  ⇒  i = J(na+nb)/(1+J)
+        inter = (
+            F.col("jaccard")
+            * (F.col("n_a") + F.col("n_b"))
+            / (F.lit(1.0) + F.col("jaccard"))
+        )
+        out = j.select(
+            "id_a",
+            "id_b",
+            (inter / F.least("n_a", "n_b")).alias("containment"),
+            "jaccard",
+        )
+    else:
+        inv = sh.select(
+            "id",
+            F.size("shingles").alias("n_sh"),
+            F.explode_outer("shingles").alias("s"),
+        )
+        a, b = inv.alias("a"), inv.alias("b")
+        out = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("inter") / F.least("n_a", "n_b")).alias(
+                    "containment"
+                ),
+                (
+                    F.col("inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+        )
+    if min_containment > 0:
+        out = out.filter(F.col("containment") >= min_containment)
+    return out

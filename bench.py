@@ -139,6 +139,7 @@ HEADLINE = (
     "gap_filled_orders",
     "collocations",
     "scd2_asof",
+    "containment_pairs",
     # compound_growth_index stays correctness-only: Spark's recursive-CTE
     # runtime schedules one job per recursion step (~0.45 s × day count of
     # fixed overhead at any SF) — benching it would measure the scheduler,

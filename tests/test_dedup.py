@@ -425,3 +425,42 @@ def test_incremental_lsh_agrees_with_exact_on_catchable_pairs(spark, sf_dir):
     assert sorted(r["doc_id"] for r in exact.collect()) == sorted(
         r["doc_id"] for r in lsh.collect()
     )
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from airflow_retail_etl_spark.operators.dedup import containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    excerpt = " ".join(f"w{i}" for i in range(10))  # verbatim prefix
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt)], "doc_id long, text string"
+    )
+    rows = containment_pairs(
+        df, "text", "doc_id", kind="token", n=3
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 8 shingles in the excerpt, all inside the long doc
+    assert r["containment"] == 1.0
+    assert r["jaccard"] == pytest.approx(8 / 98, abs=1e-12)
+
+
+def test_containment_capped_close_to_exact(spark):
+    from airflow_retail_etl_spark.operators.dedup import containment_pairs
+
+    docs = [(i, " ".join(f"t{(i * 7 + j) % 40}" for j in range(30)))
+            for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", max_doc_freq=1000
+        ).collect()
+    }
+    assert set(capped) == set(exact)
+    for k, v in capped.items():
+        assert v == pytest.approx(exact[k], abs=1e-9)
