@@ -2496,30 +2496,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: shipped logistic quality model: weights over 6-dp-rounded text features
-#: (operators.classifier). Chosen so the gate splits the corpus rather than
-#: rubber-stamping it: mean logit ≈ 0 on the testdata feature distribution.
-_CLF_WEIGHTS = {
-    "f_ln_tokens": 1.2,
-    "f_ttr": 5.0,
-    "f_stop_ratio": 2.0,
-    "f_avg_len": -0.3,
-}
-_CLF_BIAS = -6.1
-
-
-def _clf_features(t):
-    """The classifier's feature map (each value 6-dp-rounded, one division
-    or one transcendental on exact inputs — engine-identical)."""
-    n_tok = tf.token_count(t)
-    return {
-        "f_ln_tokens": F.round(F.log(F.lit(1.0) + n_tok), 6),
-        "f_ttr": F.round(
-            F.size(F.array_distinct(tf.tokens(t))) / n_tok, 6
-        ),
-        "f_stop_ratio": F.round(tf.stopword_ratio(t), 6),
-        "f_avg_len": F.round(tf.avg_token_len(t), 6),
-    }
+#: the shipped logistic quality model lives with the operator (single
+#: source of truth for Spark plan, oracle SQL, and corpus_pipeline gate)
+from airflow_retail_etl_spark.operators.classifier import (  # noqa: E402
+    DEFAULT_TEXT_BIAS as _CLF_BIAS,
+    DEFAULT_TEXT_WEIGHTS as _CLF_WEIGHTS,
+    default_text_features as _clf_features,
+)
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

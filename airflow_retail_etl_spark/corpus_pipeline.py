@@ -7,6 +7,9 @@ stages see the fewest rows):
 1. quality gate     — gopher_flags keep (projection)
 1b. LM fluency gate — optional unigram cross-entropy threshold
                       (operators/lm.py; off by default)
+1c. model gate      — optional logistic-classifier score threshold
+                      (operators/classifier.py; off by default —
+                      projection, fuses with the other gates)
 2. PII redaction    — regex scrub (projection)
 3. decontamination  — drop eval-overlapping docs (broadcast probe)
 4. exact dedup      — collapse byte-identical copies FIRST (uniform
@@ -15,6 +18,8 @@ stages see the fewest rows):
                       connected components → keep best-quality doc
 6. chunk + pack     — sliding windows → concat-and-chop addresses
 7. split            — deterministic 90/5/5 train/val/test by hash
+                      (optionally keyed by near-dup CLUSTER id so
+                      residual near-dups never straddle splits)
 
 Each stage consumes the previous stage's DataFrame lazily — Catalyst
 fuses the projection stages (1, 2, 7 add zero shuffles) — and the whole
@@ -56,6 +61,15 @@ class CorpusConfig:
     #: None disables the LM gate (KenLM-style filters typically prune the
     #: top few percent of surprisal)
     lm_nll_max: float | None = None
+    #: drop docs the shipped logistic quality model scores below this
+    #: (operators/classifier.py DEFAULT_TEXT_* — swap in trained weights
+    #: for production); None disables the model gate
+    classifier_min_score: float | None = None
+    #: draw the train/val/test hash on the near-dup CLUSTER id instead of
+    #: the doc id, so residual near-duplicates can never straddle a split
+    #: boundary (matters whenever dedup is partial — e.g. a high
+    #: neardup_jaccard keeps mild paraphrases in-corpus)
+    split_by_cluster: bool = False
 
 
 def quality_gate(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
@@ -80,21 +94,49 @@ def lm_gate(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return df.join(keep, cfg.id_col, "left_semi")
 
 
+def classifier_gate(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Optional model gate: the shipped logistic regression
+    (operators/classifier.py) must score ≥ ``classifier_min_score``.
+    A pure projection — fuses into the scan with the other gates."""
+    if cfg.classifier_min_score is None:
+        return df
+    from airflow_retail_etl_spark.operators import classifier
+
+    scored = classifier.logistic_score(
+        df,
+        classifier.default_text_features(F.col(cfg.text_col)),
+        classifier.DEFAULT_TEXT_WEIGHTS,
+        classifier.DEFAULT_TEXT_BIAS,
+        threshold=cfg.classifier_min_score,
+    )
+    return scored.filter(F.col("keep")).select(*df.columns)
+
+
 def redact(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return df.withColumn(
         cfg.text_col, pii.redact_pii(F.col(cfg.text_col))
     )
 
 
-def neardup_resolve(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
-    """MinHash-LSH candidates → verified pairs → components → keep the
-    best-quality doc per cluster. Returns the surviving corpus."""
+def _neardup_clusters(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """(node, comp) near-dup cluster assignment for the whole corpus."""
     pairs = dedup.minhash_lsh_pairs(
         df, cfg.text_col, cfg.id_col, min_jaccard=cfg.neardup_jaccard
     )
-    cc = dedup.connected_components(
+    return dedup.connected_components(
         pairs, nodes=df.select(F.col(cfg.id_col).alias("node"))
     )
+
+
+def neardup_resolve(
+    df: DataFrame, cfg: CorpusConfig, cc: DataFrame | None = None
+) -> DataFrame:
+    """MinHash-LSH candidates → verified pairs → components → keep the
+    best-quality doc per cluster. Returns the surviving corpus.
+    ``cc`` accepts a precomputed cluster assignment so callers that also
+    need the clusters (cluster-keyed splits) run components once."""
+    if cc is None:
+        cc = _neardup_clusters(df, cfg)
     scored = df.select(
         F.col(cfg.id_col).alias("node"),
         tf.quality_score(F.col(cfg.text_col)).alias("__q"),
@@ -113,16 +155,37 @@ def neardup_resolve(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return df.join(keepers, cfg.id_col, "left_semi")
 
 
-def assign_split(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
-    u = _sample_u(F.col(cfg.id_col).cast("string"), "")
+def assign_split(
+    df: DataFrame, cfg: CorpusConfig, cc: DataFrame | None = None
+) -> DataFrame:
+    """Deterministic hash split. With ``split_by_cluster`` (and a cluster
+    assignment), the draw key is the near-dup cluster id — residual
+    near-dups land in the same split by construction."""
+    if cfg.split_by_cluster and cc is not None:
+        keyed = df.join(
+            cc.select(
+                F.col("node").alias(cfg.id_col),
+                F.col("comp").alias("__split_key"),
+            ),
+            cfg.id_col,
+            "left",
+        )
+        key = F.coalesce(
+            F.col("__split_key"), F.col(cfg.id_col)
+        ).cast("string")
+    else:
+        keyed = df
+        key = F.col(cfg.id_col).cast("string")
+    u = _sample_u(key, "")
     t_train = F.lit(str(threshold_for(cfg.train_frac))).cast("decimal(21,0)")
     t_val = F.lit(
         str(threshold_for(cfg.train_frac + cfg.val_frac))
     ).cast("decimal(21,0)")
-    return df.withColumn(
+    out = keyed.withColumn(
         "split",
         F.when(u < t_train, "train").when(u < t_val, "val").otherwise("test"),
     )
+    return out.drop("__split_key")
 
 
 def run_corpus_build(
@@ -132,7 +195,7 @@ def run_corpus_build(
 ) -> dict[str, DataFrame]:
     """Full build; returns every stage boundary keyed by stage name."""
     gated = quality_gate(docs, cfg)
-    fluent = lm_gate(gated, cfg)
+    fluent = classifier_gate(lm_gate(gated, cfg), cfg)
     clean = redact(fluent, cfg)
     decon = decontam.decontaminate(
         clean, eval_df, cfg.text_col, cfg.id_col, n=cfg.decontam_ngram
@@ -144,8 +207,9 @@ def run_corpus_build(
         cfg.id_col,
         "left_semi",
     )
-    resolved = neardup_resolve(exact, cfg)
-    with_split = assign_split(resolved, cfg)
+    cc = _neardup_clusters(exact, cfg) if cfg.split_by_cluster else None
+    resolved = neardup_resolve(exact, cfg, cc)
+    with_split = assign_split(resolved, cfg, cc)
     chunks = chunking.chunk_documents(
         with_split.filter(F.col("split") == "train"),
         cfg.text_col,

@@ -28,6 +28,35 @@ from pyspark.sql import functions as F
 #: exact until a cast).
 _DEC = "decimal(18,6)"
 
+#: shipped default text-quality model: weights over the 6-dp-rounded
+#: features default_text_features builds. Chosen so the gate splits the
+#: testdata corpus rather than rubber-stamping it (mean logit ≈ 0); a
+#: production deployment replaces these with trained weights, same shape.
+DEFAULT_TEXT_WEIGHTS = {
+    "f_ln_tokens": 1.2,
+    "f_ttr": 5.0,
+    "f_stop_ratio": 2.0,
+    "f_avg_len": -0.3,
+}
+DEFAULT_TEXT_BIAS = -6.1
+
+
+def default_text_features(t: Column) -> dict[str, Column]:
+    """The default model's feature map — each value 6-dp-rounded, one
+    division or one transcendental on exact inputs (engine-identical, so
+    an oracle can replay the model bit-for-bit)."""
+    from airflow_retail_etl_spark.functions import text as tf
+
+    n_tok = tf.token_count(t)
+    return {
+        "f_ln_tokens": F.round(F.log(F.lit(1.0) + n_tok), 6),
+        "f_ttr": F.round(
+            F.size(F.array_distinct(tf.tokens(t))) / n_tok, 6
+        ),
+        "f_stop_ratio": F.round(tf.stopword_ratio(t), 6),
+        "f_avg_len": F.round(tf.avg_token_len(t), 6),
+    }
+
 
 def _w(value: float) -> Column:
     return F.lit(format(round(value, 6), ".6f")).cast(_DEC)

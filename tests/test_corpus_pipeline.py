@@ -114,3 +114,61 @@ def test_lm_gate_prunes_high_surprisal_docs(spark):
     kept = {r["doc_id"] for r in lm_gate(docs, cfg_on).collect()}
     assert 99 not in kept          # hapax-salad doc scores way above 4 nats
     assert set(range(20)) <= kept  # repeated fluent docs score low
+
+
+def test_classifier_gate_and_cluster_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.corpus_pipeline import (
+        CorpusConfig,
+        run_corpus_build,
+    )
+    from airflow_retail_etl_spark.operators.sampling import hash_sample
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05)
+    cfg = CorpusConfig(
+        classifier_min_score=0.5,
+        split_by_cluster=True,
+        neardup_jaccard=0.8,  # partial dedup: mild near-dups survive
+    )
+    stages = run_corpus_build(docs, eval_df, cfg)
+    # the model gate drops something but not everything
+    n_gated, n_fluent = stages["gated"].count(), stages["fluent"].count()
+    assert 0 < n_fluent < n_gated
+    # split column present and cluster-keyed draw still covers all splits
+    splits = {
+        r["split"]
+        for r in stages["with_split"].select("split").distinct().collect()
+    }
+    assert "train" in splits
+    # determinism: rerunning yields the identical split assignment
+    again = run_corpus_build(docs, eval_df, cfg)
+    a = {
+        (r["doc_id"], r["split"])
+        for r in stages["with_split"].select("doc_id", "split").collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in again["with_split"].select("doc_id", "split").collect()
+    }
+    assert a == b
+
+
+def test_neardup_resolve_precomputed_cc_equivalent(spark, sf_dir):
+    from airflow_retail_etl_spark.corpus_pipeline import (
+        CorpusConfig,
+        _neardup_clusters,
+        neardup_resolve,
+    )
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = CorpusConfig()
+    direct = {r["doc_id"] for r in neardup_resolve(docs, cfg).collect()}
+    cc = _neardup_clusters(docs, cfg)
+    reused = {
+        r["doc_id"] for r in neardup_resolve(docs, cfg, cc).collect()
+    }
+    assert direct == reused
