@@ -2617,6 +2617,51 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much exact-kNN recall survives
+    when the 64-d embeddings are truncated to their leading k dims —
+    the measurement behind MRL-style "store the prefix, rescore with the
+    tail" deployments (truncation = slice, so a prefix index is 8× fewer
+    bytes at k=8).
+
+    For each k ∈ {8, 16, 32}: run the same brute-force top-10 on sliced
+    vectors, count per-query overlap with the full-dimension top-10, and
+    report recall as the exact rational Σoverlap / (queries·10) — integer
+    counts, ONE division, bit-identical cross-engine. The three sliced
+    runs share the broadcast-queries/no-corpus-shuffle plan of
+    knn_cosine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    full = similarity.brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    # one driver-side scalar (query count), shared by all three rows
+    n_q = queries_df.count()
+    out = None
+    for k in (8, 16, 32):
+        sliced = emb.withColumn(
+            "embedding", F.slice("embedding", 1, k)
+        )
+        trunc = similarity.brute_force_topk(
+            sliced, queries_df.withColumn(
+                "embedding", F.slice("embedding", 1, k)
+            ), k=10
+        ).select("query_id", "neighbor_id")
+        hits = full.join(trunc, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = hits.select(
+            F.lit(k).alias("k_dims"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") / F.lit(n_q * 10).cast("double")).alias(
+                "recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k_dims")
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup detection (operators.dedup.containment_pairs):
     top-100 pairs by shingle CONTAINMENT — inter/min(|A|,|B|) — the
@@ -3098,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "scd2_asof": q_scd2_asof,
         "containment_pairs": q_containment_pairs,
+        "matryoshka_recall": q_matryoshka_recall,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -3241,6 +3287,47 @@ def _label_prop_oracle(n_iter: int = 2) -> str:
     sql += f"""
         SELECT node, label FROM l{n_iter} ORDER BY node
         """
+    return sql
+
+
+def _matryoshka_oracle(ks=(8, 16, 32)) -> str:
+    """DuckDB twin of q_matryoshka_recall: full vs k-dim-sliced exact
+    top-10 per query, overlap counted, recall as one exact division."""
+
+    def topk_cte(name: str, expr: str) -> str:
+        return f"""{name} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_dot_product(q.{expr}, c.{expr})
+                           / sqrt(list_dot_product(q.{expr}, q.{expr})
+                                  * list_dot_product(c.{expr}, c.{expr}))
+                               DESC,
+                           c.vec_id ASC) AS rank
+                FROM q JOIN v c ON c.vec_id != q.vec_id)
+            WHERE rank <= 10
+        )"""
+
+    sql = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), q AS (
+            SELECT * FROM v WHERE vec_id % 50 = 0
+        ), nq AS (
+            SELECT COUNT(*) AS n FROM q
+        ), """ + topk_cte("fp", "e")
+    selects = []
+    for k in ks:
+        sql += ", " + topk_cte(f"t{k}", f"e[1:{k}]")
+        selects.append(
+            f"""
+            SELECT CAST({k} AS INTEGER) AS k_dims,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   COUNT(*) / CAST(nq.n * 10 AS DOUBLE) AS recall
+            FROM fp JOIN t{k} USING (query_id, neighbor_id)
+            CROSS JOIN nq GROUP BY nq.n"""
+        )
+    sql += "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY k_dims"
     return sql
 
 
@@ -4186,6 +4273,7 @@ def oracle_sql() -> dict[str, str]:
         FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY snap_date)
         ORDER BY user_id, effective_from
         """,
+        "matryoshka_recall": _matryoshka_oracle(),
         "containment_pairs": _JACCARD_CTE
         + """
         , cont AS (

@@ -66,3 +66,13 @@ def test_reconciliation_statuses_cover_all_days(spark, sf_dir, q):
     assert (
         out.groupBy("day").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_matryoshka_recall_monotone_in_dims(spark, sf_dir, q):
+    rows = q["matryoshka_recall"](spark, sf_dir).collect()
+    ks = [r["k_dims"] for r in rows]
+    rec = [r["recall"] for r in rows]
+    assert ks == sorted(ks)
+    # more prefix dims can only help on average
+    assert all(b >= a for a, b in zip(rec, rec[1:]))
+    assert all(0.0 <= r <= 1.0 for r in rec)
