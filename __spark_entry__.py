@@ -2617,6 +2617,21 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (operators.sampling.balanced_sample):
+    every source stratum reduced to the smallest stratum's size by the
+    deterministic md5 bottom-k — the skew-equalizing step before
+    training. k comes from a distributed count + 1-row broadcast min,
+    never a driver scalar; the oracle replays the identical draw."""
+    from airflow_retail_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.balanced_sample(docs, "source", "doc_id")
+    return out.select("doc_id", "source", "lang", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
 def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation audit: how much exact-kNN recall survives
     when the 64-d embeddings are truncated to their leading k dims —
@@ -3144,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof": q_scd2_asof,
         "containment_pairs": q_containment_pairs,
         "matryoshka_recall": q_matryoshka_recall,
+        "balanced_sample": q_balanced_sample,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -4274,6 +4290,24 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY user_id, effective_from
         """,
         "matryoshka_recall": _matryoshka_oracle(),
+        "balanced_sample": f"""
+        WITH c AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+        ), kmin AS (
+            SELECT MIN(n) AS k FROM c
+        ), r AS (
+            SELECT doc_id, source, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")} ASC,
+                                doc_id ASC) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, lang, n_chars
+        FROM r CROSS JOIN kmin
+        WHERE rk <= kmin.k
+        ORDER BY doc_id
+        """,
         "containment_pairs": _JACCARD_CTE
         + """
         , cont AS (

@@ -155,3 +155,35 @@ def weighted_sample_k(
         .limit(k)
         .drop("__aes")
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Equalize strata: keep exactly min-group-size rows from EVERY
+    stratum, selected by the deterministic hash draw — the class-balancing
+    step before training on skewed label/source/language distributions.
+
+    Same bottom-k-by-hash construction as sample_exact_k, but k is the
+    smallest stratum's cardinality, computed distributively (one
+    stratum-keyed count, one 1-row broadcast min — no driver scalar,
+    no collect). One window on the stratum key; membership is a pure
+    function of (seed, key, corpus strata sizes): stable under layout,
+    reproducible cross-engine.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    kmin = counts.agg(F.min("__n").alias("__kmin"))
+    u = _sample_u(F.col(key_col).cast("string"), seed)
+    w = Window.partitionBy(strata_col).orderBy(
+        u.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.crossJoin(F.broadcast(kmin))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__kmin"))
+        .drop("__rk", "__kmin")
+    )

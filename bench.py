@@ -141,6 +141,7 @@ HEADLINE = (
     "scd2_asof",
     "containment_pairs",
     "matryoshka_recall",
+    "balanced_sample",
     # compound_growth_index stays correctness-only: Spark's recursive-CTE
     # runtime schedules one job per recursion step (~0.45 s × day count of
     # fixed overhead at any SF) — benching it would measure the scheduler,

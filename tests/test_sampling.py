@@ -120,3 +120,37 @@ def test_weighted_sample_k_excludes_nonpositive_weights(spark):
     got = {r["rid"] for r in
            sampling.weighted_sample_k(df, "w", 10, "rid").collect()}
     assert got == {4, 5}
+
+
+def test_balanced_sample_equalizes_skewed_strata(spark):
+    from airflow_retail_etl_spark.operators.sampling import balanced_sample
+
+    rows = (
+        [(i, "big") for i in range(100, 120)]
+        + [(i, "mid") for i in range(200, 207)]
+        + [(i, "small") for i in range(300, 303)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = balanced_sample(df, "source", "doc_id")
+    counts = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    assert counts == {"big": 3, "mid": 3, "small": 3}
+    # deterministic under layout: identical membership at any partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in balanced_sample(
+            df.repartition(13), "source", "doc_id"
+        ).collect()
+    }
+    assert a == b
+    # a different seed draws a different (but still balanced) sample
+    c = {
+        r["doc_id"]
+        for r in balanced_sample(
+            df, "source", "doc_id", seed="v2"
+        ).collect()
+    }
+    assert len(c) == 9
