@@ -199,3 +199,36 @@ def test_label_propagation_empty_seeds(spark):
         for r in label_propagation(e, seeds, n_iter=2).collect()
     }
     assert out == {"a": None, "b": None}
+
+
+def test_nodes_from_sources_equivalent_on_symmetric_graphs(spark):
+    from airflow_retail_etl_spark.operators.graph import label_propagation
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")],
+    )
+    pr_full = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(e, n_iter=3, nodes_from_sources=False).collect()
+    }
+    pr_fast = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(e, n_iter=3, nodes_from_sources=True).collect()
+    }
+    assert pr_fast == pr_full
+
+    seeds = spark.createDataFrame([("a", 1)], "node string, label int")
+    lp_full = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            e, seeds, n_iter=3, nodes_from_sources=False
+        ).collect()
+    }
+    lp_fast = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            e, seeds, n_iter=3, nodes_from_sources=True
+        ).collect()
+    }
+    assert lp_fast == lp_full
