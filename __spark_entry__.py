@@ -2617,6 +2617,48 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report: per language, the Shannon entropy of its
+    source distribution and the normalized evenness H/ln(k) — the mix
+    metric a data curator watches while rebalancing (evenness 1 = uniform
+    sources, →0 = one source dominates).
+
+    Transcendental policy end-to-end: p = n/N is one division of exact
+    ints, each −p·ln p term is rounded to 9 dp and DECIMAL-accumulated
+    (partition-invariant), H and evenness round to 6 dp; ln(k) runs on an
+    exact integer. Two vocabulary-scale aggregations, zero joins against
+    the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    p = F.col("n") / F.col("n_docs")
+    term = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    ent = (
+        cell.join(tot, "lang")
+        .groupBy("lang", "n_docs", "n_sources")
+        .agg(F.sum(term).cast("double").alias("__h"))
+    )
+    return ent.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.round("__h", 6).alias("entropy"),
+        F.round(
+            F.col("__h")
+            / F.nullif(
+                F.log(F.col("n_sources").cast("double")), F.lit(0.0)
+            ),
+            6,
+        ).alias("evenness"),
+    ).orderBy("lang")
+
+
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced downsampling (operators.sampling.balanced_sample):
     every source stratum reduced to the smallest stratum's size by the
@@ -3160,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "matryoshka_recall": q_matryoshka_recall,
         "balanced_sample": q_balanced_sample,
+        "corpus_entropy": q_corpus_entropy,
         "multimodal_resize": q_multimodal_resize,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
@@ -4290,6 +4333,29 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY user_id, effective_from
         """,
         "matryoshka_recall": _matryoshka_oracle(),
+        "corpus_entropy": """
+        WITH cell AS (
+            SELECT lang, source, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        ), tot AS (
+            SELECT lang, SUM(n) AS n_docs, COUNT(*) AS n_sources
+            FROM cell GROUP BY 1
+        ), ent AS (
+            SELECT c.lang, t.n_docs, t.n_sources,
+                   CAST(SUM(CAST(ROUND(
+                       -(CAST(c.n AS DOUBLE) / t.n_docs)
+                           * ln(CAST(c.n AS DOUBLE) / t.n_docs), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS h
+            FROM cell c JOIN tot t ON c.lang = t.lang
+            GROUP BY 1, 2, 3
+        )
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_sources AS BIGINT) AS n_sources,
+               ROUND(h, 6) AS entropy,
+               ROUND(h / NULLIF(ln(CAST(n_sources AS DOUBLE)), 0), 6)
+                   AS evenness
+        FROM ent ORDER BY lang
+        """,
         "balanced_sample": f"""
         WITH c AS (
             SELECT source, COUNT(*) AS n FROM documents GROUP BY 1

@@ -142,6 +142,7 @@ HEADLINE = (
     "containment_pairs",
     "matryoshka_recall",
     "balanced_sample",
+    "corpus_entropy",
     # compound_growth_index stays correctness-only: Spark's recursive-CTE
     # runtime schedules one job per recursion step (~0.45 s × day count of
     # fixed overhead at any SF) — benching it would measure the scheduler,
