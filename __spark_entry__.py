@@ -2921,6 +2921,13 @@ def q_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rn order, so the chained product is bit-equal without any
     per-step rounding. The recursion depth equals the day count — the
     calendar, not the corpus, bounds the iteration.
+
+    Output rounds at 9 dp, NOT 6: day-1's unmultiplied factor
+    1 + rev/10^5 is an exact 7-decimal value (rev is 2-dp money), and
+    rounding it at 6 dp sits exactly on a half boundary where Spark
+    (shortest-repr HALF_UP) and DuckDB (binary-expansion) disagree —
+    observed at sf0.001. At 9 dp that value needs no rounding at all,
+    and the chained products never land on exact half boundaries.
     """
     daily = marts.daily_revenue_summary(
         adapters.staging_events(spark, sf_dir),
@@ -2950,7 +2957,7 @@ def q_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i.growth_index * (1.0D + b.revenue / 100000.0D)
             FROM idx i JOIN __growth_base b ON b.rn = i.rn + 1
         )
-        SELECT day, ROUND(growth_index, 6) AS growth_index
+        SELECT day, ROUND(growth_index, 9) AS growth_index
         FROM idx ORDER BY day
         """
     )
@@ -5867,7 +5874,7 @@ def oracle_sql() -> dict[str, str]:
                           + b.revenue / CAST(100000 AS DOUBLE))
             FROM idx i JOIN base b ON b.rn = i.rn + 1
         )
-        SELECT day, ROUND(growth_index, 6) AS growth_index
+        SELECT day, ROUND(growth_index, 9) AS growth_index
         FROM idx ORDER BY day
         """,
         "label_propagation": _label_prop_oracle(n_iter=2),
