@@ -2920,7 +2920,10 @@ def q_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mart; both engines multiply the identical double sequence in the
     identical rn order, so the chained product is bit-equal without any
     per-step rounding. The recursion depth equals the day count — the
-    calendar, not the corpus, bounds the iteration.
+    calendar, not the corpus, bounds the iteration — and
+    session.RUNTIME_CONFS raises spark.sql.cteRecursionLevelLimit to
+    20 000 steps (Spark's default 100 would fail any window past ~3
+    months; the staging loader applies the conf before this runs).
 
     Output rounds at 9 dp, NOT 6: day-1's unmultiplied factor
     1 + rev/10^5 is an exact 7-decimal value (rev is 2-dp money), and

@@ -158,9 +158,20 @@ def neardup_resolve(
 def assign_split(
     df: DataFrame, cfg: CorpusConfig, cc: DataFrame | None = None
 ) -> DataFrame:
-    """Deterministic hash split. With ``split_by_cluster`` (and a cluster
-    assignment), the draw key is the near-dup cluster id — residual
-    near-dups land in the same split by construction."""
+    """Deterministic hash split. With ``split_by_cluster``, the draw key
+    is the near-dup cluster id — residual near-dups land in the same
+    split by construction. If the caller didn't precompute the cluster
+    assignment (``cc``), it is computed here; silently degrading to the
+    per-doc hash would reintroduce exactly the train/test leakage the
+    flag exists to prevent."""
+    if cfg.split_by_cluster and cc is None:
+        if not {cfg.id_col, cfg.text_col} <= set(df.columns):
+            raise ValueError(
+                "split_by_cluster=True needs a precomputed cc= cluster "
+                f"assignment or a corpus with {cfg.id_col!r}/"
+                f"{cfg.text_col!r} columns to derive one"
+            )
+        cc = _neardup_clusters(df, cfg)
     if cfg.split_by_cluster and cc is not None:
         keyed = df.join(
             cc.select(

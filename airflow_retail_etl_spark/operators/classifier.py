@@ -51,7 +51,9 @@ def default_text_features(t: Column) -> dict[str, Column]:
     return {
         "f_ln_tokens": F.round(F.log(F.lit(1.0) + n_tok), 6),
         "f_ttr": F.round(
-            F.size(F.array_distinct(tf.tokens(t))) / n_tok, 6
+            F.size(F.array_distinct(tf.tokens(t)))
+            / F.nullif(n_tok, F.lit(0)),
+            6,
         ),
         "f_stop_ratio": F.round(tf.stopword_ratio(t), 6),
         "f_avg_len": F.round(tf.avg_token_len(t), 6),

@@ -151,7 +151,11 @@ def jaccard_pairs(
 
 
 def _capped_jaccard_pairs(
-    sh: DataFrame, max_doc_freq: int, min_jaccard: float
+    sh: DataFrame,
+    max_doc_freq: int,
+    min_jaccard: float,
+    *,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Skew-guarded exact Jaccard: candidates from capped inverted index,
     verification on the full shingle sets.
@@ -162,6 +166,12 @@ def _capped_jaccard_pairs(
     array_intersect — the same verify shape as minhash_lsh_pairs, so the
     Jaccard values are exact even though capped shingles generated no
     candidates.
+
+    ``with_counts=True`` additionally exposes the exact integer
+    (inter, n_a, n_b) the verify step already computes, so callers needing
+    other set measures (containment = inter / min(n_a, n_b)) derive them
+    as one exact integer division instead of reconstructing the
+    intersection from the float jaccard.
     """
     inv = sh.select("id", F.explode_outer("shingles").alias("s"))
     rare = inv.groupBy("s").agg(F.count("*").alias("df_s")).filter(
@@ -180,7 +190,14 @@ def _capped_jaccard_pairs(
     ).join(full.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    out = verified.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    cols = ["id_a", "id_b", (inter / union).alias("jaccard")]
+    if with_counts:
+        cols += [
+            inter.alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        ]
+    out = verified.select(*cols)
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
@@ -1020,34 +1037,20 @@ def containment_pairs(
     functions of (n_a, n_b, inter) the aggregation already carries.
     Returns (id_a, id_b, containment, jaccard), id_a < id_b.
 
-    Exactness note: the uncapped branch computes containment as ONE
-    division of exact integers (oracle-grade). The capped branch
-    reconstructs the intersection from the capped pipeline's jaccard
-    (i = J·(n_a+n_b)/(1+J)) — exact in ℝ, within an ulp in float64;
-    use the uncapped form where bit-reproducibility matters.
+    Both branches compute containment as ONE division of exact integers
+    (oracle-grade): the capped branch takes (inter, n_a, n_b) straight
+    from the verify aggregation via ``with_counts`` — no float
+    reconstruction, so a pair sitting exactly at ``min_containment``
+    cannot flip membership between branches or engines.
     """
     sh = _with_shingles(df, text_col, id_col, kind=kind, n=n)
     if max_doc_freq is not None:
-        capped = _capped_jaccard_pairs(sh, max_doc_freq, 0.0)
-        # re-derive sizes for the containment denominator
-        sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-        sa = sizes.select(
-            F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
-        )
-        sb = sizes.select(
-            F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
-        )
-        j = capped.join(sa, "id_a").join(sb, "id_b")
-        # invert J = i/(na+nb-i)  ⇒  i = J(na+nb)/(1+J)
-        inter = (
-            F.col("jaccard")
-            * (F.col("n_a") + F.col("n_b"))
-            / (F.lit(1.0) + F.col("jaccard"))
-        )
-        out = j.select(
+        out = _capped_jaccard_pairs(
+            sh, max_doc_freq, 0.0, with_counts=True
+        ).select(
             "id_a",
             "id_b",
-            (inter / F.least("n_a", "n_b")).alias("containment"),
+            (F.col("inter") / F.least("n_a", "n_b")).alias("containment"),
             "jaccard",
         )
     else:

@@ -25,6 +25,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Recursive CTEs (e.g. the calendar-stepped compound-growth index) do one
+    # step per distinct day; Spark's default level limit is 100, which a
+    # quarter-over-quarter window already exceeds. Size for multi-decade
+    # calendars — the row limit stays a backstop against runaway recursion.
+    "spark.sql.cteRecursionLevelLimit": "20000",
+    "spark.sql.cteRecursionRowLimit": "10000000",
 }
 
 

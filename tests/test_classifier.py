@@ -6,6 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.operators.classifier import (
+    DEFAULT_TEXT_BIAS,
+    DEFAULT_TEXT_WEIGHTS,
+    default_text_features,
     linear_logit,
     logistic_score,
 )
@@ -52,6 +55,31 @@ def test_scoring_is_projection_only(spark):
         df, {"f": F.col("f")}, {"f": 1.0}, 0.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_empty_text_scores_null_not_divide_by_zero(spark):
+    # ANSI mode is on: an unguarded ttr division would throw DIVIDE_BY_ZERO
+    # on empty/whitespace-only docs. The guard (NULLIF on token count)
+    # must instead yield NULL features → NULL score → NULL keep, matching
+    # the DuckDB oracle's NULLIF(n_tokens, 0) semantics.
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here ok")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in logistic_score(
+            df,
+            default_text_features(F.col("text")),
+            DEFAULT_TEXT_WEIGHTS,
+            DEFAULT_TEXT_BIAS,
+        ).collect()
+    }
+    for blank in (1, 2):
+        assert rows[blank]["f_ttr"] is None
+        assert rows[blank]["score"] is None
+        assert rows[blank]["keep"] is None
+    assert rows[3]["score"] is not None and rows[3]["f_ttr"] is not None
 
 
 def test_entry_funnel_stages_partition_corpus(spark):
