@@ -9,10 +9,17 @@ carrying the headline number; consumers wanting detail parse the first.
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect of the result set).
 
-Two sketch queries are benched in their PRODUCTION configuration
-(xxhash64 hash family, bucket caps on) rather than the md5-family forms the
-correctness gate grades — same plan shape, cheaper hash; the md5 forms
-exist so DuckDB can replicate them bit-exactly, not for speed.
+Sketch families are benched in their PRODUCTION configuration (xxhash64
+hash family, bucket caps on, persisted ANN index) — the plan a real run
+gets — while the md5-family forms the correctness gate grades are ALSO
+timed and reported under "oracle_forms" (outside the headline total), so
+the md5km/DECIMAL replay overhead that exists only for DuckDB
+bit-replication is measured head-to-head instead of inferred.
+
+Every run appends its full record to BENCH_HISTORY.jsonl (durable even
+when tail-capture truncates stdout) and embeds a per-query regression
+diff vs the previous same-SF entry in the full record ("regressions":
+queries ≥1.5× slower and ≥0.3 s absolute).
 
 ``baseline_ratio`` compares against the reference's log-derived anchors
 (BASELINE.md) where a direct workload mapping exists — ratios < 1.0 mean
@@ -272,7 +279,9 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = {**entry_mod.queries(), **_production_sketches()}
+    prod = _production_sketches()
+    graded = entry_mod.queries()
+    queries = {**graded, **prod}
     # warmup: JIT + filesystem metadata + one-time index builds (the
     # persisted-ANN-index build is ingest-side work, excluded from query
     # timings the same way the parquet testdata files are), not counted
@@ -291,6 +300,18 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # head-to-head: the graded (md5km oracle-replicable) forms of the
+    # families the headline times in production configuration — measures
+    # the cross-engine-replay overhead rather than asserting it
+    oracle_forms: dict[str, float] = {}
+    for name in prod:
+        fn = graded.get(name)
+        if fn is None or name not in timings:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        oracle_forms[name] = round(time.time() - t0, 3)
 
     ratios = {
         name: round(timings[name] / ref, 3)
@@ -311,27 +332,32 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "baseline_ratio": ratios,
-                "baseline_ratio_same_size": same_size,
-                "baseline_note": (
-                    "reference anchors are log-derived at the reference's "
-                    "own data size (BASELINE.md); sf0.1 runs more rows "
-                    "through Spark for every anchor — baseline_ratio_"
-                    "same_size rebuilds dim_product from exactly the "
-                    "reference's 12,717 products"
-                ),
-            }
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "oracle_forms": oracle_forms,
+        "oracle_forms_note": (
+            "graded md5km/DECIMAL cross-engine-replicable forms of the "
+            "families the headline times in production (xxhash64) "
+            "configuration — same keys as in 'queries'; the delta is the "
+            "DuckDB-replay overhead a production run never pays"
         ),
-        flush=True,
-    )
+        "baseline_ratio": ratios,
+        "baseline_ratio_same_size": same_size,
+        "baseline_note": (
+            "reference anchors are log-derived at the reference's "
+            "own data size (BASELINE.md); sf0.1 runs more rows "
+            "through Spark for every anchor — baseline_ratio_"
+            "same_size rebuilds dim_product from exactly the "
+            "reference's 12,717 products"
+        ),
+    }
+    record["regressions"] = _append_history(record)
+    print(json.dumps(record), flush=True)
     # guaranteed-small final line: always-valid JSON for tail capture
     print(
         json.dumps(
@@ -347,6 +373,37 @@ def main() -> None:
         ),
         flush=True,
     )
+
+
+def _append_history(record: dict) -> dict:
+    """Append the full record to BENCH_HISTORY.jsonl (the durable ledger —
+    BENCH_r* tail captures have truncated before) and return the per-query
+    regression diff vs the previous same-SF entry: queries ≥1.5× slower AND
+    ≥0.3 s absolute (bench totals are load-sensitive, ~±20%)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_HISTORY.jsonl")
+    prev = None
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                cand = json.loads(line)
+                if cand.get("sf") == record["sf"]:
+                    prev = cand
+    except FileNotFoundError:
+        pass
+    regressions: dict[str, dict] = {}
+    if prev:
+        for name, sec in record["queries"].items():
+            p = prev.get("queries", {}).get(name)
+            if p and sec >= 1.5 * p and sec - p >= 0.3:
+                regressions[name] = {"prev": p, "now": sec,
+                                     "ratio": round(sec / p, 2)}
+    with open(path, "a") as fh:
+        fh.write(json.dumps(record | {"regressions": regressions}) + "\n")
+    return regressions
 
 
 def _dim_product_refsize(spark, sf_dir):
