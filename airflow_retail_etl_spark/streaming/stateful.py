@@ -206,11 +206,31 @@ def streaming_attribution(
     event-time timeout evicts it once the watermark passes
     click + window, so state is bounded by concurrently-active users,
     not corpus history. Emission is immediate (append mode) — a
-    conversion attributes in the micro-batch that carries it. Same
-    append-mode caveat as sessionization: a click arriving AFTER a
-    conversion it should have attributed (out of order across batches,
-    within watermark) cannot retro-emit; the watermark bounds how far
-    that can diverge from the batch answer.
+    conversion attributes in the micro-batch that carries it.
+
+    Late/out-of-order semantics (pinned by tests/test_stream_attribution):
+
+    - WITHIN a micro-batch, rows are re-sorted by (event_time, event_id)
+      before the state walk, so arbitrary in-batch disorder is invisible:
+      stream ≡ batch exactly.
+    - ACROSS micro-batches, stream ≡ batch holds whenever each conversion
+      is processed in a batch at-or-after the click that should win it —
+      the realistic late-click case (click delayed past unrelated events
+      but arriving before its conversion) attributes identically, because
+      state keeps max(click_ts) regardless of arrival order.
+    - The one divergence is retro-emission: a click processed in a LATER
+      batch than a conversion it should have attributed cannot emit that
+      row (append mode has no retraction); the conversion is dropped
+      relative to the batch answer. The watermark bounds the window in
+      which this can happen.
+    - Rows BELOW the watermark are NOT auto-filtered: unlike windowed
+      aggregations, Spark hands applyInPandasWithState all rows and
+      leaves late-data policy to the operator (verified on this build).
+      A beyond-watermark click therefore still creates/refreshes state —
+      but its key's previous state may already be timeout-evicted, so
+      results beyond the watermark are arrival-order-dependent.
+      Pre-filter ``ts >= watermark`` upstream if determinism beyond the
+      watermark matters more than recovering stragglers.
     """
     prepared = events.select(
         F.col(user_col).alias("user_id"),
