@@ -2368,7 +2368,14 @@ def q_perplexity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT a single-partition ntile; the decile is integer arithmetic
     ((rank-1)·10 div N) so both engines bucket identically. Mean is
     DECIMAL-accumulated over the 6dp-rounded scores (transcendental
-    policy: round before any aggregation)."""
+    policy: round before any aggregation).
+
+    The doc-grain NLL table is materialized ONCE (localCheckpoint) and
+    shared between the rank pass and the denominator count — without it
+    the whole unigram pipeline (token explode → model fit → token join)
+    re-executes for the 1-row COUNT(*), nearly doubling the plan
+    (measured 25 exchanges/2 SMJs → 10/0 at sf0.01). Doc-grain is the
+    bounded grain, so the checkpoint is small at any corpus size."""
     from airflow_retail_etl_spark.operators import lm, selection
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2376,6 +2383,7 @@ def q_perplexity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm.unigram_score(docs, "text", "doc_id")
         .select(F.col("id").alias("doc_id"), "avg_nll")
         .withColumn("__one", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
     )
     ranked = selection.global_cumsum(
         scored,
