@@ -3106,7 +3106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # revenue-rollup family represented
         "quality_classifier": q_quality_classifier,
         "customers_without_orders": q_customers_without_orders,
-        "cumulative_daily_revenue": q_cumulative_daily_revenue,
+        # corpus_budget reps the running-sum family in the window with the
+        # DISTRIBUTED prefix sum (selection.global_cumsum — range
+        # repartition + broadcast offsets) plus budgeted selection on top;
+        # cumulative_daily_revenue (a 30-row ordered window over the same
+        # money policy) moves just past the prefix
+        "corpus_budget": q_corpus_budget,
         "revenue_rollup": q_revenue_rollup,
         # ivf_pq supersedes ann_pq as the PQ-family window representative:
         # identical oracle (probe-all ≡ exhaustive ADC) plus the IVF cell
@@ -3126,7 +3131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "salted_agg": q_salted_agg,
         # -- corpus / LLM-pipeline surface --------------------------------
-        "quality_report": q_quality_report,
+        # repetition reps the repetition-metrics module in the window;
+        # quality_report (an aggregate VIEW of the same gopher_flags that
+        # doc_stats + quality_filter keep represented) moves past the
+        # prefix
+        "repetition": q_repetition,
         "doc_stats": q_doc_stats,
         "tfidf_keywords": q_tfidf_keywords,
         "pii_redaction": q_pii_redaction,
@@ -3183,7 +3192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
         "set_ops": q_set_ops,
-        "repetition": q_repetition,
+        "quality_report": q_quality_report,
+        "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "vocab": q_vocab,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
@@ -3234,7 +3244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "inverted_index": q_inverted_index,
         "active_users_7d": q_active_users_7d,
-        "corpus_budget": q_corpus_budget,
         "perplexity_deciles": q_perplexity_deciles,
     }
 
