@@ -158,6 +158,103 @@ def build_dims_incremental(
     return out
 
 
+def compact_dim_snapshots(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    name: str,
+    keys: list[str],
+    *,
+    attrs: list[str] | None = None,
+    keep_last: int = 2,
+    history_suffix: str = "_history",
+) -> dict:
+    """Retention for build_dims_incremental's full-state snapshots.
+
+    Snapshot-per-date is the Spark-native MERGE substitute (no
+    Delta/Iceberg in this stack), but storage grows linearly with days.
+    Compaction bounds it: fold snapshot dates into a durable SCD-2
+    history table (``{name}{history_suffix}``), then physically drop
+    every snapshot partition except the newest ``keep_last``.
+
+    Invariants (pinned by tests/test_pipeline.py):
+
+    - merge continuity: build_dims_incremental merges against the
+      LATEST snapshot, which is always retained, so post-compaction
+      merges equal the uncompacted warehouse's byte-for-byte;
+    - time travel survives: for a dropped date d,
+      ``scd2_current(scd2_asof(history, d))`` reproduces snapshot d's
+      rows exactly (``attrs`` defaults to every non-key column, so
+      nothing is lost in the fold);
+    - incremental + idempotent: only snapshot dates newer than the
+      history's last effective_from are folded (scd2_upsert per date,
+      ascending); re-running compaction is a no-op.
+
+    At scale: the history table is change-grain (rows only when an
+    attribute actually changed) — the durable record stays far smaller
+    than the snapshots it replaces; the fold is one key-shuffle per new
+    date over dim-sized data.
+    """
+    from airflow_retail_etl_spark.operators import scd
+
+    if keep_last < 1:
+        raise ValueError(
+            "keep_last must be >= 1: the latest snapshot is the merge "
+            "base for build_dims_incremental"
+        )
+    path = f"{cfg.warehouse_root}/{name}"
+    hist_path = f"{path}{history_suffix}"
+    jvm = spark._jvm
+    hadoop_conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hadoop_conf)
+
+    dts = sorted(
+        s.getPath().getName().split("=", 1)[1]
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("dt=")
+    )
+    if not dts:
+        return {"kept": [], "dropped": [], "history_path": hist_path}
+
+    snaps = spark.read.parquet(path)
+    if attrs is None:
+        attrs = [c for c in snaps.columns if c not in {*keys, "dt"}]
+
+    hist = None
+    folded_through = None
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(hist_path)):
+        hist = spark.read.parquet(hist_path)
+        last = hist.agg(F.max("effective_from")).first()[0]
+        folded_through = str(last) if last is not None else None
+    new_dts = [d for d in dts if folded_through is None or d > folded_through]
+
+    if new_dts:
+        if hist is None:
+            hist = scd.scd2_from_snapshots(
+                snaps.select(*keys, *attrs, "dt"), keys, attrs, "dt"
+            )
+        else:
+            eff_t = hist.schema["effective_from"].dataType
+            for d in new_dts:
+                batch = snaps.filter(F.col("dt") == d).select(*keys, *attrs)
+                hist = scd.scd2_upsert(
+                    hist, batch, keys, attrs, F.lit(d).cast(eff_t)
+                )
+        # the new history reads from the old history files: stage to a
+        # temp dir, then swap — never overwrite an input in place
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{hist_path}__staging")
+        hist.write.mode("overwrite").parquet(str(tmp))
+        final = jvm.org.apache.hadoop.fs.Path(hist_path)
+        fs.delete(final, True)
+        fs.rename(tmp, final)
+
+    dropped = dts[:-keep_last]
+    kept = dts[len(dropped):]
+    for d in dropped:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/dt={d}"), True)
+    return {"kept": kept, "dropped": dropped, "history_path": hist_path}
+
+
 def build_dim_date(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """Run-once calendar dimension (@once asset)."""
     cal = star.dim_date(spark, *cfg.calendar)

@@ -118,6 +118,138 @@ def test_dim_date_calendar(spark, cfg):
     assert (r["weekday"], r["week"]) == (1, 40)  # Tuesday, ISO week 40
 
 
+_STAGING_COLS = (
+    "event_time timestamp, event_type string, product_id long, "
+    "category_id long, category_code string, brand string, "
+    "price double, user_id long, user_session string, dt string"
+)
+
+
+def _write_staging_day(spark, cfg2, date, rows):
+    spark.createDataFrame(
+        [
+            (
+                dt.datetime.fromisoformat(f"{date} 10:00:00"),
+                "view", pid, 9, code, brand, price, uid, f"s-{uid}", date,
+            )
+            for pid, code, brand, price, uid in rows
+        ],
+        _STAGING_COLS,
+    ).write.mode("append").partitionBy("dt").parquet(
+        f"{cfg2.warehouse_root}/staging_events"
+    )
+
+
+def _dims_fixture(spark, tmp_path, days):
+    """A standalone incremental-dim warehouse over synthetic staging
+    slices (independent of the shared cfg so compaction can delete)."""
+    from airflow_retail_etl_spark.pipeline import (
+        PipelineConfig,
+        build_dims_incremental,
+    )
+
+    cfg2 = PipelineConfig(
+        raw_root=str(tmp_path / "raw"),
+        warehouse_root=str(tmp_path / "wh"),
+        mart_root=str(tmp_path / "mart"),
+    )
+    for date in sorted(days):
+        _write_staging_day(spark, cfg2, date, days[date])
+        build_dims_incremental(spark, cfg2, date)
+    return cfg2
+
+
+DIM_DAYS = {
+    # (product_id, category_code, brand, price, user_id)
+    "2019-10-01": [(1, "a.b", "apple", 10.0, 1), (2, "c", "acme", 5.0, 2)],
+    "2019-10-02": [(1, "a.b", "apple", 12.0, 1)],           # price change
+    "2019-10-03": [(3, "d.e", "zen", 7.0, 3)],              # new product
+    "2019-10-04": [(2, "c", "acme", 6.0, 2), (4, "f", "neo", 1.0, 4)],
+}
+
+
+def test_compacted_warehouse_reproduces_upsert_results(
+    spark, tmp_path_factory
+):
+    from airflow_retail_etl_spark.pipeline import (
+        build_dims_incremental,
+        compact_dim_snapshots,
+    )
+
+    base_a = tmp_path_factory.mktemp("dimcomp_a")
+    base_b = tmp_path_factory.mktemp("dimcomp_b")
+    first3 = {d: r for d, r in DIM_DAYS.items() if d <= "2019-10-03"}
+    cfg_a = _dims_fixture(spark, base_a, first3)   # compacted
+    cfg_b = _dims_fixture(spark, base_b, first3)   # control
+
+    res = compact_dim_snapshots(
+        spark, cfg_a, "dim_product_scd", ["product_id"], keep_last=1
+    )
+    assert res["dropped"] == ["2019-10-01", "2019-10-02"]
+    assert res["kept"] == ["2019-10-03"]
+    snaps = spark.read.parquet(f"{cfg_a.warehouse_root}/dim_product_scd")
+    assert {str(r["dt"]) for r in snaps.select("dt").distinct().collect()} \
+        == {"2019-10-03"}
+
+    # merge continuity: the next day's merge on the compacted warehouse
+    # equals the uncompacted control exactly
+    for cfgx in (cfg_a, cfg_b):
+        _write_staging_day(spark, cfgx, "2019-10-04", DIM_DAYS["2019-10-04"])
+        build_dims_incremental(spark, cfgx, "2019-10-04")
+
+    def final_state(cfgx):
+        return sorted(
+            (
+                r["product_id"], r["category_code"], r["brand"], r["price"]
+            )
+            for r in spark.read.parquet(
+                f"{cfgx.warehouse_root}/dim_product_scd"
+            ).filter(F.col("dt") == "2019-10-04").collect()
+        )
+
+    assert final_state(cfg_a) == final_state(cfg_b)
+    assert len(final_state(cfg_a)) == 4
+
+
+def test_compaction_history_time_travels_to_dropped_snapshots(
+    spark, tmp_path_factory
+):
+    from airflow_retail_etl_spark.operators import scd
+    from airflow_retail_etl_spark.pipeline import compact_dim_snapshots
+
+    base = tmp_path_factory.mktemp("dimcomp_tt")
+    cfg2 = _dims_fixture(spark, base, DIM_DAYS)
+    # capture pre-compaction snapshots for the dates about to be dropped
+    pre = {
+        d: sorted(
+            (r["product_id"], r["category_code"], r["brand"], r["price"])
+            for r in spark.read.parquet(
+                f"{cfg2.warehouse_root}/dim_product_scd"
+            ).filter(F.col("dt") == d).collect()
+        )
+        for d in DIM_DAYS
+    }
+    res = compact_dim_snapshots(
+        spark, cfg2, "dim_product_scd", ["product_id"], keep_last=1
+    )
+    assert res["dropped"] == sorted(DIM_DAYS)[:-1]
+    hist = spark.read.parquet(res["history_path"])
+    for d in DIM_DAYS:
+        asof = scd.scd2_asof(hist, F.lit(d).cast("date"))
+        got = sorted(
+            (r["product_id"], r["category_code"], r["brand"], r["price"])
+            for r in asof.collect()
+        )
+        assert got == pre[d], d
+
+    # idempotent: re-running folds nothing and drops nothing new
+    again = compact_dim_snapshots(
+        spark, cfg2, "dim_product_scd", ["product_id"], keep_last=1
+    )
+    assert again["dropped"] == []
+    assert spark.read.parquet(res["history_path"]).count() == hist.count()
+
+
 def test_build_dims_incremental_snapshots(spark, cfg):
     from airflow_retail_etl_spark.pipeline import build_dims_incremental
 
