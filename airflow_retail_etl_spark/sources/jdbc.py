@@ -35,7 +35,10 @@ def jdbc_read_options(
     ("Options 'query' and 'partitionColumn' can not be specified together"),
     so the partitioned path wraps the query as a ``dbtable`` derived table —
     the documented escape hatch, same pushdown, and Spark appends the
-    per-partition range predicates to it.
+    per-partition range predicates to it. The derived-table alias must not
+    start with an underscore: SQL-standard engines (Derby, live-tested in
+    tests/test_jdbc_live.py) reject leading-underscore identifiers that
+    Postgres happens to tolerate.
     """
     opts: dict[str, str] = {"url": url}
     if partition_column is None:
@@ -45,7 +48,7 @@ def jdbc_read_options(
             raise ValueError(
                 "partition_column requires lower_bound and upper_bound"
             )
-        opts["dbtable"] = f"({query}) AS __spark_jdbc_src"
+        opts["dbtable"] = f"({query}) AS spark_jdbc_src"
         opts["partitionColumn"] = partition_column
         opts["lowerBound"] = str(lower_bound)
         opts["upperBound"] = str(upper_bound)

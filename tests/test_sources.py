@@ -112,7 +112,8 @@ def test_jdbc_read_options_partitioned_uses_dbtable_subquery():
         properties={"fetchsize": "500"},
     )
     assert "query" not in opts
-    assert opts["dbtable"] == "(SELECT id, v FROM t) AS __spark_jdbc_src"
+    # no leading underscore: Derby rejects it (tests/test_jdbc_live.py)
+    assert opts["dbtable"] == "(SELECT id, v FROM t) AS spark_jdbc_src"
     assert opts["partitionColumn"] == "id"
     assert opts["lowerBound"] == "0"
     assert opts["upperBound"] == "1000"
