@@ -1821,6 +1821,28 @@ def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared by the Spark query and the DuckDB oracle — a bag-of-terms probe
+#: over the synthetic corpus vocabulary (one term per frequency band)
+BM25_QUERY_TERMS = ("spark", "filter", "scan", "column")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators.retrieval.bm25_topk): the lexical
+    ranker behind contamination auditing / targeted corpus slicing.
+    Query-term postings survive the token explode (everything else is
+    filtered at the scan); idf is the one transcendental — ln on exact
+    integer inputs, rounded to 9 dp before use; per-term contributions
+    round at 9 dp and DECIMAL-accumulate; the final score rounds to 6 dp
+    BEFORE ranking with doc_id tiebreak, so both engines return the
+    identical ordered set."""
+    from airflow_retail_etl_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(
+        docs, BM25_QUERY_TERMS, "text", "doc_id", k=25
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch incremental dedup (dedup.incremental_dedup): docs with
     doc_id % 10 = 0 arrive as the new batch against the rest as the
@@ -3143,7 +3165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "embed_quantize": q_embed_quantize,
         "decontaminate": q_decontaminate,
-        "unigram_score": q_unigram_score,
+        # bm25_search reps the retrieval module in the window; the lm
+        # module keeps tfidf_keywords in-prefix, and unigram_score (same
+        # token/model machinery, LM-scoring face) moves just past it
+        "bm25_search": q_bm25_search,
         "incremental_dedup": q_incremental_dedup,
         # multi-batch face of incremental dedup (the foreachBatch sink's
         # per-batch logic, replayed): its own family representative
@@ -3194,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "quality_report": q_quality_report,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
+        "unigram_score": q_unigram_score,
         "vocab": q_vocab,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
@@ -5335,6 +5361,52 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(p.s AS DOUBLE) / p.n_tokens, 6) AS avg_nll
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # BM25: identical expression tree as retrieval.bm25_topk — idf
+        # ln() on exact integer inputs rounded at 9dp, per-term
+        # contributions 9dp + DECIMAL accumulation, final 6dp round
+        # BEFORE the (score DESC, doc_id ASC) top-k
+        "bm25_search": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0
+        ), dl AS (
+            SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        ), corpus AS (
+            SELECT d.doc_id, COALESCE(dl.dl, 0) AS dl
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN dl USING (doc_id)
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM corpus
+        ), tfq AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+            WHERE tok IN ('spark', 'filter', 'scan', 'column')
+            GROUP BY doc_id, tok
+        ), dfq AS (
+            SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok
+        ), scored AS (
+            SELECT tfq.doc_id,
+                   round(
+                       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+                       * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                          * (1.0 - CAST(0.75 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * c.dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                       9) AS contrib9
+            FROM tfq
+            JOIN dfq USING (tok)
+            CROSS JOIN stats
+            JOIN corpus c USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               round(CAST(SUM(CAST(contrib9 AS DECIMAL(28,9))) AS DOUBLE),
+                     6) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 25
         """,
         # TF-IDF top-5 per doc; scores rounded BEFORE ranking so ℝ-equal
         # float-different scores collapse onto the term tiebreak

@@ -101,6 +101,7 @@ HEADLINE = (
     "split_assign",
     "unigram_score",
     "tfidf_keywords",
+    "bm25_search",
     "incremental_dedup",
     "streaming_admission",
     "min_cost_supplier",
