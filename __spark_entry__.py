@@ -1821,6 +1821,21 @@ def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators.profile.profile_table): the
+    ANALYZE/data-quality pass — one scan computes every column's
+    count/nulls/min/max side by side, one multi-distinct aggregation
+    adds exact cardinalities, stack() unpivots the 1-row result to a
+    row per column. Values surface as strings so heterogeneous types
+    share one frame; the oracle casts identically."""
+    from airflow_retail_etl_spark.operators import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile.profile_table(
+        ev, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+
 #: shared by the Spark query and the DuckDB oracle — a bag-of-terms probe
 #: over the synthetic corpus vocabulary (one term per frequency band)
 BM25_QUERY_TERMS = ("spark", "filter", "scan", "column")
@@ -3158,7 +3173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_stats + quality_filter keep represented) moves past the
         # prefix
         "repetition": q_repetition,
-        "doc_stats": q_doc_stats,
+        # table_profile reps the profiling module (single-scan ANALYZE);
+        # doc_stats (functions.text stats, whose machinery quality_filter
+        # and bpe_tokenize keep in-window) moves just past the prefix
+        "table_profile": q_table_profile,
         "tfidf_keywords": q_tfidf_keywords,
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
@@ -3220,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": q_quality_report,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "unigram_score": q_unigram_score,
+        "doc_stats": q_doc_stats,
         "vocab": q_vocab,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
@@ -5361,6 +5380,41 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(p.s AS DOUBLE) / p.n_tokens, 6) AS avg_nll
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # single-scan column profile; VARCHAR casts match Spark's
+        # double→string shortest repr within the data's plain-decimal range
+        "table_profile": """
+        WITH one AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(event_id) AS nn1, COUNT(DISTINCT event_id) AS nd1,
+                   CAST(MIN(event_id) AS VARCHAR) AS mn1,
+                   CAST(MAX(event_id) AS VARCHAR) AS mx1,
+                   COUNT(user_id) AS nn2, COUNT(DISTINCT user_id) AS nd2,
+                   CAST(MIN(user_id) AS VARCHAR) AS mn2,
+                   CAST(MAX(user_id) AS VARCHAR) AS mx2,
+                   COUNT(event_type) AS nn3,
+                   COUNT(DISTINCT event_type) AS nd3,
+                   CAST(MIN(event_type) AS VARCHAR) AS mn3,
+                   CAST(MAX(event_type) AS VARCHAR) AS mx3,
+                   COUNT(value) AS nn4, COUNT(DISTINCT value) AS nd4,
+                   CAST(MIN(value) AS VARCHAR) AS mn4,
+                   CAST(MAX(value) AS VARCHAR) AS mx4,
+                   COUNT(props) AS nn5, COUNT(DISTINCT props) AS nd5,
+                   CAST(MIN(props) AS VARCHAR) AS mn5,
+                   CAST(MAX(props) AS VARCHAR) AS mx5
+            FROM events
+        ), rows_u AS (
+            SELECT 'event_id' AS "column", n, nn1 AS nn, nd1 AS n_distinct,
+                   mn1 AS min_value, mx1 AS max_value FROM one
+            UNION ALL SELECT 'user_id', n, nn2, nd2, mn2, mx2 FROM one
+            UNION ALL SELECT 'event_type', n, nn3, nd3, mn3, mx3 FROM one
+            UNION ALL SELECT 'value', n, nn4, nd4, mn4, mx4 FROM one
+            UNION ALL SELECT 'props', n, nn5, nd5, mn5, mx5 FROM one
+        )
+        SELECT "column", n AS n_rows, n - nn AS n_nulls,
+               round(CAST(n - nn AS DOUBLE) / NULLIF(n, 0), 6) AS null_frac,
+               n_distinct, min_value, max_value
+        FROM rows_u ORDER BY "column"
         """,
         # BM25: identical expression tree as retrieval.bm25_topk — idf
         # ln() on exact integer inputs rounded at 9dp, per-term

@@ -102,6 +102,7 @@ HEADLINE = (
     "unigram_score",
     "tfidf_keywords",
     "bm25_search",
+    "table_profile",
     "incremental_dedup",
     "streaming_admission",
     "min_cost_supplier",
