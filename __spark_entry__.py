@@ -1821,6 +1821,20 @@ def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document shared-substring spans
+    (operators.dedup.shared_span_pairs, md5 anchor family so DuckDB
+    replays bit-exactly; production uses xxhash64 — benched twin).
+    Positional k-gram anchors join on hash, gaps-and-islands over the
+    alignment diagonal recovers every maximal shared run ≥ min_len with
+    exact starts/length — winnowing's exactness upgrade (WHERE and HOW
+    LONG, not just which pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shared_span_pairs(
+        docs, "text", "doc_id", k=16, min_len=60, hash_family="md5"
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators.profile.profile_table): the
     ANALYZE/data-quality pass — one scan computes every column's
@@ -3243,6 +3257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "dup_clusters": q_dup_clusters,
+        # exact span recovery (anchor join + diagonal islands): the
+        # exactness face of the winnow family (winnow_pairs holds the
+        # family's in-prefix slot)
+        "shared_spans": q_shared_spans,
         "winnow": q_winnow,
         "simhash": q_simhash,
         "market_share": q_market_share,
@@ -5380,6 +5398,35 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(p.s AS DOUBLE) / p.n_tokens, 6) AS avg_nll
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # exact shared spans: same md5 anchors, same diagonal islands
+        "shared_spans": f"""
+        WITH n AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), anchors AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                   {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 16)")}
+                       AS h
+            FROM n, UNNEST(generate_series(1, length(t) - 15)) AS u(i)
+            WHERE length(t) >= 16
+        ), m AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM anchors a JOIN anchors b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ), isl AS (
+            SELECT id_a, id_b, diag, pa,
+                   pa - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa
+                   ) AS grp
+            FROM m
+        )
+        SELECT id_a, id_b,
+               CAST(MIN(pa) AS INTEGER) AS start_a,
+               CAST(MIN(pa) - diag AS INTEGER) AS start_b,
+               CAST(MAX(pa) - MIN(pa) + 16 AS INTEGER) AS span_len
+        FROM isl GROUP BY id_a, id_b, diag, grp
+        HAVING MAX(pa) - MIN(pa) + 16 >= 60
         """,
         # single-scan column profile; VARCHAR casts match Spark's
         # double→string shortest repr within the data's plain-decimal range

@@ -1013,6 +1013,113 @@ def incremental_dedup(
     )
 
 
+def shared_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    min_len: int = 40,
+    max_doc_freq: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """EXACT cross-document shared-substring spans (the plagiarism
+    "diagonal method") — winnowing's exactness upgrade: not just WHICH
+    pairs share a substring, but WHERE and HOW LONG, with no hash-window
+    sampling loss.
+
+    Anchors: the hash of every positional char ``k``-gram of the
+    normalized text (stride 1). A substring of length S shared by two
+    docs yields S−k+1 anchor matches on the same alignment diagonal
+    (pos_a − pos_b constant) at CONSECUTIVE positions, so maximal shared
+    runs are gaps-and-islands over (id_a, id_b, diag): island length
+    (max_pos − min_pos) + k is exactly the shared-span length. Spans
+    shorter than ``min_len`` are dropped after grouping, so the guarantee
+    is exact for every surviving span (collisions aside: 64-bit hashes on
+    ≤corpus-sized anchor sets make false anchors ~2⁻⁶⁴·n²; a verifying
+    substr compare would add one join — omitted as the same trade
+    jaccard verification makes).
+
+    Output: (id_a, id_b, start_a, start_b, span_len), id_a < id_b,
+    1-based starts into the NORMALIZED text, one row per maximal run.
+
+    Scale: anchor volume is corpus chars (the same order as the token
+    explode every dedup family already does); the join is equality on the
+    anchor hash. ``max_doc_freq`` drops anchors present in more than that
+    many documents BEFORE the self-join — the boilerplate/stop-phrase
+    skew guard shared with jaccard/containment; a dropped hot anchor can
+    split or shrink a reported span (never invent one), documented
+    recall trade at scale. The islands window partitions by
+    (id_a, id_b, diag) — bounded by the longer document, never global.
+
+    ``hash_family="md5"`` switches anchors to the engine-portable md5
+    hash (functions.xhash.md5_long) so the DuckDB oracle replays spans
+    bit-exactly; production keeps xxhash64 (same contract as
+    winnow_fingerprints).
+    """
+    from pyspark.sql import Window
+
+    if hash_family == "md5":
+        def hash_gram(g: Column) -> Column:
+            return xhash.md5_long(g)
+    elif hash_family == "xxhash64":
+        def hash_gram(g: Column) -> Column:
+            return F.xxhash64(g)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("t"),
+    ).repartition("id")
+    # positional k-gram anchors, materialized behind the exchange (the
+    # HOF-lambda trap: see _with_shingles)
+    anchors = base.filter(F.length("t") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - (k - 1)),
+                lambda i: hash_gram(F.col("t").substr(i, F.lit(k))),
+            )
+        ).alias("pos0", "h"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    if max_doc_freq is not None:
+        rare = (
+            anchors.groupBy("h")
+            .agg(F.count_distinct("id").alias("df_h"))
+            .filter(F.col("df_h") <= max_doc_freq)
+        )
+        anchors = anchors.join(rare.select("h"), "h", "left_semi")
+    a, b = anchors.alias("a"), anchors.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    # a repeated k-gram WITHIN one doc puts several (pa, pb) on the same
+    # diag more than once — dedup before islands so runs count positions
+    matches = matches.dropDuplicates(["id_a", "id_b", "diag", "pa"])
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    islands = matches.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + k).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -97,6 +97,7 @@ HEADLINE = (
     "embed_quantize",
     "winnow",
     "winnow_pairs",
+    "shared_spans",
     "bpe_tokenize",
     "split_assign",
     "unigram_score",
@@ -255,6 +256,13 @@ def _production_sketches():
         )
         return dedup.winnow_overlap_pairs(fps, min_shared=3, max_doc_freq=200)
 
+    def shared_spans_prod(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.shared_span_pairs(
+            docs, "text", "doc_id", k=16, min_len=60,
+            hash_family="xxhash64", max_doc_freq=200,
+        )
+
     return {
         "minhash_lsh_pairs": minhash_prod,
         "simhash": simhash_prod,
@@ -264,6 +272,7 @@ def _production_sketches():
         "streaming_admission": streaming_admission_prod,
         "winnow": winnow_prod,
         "winnow_pairs": winnow_pairs_prod,
+        "shared_spans": shared_spans_prod,
     }
 
 
