@@ -1835,6 +1835,21 @@ def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, removal half (operators.dedup.remove_spans):
+    detect maximal shared runs (q_shared_spans machinery), keep the first
+    occurrence, excise every repeat from the later document — span-grain
+    dedup instead of whole-doc drops. Interval merge (gaps-and-islands)
+    collapses overlapping reports; the text rebuild is ONE JVM-side
+    F.aggregate fold over the merged intervals (no UDF). Output positions
+    are over the normalized text, the coordinate system spans use."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.shared_span_pairs(
+        docs, "text", "doc_id", k=16, min_len=60, hash_family="md5"
+    )
+    return dedup.remove_spans(docs, spans, "text", "doc_id")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators.profile.profile_table): the
     ANALYZE/data-quality pass — one scan computes every column's
@@ -3261,6 +3276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactness face of the winnow family (winnow_pairs holds the
         # family's in-prefix slot)
         "shared_spans": q_shared_spans,
+        # its removal half: interval-merge + fold rebuild
+        "span_excise": q_span_excise,
         "winnow": q_winnow,
         "simhash": q_simhash,
         "market_share": q_market_share,
@@ -5427,6 +5444,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(pa) - MIN(pa) + 16 AS INTEGER) AS span_len
         FROM isl GROUP BY id_a, id_b, diag, grp
         HAVING MAX(pa) - MIN(pa) + 16 >= 60
+        """,
+        # span excision: shared_spans CTE -> interval merge -> ordered
+        # segment reassembly (string_agg ORDER BY ≡ Spark's sorted fold)
+        "span_excise": f"""
+        WITH n AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), anchors AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                   {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 16)")}
+                       AS h
+            FROM n, UNNEST(generate_series(1, length(t) - 15)) AS u(i)
+            WHERE length(t) >= 16
+        ), m AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM anchors a JOIN anchors b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ), isl AS (
+            SELECT id_a, id_b, diag, pa,
+                   pa - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa
+                   ) AS grp
+            FROM m
+        ), spans AS (
+            SELECT id_b AS id,
+                   CAST(MIN(pa) - diag AS INTEGER) AS s,
+                   CAST(MIN(pa) - diag + MAX(pa) - MIN(pa) + 16
+                        AS INTEGER) AS e
+            FROM isl GROUP BY id_a, id_b, diag, grp
+            HAVING MAX(pa) - MIN(pa) + 16 >= 60
+        ), w1 AS (
+            SELECT id, s, e,
+                   MAX(e) OVER (
+                       PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS run_end
+            FROM spans
+        ), g AS (
+            SELECT id, s, e,
+                   SUM(CASE WHEN s > COALESCE(run_end, 0) THEN 1 ELSE 0
+                       END) OVER (
+                       PARTITION BY id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS grp
+            FROM w1
+        ), merged AS (
+            SELECT id, grp, MIN(s) AS s, MAX(e) AS e
+            FROM g GROUP BY id, grp
+        ), seg AS (
+            SELECT id, s, e,
+                   LAG(e) OVER (PARTITION BY id ORDER BY s) AS prev_e,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY s) AS rn,
+                   MAX(e) OVER (PARTITION BY id) AS last_e
+            FROM merged
+        ), pieces AS (
+            SELECT seg.id, seg.rn AS ord,
+                   substr(n.t, COALESCE(seg.prev_e, 1),
+                          seg.s - COALESCE(seg.prev_e, 1)) AS piece
+            FROM seg JOIN n ON n.doc_id = seg.id
+            UNION ALL
+            SELECT seg.id, 2147483647,
+                   substr(n.t, seg.last_e) AS piece
+            FROM seg JOIN n ON n.doc_id = seg.id
+            WHERE seg.rn = 1
+        ), rebuilt AS (
+            SELECT id, string_agg(piece, '' ORDER BY ord) AS text_clean
+            FROM pieces GROUP BY id
+        )
+        SELECT n.doc_id,
+               COALESCE(r.text_clean, n.t) AS text_clean,
+               CAST(length(n.t) - length(COALESCE(r.text_clean, n.t))
+                    AS INTEGER) AS n_removed_chars
+        FROM n LEFT JOIN rebuilt r ON r.id = n.doc_id
         """,
         # single-scan column profile; VARCHAR casts match Spark's
         # double→string shortest repr within the data's plain-decimal range

@@ -1120,6 +1120,98 @@ def shared_span_pairs(
     )
 
 
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    id_span_col: str = "id_b",
+    start_col: str = "start_b",
+    len_col: str = "span_len",
+) -> DataFrame:
+    """Excise character spans from documents — the removal half of exact
+    substring dedup (detect with shared_span_pairs, keep the first
+    occurrence, cut the repeats out of every later document; the
+    "dedup makes LMs better" pipeline step, applied at span grain
+    instead of dropping whole documents).
+
+    ``spans`` rows name a document (``id_span_col``) and a 1-based
+    ``start_col``/``len_col`` into its NORMALIZED text — the coordinate
+    system shared_span_pairs emits; the output text is therefore the
+    normalized form with the spans removed. Overlapping/adjacent spans
+    are interval-merged first (gaps-and-islands on the running max end),
+    so double-reported regions excise once.
+
+    Plan: one window pass per doc to merge intervals (state bounded by a
+    doc's span count), one aggregation collecting the merged intervals
+    into a sorted array, and ONE projection rebuilding the text with
+    ``F.aggregate`` over that array (substr concat — JVM-side, no UDF).
+    Docs with no spans pass through unchanged. Returns
+    (id, text_clean, n_removed_chars).
+    """
+    from pyspark.sql import Window
+
+    sp = spans.select(
+        F.col(id_span_col).alias("id"),
+        F.col(start_col).cast("int").alias("s"),
+        (F.col(start_col) + F.col(len_col)).cast("int").alias("e"),  # excl
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    run_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(F.col("s") > F.coalesce(run_end, F.lit(0)), 1).otherwise(0)
+    ).over(w)
+    merged = (
+        sp.withColumn("grp", grp)
+        .groupBy("id", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("t"),
+    )
+    joined = base.join(merged, "id", "left")
+    # fold over intervals: (cursor, acc) -> append the kept slice before
+    # each interval, jump the cursor past it; finish with the tail
+    rebuilt = F.aggregate(
+        F.coalesce("ivs", F.array()),
+        F.struct(
+            F.lit(1).alias("cur"), F.lit("").cast("string").alias("acc")
+        ),
+        lambda st, iv: F.struct(
+            F.greatest(st["cur"], iv["e"]).alias("cur"),
+            F.concat(
+                st["acc"],
+                F.when(
+                    iv["s"] > st["cur"],
+                    F.col("t").substr(st["cur"], iv["s"] - st["cur"]),
+                ).otherwise(F.lit("")),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"], F.col("t").substr(st["cur"], F.length("t"))
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        rebuilt.alias("text_clean"),
+        F.length("t").alias("__orig_len"),
+    ).select(
+        id_col,
+        "text_clean",
+        (F.col("__orig_len") - F.length("text_clean")).alias(
+            "n_removed_chars"
+        ),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -98,6 +98,7 @@ HEADLINE = (
     "winnow",
     "winnow_pairs",
     "shared_spans",
+    "span_excise",
     "bpe_tokenize",
     "split_assign",
     "unigram_score",

@@ -114,6 +114,44 @@ def test_md5_family_matches_xxhash(spark):
     assert x == m
 
 
+def test_remove_spans_excises_later_docs_only(spark):
+    from airflow_retail_etl_spark.operators.dedup import remove_spans
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    spans = shared_span_pairs(df, "text", "doc_id", k=8, min_len=20)
+    out = {
+        r["doc_id"]: r
+        for r in remove_spans(df, spans, "text", "doc_id").collect()
+    }
+    # first occurrence (doc 1) untouched; doc 3 never overlapped
+    assert out[1]["n_removed_chars"] == 0
+    assert out[1]["text_clean"] == _norm(DOCS[0][1])
+    assert out[3]["n_removed_chars"] == 0
+    # doc 2 loses exactly the shared run (incl the common trailing space)
+    assert out[2]["n_removed_chars"] == len(SHARED) + 1
+    assert SHARED.lower() not in out[2]["text_clean"]
+    # doc 4 held TWO copies; overlapping span reports from both doc 1 and
+    # doc 2 merge, both copies excised once each
+    assert SHARED.lower() not in out[4]["text_clean"]
+    assert out[4]["n_removed_chars"] >= 2 * len(SHARED)
+
+
+def test_remove_spans_merges_overlapping_intervals(spark):
+    from airflow_retail_etl_spark.operators.dedup import remove_spans
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        # overlapping [2,6) and [4,9) plus adjacent [9,10) -> merged [2,10)
+        [(0, 1, 0, 2, 4), (0, 1, 0, 4, 5), (0, 1, 0, 9, 1)],
+        "id_a long, id_b long, start_a int, start_b int, span_len int",
+    )
+    r = remove_spans(df, spans, "text", "doc_id").first()
+    assert r["text_clean"] == "aj"
+    assert r["n_removed_chars"] == 8
+
+
 def test_doc_freq_cap_never_invents_spans(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     uncapped = {
