@@ -70,6 +70,14 @@ class CorpusConfig:
     #: boundary (matters whenever dedup is partial — e.g. a high
     #: neardup_jaccard keeps mild paraphrases in-corpus)
     split_by_cluster: bool = False
+    #: excise exact shared substrings >= this many chars from the
+    #: later document after near-dup resolution (span-grain dedup: a
+    #: quoted paragraph is cut, the quoting doc survives). None disables.
+    #: Runs over the SURVIVING corpus, so whole-doc duplicates are
+    #: already gone and excision only handles partial inclusions.
+    excise_min_span: int | None = None
+    #: anchor k-gram length for span excision
+    excise_k: int = 16
 
 
 def quality_gate(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
@@ -199,6 +207,29 @@ def assign_split(
     return out.drop("__split_key")
 
 
+def excise_shared_spans(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Optional span-grain dedup stage: cut exact shared substrings
+    ≥ ``excise_min_span`` chars out of the LATER document (first
+    occurrence kept) — a quoted paragraph is removed, the quoting doc
+    survives. No-op when the threshold is None. Text becomes the
+    normalized form with spans removed (the span coordinate system);
+    other columns pass through."""
+    if cfg.excise_min_span is None:
+        return df
+    spans = dedup.shared_span_pairs(
+        df, cfg.text_col, cfg.id_col,
+        k=cfg.excise_k, min_len=cfg.excise_min_span,
+    )
+    cleaned = dedup.remove_spans(df, spans, cfg.text_col, cfg.id_col)
+    others = [c for c in df.columns if c != cfg.text_col]
+    return df.select(*others).join(
+        cleaned.select(
+            cfg.id_col, F.col("text_clean").alias(cfg.text_col)
+        ),
+        cfg.id_col,
+    )
+
+
 def run_corpus_build(
     docs: DataFrame,
     eval_df: DataFrame,
@@ -220,6 +251,7 @@ def run_corpus_build(
     )
     cc = _neardup_clusters(exact, cfg) if cfg.split_by_cluster else None
     resolved = neardup_resolve(exact, cfg, cc)
+    resolved = excise_shared_spans(resolved, cfg)
     with_split = assign_split(resolved, cfg, cc)
     chunks = chunking.chunk_documents(
         with_split.filter(F.col("split") == "train"),

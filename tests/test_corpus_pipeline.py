@@ -172,3 +172,35 @@ def test_neardup_resolve_precomputed_cc_equivalent(spark, sf_dir):
         r["doc_id"] for r in neardup_resolve(docs, cfg, cc).collect()
     }
     assert direct == reused
+
+
+def test_excise_stage_cuts_partial_inclusions(spark):
+    from airflow_retail_etl_spark.corpus_pipeline import (
+        CorpusConfig,
+        excise_shared_spans,
+    )
+
+    shared = (
+        "this exact paragraph appears verbatim inside another document "
+        "and is long enough to clear the excision threshold easily"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"original source doc. {shared} rest of source."),
+            (2, f"aggregator preamble... {shared} aggregator footer."),
+            (3, "unrelated document with entirely different content."),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CorpusConfig(excise_min_span=60, excise_k=12)
+    out = {r["doc_id"]: r["text"] for r in
+           excise_shared_spans(docs, cfg).collect()}
+    assert shared in out[1]                  # first occurrence intact
+    assert shared not in out[2]              # later doc excised
+    assert "aggregator preamble" in out[2]   # surrounding text kept
+    assert "aggregator footer" in out[2]
+    assert "unrelated document" in out[3]
+    # disabled -> byte-identical passthrough
+    off = {r["doc_id"]: r["text"] for r in
+           excise_shared_spans(docs, CorpusConfig()).collect()}
+    assert off[2] == docs.collect()[1]["text"]
