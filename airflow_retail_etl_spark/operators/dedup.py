@@ -1101,9 +1101,11 @@ def shared_span_pairs(
         F.col("b.pos").alias("pb"),
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
-    # a repeated k-gram WITHIN one doc puts several (pa, pb) on the same
-    # diag more than once — dedup before islands so runs count positions
-    matches = matches.dropDuplicates(["id_a", "id_b", "diag", "pa"])
+    # (id_a, id_b, diag, pa) is unique BY CONSTRUCTION: anchor rows are
+    # unique per (id, pos), and for a fixed diagonal each pa pairs with
+    # exactly one pb — repeated k-grams create matches on OTHER diagonals,
+    # never duplicates within one. So no distinct pass is needed, and the
+    # islands window is the single shuffle of the whole tail.
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     islands = matches.withColumn(
         "grp", F.col("pa") - F.row_number().over(w)
