@@ -178,3 +178,60 @@ def test_exact_k_sampling_sizes_and_stability(spark, keys, k):
         assert n == min(k, full[stratum])
     again = sample_exact_k(df.repartition(5), ["s"], k, "key")
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_shared_spans_match_bruteforce_on_random_text(spark, texts):
+    """shared_span_pairs ≡ the brute-force diagonal method on arbitrary
+    small-alphabet strings (maximally repetitive — the hardest case for
+    run/island bookkeeping)."""
+    from tests.test_shared_spans import _reference_spans
+
+    from airflow_retail_etl_spark.operators.dedup import shared_span_pairs
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["span_len"])
+        for r in shared_span_pairs(
+            df, "text", "doc_id", k=3, min_len=5
+        ).collect()
+    }
+    assert got == _reference_spans(docs, k=3, min_len=5)
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),
+            st.integers(min_value=1, max_value=8),
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_remove_spans_equals_python_interval_surgery(spark, intervals):
+    from airflow_retail_etl_spark.operators.dedup import remove_spans
+
+    text = "abcdefghijklmnopqrstuvwxyz"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(0, 1, 0, s, ln) for s, ln in intervals],
+        "id_a long, id_b long, start_a int, start_b int, span_len int",
+    )
+    r = remove_spans(df, spans, "text", "doc_id").first()
+    keep = [True] * len(text)
+    for s, ln in intervals:
+        for p in range(s - 1, min(s - 1 + ln, len(text))):
+            keep[p] = False
+    expected = "".join(c for c, k in zip(text, keep) if k)
+    assert r["text_clean"] == expected
+    assert r["n_removed_chars"] == len(text) - len(expected)
