@@ -184,6 +184,55 @@ def admit_doc_batch(
     _overwrite(surv_shingles, f"{index_path}/shingles")
 
 
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    compacted_batch_id: int = -1,
+) -> None:
+    """Maintenance compaction for the persisted LSH admission index.
+
+    Every admitted batch adds one ``batch_id`` partition per band (21
+    bands × N batches of small files); long-running admission therefore
+    accumulates exactly the small-file pathology ``io.compact_partitions``
+    exists for. This folds ALL batch partitions into a single
+    ``batch_id=compacted_batch_id`` layout (one file per band partition;
+    shingles into one partition), shrinking both file count and the
+    partition listing the per-batch index read must prune.
+
+    RUN BETWEEN STREAM RUNS (like any table-maintenance job): the
+    per-batch idempotence scheme replays a crashed batch by excluding its
+    own ``batch_id`` from the index read — rows folded into the
+    compacted id would escape that exclusion. A cleanly stopped stream
+    has committed its last batch, so nothing can replay; the default
+    ``-1`` sits below every real foreachBatch id by construction.
+    """
+    for sub, parts in (("bands", ["band"]), ("shingles", [])):
+        path = f"{index_path}/{sub}"
+        df = _read_history(spark, path)
+        if df is None:
+            continue
+        folded = df.drop("batch_id").withColumn(
+            "batch_id", F.lit(compacted_batch_id).cast("long")
+        ).cache()
+        folded.count()  # materialize before overwriting the read path
+        try:
+            (
+                folded.repartition(
+                    *[F.col(c) for c in (*parts, "batch_id")]
+                )
+                .write.mode("overwrite")
+                # STATIC overwrite on purpose: the whole point is to drop
+                # the old batch_id partitions, which the session's dynamic
+                # mode would leave in place
+                .option("partitionOverwriteMode", "static")
+                .partitionBy(*parts, "batch_id")
+                .parquet(path)
+            )
+        finally:
+            folded.unpersist()
+
+
 def replay_admission(
     batches: Sequence[DataFrame],
     text_col: str = "text",

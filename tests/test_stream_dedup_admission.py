@@ -140,3 +140,44 @@ def test_replay_admission_equals_streamed_sink(spark, tmp_path):
         r["doc_id"] for r in replay_admission(batches).collect()
     )
     assert replayed == streamed == [1, 2, 12]
+
+
+def test_index_compaction_preserves_admission_decisions(spark, tmp_path):
+    """compact_index folds N batch partitions into one; subsequent
+    admission decisions are identical to an uncompacted control, and the
+    file count shrinks."""
+    import glob
+
+    from airflow_retail_etl_spark.streaming.incremental import (
+        admit_doc_batch,
+        compact_index,
+    )
+
+    DAY3 = [(20, BASE), (21, "fresh unseen sentence about icebergs and "
+                             "glaciers drifting north")]
+    outs = {}
+    for label in ("compacted", "control"):
+        index = str(tmp_path / label / "index")
+        out = str(tmp_path / label / "out")
+        admit_doc_batch(spark.createDataFrame(DAY1, SCHEMA),
+                        index_path=index, out_path=out, batch_id=0)
+        admit_doc_batch(spark.createDataFrame(DAY2, SCHEMA),
+                        index_path=index, out_path=out, batch_id=1)
+        if label == "compacted":
+            before = len(glob.glob(f"{index}/bands/**/*.parquet",
+                                   recursive=True))
+            compact_index(spark, index)
+            after = len(glob.glob(f"{index}/bands/**/*.parquet",
+                                  recursive=True))
+            assert after < before
+            assert after == 21  # one file per band partition
+            # everything folded into the maintenance batch_id
+            assert glob.glob(f"{index}/bands/*/batch_id=-1")
+            assert not glob.glob(f"{index}/bands/*/batch_id=0")
+        admit_doc_batch(spark.createDataFrame(DAY3, SCHEMA),
+                        index_path=index, out_path=out, batch_id=2)
+        outs[label] = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+    # doc 20 dups the indexed corpus (doc 1), doc 21 is novel
+    assert outs["compacted"] == outs["control"] == [1, 2, 12, 21]
