@@ -1850,6 +1850,51 @@ def q_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_spans(docs, spans, "text", "doc_id")
 
 
+def q_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication health report: per source, how much text is
+    verbatim-duplicated elsewhere (span grain, not whole-doc) — the
+    number a data-curation team tracks per crawl/source to decide where
+    dedup budget goes. Composes q_span_excise's machinery with the doc
+    metadata: n_docs, docs carrying an excisable span, chars removed,
+    and the duplicated-char fraction (exact integer sums; one double
+    division rounded at 6dp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.shared_span_pairs(
+        docs, "text", "doc_id", k=16, min_len=60, hash_family="md5"
+    )
+    cleaned = dedup.remove_spans(docs, spans, "text", "doc_id")
+    j = docs.select("doc_id", "source").join(
+        cleaned.withColumn(
+            "orig_len", F.length("text_clean") + F.col("n_removed_chars")
+        ),
+        "doc_id",
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("n_removed_chars") > 0).cast("long")
+            ).alias("n_docs_excised"),
+            F.sum("n_removed_chars").cast("long").alias("chars_removed"),
+            F.sum("orig_len").cast("long").alias("chars_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_excised",
+            "chars_removed",
+            "chars_total",
+            F.round(
+                F.col("chars_removed")
+                / F.nullif(F.col("chars_total"), F.lit(0)),
+                6,
+            ).alias("dup_char_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators.profile.profile_table): the
     ANALYZE/data-quality pass — one scan computes every column's
@@ -3278,6 +3323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_spans": q_shared_spans,
         # its removal half: interval-merge + fold rebuild
         "span_excise": q_span_excise,
+        # and the per-source curation report over the same machinery
+        "duplication_profile": q_duplication_profile,
         "winnow": q_winnow,
         "simhash": q_simhash,
         "market_share": q_market_share,
@@ -3557,6 +3604,79 @@ def _clf_feat_cte() -> str:
 
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+def _span_excise_ctes() -> str:
+    """Span excision pipeline as DuckDB CTEs (anchors → diagonal islands
+    → interval merge → ordered segment reassembly); terminal CTE is
+    ``rebuilt`` and the normalized corpus is ``n`` — shared by the
+    span_excise and duplication_profile oracles (k=16, min_len=60, the
+    q_span_excise parameters)."""
+    return f"""
+        WITH n AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), anchors AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                   {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 16)")}
+                       AS h
+            FROM n, UNNEST(generate_series(1, length(t) - 15)) AS u(i)
+            WHERE length(t) >= 16
+        ), m AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM anchors a JOIN anchors b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ), isl AS (
+            SELECT id_a, id_b, diag, pa,
+                   pa - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa
+                   ) AS grp
+            FROM m
+        ), spans AS (
+            SELECT id_b AS id,
+                   CAST(MIN(pa) - diag AS INTEGER) AS s,
+                   CAST(MIN(pa) - diag + MAX(pa) - MIN(pa) + 16
+                        AS INTEGER) AS e
+            FROM isl GROUP BY id_a, id_b, diag, grp
+            HAVING MAX(pa) - MIN(pa) + 16 >= 60
+        ), w1 AS (
+            SELECT id, s, e,
+                   MAX(e) OVER (
+                       PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS run_end
+            FROM spans
+        ), g AS (
+            SELECT id, s, e,
+                   SUM(CASE WHEN s > COALESCE(run_end, 0) THEN 1 ELSE 0
+                       END) OVER (
+                       PARTITION BY id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS grp
+            FROM w1
+        ), merged AS (
+            SELECT id, grp, MIN(s) AS s, MAX(e) AS e
+            FROM g GROUP BY id, grp
+        ), seg AS (
+            SELECT id, s, e,
+                   LAG(e) OVER (PARTITION BY id ORDER BY s) AS prev_e,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY s) AS rn,
+                   MAX(e) OVER (PARTITION BY id) AS last_e
+            FROM merged
+        ), pieces AS (
+            SELECT seg.id, seg.rn AS ord,
+                   substr(n.t, COALESCE(seg.prev_e, 1),
+                          seg.s - COALESCE(seg.prev_e, 1)) AS piece
+            FROM seg JOIN n ON n.doc_id = seg.id
+            UNION ALL
+            SELECT seg.id, 2147483647,
+                   substr(n.t, seg.last_e) AS piece
+            FROM seg JOIN n ON n.doc_id = seg.id
+            WHERE seg.rn = 1
+        ), rebuilt AS (
+            SELECT id, string_agg(piece, '' ORDER BY ord) AS text_clean
+            FROM pieces GROUP BY id
+        )
+"""
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in tf.STOPWORDS) + "]"
 
@@ -5447,76 +5567,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # span excision: shared_spans CTE -> interval merge -> ordered
         # segment reassembly (string_agg ORDER BY ≡ Spark's sorted fold)
-        "span_excise": f"""
-        WITH n AS (
-            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
-        ), anchors AS (
-            SELECT doc_id, CAST(i AS INTEGER) AS pos,
-                   {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 16)")}
-                       AS h
-            FROM n, UNNEST(generate_series(1, length(t) - 15)) AS u(i)
-            WHERE length(t) >= 16
-        ), m AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   a.pos AS pa, a.pos - b.pos AS diag
-            FROM anchors a JOIN anchors b
-              ON a.h = b.h AND a.doc_id < b.doc_id
-        ), isl AS (
-            SELECT id_a, id_b, diag, pa,
-                   pa - ROW_NUMBER() OVER (
-                       PARTITION BY id_a, id_b, diag ORDER BY pa
-                   ) AS grp
-            FROM m
-        ), spans AS (
-            SELECT id_b AS id,
-                   CAST(MIN(pa) - diag AS INTEGER) AS s,
-                   CAST(MIN(pa) - diag + MAX(pa) - MIN(pa) + 16
-                        AS INTEGER) AS e
-            FROM isl GROUP BY id_a, id_b, diag, grp
-            HAVING MAX(pa) - MIN(pa) + 16 >= 60
-        ), w1 AS (
-            SELECT id, s, e,
-                   MAX(e) OVER (
-                       PARTITION BY id ORDER BY s, e
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ) AS run_end
-            FROM spans
-        ), g AS (
-            SELECT id, s, e,
-                   SUM(CASE WHEN s > COALESCE(run_end, 0) THEN 1 ELSE 0
-                       END) OVER (
-                       PARTITION BY id ORDER BY s, e
-                       ROWS UNBOUNDED PRECEDING
-                   ) AS grp
-            FROM w1
-        ), merged AS (
-            SELECT id, grp, MIN(s) AS s, MAX(e) AS e
-            FROM g GROUP BY id, grp
-        ), seg AS (
-            SELECT id, s, e,
-                   LAG(e) OVER (PARTITION BY id ORDER BY s) AS prev_e,
-                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY s) AS rn,
-                   MAX(e) OVER (PARTITION BY id) AS last_e
-            FROM merged
-        ), pieces AS (
-            SELECT seg.id, seg.rn AS ord,
-                   substr(n.t, COALESCE(seg.prev_e, 1),
-                          seg.s - COALESCE(seg.prev_e, 1)) AS piece
-            FROM seg JOIN n ON n.doc_id = seg.id
-            UNION ALL
-            SELECT seg.id, 2147483647,
-                   substr(n.t, seg.last_e) AS piece
-            FROM seg JOIN n ON n.doc_id = seg.id
-            WHERE seg.rn = 1
-        ), rebuilt AS (
-            SELECT id, string_agg(piece, '' ORDER BY ord) AS text_clean
-            FROM pieces GROUP BY id
-        )
+        "span_excise": _span_excise_ctes() + """
         SELECT n.doc_id,
                COALESCE(r.text_clean, n.t) AS text_clean,
                CAST(length(n.t) - length(COALESCE(r.text_clean, n.t))
                     AS INTEGER) AS n_removed_chars
         FROM n LEFT JOIN rebuilt r ON r.id = n.doc_id
+        """,
+        # per-source duplication health: same excision CTEs, aggregated
+        "duplication_profile": _span_excise_ctes() + """
+        , per_doc AS (
+            SELECT n.doc_id,
+                   CAST(length(n.t)
+                        - length(COALESCE(r.text_clean, n.t))
+                        AS INTEGER) AS n_removed,
+                   CAST(length(n.t) AS INTEGER) AS orig_len
+            FROM n LEFT JOIN rebuilt r ON r.id = n.doc_id
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN p.n_removed > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_excised,
+               CAST(SUM(p.n_removed) AS BIGINT) AS chars_removed,
+               CAST(SUM(p.orig_len) AS BIGINT) AS chars_total,
+               round(CAST(CAST(SUM(p.n_removed) AS BIGINT) AS DOUBLE)
+                     / NULLIF(CAST(SUM(p.orig_len) AS BIGINT), 0), 6)
+                   AS dup_char_frac
+        FROM documents d JOIN per_doc p USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
         """,
         # single-scan column profile; VARCHAR casts match Spark's
         # double→string shortest repr within the data's plain-decimal range
