@@ -203,3 +203,30 @@ def test_interleave_bits_orders_like_morton(spark):
         return z
 
     assert got == {(a, b): morton(a, b) for a, b in got}
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """Format breadth: ORC sink/source work out of the box and keep the
+    two scan properties the engine relies on everywhere — predicate
+    pushdown and column pruning (same contract test_plans pins for
+    parquet)."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(1000).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v",
+        "repeat('x', 10) AS pad"
+    )
+    path = str(tmp_path / "orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+    q = back.filter(F.col("grp") == 3).select("id", "v")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "grp" in plan.split(
+        "PushedFilters"
+    )[1][:80]
+    # pruned read schema: pad must not be scanned
+    assert "pad" not in plan.split("ReadSchema")[1][:200]
+    assert q.count() == sum(1 for i in range(1000) if i % 7 == 3)
