@@ -264,6 +264,14 @@ def _production_sketches():
             hash_family="xxhash64", max_doc_freq=200,
         )
 
+    def span_excise_prod(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        spans = dedup.shared_span_pairs(
+            docs, "text", "doc_id", k=16, min_len=60,
+            hash_family="xxhash64", max_doc_freq=200,
+        )
+        return dedup.remove_spans(docs, spans, "text", "doc_id")
+
     return {
         "minhash_lsh_pairs": minhash_prod,
         "simhash": simhash_prod,
@@ -274,6 +282,7 @@ def _production_sketches():
         "winnow": winnow_prod,
         "winnow_pairs": winnow_pairs_prod,
         "shared_spans": shared_spans_prod,
+        "span_excise": span_excise_prod,
     }
 
 
