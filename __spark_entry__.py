@@ -1809,6 +1809,21 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% prob memorization signal (operators.lm.minkprob_score):
+    mean NLL of each doc's 20% most-surprising tokens — the
+    membership-inference score of Shi et al. 2023. Engine parity: 9dp
+    token NLLs, integer-exact tail size ceil(n/5), DECIMAL tail sum
+    (boundary ties are value-equal, so the cut is selection-invariant),
+    6dp final round."""
+    from airflow_retail_etl_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.minkprob_score(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_tail", "tail_nll"
+    )
+
+
 def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per doc (operators.lm.bigram_score):
     conditional p(w2|w1) model, same 9dp-round + DECIMAL determinism
@@ -3312,6 +3327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": q_quality_report,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "unigram_score": q_unigram_score,
+        # its tail-focused sibling: memorization / membership signal
+        "mink_prob": q_mink_prob,
         "doc_stats": q_doc_stats,
         "vocab": q_vocab,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5676,6 +5693,46 @@ def oracle_sql() -> dict[str, str]:
                      6) AS score
         FROM scored GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        # min-k% prob: unigram NLL tail mean; integer-exact tail size,
+        # ties at the rank cut are value-equal so the sum is invariant
+        "mink_prob": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0
+        ), model AS (
+            SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+        ), tot AS (
+            SELECT SUM(n) AS total_n FROM model
+        ), scored AS (
+            SELECT doc_id,
+                   round(-ln(CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE)),
+                         9) AS nll
+            FROM tok JOIN model USING (tok) CROSS JOIN tot
+        ), ranked AS (
+            SELECT doc_id, nll,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY nll DESC
+                   ) AS rn
+            FROM scored
+        ), tail AS (
+            SELECT * FROM ranked WHERE rn <= (n_tokens + 4) // 5
+        ), per_doc AS (
+            SELECT doc_id, MAX(n_tokens) AS n_tokens,
+                   COUNT(*) AS n_tail,
+                   round(CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS tail_nll
+            FROM tail GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_tokens, 0) AS INTEGER) AS n_tokens,
+               CAST(COALESCE(p.n_tail, 0) AS INTEGER) AS n_tail,
+               p.tail_nll
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id)
         """,
         # TF-IDF top-5 per doc; scores rounded BEFORE ranking so ℝ-equal
         # float-different scores collapse onto the term tiebreak

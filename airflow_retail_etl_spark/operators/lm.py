@@ -168,6 +168,70 @@ def tfidf_keywords(
     )
 
 
+def minkprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    model: DataFrame | None = None,
+    k_divisor: int = 5,
+    unseen_logp: float = -30.0,
+) -> DataFrame:
+    """Min-K% prob (Shi et al. 2023, "Detecting Pretraining Data from
+    LLMs"): per document, the mean NLL of its 1/``k_divisor`` MOST
+    surprising tokens — the membership-inference / memorization signal
+    (a memorized document has no high-surprisal outlier tokens, so its
+    min-k score sits far below the corpus's).
+
+    avg_nll (unigram_score) averages everything; min-k looks only at the
+    tail, which is what separates "fluent because memorized" from
+    "fluent because typical". Returns (id, n_tokens, n_tail, tail_nll).
+
+    Engine parity: per-token NLL rounds at 9 dp (transcendental policy);
+    the tail is the top ``ceil(n/k_divisor)`` rows by (nll DESC) — ties
+    at the cut are value-equal, so the DECIMAL-accumulated sum is
+    selection-invariant; tail count uses exact integer ceil
+    ((n + k_divisor − 1) div k_divisor), never float multiplication.
+    The per-doc window partitions by document — no global sort.
+    """
+    if k_divisor < 1:
+        raise ValueError("k_divisor must be >= 1")
+    m = model if model is not None else unigram_model(docs, text_col, id_col)
+    tok = _tokens(docs, text_col, id_col)
+    nll = F.round(-F.coalesce(F.col("logp"), F.lit(unseen_logp)), 9)
+    scored = tok.join(m.select("tok", "logp"), "tok", "left").select(
+        "id", nll.alias("nll")
+    )
+    w_cnt = Window.partitionBy("id")
+    w_rank = Window.partitionBy("id").orderBy(F.col("nll").desc())
+    ranked = scored.select(
+        "id",
+        "nll",
+        F.count(F.lit(1)).over(w_cnt).alias("n_tokens"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    tail = ranked.filter(
+        F.col("rn")
+        <= F.expr(f"(n_tokens + {k_divisor - 1}) div {k_divisor}")
+    )
+    per_doc = tail.groupBy("id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(
+            F.sum(F.col("nll").cast(_ACC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("tail_nll"),
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+        F.coalesce("n_tail", F.lit(0)).cast("int").alias("n_tail"),
+        "tail_nll",
+    )
+
+
 def bigram_score(
     docs: DataFrame,
     text_col: str = "text",

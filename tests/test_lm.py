@@ -208,3 +208,46 @@ def test_collocations_floor_drops_rare_pairs(spark):
     )
     kept = {r["bg"] for r in collocations(df, min_pair_count=2).collect()}
     assert kept == {"p q"}
+
+
+def test_minkprob_tail_semantics(spark):
+    """Min-K tail = exactly ceil(n/k_divisor) most-surprising tokens;
+    memorized-typical docs score lower than outlier-bearing ones."""
+    import math
+
+    from airflow_retail_etl_spark.operators.lm import minkprob_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common common"),        # all typical
+            (2, "common common common common zzrare"),        # one outlier
+            (3, ""),                                          # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in minkprob_score(docs).collect()}
+    assert rows[1]["n_tokens"] == 5 and rows[1]["n_tail"] == 1
+    assert rows[2]["n_tail"] == 1
+    # doc 2's tail is its rare token -> strictly higher tail NLL
+    assert rows[2]["tail_nll"] > rows[1]["tail_nll"]
+    # corpus: 9 'common', 1 'zzrare', N=10
+    assert rows[1]["tail_nll"] == round(
+        round(-math.log(9 / 10), 9), 6
+    )
+    assert rows[2]["tail_nll"] == round(
+        round(-math.log(1 / 10), 9), 6
+    )
+    assert rows[3]["n_tokens"] == 0 and rows[3]["tail_nll"] is None
+
+
+def test_minkprob_tail_is_count_exact_under_ties(spark):
+    from airflow_retail_etl_spark.operators.lm import minkprob_score
+
+    # 10 identical tokens: every rank cut is a tie; n_tail must still be
+    # exactly ceil(10/5)=2 and the mean equals the single NLL value
+    docs = spark.createDataFrame(
+        [(1, " ".join(["tok"] * 10))], "doc_id long, text string"
+    )
+    r = minkprob_score(docs).first()
+    assert (r["n_tokens"], r["n_tail"]) == (10, 2)
+    assert r["tail_nll"] == 0.0  # p(tok)=1 -> NLL 0
