@@ -235,3 +235,68 @@ def test_remove_spans_equals_python_interval_surgery(spark, intervals):
     expected = "".join(c for c, k in zip(text, keep) if k)
     assert r["text_clean"] == expected
     assert r["n_removed_chars"] == len(text) - len(expected)
+
+
+def _ref_shingles(text: str) -> frozenset:
+    """Mirror _with_shingles(kind='token', n=3): normalize → whitespace
+    tokens → distinct 3-gram windows; concat_ws skips past-end NULLs."""
+    import re as _re
+
+    t = _re.sub(r"\s+", " ", text).strip().lower()
+    toks = t.split(" ") if t else []
+    count = max(len(toks) - 2, 1)
+    return frozenset(
+        " ".join(toks[i:i + 3]) for i in range(count)
+    )
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(["a", "b", "c", " "]),
+            min_size=0, max_size=24,
+        ),
+        min_size=1, max_size=4,
+    ),
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(["a", "b", "c", " "]),
+            min_size=0, max_size=24,
+        ),
+        min_size=1, max_size=4,
+    ),
+)
+def test_incremental_dedup_matches_declarative_rule(spark, ex_texts, in_texts):
+    """incremental_dedup ≡ the documented rule, brute-forced in python:
+    an incoming doc drops iff it near-dups (token-3-gram Jaccard ≥ 0.5)
+    any existing doc or a smaller-id incoming doc."""
+    from airflow_retail_etl_spark.operators.dedup import incremental_dedup
+
+    existing = [(i, t) for i, t in enumerate(ex_texts)]
+    incoming = [(100 + i, t) for i, t in enumerate(in_texts)]
+    sh = {i: _ref_shingles(t) for i, t in existing + incoming}
+
+    def jac(a, b):
+        u = len(sh[a] | sh[b])
+        return len(sh[a] & sh[b]) / u if u else 0.0
+
+    expected = []
+    for i, _ in incoming:
+        dup = any(jac(i, j) >= 0.5 for j, _ in existing) or any(
+            jac(i, j) >= 0.5 for j, _ in incoming if j < i
+        )
+        if not dup:
+            expected.append(i)
+
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            spark.createDataFrame(existing, "doc_id long, text string"),
+            spark.createDataFrame(incoming, "doc_id long, text string"),
+            "text",
+            "doc_id",
+            min_jaccard=0.5,
+        ).collect()
+    )
+    assert got == sorted(expected)
