@@ -1824,6 +1824,18 @@ def q_mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Zipf spectrum (operators.lm.frequency_spectrum):
+    per occurrence count, distinct-token count plus vocabulary/mass
+    shares — hapax rate and stop-mass in one tiny frame. Two
+    aggregations and a broadcast scalar; shares are exact-integer
+    divisions rounded at 6dp."""
+    from airflow_retail_etl_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.frequency_spectrum(docs, "text", "doc_id")
+
+
 def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per doc (operators.lm.bigram_score):
     conditional p(w2|w1) model, same 9dp-round + DECIMAL determinism
@@ -3333,6 +3345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_score": q_unigram_score,
         # its tail-focused sibling: memorization / membership signal
         "mink_prob": q_mink_prob,
+        # corpus-health Zipf spectrum over the same vocabulary table
+        "frequency_spectrum": q_frequency_spectrum,
         "doc_stats": q_doc_stats,
         "vocab": q_vocab,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5697,6 +5711,31 @@ def oracle_sql() -> dict[str, str]:
                      6) AS score
         FROM scored GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        # Zipf spectrum: frequency-of-frequencies over the vocabulary
+        "frequency_spectrum": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0
+        ), counts AS (
+            SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+        ), spec AS (
+            SELECT n, COUNT(*) AS n_types FROM counts GROUP BY n
+        ), tot AS (
+            SELECT SUM(n_types) AS vocab_size,
+                   SUM(n * n_types) AS total_tokens
+            FROM spec
+        )
+        SELECT n AS occurrences,
+               n_types,
+               round(CAST(n_types AS DOUBLE) / vocab_size, 6)
+                   AS type_share,
+               round(CAST(n * n_types AS DOUBLE) / total_tokens, 6)
+                   AS mass_share
+        FROM spec CROSS JOIN tot
+        ORDER BY occurrences
         """,
         # min-k% prob: unigram NLL tail mean; integer-exact tail size,
         # ties at the rank cut are value-equal so the sum is invariant

@@ -168,6 +168,49 @@ def tfidf_keywords(
     )
 
 
+def frequency_spectrum(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary frequency-of-frequencies (the Zipf spectrum): for each
+    occurrence count k, how many distinct tokens occur exactly k times,
+    their share of the vocabulary, and their share of the token mass.
+
+    The corpus-linguistics health report: hapax rate (k=1 share) tracks
+    crawl noise/OCR damage, a missing tail flags over-deduplication, and
+    the k≥cap head identifies stop-token mass. Two aggregations — token
+    counts (vocabulary-sized, map-side combined) then count-keyed —
+    plus a broadcast 1-row total; output rows = distinct occurrence
+    counts (≪ vocabulary). Shares are single double divisions of exact
+    integers, rounded at 6dp.
+    """
+    counts = (
+        _tokens(docs, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spec = counts.groupBy("n").agg(F.count(F.lit(1)).alias("n_types"))
+    totals = spec.agg(
+        F.sum("n_types").alias("vocab_size"),
+        F.sum(F.col("n") * F.col("n_types")).alias("total_tokens"),
+    )
+    return (
+        spec.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n").alias("occurrences"),
+            "n_types",
+            F.round(F.col("n_types") / F.col("vocab_size"), 6).alias(
+                "type_share"
+            ),
+            F.round(
+                (F.col("n") * F.col("n_types")) / F.col("total_tokens"), 6
+            ).alias("mass_share"),
+        )
+        .orderBy("occurrences")
+    )
+
+
 def minkprob_score(
     docs: DataFrame,
     text_col: str = "text",

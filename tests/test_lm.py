@@ -251,3 +251,17 @@ def test_minkprob_tail_is_count_exact_under_ties(spark):
     r = minkprob_score(docs).first()
     assert (r["n_tokens"], r["n_tail"]) == (10, 2)
     assert r["tail_nll"] == 0.0  # p(tok)=1 -> NLL 0
+
+
+def test_frequency_spectrum_known_corpus(spark):
+    from airflow_retail_etl_spark.operators.lm import frequency_spectrum
+
+    # corpus: a a a b b c  -> k=1:{c}, k=2:{b}, k=3:{a}; total 6, vocab 3
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {r["occurrences"]: r for r in frequency_spectrum(docs).collect()}
+    assert {k: rows[k]["n_types"] for k in rows} == {1: 1, 2: 1, 3: 1}
+    assert rows[1]["type_share"] == round(1 / 3, 6)     # hapax rate
+    assert rows[3]["mass_share"] == 0.5                 # 'a' mass 3/6
+    assert sum(r["mass_share"] for r in rows.values()) == 1.0
