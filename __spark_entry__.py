@@ -1637,6 +1637,32 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs, end-to-end through real
+    bytes: synthesize structured 64×64 gradient P6 payloads per document
+    (multimodal.synth_gradient_payload — slope class = doc_id % 16,
+    brightness offset = (doc_id//16) % 3, so same-class images are
+    near-identical), dHash them in mapInPandas Arrow batches
+    (multimodal.dhash_media — nearest-neighbor 9×8 luminance grid,
+    horizontal-gradient bits, signed int64), then find Hamming ≤ 3 pairs
+    with the text-SimHash pigeonhole machinery (dedup.simhash_pairs —
+    exact for that radius). All integer math, so the oracle predicts the
+    full synth → decode → hash → pair pipeline analytically from doc_id
+    without ever seeing a byte; a wrong byte anywhere breaks the hash.
+    """
+    from airflow_retail_etl_spark import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_gradient_corpus(docs)
+    return (
+        multimodal.image_neardup_pairs(media, max_hamming=3)
+        .select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata columns."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3225,8 +3251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's window (simhash ⊂ simhash_pairs, unigram_score ~ the lm
     machinery tfidf_keywords exercises, quality_report an aggregate view
     of quality_filter's gopher flags, ann_pq ⊂ ivf_pq probe-all,
-    shared_spans/span_excise the exactness face of winnow_pairs'
-    family).
+    neardup_jaccard's jaccard_pairs machinery running in-prefix inside
+    dedup_resolve, shared_spans ⊂ span_excise — which holds the exact
+    span family's in-prefix slot with the full detect+excise
+    composition).
     """
     return {
         # -- retail star schema (SURVEY §2 core) --------------------------
@@ -3301,7 +3329,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
         "dedup_exact": q_dedup_exact,
-        "neardup_jaccard": q_neardup_jaccard,
+        # span_excise reps the exact-span family (anchor join + diagonal
+        # islands + interval-merge excision) in the window — winnow_pairs
+        # reps detection-only sketching, not excision; neardup_jaccard
+        # (jaccard pairs + top-k) moves just past the prefix because
+        # dedup_resolve runs the identical jaccard_pairs machinery inside
+        # its cluster resolution
+        "span_excise": q_span_excise,
         "dedup_resolve": q_dedup_resolve,
         "winnow_pairs": q_winnow_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3352,14 +3386,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "dup_clusters": q_dup_clusters,
-        # exact span recovery (anchor join + diagonal islands): the
-        # exactness face of the winnow family (winnow_pairs holds the
-        # family's in-prefix slot)
+        # detection-only face of the exact-span family (span_excise holds
+        # the in-prefix slot with the full detect+excise composition)
         "shared_spans": q_shared_spans,
-        # its removal half: interval-merge + fold rebuild
-        "span_excise": q_span_excise,
         # and the per-source curation report over the same machinery
         "duplication_profile": q_duplication_profile,
+        # jaccard pairs + top-k: its machinery runs in-prefix inside
+        # dedup_resolve (identical jaccard_pairs call feeding the
+        # cluster resolution)
+        "neardup_jaccard": q_neardup_jaccard,
         "winnow": q_winnow,
         "simhash": q_simhash,
         "market_share": q_market_share,
@@ -3394,6 +3429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": q_balanced_sample,
         "corpus_entropy": q_corpus_entropy,
         "multimodal_resize": q_multimodal_resize,
+        # perceptual image near-dup: dHash over real P6 bytes fed through
+        # the in-prefix simhash_pairs Hamming machinery
+        "image_neardup": q_image_neardup,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
         "daily_type_unpivot": q_daily_type_unpivot,
@@ -5312,6 +5350,54 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN m != 1 THEN CAST((7*doc_id) % 256 AS DOUBLE) END AS mean_g,
                CASE WHEN m != 1 THEN CAST((13*doc_id) % 256 AS DOUBLE) END AS mean_b
         FROM img
+        """,
+        # image_neardup: replays the synth → decode → dHash → Hamming-pair
+        # pipeline ANALYTICALLY from doc_id (the synthesis contract in
+        # multimodal.synth_gradient_payload): per grid cell the sampled
+        # pixel is the floor map (gx*64)//9 / gy*8, luminance is the exact
+        # integer r+g+b of the three gradient channels, gradient bits pack
+        # into a signed BIGINT (bit 63 via two's complement), and pairs are
+        # the brute-force Hamming join — equivalent to Spark's pigeonhole
+        # blocking, which is exact for radius <= 3.
+        "image_neardup": """
+        WITH params AS (
+            SELECT doc_id,
+                   5 + 8 * (doc_id % 4) AS a,
+                   3 + 8 * ((doc_id % 16) // 4) AS b,
+                   (doc_id // 16) % 3 AS c
+            FROM documents
+        ), cells AS (
+            SELECT p.doc_id, gy.g AS gy, gx.g AS gx,
+                   ((p.a * ((gx.g * 64) // 9) + p.b * (gy.g * 8) + p.c) % 256
+                  + (2 * p.a * ((gx.g * 64) // 9) + p.b * (gy.g * 8) + p.c) % 256
+                  + (p.a * ((gx.g * 64) // 9) + 2 * p.b * (gy.g * 8) + p.c) % 256
+                   ) AS lum
+            FROM params p,
+                 generate_series(0, 7) gy(g),
+                 generate_series(0, 8) gx(g)
+        ), bits AS (
+            SELECT l.doc_id, l.gy * 8 + l.gx AS i,
+                   CASE WHEN r.lum > l.lum THEN 1 ELSE 0 END AS bit
+            FROM cells l
+            JOIN cells r
+              ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+            WHERE l.gx < 8
+        ), hashes AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN bit = 1 THEN
+                         CASE WHEN i = 63
+                              THEN CAST(-9223372036854775808 AS HUGEINT)
+                              ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT)
+                         END
+                       ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS h
+            FROM bits GROUP BY doc_id
+        )
+        SELECT ha.doc_id AS id_a, hb.doc_id AS id_b,
+               CAST(bit_count(xor(ha.h, hb.h)) AS INTEGER) AS hamming
+        FROM hashes ha
+        JOIN hashes hb ON ha.doc_id < hb.doc_id
+        WHERE bit_count(xor(ha.h, hb.h)) <= 3
+        ORDER BY id_a, id_b
         """,
         "multimodal_bytes": """
         SELECT doc_id AS asset_id,

@@ -78,6 +78,15 @@ class CorpusConfig:
     excise_min_span: int | None = None
     #: anchor k-gram length for span excision
     excise_k: int = 16
+    #: drop span anchors present in more than this many documents before
+    #: the anchor self-join — the boilerplate/stop-phrase skew guard
+    #: shared with the jaccard/containment family. The anchor join's cost
+    #: is Σ_h freq(h)²: one 16-char license-header k-gram in 10⁵ docs of
+    #: a 100 TB crawl otherwise yields 10¹⁰ matches on a single hash key.
+    #: A dropped hot anchor can split or shrink a reported span (never
+    #: invent one); None disables the cap (exhaustive mode — small
+    #: corpora / verification only).
+    excise_max_doc_freq: int | None = 200
 
 
 def quality_gate(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
@@ -219,6 +228,7 @@ def excise_shared_spans(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     spans = dedup.shared_span_pairs(
         df, cfg.text_col, cfg.id_col,
         k=cfg.excise_k, min_len=cfg.excise_min_span,
+        max_doc_freq=cfg.excise_max_doc_freq,
     )
     cleaned = dedup.remove_spans(df, spans, cfg.text_col, cfg.id_col)
     others = [c for c in df.columns if c != cfg.text_col]

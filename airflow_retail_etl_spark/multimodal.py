@@ -452,3 +452,162 @@ def resize_images(
             yield pd.DataFrame(out, columns=cols)
 
     return media_df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# --- perceptual hashing: image near-duplicate detection ---------------------
+#
+# dHash (difference hash): downsample the image to a (DHASH_GRID_W+1) ×
+# DHASH_GRID_H luminance grid, emit one bit per horizontal neighbor pair
+# (bit = right cell brighter than left), pack the 64 bits into a signed
+# int64. Near-duplicate images — recompressions, small edits, slight
+# brightness shifts — land within a few bits of Hamming distance, while the
+# gradient structure makes unrelated images differ in ~32 bits on average.
+# The pair search reuses operators.dedup.simhash_pairs verbatim (16-bit
+# pigeonhole blocks — exact for Hamming <= 3, linear candidate generation),
+# so images ride the same Hamming machinery as text SimHash.
+#
+# All integer math end-to-end (nearest-neighbor floor sampling, integer
+# luminance r+g+b, comparisons), so the hash is bit-replicable by an ANSI
+# SQL oracle from the synthesis contract alone.
+
+DHASH_GRID_W = 8   #: gradient bits per row (sampled columns = +1)
+DHASH_GRID_H = 8   #: rows
+_GRADIENT_WH = 64  #: synth gradient images are 64x64
+
+
+def synth_gradient_payload(doc_id: int) -> bytes:
+    """Deterministic STRUCTURED P6 payload for perceptual hashing.
+
+    The constant-color synth_payload images are degenerate for any
+    spatial hash (every gradient bit is 0); this variant emits a 64×64
+    linear-gradient image whose dHash is discriminative and analytic in
+    doc_id:
+
+    - class = doc_id % 16 fixes the gradient slopes
+      a = 5 + 8·(class % 4), b = 3 + 8·(class ⌊/⌋ 4) — 16 patterns whose
+      mod-256 wrap structure separates them by ≥11 dHash bits while
+      same-class brightness variants stay within 3 (measured over the
+      full class × offset grid);
+    - c = (doc_id ⌊/⌋ 16) % 3 is a small brightness offset: same-class
+      images are near-identical (gradient bits flip only where the +c
+      crosses a mod-256 wrap — a few bits), the perceptual-near-dup
+      relation the hash exists to catch;
+    - channels: r = (a·x + b·y + c) % 256, g = (2a·x + b·y + c) % 256,
+      b = (a·x + 2b·y + c) % 256.
+    """
+    w = h = _GRADIENT_WH
+    cls = doc_id % 16
+    a, b = 5 + 8 * (cls % 4), 3 + 8 * (cls // 4)
+    c = (doc_id // 16) % 3
+    import numpy as np
+
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    ax = a * xs[None, :]
+    by = b * ys[:, None]
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = (ax + by + c) % 256
+    px[:, :, 1] = (2 * ax + by + c) % 256
+    px[:, :, 2] = (ax + 2 * by + c) % 256
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def synth_gradient_corpus(docs: DataFrame) -> DataFrame:
+    """(asset_id, media) — structured P6 payloads per document, emitted in
+    mapInPandas Arrow batches (the same ingest-decode shape as
+    synth_media_corpus)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media": [
+                        synth_gradient_payload(int(i)) for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def dhash64(payload: bytes) -> int:
+    """Reference dHash of one P6 payload (signed int64, two's complement).
+
+    Grid sampling is the nearest-neighbor floor map resize_ppm uses:
+    sampled column x_gx = ⌊gx·w/9⌋ (gx = 0..8), row y_gy = ⌊gy·h/8⌋
+    (gy = 0..7); cell luminance = r+g+b of the sampled pixel (exact
+    integers, no division); bit (gy·8 + gx) = lum[gy][gx+1] > lum[gy][gx].
+    """
+    import numpy as np
+
+    w, h, _maxval, off = _parse_ppm_header(payload, 0)
+    end = off + 3 * w * h
+    if end > len(payload):
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(payload[off:end], dtype=np.uint8).reshape(h, w, 3)
+    xs = (np.arange(DHASH_GRID_W + 1) * w) // (DHASH_GRID_W + 1)
+    ys = (np.arange(DHASH_GRID_H) * h) // DHASH_GRID_H
+    lum = px[ys][:, xs].astype(np.int64).sum(axis=2)  # (8, 9) grid
+    bits = lum[:, 1:] > lum[:, :-1]                   # (8, 8) gradients
+    val = 0
+    for i, bit in enumerate(bits.flatten()):
+        if bit:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def dhash_media(media_df: DataFrame) -> DataFrame:
+    """Partition-parallel dHash over (asset_id, media) P6 payloads via
+    mapInPandas → (asset_id, dhash). Payload bytes stay on the executors;
+    the signature table is 16 bytes/row however large the images are —
+    the reduction that makes image near-dup a text-sized problem."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "dhash": [
+                        dhash64(bytes(p)) for p in pdf["media"]
+                    ],
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema)
+
+
+def image_neardup_pairs(
+    media_df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash signatures fed through
+    the text-SimHash Hamming machinery (operators.dedup.simhash_pairs —
+    16-bit pigeonhole blocks, EXACT for max_hamming <= 3, linear candidate
+    generation, same max_bucket_size backstop against identical-image
+    mega-clusters). Returns (id_a, id_b, hamming)."""
+    from airflow_retail_etl_spark.operators import dedup as _dedup
+
+    sigs = dhash_media(media_df).select(
+        F.col("asset_id").alias("id"), F.col("dhash").alias("simhash")
+    )
+    return _dedup.simhash_pairs(
+        sigs, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )

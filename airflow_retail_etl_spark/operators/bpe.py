@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from airflow_retail_etl_spark.functions.partitioning import _spread_id
 from airflow_retail_etl_spark.functions.text import normalize_text, tokens
 
 #: end-of-word sentinel (classic BPE: lets merges learn word endings)
@@ -139,7 +140,7 @@ def apply_bpe(
     base = df.select(
         F.col(id_col).alias("id"),
         tokens(normalize_text(F.col(text_col))).alias("toks"),
-    ).repartition("id")
+    ).transform(_spread_id)
     s = F.array_join(
         F.transform(F.col("toks"), wrapped_word), _WSEP
     )
@@ -159,7 +160,7 @@ def apply_bpe(
     )
     # the merge chain feeds three output expressions; materialize it once
     # behind an exchange instead of evaluating the replaces per reference
-    mid = base.select("id", joined.alias("j")).repartition("id")
+    mid = base.select("id", joined.alias("j")).transform(_spread_id)
     toks_out = F.when(
         F.length("j") == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.col("j"), _SEP))

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions.partitioning import spread
+
 from airflow_retail_etl_spark.functions.text import normalize_text, tokens
 
 
@@ -49,7 +51,7 @@ def chunk_documents(
     base = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_text(F.col(text_col))).alias("toks"),
-    ).repartition("doc_id")
+    ).transform(lambda d: spread(d, "doc_id"))
     n = F.size("toks")
     # integer ceil((n - overlap) / stride), clamped to >= 1; values are
     # token counts (< 2^31) so the double round-trip under floor is exact

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions.partitioning import _spread_id
+
 from airflow_retail_etl_spark.functions import xhash
 from airflow_retail_etl_spark.functions.text import (
     char_shingles_from,
@@ -78,7 +80,7 @@ def _with_shingles(
             normalize_text(F.col(text_col)).alias("base"),
         )
         shingle = char_shingles_from(F.col("base"), n)
-    return base.repartition("id").select(
+    return base.transform(_spread_id).select(
         "id", shingle.alias("shingles")
     )
 
@@ -749,7 +751,7 @@ def simhash(
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, hash_fn).alias("hashes"),
-    ).repartition("id")
+    ).transform(_spread_id)
     hashes = F.col("hashes")
     n_tok = F.size(hashes)
 
@@ -879,7 +881,7 @@ def winnow_fingerprints(
     base = df.select(
         F.col(id_col).alias("id"),
         normalize_text(F.col(text_col)).alias("t"),
-    ).repartition("id")
+    ).transform(_spread_id)
     hashes = base.select(
         "id",
         F.transform(
@@ -888,7 +890,7 @@ def winnow_fingerprints(
             ),
             lambda i: hash_gram(F.col("t").substr(i, F.lit(k))),
         ).alias("hs"),
-    ).repartition("id")
+    ).transform(_spread_id)
     return hashes.select(
         "id",
         F.array_distinct(
@@ -1059,6 +1061,13 @@ def shared_span_pairs(
     """
     from pyspark.sql import Window
 
+    if min_len < k:
+        raise ValueError(
+            f"min_len={min_len} < k={k}: spans shorter than the anchor "
+            "k-gram produce no anchors, so the exactness guarantee would "
+            "silently not hold for lengths in [min_len, k). Lower k or "
+            "raise min_len — k is the detection floor."
+        )
     if hash_family == "md5":
         def hash_gram(g: Column) -> Column:
             return xhash.md5_long(g)
@@ -1071,7 +1080,7 @@ def shared_span_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         normalize_text(F.col(text_col)).alias("t"),
-    ).repartition("id")
+    ).transform(_spread_id)
     # positional k-gram anchors, materialized behind the exchange (the
     # HOF-lambda trap: see _with_shingles)
     anchors = base.filter(F.length("t") >= k).select(

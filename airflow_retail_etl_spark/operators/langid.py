@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions.partitioning import spread
+
 from airflow_retail_etl_spark.functions.text import (
     char_shingles_from,
     normalize_text,
@@ -31,7 +33,7 @@ def _doc_ngrams(
     """(… id cols …, ngrams) with normalization materialized first (see
     dedup._with_shingles for why the two-step + repartition matters)."""
     base = df.select(*id_cols, normalize_text(F.col(text_col)).alias("base"))
-    return base.repartition(*[F.col(c) for c in id_cols[:1]]).select(
+    return spread(base, *[F.col(c) for c in id_cols[:1]]).select(
         *id_cols, char_shingles_from(F.col("base"), n).alias("ngrams")
     )
 

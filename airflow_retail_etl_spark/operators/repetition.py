@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions.partitioning import _spread_id
+
 from airflow_retail_etl_spark.functions.text import normalize_text, tokens
 
 
@@ -72,7 +74,7 @@ def repetition_report(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         tokens(normalize_text(F.col(text_col))).alias("toks"),
-    ).repartition("id")
+    ).transform(_spread_id)
     grams = base.select(
         "id", F.explode_outer(ngrams_all(F.col("toks"), n)).alias("g")
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions.partitioning import _spread_id
+
 
 def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
@@ -611,7 +613,7 @@ def pq_encode(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         *keep,
-    ).withColumn("nn", dot(F.col("v"), F.col("v"))).repartition("id")
+    ).withColumn("nn", dot(F.col("v"), F.col("v"))).transform(_spread_id)
     dists = base.select(
         "id",
         "v",
@@ -629,7 +631,7 @@ def pq_encode(
                 ),
             ),
         ).alias("ds"),
-    ).repartition("id")
+    ).transform(_spread_id)
     return dists.select(
         "id",
         "v",

@@ -154,10 +154,29 @@ HEADLINE = (
     "matryoshka_recall",
     "balanced_sample",
     "corpus_entropy",
-    # compound_growth_index stays correctness-only: Spark's recursive-CTE
-    # runtime schedules one job per recursion step (~0.45 s × day count of
-    # fixed overhead at any SF) — benching it would measure the scheduler,
-    # not the engine
+    # full-registry coverage (round 7): every queries() entry is timed so
+    # no registry query can regress silently. compound_growth_index is
+    # scheduler-bound (Spark's recursive-CTE runtime schedules one job per
+    # recursion step — fixed overhead × day count at any SF); its number
+    # measures that runtime, not the relational engine, but it is timed
+    # all the same so the regression diff spans the whole registry.
+    "dim_date",
+    "customers_without_orders",
+    "revenue_rollup",
+    "daily_type_pivot",
+    "lang_id",
+    "high_value_customers",
+    "top_events_per_user",
+    "value_histogram",
+    "cumulative_daily_revenue",
+    "mink_prob",
+    "frequency_spectrum",
+    "doc_fingerprint",
+    "duplication_profile",
+    "neardup_cosine",
+    "value_percentiles",
+    "image_neardup",
+    "compound_growth_index",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
@@ -272,6 +291,46 @@ def _production_sketches():
         )
         return dedup.remove_spans(docs, spans, "text", "doc_id")
 
+    def duplication_profile_prod(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        spans = dedup.shared_span_pairs(
+            docs, "text", "doc_id", k=16, min_len=60,
+            hash_family="xxhash64", max_doc_freq=200,
+        )
+        cleaned = dedup.remove_spans(docs, spans, "text", "doc_id")
+        j = docs.select("doc_id", "source").join(
+            cleaned.withColumn(
+                "orig_len",
+                F.length("text_clean") + F.col("n_removed_chars"),
+            ),
+            "doc_id",
+        )
+        return (
+            j.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    (F.col("n_removed_chars") > 0).cast("long")
+                ).alias("n_docs_excised"),
+                F.sum("n_removed_chars").cast("long").alias("chars_removed"),
+                F.sum("orig_len").cast("long").alias("chars_total"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_docs_excised",
+                "chars_removed",
+                "chars_total",
+                F.round(
+                    F.col("chars_removed")
+                    / F.nullif(F.col("chars_total"), F.lit(0)),
+                    6,
+                ).alias("dup_char_frac"),
+            )
+        )
+
     return {
         "minhash_lsh_pairs": minhash_prod,
         "simhash": simhash_prod,
@@ -283,6 +342,7 @@ def _production_sketches():
         "winnow_pairs": winnow_pairs_prod,
         "shared_spans": shared_spans_prod,
         "span_excise": span_excise_prod,
+        "duplication_profile": duplication_profile_prod,
     }
 
 

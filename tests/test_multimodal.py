@@ -191,3 +191,85 @@ def test_resize_images_passthrough_and_stats(spark):
             assert r["src_width"] == 8 + i % 32
         else:
             assert r["width"] is None and r["media"] is None
+
+
+# --- perceptual hashing / image near-dup ------------------------------------
+
+def test_dhash_media_matches_reference(spark):
+    from airflow_retail_etl_spark import multimodal as M
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = M.synth_gradient_corpus(docs)
+    got = {r["asset_id"]: r["dhash"] for r in M.dhash_media(media).collect()}
+    for i in range(40):
+        assert got[i] == M.dhash64(M.synth_gradient_payload(i)), i
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_image_neardup_recall_on_perturbed_images(spark):
+    """Near-identical images (small pixel edits of a base image) must be
+    recovered by the Hamming-3 pair search; an unrelated image must not."""
+    import numpy as np
+
+    from airflow_retail_etl_spark import multimodal as M
+
+    base = M.synth_gradient_payload(7)
+    w, h, _maxval, off = M._parse_ppm_header(base, 0)
+    px = np.frombuffer(base[off:], dtype=np.uint8).reshape(h, w, 3).copy()
+
+    # off-grid edit: pixels never sampled by the 9x8 floor map -> hash 0 away
+    sampled_x = {(gx * w) // 9 for gx in range(9)}
+    sampled_y = {(gy * h) // 8 for gy in range(8)}
+    ex = next(x for x in range(w) if x not in sampled_x)
+    ey = next(y for y in range(h) if y not in sampled_y)
+    off_grid = px.copy()
+    off_grid[ey, ex] = [255, 255, 255]
+    p_off = b"P6\n%d %d\n255\n" % (w, h) + off_grid.tobytes()
+
+    # on-grid edit: one sampled pixel nudged -> at most a couple of bits
+    sx, sy = min(sampled_x - {0}), min(sampled_y - {0})
+    on_grid = px.copy()
+    on_grid[sy, sx] = (on_grid[sy, sx].astype(int) + 40) % 256
+    p_on = b"P6\n%d %d\n255\n" % (w, h) + on_grid.tobytes()
+
+    unrelated = M.synth_gradient_payload(3)  # different slope class
+
+    assert _ham(M.dhash64(base), M.dhash64(p_off)) == 0
+    assert 0 < _ham(M.dhash64(base), M.dhash64(p_on)) <= 3
+    assert _ham(M.dhash64(base), M.dhash64(unrelated)) > 3
+
+    media = spark.createDataFrame(
+        [(1, base), (2, p_off), (3, p_on), (4, unrelated)],
+        "asset_id long, media binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.image_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_image_neardup_class_separation(spark):
+    """Same slope class (brightness variants) pairs up; cross-class never
+    does at radius 3 (measured separation >= 11 bits)."""
+    from airflow_retail_etl_spark import multimodal as M
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    media = M.synth_gradient_corpus(docs)
+    pairs = M.image_neardup_pairs(media, max_hamming=3).collect()
+    assert pairs, "no near-dup pairs found at all"
+    for r in pairs:
+        assert r["id_a"] % 16 == r["id_b"] % 16, (
+            f"cross-class pair {r['id_a']},{r['id_b']}"
+        )
+    # every same-class pair is within radius 3 in this corpus -> complete
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for cls in range(16):
+        members = [i for i in range(64) if i % 16 == cls]
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                assert (a, b) in found, (a, b)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.operators.dedup import shared_span_pairs
 
@@ -172,3 +173,119 @@ def test_doc_freq_cap_never_invents_spans(spark):
             for u in uncapped
         )
         assert ok, r
+
+
+def test_min_len_below_k_raises(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="detection floor"):
+        shared_span_pairs(df, "text", "doc_id", k=16, min_len=10)
+
+
+# --- skew guard (SCALE.md): adversarial boilerplate corpus -----------------
+
+HEADER = (
+    "copyright acme corporation all rights reserved unauthorized "
+    "reproduction of this document is strictly prohibited worldwide"
+)
+
+
+def _header_corpus(spark, n=1000):
+    """Every doc opens with the same 120-char license header; exactly one
+    pair additionally shares a long RARE paragraph. Uncapped, the header's
+    k-grams alone put every doc pair on a shared anchor: ~n²/2 ≈ 500k
+    span rows. The doc-frequency cap must keep candidate generation
+    linear while reporting the rare pair's span exactly."""
+    rare = (
+        "the migratory patterns of the arctic tern span both polar "
+        "circles covering seventy thousand kilometres each year"
+    )
+    rows = [(i, f"{HEADER} unique body text number {i}") for i in range(n)]
+    rows.append((5000, f"{HEADER} first rare doc. {rare}"))
+    rows.append((5001, f"{HEADER} second rare doc! {rare}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_anchor_cap_bounds_matches(spark):
+    df = _header_corpus(spark)
+    capped = shared_span_pairs(
+        df, "text", "doc_id", k=16, min_len=60, max_doc_freq=50
+    ).collect()
+    # header anchors appear in all 1002 docs -> dropped before the
+    # self-join; the 1000 boilerplate-only docs form NO pairs at all
+    boiler = [r for r in capped if r["id_a"] < 5000]
+    assert boiler == []
+    # cross pairs (boilerplate doc x rare doc) only share the header too
+    cross = [r for r in capped if r["id_a"] < 5000 or r["id_b"] < 5000]
+    assert cross == []
+    # the rare paragraph survives with EXACT coordinates: its anchors sit
+    # in 2 docs, far under the cap
+    hits = [r for r in capped if (r["id_a"], r["id_b"]) == (5000, 5001)]
+    assert len(hits) == 1
+    r = hits[0]
+    na = _norm(f"{HEADER} first rare doc. " )
+    nb = _norm(f"{HEADER} second rare doc! ")
+    ta = _norm(df.filter("doc_id = 5000").first()["text"])
+    tb = _norm(df.filter("doc_id = 5001").first()["text"])
+    assert (
+        ta[r["start_a"] - 1:r["start_a"] - 1 + r["span_len"]]
+        == tb[r["start_b"] - 1:r["start_b"] - 1 + r["span_len"]]
+    )
+    assert r["span_len"] >= 60
+
+
+def test_corpus_config_cap_reaches_excision(spark):
+    """CorpusConfig.excise_max_doc_freq flows through excise_shared_spans:
+    with the default cap, a corpus-wide header is NOT excised (its anchors
+    are capped away); exhaustive mode (None) cuts it."""
+    from airflow_retail_etl_spark.corpus_pipeline import (
+        CorpusConfig,
+        excise_shared_spans,
+    )
+
+    df = _header_corpus(spark, n=300)
+    cfg = CorpusConfig(excise_min_span=60, excise_max_doc_freq=50)
+    out = excise_shared_spans(df, cfg)
+    # header survives in every later doc: the cap suppressed its anchors
+    kept = out.filter(F.col("text").contains("copyright acme")).count()
+    assert kept == out.count()
+    # exhaustive mode on a SMALL slice does excise the header from later docs
+    small = df.filter("doc_id < 5")
+    cfg_ex = CorpusConfig(excise_min_span=60, excise_max_doc_freq=None)
+    out_ex = {
+        r["doc_id"]: r["text"]
+        for r in excise_shared_spans(small, cfg_ex).collect()
+    }
+    assert "copyright acme" in out_ex[0]
+    assert all("copyright acme" not in out_ex[i] for i in (1, 2, 3, 4))
+
+
+def test_excised_text_is_normal_form_for_downstream(spark):
+    """Span coordinates live in NORMALIZED text space; remove_spans output
+    must be a fixed point of normalize_text so downstream chunk/pack
+    stages (which normalize internally) see byte-identical input either
+    way. Guards the corpus pipeline's silent coordinate contract."""
+    from airflow_retail_etl_spark.operators import chunking
+    from airflow_retail_etl_spark.operators.dedup import (
+        normalize_text,
+        remove_spans,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    spans = shared_span_pairs(df, "text", "doc_id", k=8, min_len=20)
+    cleaned = remove_spans(df, spans, "text", "doc_id")
+    # fixed point: normalize(text_clean) == text_clean, every doc
+    assert cleaned.filter(
+        normalize_text(F.col("text_clean")) != F.col("text_clean")
+    ).count() == 0
+    # and chunking the excised text directly equals chunking its
+    # re-normalized form (byte-identical downstream view)
+    a = chunking.chunk_documents(
+        cleaned, "text_clean", "doc_id", chunk_size=8, overlap=2
+    )
+    renorm = cleaned.select(
+        "doc_id", normalize_text(F.col("text_clean")).alias("text_clean")
+    )
+    b = chunking.chunk_documents(
+        renorm, "text_clean", "doc_id", chunk_size=8, overlap=2
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -59,6 +59,11 @@ PROBES = (
     "semdedup",
     "pagerank",
     "sessionize",
+    # exact-span family: per-char anchor join + diagonal islands, capped
+    # (production twin: xxhash64, max_doc_freq=200); anchor volume is
+    # corpus chars, so the probe checks the self-join stays ~linear once
+    # the hot-anchor cap bounds per-key fanout
+    "span_excise",
 )
 
 DEFAULT_SF_DIRS = (
