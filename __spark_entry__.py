@@ -2707,6 +2707,49 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE closed-form classifier training (ridge normal equations,
+    operators.classifier.ridge_fit): distill the rule-based Gopher keep
+    flag into a smooth linear scorer, entirely inside the engine. XᵀX and
+    Xᵀy accumulate as DECIMAL aggregates over the 6-dp-rounded features
+    (exact, partition-order independent — verified bit-identical across
+    repartitionings), the 5×5 system is solved driver-side (model-sized,
+    never data-sized), and the learned 6-dp weights gate the corpus via
+    the same DECIMAL projection as quality_classifier. The output carries
+    the learned weights as columns, so the oracle — which pins the
+    expected sf0.01 fit as literals per the seeded-literal policy —
+    verifies the TRAINING result, not just the scoring arithmetic.
+    """
+    from airflow_retail_etl_spark.functions import text as tf_
+    from airflow_retail_etl_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = tf_.gopher_flags(F.col("text"))["keep"].cast("int")
+    weights, bias = classifier.ridge_fit(
+        docs, _clf_features(F.col("text")), label
+    )
+    scored = classifier.ridge_score(
+        docs.select("doc_id", "text"),
+        _clf_features(F.col("text")),
+        weights,
+        bias,
+    )
+    return (
+        scored.filter(tf_.token_count(F.col("text")) > 0)
+        .select(
+            "doc_id",
+            "score",
+            "keep",
+            F.lit(round(bias, 6)).alias("w_bias"),
+            *[
+                F.lit(round(weights[n], 6)).alias(f"w_{n[2:]}")
+                for n in sorted(weights)
+            ],
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the hash draw is taken on the
     near-dup CLUSTER id, not the document id, so near-duplicates can never
@@ -3360,6 +3403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "regional_revenue": q_regional_revenue,
         "cluster_split": q_cluster_split,
+        # in-engine ridge training (DECIMAL normal equations + driver
+        # solve); the scoring face, quality_classifier, is in-prefix
+        "classifier_fit": q_classifier_fit,
         "filter_funnel": q_filter_funnel,
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
@@ -3630,10 +3676,12 @@ def _clf_z_sql() -> str:
     return " + ".join(terms)
 
 
-def _clf_feat_cte() -> str:
-    """Feature CTE chain ``base → feat → zs → scored`` mirroring
-    _clf_features + operators.classifier (6-dp rounds, DECIMAL logit,
-    6-dp sigmoid)."""
+def _clf_base_feat_cte() -> str:
+    """Feature CTE chain ``base → feat`` mirroring _clf_features (6-dp
+    rounds over exact token counts) — shared by the scoring oracle
+    (quality_classifier / filter_funnel append zs → scored on top) and
+    the classifier_fit oracle (which applies the PINNED learned
+    weights)."""
     return f"""
         WITH base AS (
             SELECT doc_id,
@@ -3662,7 +3710,15 @@ def _clf_feat_cte() -> str:
                    ROUND(CAST(n_distinct_tokens AS DOUBLE)
                          / NULLIF(n_tokens, 0), 6) AS f_ttr
             FROM base
-        ), zs AS (
+        )
+    """
+
+
+def _clf_feat_cte() -> str:
+    """``base → feat → zs → scored`` — the DEFAULT logistic model's
+    scoring chain (DECIMAL logit, 6-dp sigmoid) on top of
+    _clf_base_feat_cte."""
+    return _clf_base_feat_cte() + f""", zs AS (
             SELECT doc_id, n_tokens, f_avg_len, f_ln_tokens, f_stop_ratio,
                    f_ttr,
                    CAST({_clf_z_sql()} AS DOUBLE) AS zz
@@ -3674,6 +3730,36 @@ def _clf_feat_cte() -> str:
             FROM zs
         )
     """
+
+
+#: ridge_fit's learned model at sf0.01 (the correctness-gate scale),
+#: 6-dp-rounded — the classifier_fit oracle's EXPECTED training result.
+#: Derived ONCE by running operators.classifier.ridge_fit on the sf0.01
+#: documents fixture (Gopher-keep label, l2=0.001; verified bit-identical
+#: across repartitionings) and pinned per the seeded-literal policy: the
+#: oracle never re-derives the fit, so any drift in the engine's DECIMAL
+#: normal equations, the solver, or the testdata fails the gate loudly.
+_RIDGE_EXPECT = {
+    "f_avg_len": -0.116282,
+    "f_ln_tokens": 0.498605,
+    "f_stop_ratio": 1.01865,
+    "f_ttr": -0.592565,
+}
+_RIDGE_EXPECT_BIAS = -0.710184
+
+
+def _ridge_z_sql() -> str:
+    """The learned ridge gate's DECIMAL dot product (pinned literals)."""
+    terms = [
+        f"CAST({format(round(_RIDGE_EXPECT_BIAS, 6), '.6f')} "
+        f"AS DECIMAL(18,6))"
+    ]
+    for name in sorted(_RIDGE_EXPECT):
+        w = format(round(_RIDGE_EXPECT[name], 6), ".6f")
+        terms.append(
+            f"CAST({w} AS DECIMAL(18,6)) * CAST({name} AS DECIMAL(18,6))"
+        )
+    return " + ".join(terms)
 
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -6468,6 +6554,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, neg_label,
                CAST(rank AS INTEGER) AS rank, round(sim, 6) AS sim
         FROM r WHERE rank <= 5
+        """,
+        # classifier_fit: the oracle applies the PINNED learned model
+        # (_RIDGE_EXPECT — ridge_fit's sf0.01 output, seeded-literal
+        # policy) to the same feature chain; Spark re-derives the fit
+        # in-engine at query time, so a hash match verifies the DECIMAL
+        # normal equations + driver solve reproduced the pinned weights
+        # exactly, per row, including the weight columns themselves.
+        "classifier_fit": _clf_base_feat_cte() + f"""
+        SELECT doc_id,
+               ROUND(CAST({_ridge_z_sql()} AS DOUBLE), 6) AS score,
+               ROUND(CAST({_ridge_z_sql()} AS DOUBLE), 6) >= 0.5 AS keep,
+               CAST({format(_RIDGE_EXPECT_BIAS, '.6f')} AS DOUBLE)
+                   AS w_bias,
+               CAST({format(_RIDGE_EXPECT['f_avg_len'], '.6f')} AS DOUBLE)
+                   AS w_avg_len,
+               CAST({format(_RIDGE_EXPECT['f_ln_tokens'], '.6f')} AS DOUBLE)
+                   AS w_ln_tokens,
+               CAST({format(_RIDGE_EXPECT['f_stop_ratio'], '.6f')} AS DOUBLE)
+                   AS w_stop_ratio,
+               CAST({format(_RIDGE_EXPECT['f_ttr'], '.6f')} AS DOUBLE)
+                   AS w_ttr
+        FROM feat WHERE n_tokens > 0 ORDER BY doc_id
         """,
         "quality_classifier": _clf_feat_cte()
         + """

@@ -217,3 +217,40 @@ def compact_partitions(
 def repair_partitions(spark: SparkSession, table: str) -> None:
     """Pick up externally-added partitions (the crawler's only real job)."""
     spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
+def promote_staging(spark: SparkSession, staging: str, final: str) -> None:
+    """Crash-safe swap of a staged table into its final path.
+
+    Rename the OLD table aside before promoting, delete it LAST — so a
+    crash at any point leaves a full copy of the data under a
+    deterministic name:
+
+    - before the aside-rename: final intact, staging complete;
+    - between aside and promote: ``<final>__old`` intact, staging
+      complete (recover by renaming either back);
+    - after promote: final intact (``__old`` is garbage to re-delete).
+
+    A leftover ``__old`` from a previous crash is cleared first. This is
+    the maintenance-job swap (compactions, history rebuilds) — jobs that
+    READ the path they replace must stage to a temp dir anyway (a Spark
+    overwrite of its own input deletes files mid-read), and the
+    delete-then-rename shortcut would destroy the only copy if the
+    process died between the two calls.
+    """
+    jvm = spark._jvm
+    hadoop_conf = spark._jsc.hadoopConfiguration()
+    p_final = jvm.org.apache.hadoop.fs.Path(final)
+    p_staging = jvm.org.apache.hadoop.fs.Path(staging)
+    p_old = jvm.org.apache.hadoop.fs.Path(f"{final}__old")
+    fs = p_final.getFileSystem(hadoop_conf)
+    if not fs.exists(p_staging):
+        raise FileNotFoundError(f"staging path missing: {staging}")
+    if fs.exists(p_old):
+        fs.delete(p_old, True)
+    if fs.exists(p_final):
+        if not fs.rename(p_final, p_old):
+            raise OSError(f"could not move {final} aside to {final}__old")
+    if not fs.rename(p_staging, p_final):
+        raise OSError(f"could not promote {staging} to {final}")
+    fs.delete(p_old, True)

@@ -108,3 +108,89 @@ def logistic_score(
     return out.withColumn(score_col, score).withColumn(
         keep_col, F.col(score_col) >= F.lit(threshold)
     )
+
+
+def ridge_fit(
+    df: DataFrame,
+    features: Mapping[str, Column],
+    label: Column,
+    *,
+    l2: float = 0.001,
+) -> tuple[dict[str, float], float]:
+    """Closed-form ridge regression trained IN-ENGINE — the fit side of
+    the quality gate (distill a rule-based label, e.g. the Gopher keep
+    flag, into a smooth linear scorer whose threshold can then be tuned).
+
+    Normal equations: (XᵀX + λI)w = Xᵀy with the intercept unpenalized.
+    Every XᵀX / Xᵀy entry is ONE DECIMAL aggregate over the 6-dp-rounded
+    feature columns — products of DECIMAL(18,6) stay exact and the sums
+    are order-independent, so the collected matrix is bit-identical
+    across partitionings and reruns (the transcendental/DECIMAL policy,
+    README "Correctness"). Rows with any NULL feature (empty docs) are
+    excluded. The (p+1)×(p+1) system — model-sized, never data-sized —
+    is solved driver-side with numpy (deterministic on identical bytes)
+    and the weights are rounded to 6 dp: per the seeded-literal policy
+    they are INJECTED as literals into downstream scoring plans (and
+    their oracle twins), never re-derived per engine.
+
+    Returns (weights by feature name, bias). One aggregation job total;
+    at 100 TB the fit costs one scan with a 20-cell partial-agg state.
+    """
+    import numpy as np
+
+    names = sorted(features)
+    cols = [F.lit(1).cast(_DEC)] + [
+        features[n].cast(_DEC) for n in names
+    ]
+    y = label.cast(_DEC)
+    ok = F.lit(True)
+    for n in names:
+        ok = ok & features[n].isNotNull()
+    base = df.select(
+        *[c.alias(f"x{i}") for i, c in enumerate(cols)],
+        y.alias("y"),
+        ok.alias("ok"),
+    ).filter("ok")
+    p = len(cols)
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(
+                F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"xx_{i}_{j}")
+            )
+        aggs.append(F.sum(F.col(f"x{i}") * F.col("y")).alias(f"xy_{i}"))
+    row = base.agg(*aggs).first()
+    xtx = np.zeros((p, p))
+    xty = np.zeros(p)
+    for i in range(p):
+        for j in range(i, p):
+            v = float(row[f"xx_{i}_{j}"] or 0)
+            xtx[i, j] = xtx[j, i] = v
+        xty[i] = float(row[f"xy_{i}"] or 0)
+    reg = np.eye(p) * float(l2)
+    reg[0, 0] = 0.0  # intercept unpenalized
+    w = np.linalg.solve(xtx + reg, xty)
+    weights = {n: round(float(w[i + 1]), 6) for i, n in enumerate(names)}
+    return weights, round(float(w[0]), 6)
+
+
+def ridge_score(
+    df: DataFrame,
+    features: Mapping[str, Column],
+    weights: Mapping[str, float],
+    bias: float,
+    *,
+    score_col: str = "score",
+    keep_col: str = "keep",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Apply a ridge_fit model: score = ROUND(bias + Σ wᵢ·fᵢ, 6) (linear
+    probability — no sigmoid), keep = score ≥ threshold on the ROUNDED
+    value. Same DECIMAL-exact projection shape as logistic_score."""
+    z = linear_logit(features, weights, bias)
+    out = df
+    for name in sorted(features):
+        out = out.withColumn(name, features[name])
+    return out.withColumn(score_col, F.round(z, 6)).withColumn(
+        keep_col, F.col(score_col) >= F.lit(threshold)
+    )

@@ -26,8 +26,10 @@ contribution is rounded to 9 dp and accumulated in DECIMAL so the
 per-doc sum is partition/row-order independent; the final score rounds
 to 6 dp BEFORE ranking, with doc_id as total-order tiebreak. The
 tf/length ratio is pure IEEE double arithmetic written with the
-identical expression tree in the DuckDB oracle (k1, b and their
-combinations are exactly representable), so both engines agree
+identical expression tree in the DuckDB oracle; k1 = 1.2 and b = 0.75
+are decimal literals both engines bind to the SAME nearest double (and
+k1 + 1 evaluates to the same double as the literal 2.2 binds to), so
+with identical operands and operation order both engines agree
 bit-for-bit — pinned by the oracle gate.
 """
 

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.functions.columns import split_hierarchy
-from airflow_retail_etl_spark.io import write_mart, write_partitioned
+from airflow_retail_etl_spark.io import (
+    promote_staging,
+    write_mart,
+    write_partitioned,
+)
 from airflow_retail_etl_spark.operators import marts, star
 from airflow_retail_etl_spark.sources.csv_events import read_day_csv
 
@@ -241,12 +245,13 @@ def compact_dim_snapshots(
                     hist, batch, keys, attrs, F.lit(d).cast(eff_t)
                 )
         # the new history reads from the old history files: stage to a
-        # temp dir, then swap — never overwrite an input in place
-        tmp = jvm.org.apache.hadoop.fs.Path(f"{hist_path}__staging")
-        hist.write.mode("overwrite").parquet(str(tmp))
-        final = jvm.org.apache.hadoop.fs.Path(hist_path)
-        fs.delete(final, True)
-        fs.rename(tmp, final)
+        # temp dir, then swap with io.promote_staging — never overwrite
+        # an input in place, and never delete-before-rename (a crash
+        # between the two would leave NO live history; the promote moves
+        # the old table aside first, so every crash point leaves a full
+        # copy under a deterministic name)
+        hist.write.mode("overwrite").parquet(f"{hist_path}__staging")
+        promote_staging(spark, f"{hist_path}__staging", hist_path)
 
     dropped = dts[:-keep_last]
     kept = dts[len(dropped):]

@@ -207,6 +207,8 @@ def compact_index(
     has committed its last batch, so nothing can replay; the default
     ``-1`` sits below every real foreachBatch id by construction.
     """
+    from airflow_retail_etl_spark.io import promote_staging
+
     for sub, parts in (("bands", ["band"]), ("shingles", [])):
         path = f"{index_path}/{sub}"
         df = _read_history(spark, path)
@@ -214,23 +216,22 @@ def compact_index(
             continue
         folded = df.drop("batch_id").withColumn(
             "batch_id", F.lit(compacted_batch_id).cast("long")
-        ).cache()
-        folded.count()  # materialize before overwriting the read path
-        try:
-            (
-                folded.repartition(
-                    *[F.col(c) for c in (*parts, "batch_id")]
-                )
-                .write.mode("overwrite")
-                # STATIC overwrite on purpose: the whole point is to drop
-                # the old batch_id partitions, which the session's dynamic
-                # mode would leave in place
-                .option("partitionOverwriteMode", "static")
-                .partitionBy(*parts, "batch_id")
-                .parquet(path)
-            )
-        finally:
-            folded.unpersist()
+        )
+        # stage-to-temp-then-swap (promote_staging), never overwrite the
+        # path being read in place: the old cache()+overwrite approach
+        # could recompute from partially-deleted input if cached blocks
+        # were evicted mid-write, and a crash mid-overwrite destroyed the
+        # admission index with no backup. The staged write also makes the
+        # old batch_id partitions disappear by construction (fresh dir) —
+        # no static-overwrite-mode override needed.
+        staging = f"{path}__staging"
+        (
+            folded.repartition(*[F.col(c) for c in (*parts, "batch_id")])
+            .write.mode("overwrite")
+            .partitionBy(*parts, "batch_id")
+            .parquet(staging)
+        )
+        promote_staging(spark, staging, path)
 
 
 def replay_admission(

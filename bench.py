@@ -176,6 +176,7 @@ HEADLINE = (
     "neardup_cosine",
     "value_percentiles",
     "image_neardup",
+    "classifier_fit",
     "compound_growth_index",
 )
 

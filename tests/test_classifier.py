@@ -107,3 +107,79 @@ def test_entry_cluster_split_no_leakage(spark):
     )
     # and the draw actually uses the cluster id: all three splits appear
     assert df.select("split").distinct().count() == 3
+
+
+# --- ridge_fit: in-engine closed-form training ------------------------------
+
+def test_ridge_fit_partition_independent(spark):
+    """XᵀX/Xᵀy accumulate in DECIMAL — the learned model must be
+    bit-identical however the input is partitioned."""
+    from airflow_retail_etl_spark.functions import text as tf
+    from airflow_retail_etl_spark.operators.classifier import (
+        default_text_features,
+        ridge_fit,
+    )
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    label = tf.gopher_flags(F.col("text"))["keep"].cast("int")
+    fits = [
+        ridge_fit(
+            docs.repartition(n), default_text_features(F.col("text")), label
+        )
+        for n in (1, 7, 32)
+    ]
+    assert fits[0] == fits[1] == fits[2]
+
+
+def test_ridge_fit_holdout_accuracy(spark):
+    """The distilled linear gate must generalize: ≥80% agreement with the
+    Gopher rule on a doc_id-hash holdout it never saw."""
+    from airflow_retail_etl_spark.functions import text as tf
+    from airflow_retail_etl_spark.operators.classifier import (
+        default_text_features,
+        ridge_fit,
+        ridge_score,
+    )
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter("doc_id % 5 != 0")
+    hold = docs.filter("doc_id % 5 = 0")
+    label = tf.gopher_flags(F.col("text"))["keep"]
+    w, b = ridge_fit(
+        train, default_text_features(F.col("text")), label.cast("int")
+    )
+    scored = ridge_score(hold, default_text_features(F.col("text")), w, b)
+    joined = scored.select("doc_id", "keep").join(
+        hold.select("doc_id", label.alias("y")), "doc_id"
+    )
+    n = joined.count()
+    acc = (
+        joined.filter(F.col("keep") == F.col("y")).count() / n
+    )
+    assert n >= 50
+    assert acc >= 0.8, acc
+    # and the holdout isn't one-sided (both classes present)
+    assert 0 < joined.filter("y").count() < n
+
+
+def test_ridge_fit_recovers_exact_linear_relation(spark):
+    """On noiseless linear data with tiny l2 the closed form must recover
+    the generating weights to ~4 decimals."""
+    from airflow_retail_etl_spark.operators.classifier import ridge_fit
+
+    rows = [(i, round(0.1 * i, 6), round(0.05 * (i % 7), 6)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    label = F.round(
+        F.lit(0.3) + F.lit(2.0) * F.col("a") - F.lit(1.5) * F.col("b"), 6
+    )
+    w, bias = ridge_fit(
+        df,
+        {"f_a": F.col("a"), "f_b": F.col("b")},
+        label,
+        l2=1e-9,
+    )
+    assert abs(w["f_a"] - 2.0) < 1e-3
+    assert abs(w["f_b"] + 1.5) < 1e-3
+    assert abs(bias - 0.3) < 1e-3

@@ -230,3 +230,30 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     # pruned read schema: pad must not be scanned
     assert "pad" not in plan.split("ReadSchema")[1][:200]
     assert q.count() == sum(1 for i in range(1000) if i % 7 == 3)
+
+
+def test_promote_staging_swap_and_crash_residue(spark, tmp_path):
+    """promote_staging: old table moved aside before promote (recoverable
+    at every crash point), leftover __old cleared, staging-missing loud."""
+    import pytest as _pytest
+
+    from airflow_retail_etl_spark.io import promote_staging
+
+    final = str(tmp_path / "tbl")
+    spark.range(5).write.parquet(final)
+    spark.range(10).write.parquet(final + "__staging")
+    # leftover from a simulated earlier crash must not block the swap
+    spark.range(3).write.parquet(final + "__old")
+    promote_staging(spark, final + "__staging", final)
+    assert spark.read.parquet(final).count() == 10
+    import os
+
+    assert not os.path.exists(final + "__staging")
+    assert not os.path.exists(final + "__old")
+    with _pytest.raises(FileNotFoundError):
+        promote_staging(spark, final + "__staging", final)
+    # first-ever promote (no existing final) also works
+    final2 = str(tmp_path / "tbl2")
+    spark.range(7).write.parquet(final2 + "__staging")
+    promote_staging(spark, final2 + "__staging", final2)
+    assert spark.read.parquet(final2).count() == 7
