@@ -1663,6 +1663,28 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs by frame-set overlap, end-to-end through
+    real bytes: synthesize multi-frame gradient videos per document
+    (multimodal.synth_gradient_video_payload — shared slope class,
+    per-frame brightness offsets), dHash every frame in mapInPandas Arrow
+    batches (video_frame_hashes — the payload reduces to 8 bytes/frame
+    before anything shuffles), then exact Jaccard over each video's
+    DISTINCT frame-hash set via the text-dedup inverted-index engine
+    (dedup.set_jaccard_pairs). The threshold 0.25 is a power of two, and
+    jaccard is one division of exact integers — both engines bind the
+    identical double."""
+    from airflow_retail_etl_spark import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_gradient_video_corpus(docs)
+    frames = multimodal.video_frame_hashes(media)
+    return (
+        multimodal.video_neardup_pairs(frames, min_jaccard=0.25)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata columns."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3478,6 +3500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual image near-dup: dHash over real P6 bytes fed through
         # the in-prefix simhash_pairs Hamming machinery
         "image_neardup": q_image_neardup,
+        # frame-grain video near-dup: per-frame dHash sets + exact set
+        # Jaccard (the in-prefix dedup_resolve exercises the same
+        # inverted-index engine via jaccard_pairs)
+        "video_neardup": q_video_neardup,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
         "daily_type_unpivot": q_daily_type_unpivot,
@@ -3760,6 +3786,48 @@ def _ridge_z_sql() -> str:
             f"CAST({w} AS DECIMAL(18,6)) * CAST({name} AS DECIMAL(18,6))"
         )
     return " + ".join(terms)
+
+
+def _dhash_grid_sql(keys: str) -> str:
+    """``cells → bits → hashes`` CTE tail computing the analytic dHash of
+    a synthesized gradient image from a ``params`` CTE carrying columns
+    (``keys``, a, b, c) — the synthesis contract in
+    multimodal.synth_gradient_payload: sampled pixel = floor map
+    (gx*64)//9 / gy*8, luminance = exact integer r+g+b of the three
+    gradient channels, 64 gradient bits packed into a signed BIGINT (bit
+    63 via two's complement). Shared by the image_neardup (keys =
+    doc_id) and video_neardup (keys = doc_id, f) oracles."""
+    k = ", ".join(f"p.{c}" for c in keys.split(", "))
+    kl = ", ".join(f"l.{c}" for c in keys.split(", "))
+    on = " AND ".join(
+        f"r.{c} = l.{c}" for c in keys.split(", ")
+    )
+    return f""", cells AS (
+            SELECT {k}, gy.g AS gy, gx.g AS gx,
+                   ((p.a * ((gx.g * 64) // 9) + p.b * (gy.g * 8) + p.c) % 256
+                  + (2 * p.a * ((gx.g * 64) // 9) + p.b * (gy.g * 8) + p.c) % 256
+                  + (p.a * ((gx.g * 64) // 9) + 2 * p.b * (gy.g * 8) + p.c) % 256
+                   ) AS lum
+            FROM params p,
+                 generate_series(0, 7) gy(g),
+                 generate_series(0, 8) gx(g)
+        ), bits AS (
+            SELECT {kl}, l.gy * 8 + l.gx AS i,
+                   CASE WHEN r.lum > l.lum THEN 1 ELSE 0 END AS bit
+            FROM cells l
+            JOIN cells r
+              ON {on} AND r.gy = l.gy AND r.gx = l.gx + 1
+            WHERE l.gx < 8
+        ), hashes AS (
+            SELECT {keys},
+                   CAST(SUM(CASE WHEN bit = 1 THEN
+                         CASE WHEN i = 63
+                              THEN CAST(-9223372036854775808 AS HUGEINT)
+                              ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT)
+                         END
+                       ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS h
+            FROM bits GROUP BY {keys}
+        )"""
 
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -5452,37 +5520,44 @@ def oracle_sql() -> dict[str, str]:
                    3 + 8 * ((doc_id % 16) // 4) AS b,
                    (doc_id // 16) % 3 AS c
             FROM documents
-        ), cells AS (
-            SELECT p.doc_id, gy.g AS gy, gx.g AS gx,
-                   ((p.a * ((gx.g * 64) // 9) + p.b * (gy.g * 8) + p.c) % 256
-                  + (2 * p.a * ((gx.g * 64) // 9) + p.b * (gy.g * 8) + p.c) % 256
-                  + (p.a * ((gx.g * 64) // 9) + 2 * p.b * (gy.g * 8) + p.c) % 256
-                   ) AS lum
-            FROM params p,
-                 generate_series(0, 7) gy(g),
-                 generate_series(0, 8) gx(g)
-        ), bits AS (
-            SELECT l.doc_id, l.gy * 8 + l.gx AS i,
-                   CASE WHEN r.lum > l.lum THEN 1 ELSE 0 END AS bit
-            FROM cells l
-            JOIN cells r
-              ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
-            WHERE l.gx < 8
-        ), hashes AS (
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN bit = 1 THEN
-                         CASE WHEN i = 63
-                              THEN CAST(-9223372036854775808 AS HUGEINT)
-                              ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT)
-                         END
-                       ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS h
-            FROM bits GROUP BY doc_id
-        )
+        )""" + _dhash_grid_sql("doc_id") + """
         SELECT ha.doc_id AS id_a, hb.doc_id AS id_b,
                CAST(bit_count(xor(ha.h, hb.h)) AS INTEGER) AS hamming
         FROM hashes ha
         JOIN hashes hb ON ha.doc_id < hb.doc_id
         WHERE bit_count(xor(ha.h, hb.h)) <= 3
+        ORDER BY id_a, id_b
+        """,
+        # video_neardup: per-frame analytic dHash (frame f's brightness
+        # offset c = ((doc_id//16 + f) % 8) % 3, same slope class), then
+        # DISTINCT frame-hash sets and exact set Jaccard — the brute
+        # inverted join replays dedup.set_jaccard_pairs' single-join plan.
+        "video_neardup": """
+        WITH params AS (
+            SELECT d.doc_id, f.f,
+                   5 + 8 * (d.doc_id % 4) AS a,
+                   3 + 8 * ((d.doc_id % 16) // 4) AS b,
+                   ((d.doc_id // 16 + f.f) % 8) % 3 AS c
+            FROM documents d, generate_series(0, 4) f(f)
+            WHERE f.f < 3 + d.doc_id % 3
+        )""" + _dhash_grid_sql("doc_id, f") + """
+        , sets AS (
+            SELECT DISTINCT doc_id, h FROM hashes
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS inter
+            FROM sets a JOIN sets b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               inter / (sa.n + sb.n - inter) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.n + sb.n - inter) >= 0.25
         ORDER BY id_a, id_b
         """,
         "multimodal_bytes": """

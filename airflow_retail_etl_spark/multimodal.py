@@ -611,3 +611,99 @@ def image_neardup_pairs(
     return _dedup.simhash_pairs(
         sigs, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
+
+
+def synth_gradient_video_payload(doc_id: int) -> bytes:
+    """Deterministic multi-frame gradient video: 3 + doc_id % 3 concatenated
+    64×64 P6 frames sharing the document's slope class (doc_id % 16), with
+    per-frame brightness offset c_f = (doc_id ⌊/⌋ 16 + f) % 8. Same-class
+    videos with nearby offset windows share frames whose dHashes collide
+    exactly — the frame-set overlap video near-dup detects."""
+    cls = doc_id % 16
+    n_frames = 3 + doc_id % 3
+    frames = []
+    for f in range(n_frames):
+        # same gradient as synth_gradient_payload, per-frame offset
+        fake_id = cls + 16 * ((doc_id // 16 + f) % 8)
+        frames.append(synth_gradient_payload(fake_id))
+    return b"".join(frames)
+
+
+def synth_gradient_video_corpus(docs: DataFrame) -> DataFrame:
+    """(asset_id, media) multi-frame gradient videos per document."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media": [
+                        synth_gradient_video_payload(int(i)) for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def video_frame_hashes(media_df: DataFrame) -> DataFrame:
+    """Per-frame dHash of concatenated-P6 video payloads via mapInPandas →
+    (asset_id, frame_idx, dhash). The video-sized payload reduces to
+    8 bytes per frame before anything shuffles."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["media"]):
+                buf = bytes(payload)
+                off, f = 0, 0
+                while off < len(buf):
+                    w, h, _mx, px_off = _parse_ppm_header(buf, off)
+                    end = px_off + 3 * w * h
+                    ids.append(asset_id)
+                    idxs.append(f)
+                    hashes.append(dhash64(buf[off:end]))
+                    off, f = end, f + 1
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "dhash": hashes}
+            )
+
+    return media_df.mapInPandas(batches, schema)
+
+
+def video_neardup_pairs(
+    frames_df: DataFrame,
+    *,
+    min_jaccard: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by frame-set overlap: collapse each
+    video to its DISTINCT frame-dHash set, then exact set Jaccard via the
+    text-dedup inverted-index engine (operators.dedup.set_jaccard_pairs —
+    same single-join plan, same hot-element cap: a ubiquitous frame hash,
+    e.g. black/intro frames across a whole corpus, is the skew case
+    ``max_doc_freq`` exists for). Recompressions, re-cuts and
+    brightness-shifted re-uploads share most frame hashes; unrelated
+    videos share none. Returns (id_a, id_b, jaccard)."""
+    from airflow_retail_etl_spark.operators import dedup as _dedup
+
+    sets_ = frames_df.groupBy(
+        F.col("asset_id").alias("id")
+    ).agg(F.array_sort(F.collect_set("dhash")).alias("shingles"))
+    return _dedup.set_jaccard_pairs(
+        sets_, min_jaccard=min_jaccard, max_doc_freq=max_doc_freq
+    )

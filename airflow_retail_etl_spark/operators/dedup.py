@@ -112,6 +112,26 @@ def jaccard_pairs(
     None keeps the single-join exact plan (the oracle-checked verifier).
     """
     sh = _with_shingles(df, text_col, id_col, kind=kind, n=n)
+    return set_jaccard_pairs(
+        sh, min_jaccard=min_jaccard, max_doc_freq=max_doc_freq
+    )
+
+
+def set_jaccard_pairs(
+    sh: DataFrame,
+    *,
+    min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over PRECOMPUTED element sets — the engine beneath
+    jaccard_pairs, exposed for non-text elements (video frame perceptual
+    hashes, feature/tag sets, cluster memberships).
+
+    ``sh`` must be (id, shingles) with ``shingles`` an array of DISTINCT
+    elements per id. Same single inverted-index join + pair aggregation,
+    same ``max_doc_freq`` hot-element candidate cap with exact full-set
+    re-scoring (see jaccard_pairs' docstring for the skew story).
+    """
     if max_doc_freq is not None:
         return _capped_jaccard_pairs(sh, max_doc_freq, min_jaccard)
     # carry |set| through the explode: the pair aggregation then has both

@@ -35,6 +35,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# 4 GiB driver heap (must be set before the JVM launches): local-mode
+# executors share the driver JVM, and the 1g default has been observed to
+# OOM-abort nondeterministically mid-run now that the headline covers all
+# registry queries (GCLocker retry storms ~95 s in). 4g adds headroom
+# without shifting timings (measured within run-to-run noise of the
+# default), while 48g+ measurably SLOWS shuffle-heavy queries ~10% — big
+# heaps are not free; scaling_curve keeps its own larger setting for sf1.
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", "--driver-memory 4g pyspark-shell"
+)
+
 import __spark_entry__ as entry_mod
 from airflow_retail_etl_spark.operators import dedup
 from airflow_retail_etl_spark.session import get_spark
@@ -176,6 +187,7 @@ HEADLINE = (
     "neardup_cosine",
     "value_percentiles",
     "image_neardup",
+    "video_neardup",
     "classifier_fit",
     "compound_growth_index",
 )

@@ -273,3 +273,68 @@ def test_image_neardup_class_separation(spark):
         for i, a in enumerate(members):
             for b in members[i + 1:]:
                 assert (a, b) in found, (a, b)
+
+
+def test_video_frame_hashes_match_reference(spark):
+    from airflow_retail_etl_spark import multimodal as M
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = M.synth_gradient_video_corpus(docs)
+    got = {
+        (r["asset_id"], r["frame_idx"]): r["dhash"]
+        for r in M.video_frame_hashes(media).collect()
+    }
+    for i in range(12):
+        payload = M.synth_gradient_video_payload(i)
+        off, f = 0, 0
+        while off < len(payload):
+            w, h, _mx, px = M._parse_ppm_header(payload, off)
+            end = px + 3 * w * h
+            assert got[(i, f)] == M.dhash64(payload[off:end]), (i, f)
+            off, f = end, f + 1
+    # every video contributed all its frames
+    assert len(got) == sum(3 + i % 3 for i in range(12))
+
+
+def test_video_neardup_same_class_only(spark):
+    """Videos pair iff they share exact frame hashes: same slope class
+    with overlapping offset windows; never across classes."""
+    from airflow_retail_etl_spark import multimodal as M
+
+    docs = spark.range(0, 96).withColumnRenamed("id", "doc_id")
+    frames = M.video_frame_hashes(M.synth_gradient_video_corpus(docs))
+    pairs = M.video_neardup_pairs(frames, min_jaccard=0.25).collect()
+    assert pairs
+    for r in pairs:
+        assert r["id_a"] % 16 == r["id_b"] % 16, r
+        assert 0.25 <= r["jaccard"] <= 1.0
+    # identical offset windows -> jaccard exactly 1.0 must appear
+    assert any(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_set_jaccard_pairs_cap_matches_uncapped_scores(spark):
+    """set_jaccard_pairs (the engine under video_neardup) keeps exact
+    scores under the hot-element cap — same contract as jaccard_pairs."""
+    from pyspark.sql import functions as SF
+
+    from airflow_retail_etl_spark.operators.dedup import set_jaccard_pairs
+
+    rows = [
+        (1, [10, 11, 12, 99]),
+        (2, [10, 11, 13, 99]),
+        (3, [20, 21, 22, 99]),  # shares only the ubiquitous 99 with 1/2
+    ]
+    df = spark.createDataFrame(rows, "id long, shingles array<bigint>")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_jaccard_pairs(df).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_jaccard_pairs(df, max_doc_freq=2).collect()
+    }
+    # 99 (in all 3 docs) is capped out of candidate generation: pairs that
+    # ONLY shared it disappear; the surviving pair keeps its exact score
+    assert (1, 3) in uncapped and (2, 3) in uncapped
+    assert (1, 3) not in capped and (2, 3) not in capped
+    assert capped[(1, 2)] == uncapped[(1, 2)] == 3 / 5

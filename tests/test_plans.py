@@ -160,3 +160,19 @@ def test_round4_queries_are_python_free(spark, q, sf_dir):
     ):
         plan = formatted_plan(q[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_scd2_asof_plan_shape(spark, q, sf_dir):
+    """Pin the as-of lookup's plan (flagged as the only r5->r6 bench
+    regression): the snapshot build must keep the WindowGroupLimit
+    rank-1 pushdown (pre-shuffle top-1 per (user, day), not a full
+    window over all events), the as-of bound must attach as a 1-row
+    broadcast (BroadcastNestedLoopJoin on a scalar aggregate — the
+    correct scalar pattern, PLANS.md), and nothing may sort-merge."""
+    plan = formatted_plan(q["scd2_asof"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly two parquet scans: events for snapshots + events for the
+    # 1-row bound (no accidental re-reads)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
