@@ -453,8 +453,14 @@ def cosine_neardup_pairs(
     oracle and small-corpus verification. Returns (id_a, id_b, sim), either
     thresholded or the deterministic top-N most-similar pairs.
     """
-    v = vectors.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    # spread BEFORE the self-join: with a single-file (single row group)
+    # source the nested-loop pair scan otherwise runs on ONE partition —
+    # all n²/2 dot folds on one core (the AQE/input-split face of the
+    # spread trap, functions/partitioning.py)
+    v = _spread_id(
+        vectors.select(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        )
     ).withColumn("nn", dot(F.col("v"), F.col("v")))
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
