@@ -292,7 +292,13 @@ def synth_media_corpus(docs: DataFrame) -> DataFrame:
             T.StructField("media", T.BinaryType(), False),
         ]
     )
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    # spread the 8-byte id list before the Arrow leaf: a single-file
+    # source otherwise feeds ONE python worker (functions/partitioning)
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
+    return spread(docs.select("doc_id"), "doc_id").mapInPandas(
+        batches, schema
+    )
 
 
 def decode_media(media_df: DataFrame) -> DataFrame:
@@ -535,7 +541,13 @@ def synth_gradient_corpus(docs: DataFrame) -> DataFrame:
             T.StructField("media", T.BinaryType(), False),
         ]
     )
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    # spread the 8-byte id list before the Arrow leaf: a single-file
+    # source otherwise feeds ONE python worker (functions/partitioning)
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
+    return spread(docs.select("doc_id"), "doc_id").mapInPandas(
+        batches, schema
+    )
 
 
 def dhash64(payload: bytes) -> int:
@@ -650,7 +662,13 @@ def synth_gradient_video_corpus(docs: DataFrame) -> DataFrame:
             T.StructField("media", T.BinaryType(), False),
         ]
     )
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    # spread the 8-byte id list before the Arrow leaf: a single-file
+    # source otherwise feeds ONE python worker (functions/partitioning)
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
+    return spread(docs.select("doc_id"), "doc_id").mapInPandas(
+        batches, schema
+    )
 
 
 def video_frame_hashes(media_df: DataFrame) -> DataFrame:
