@@ -1030,6 +1030,27 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-GRAIN eval decontamination (operators.decontam.
+    decontaminate_spans): the same deterministic 5% hash-slice of the
+    corpus plays the benchmark role as in q_decontaminate, but instead
+    of dropping any training doc sharing a 3-gram, every verbatim
+    substring ≥ 40 chars shared with an eval doc is EXCISED and the doc
+    survives — surgical removal of the leaked passage. Cross-corpus
+    anchor join (dedup.shared_span_pairs_cross: Σ_h df_train·df_eval,
+    linear for a bounded eval set) + the interval-merge excision;
+    md5 anchors so DuckDB replays spans bit-exactly."""
+    from airflow_retail_etl_spark.operators import decontam, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = sampling.hash_sample(docs, "doc_id", 0.05)
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    return decontam.decontaminate_spans(
+        train, eval_df, "text", "doc_id",
+        k=16, min_len=40, hash_family="md5",
+    ).orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination report over the documents corpus.
 
@@ -3381,6 +3402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "embed_quantize": q_embed_quantize,
         "decontaminate": q_decontaminate,
+        # span-grain sibling: excise the leaked passage, keep the doc
+        # (cross-corpus face of the in-prefix span_excise machinery)
+        "decontam_excise": q_decontam_excise,
         # bm25_search reps the retrieval module in the window; the lm
         # module keeps tfidf_keywords in-prefix, and unigram_score (same
         # token/model machinery, LM-scoring face) moves just past it
@@ -5135,6 +5159,86 @@ def oracle_sql() -> dict[str, str]:
         FROM documents ORDER BY doc_id
         """,
         # same 5% hash split + token-3-gram overlap as operators.decontam
+        # span-grain decontamination: the same 5% md5-slice split, then
+        # the span-excision CTE chain run CROSS-corpus (train anchors ⋈
+        # eval anchors, no self-pairs), interval merge + reassembly on
+        # the train side only
+        "decontam_excise": f"""
+        WITH split AS (
+            SELECT doc_id, {_NORM_TEXT} AS t,
+                   {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                       < CAST('{_thr(0.05)}' AS HUGEINT) AS is_eval
+            FROM documents
+        ), anchors AS (
+            SELECT doc_id, is_eval, CAST(i AS INTEGER) AS pos,
+                   {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 16)")}
+                       AS h
+            FROM split, UNNEST(generate_series(1, length(t) - 15)) AS u(i)
+            WHERE length(t) >= 16
+        ), m AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM anchors a JOIN anchors b
+              ON a.h = b.h AND NOT a.is_eval AND b.is_eval
+        ), isl AS (
+            SELECT id_a, id_b, diag, pa,
+                   pa - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa
+                   ) AS grp
+            FROM m
+        ), spans AS (
+            SELECT id_a AS id,
+                   CAST(MIN(pa) AS INTEGER) AS s,
+                   CAST(MAX(pa) + 16 AS INTEGER) AS e
+            FROM isl GROUP BY id_a, id_b, diag, grp
+            HAVING MAX(pa) - MIN(pa) + 16 >= 40
+        ), w1 AS (
+            SELECT id, s, e,
+                   MAX(e) OVER (
+                       PARTITION BY id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS run_end
+            FROM spans
+        ), g AS (
+            SELECT id, s, e,
+                   SUM(CASE WHEN s > COALESCE(run_end, 0) THEN 1 ELSE 0
+                       END) OVER (
+                       PARTITION BY id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS grp
+            FROM w1
+        ), merged AS (
+            SELECT id, grp, MIN(s) AS s, MAX(e) AS e
+            FROM g GROUP BY id, grp
+        ), seg AS (
+            SELECT id, s, e,
+                   LAG(e) OVER (PARTITION BY id ORDER BY s) AS prev_e,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY s) AS rn,
+                   MAX(e) OVER (PARTITION BY id) AS last_e
+            FROM merged
+        ), tr AS (
+            SELECT doc_id, t FROM split WHERE NOT is_eval
+        ), pieces AS (
+            SELECT seg.id, seg.rn AS ord,
+                   substr(tr.t, COALESCE(seg.prev_e, 1),
+                          seg.s - COALESCE(seg.prev_e, 1)) AS piece
+            FROM seg JOIN tr ON tr.doc_id = seg.id
+            UNION ALL
+            SELECT seg.id, 2147483647,
+                   substr(tr.t, seg.last_e) AS piece
+            FROM seg JOIN tr ON tr.doc_id = seg.id
+            WHERE seg.rn = 1
+        ), rebuilt AS (
+            SELECT id, string_agg(piece, '' ORDER BY ord) AS text_clean
+            FROM pieces GROUP BY id
+        )
+        SELECT tr.doc_id,
+               COALESCE(r.text_clean, tr.t) AS text_clean,
+               CAST(length(tr.t) - length(COALESCE(r.text_clean, tr.t))
+                    AS INTEGER) AS n_removed_chars
+        FROM tr LEFT JOIN rebuilt r ON r.id = tr.doc_id
+        ORDER BY tr.doc_id
+        """,
         "decontaminate": f"""
         WITH split AS (
             SELECT doc_id, {_NORM_TEXT} AS t,

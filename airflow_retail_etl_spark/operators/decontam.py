@@ -88,3 +88,47 @@ def decontaminate(
         id_col,
         "left_anti",
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    min_len: int = 40,
+    max_doc_freq: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SPAN-GRAIN decontamination: excise every substring ≥ ``min_len``
+    chars that a training document shares verbatim with any eval
+    document — the document survives minus the leaked passage, instead
+    of being dropped whole (``decontaminate``'s n-gram-hit rule).
+
+    The surgical option matters when eval sets quote common sources
+    (licenses, famous passages, boilerplate intros): whole-doc dropping
+    at n-gram grain can shed large fractions of a corpus for one shared
+    paragraph; span excision removes exactly the leaked characters.
+
+    Composition: dedup.shared_span_pairs_cross (train × eval anchor
+    join — cost Σ_h df_train·df_eval, linear for a bounded eval set;
+    ``max_doc_freq`` caps train-side boilerplate anchors) feeds
+    dedup.remove_spans keyed on the TRAIN side. Returns
+    (``id_col``, text_clean, n_removed_chars) in shared_span_pairs'
+    normalized-text coordinate system (README "coordinate contract").
+    """
+    from airflow_retail_etl_spark.operators.dedup import (
+        remove_spans,
+        shared_span_pairs_cross,
+    )
+
+    spans = shared_span_pairs_cross(
+        train, eval_df, text_col, id_col,
+        k=k, min_len=min_len, max_doc_freq=max_doc_freq,
+        hash_family=hash_family,
+    )
+    return remove_spans(
+        train, spans, text_col, id_col,
+        id_span_col="id_a", start_col="start_a",
+    )

@@ -1088,6 +1088,25 @@ def shared_span_pairs(
             "silently not hold for lengths in [min_len, k). Lower k or "
             "raise min_len — k is the detection floor."
         )
+    anchors = _span_anchors(
+        df, text_col, id_col, k=k, hash_family=hash_family,
+        max_doc_freq=max_doc_freq,
+    )
+    a, b = anchors.alias("a"), anchors.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    return _diag_islands(matches, k=k, min_len=min_len)
+
+
+def _gram_hasher(hash_family: str):
     if hash_family == "md5":
         def hash_gram(g: Column) -> Column:
             return xhash.md5_long(g)
@@ -1096,13 +1115,26 @@ def shared_span_pairs(
             return F.xxhash64(g)
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
+    return hash_gram
 
+
+def _span_anchors(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int,
+    hash_family: str,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """(id, pos, h): the hash of every positional char k-gram of the
+    normalized text, materialized behind a spread exchange (the
+    HOF-lambda trap: see _with_shingles), optionally doc-freq capped."""
+    hash_gram = _gram_hasher(hash_family)
     base = df.select(
         F.col(id_col).alias("id"),
         normalize_text(F.col(text_col)).alias("t"),
     ).transform(_spread_id)
-    # positional k-gram anchors, materialized behind the exchange (the
-    # HOF-lambda trap: see _with_shingles)
     anchors = base.filter(F.length("t") >= k).select(
         "id",
         F.posexplode(
@@ -1119,22 +1151,21 @@ def shared_span_pairs(
             .filter(F.col("df_h") <= max_doc_freq)
         )
         anchors = anchors.join(rare.select("h"), "h", "left_semi")
-    a, b = anchors.alias("a"), anchors.alias("b")
-    matches = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.pos").alias("pa"),
-        F.col("b.pos").alias("pb"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-    )
-    # (id_a, id_b, diag, pa) is unique BY CONSTRUCTION: anchor rows are
-    # unique per (id, pos), and for a fixed diagonal each pa pairs with
-    # exactly one pb — repeated k-grams create matches on OTHER diagonals,
-    # never duplicates within one. So no distinct pass is needed, and the
-    # islands window is the single shuffle of the whole tail.
+    return anchors
+
+
+def _diag_islands(matches: DataFrame, *, k: int, min_len: int) -> DataFrame:
+    """Gaps-and-islands over alignment diagonals: maximal consecutive
+    anchor runs → exact (start_a, start_b, span_len) spans.
+
+    (id_a, id_b, diag, pa) is unique BY CONSTRUCTION: anchor rows are
+    unique per (id, pos), and for a fixed diagonal each pa pairs with
+    exactly one pb — repeated k-grams create matches on OTHER diagonals,
+    never duplicates within one. So no distinct pass is needed, and the
+    islands window is the single shuffle of the whole tail.
+    """
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     islands = matches.withColumn(
         "grp", F.col("pa") - F.row_number().over(w)
@@ -1149,6 +1180,59 @@ def shared_span_pairs(
         .filter(F.col("span_len") >= min_len)
         .select("id_a", "id_b", "start_a", "start_b", "span_len")
     )
+
+
+def shared_span_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    min_len: int = 40,
+    max_doc_freq: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """EXACT shared-substring spans BETWEEN two corpora (no self-pairs):
+    every maximal substring ≥ ``min_len`` chars that a ``left`` document
+    shares with any ``right`` document, with exact positions in both.
+
+    The cross face of shared_span_pairs — built for span-grain
+    decontamination (left = training corpus, right = benchmark/eval set:
+    cut the leaked passage, keep the document) and cross-snapshot
+    overlap audits. Cost is Σ_h df_left(h)·df_right(h) — with a small
+    right side this is far cheaper than the self-join, and
+    ``max_doc_freq`` caps the LEFT (large-corpus) anchor doc-frequency,
+    the same boilerplate guard with the same split-never-invent
+    semantics. Ids on the two sides are independent (they may collide
+    numerically; a pair is always (left id, right id)).
+
+    Output: (id_a, id_b, start_a, start_b, span_len) where ``id_a`` is
+    the LEFT document, 1-based starts into each side's NORMALIZED text.
+    """
+    if min_len < k:
+        raise ValueError(
+            f"min_len={min_len} < k={k}: k is the detection floor "
+            "(see shared_span_pairs)"
+        )
+    la = _span_anchors(
+        left, text_col, id_col, k=k, hash_family=hash_family,
+        max_doc_freq=max_doc_freq,
+    )
+    ra = _span_anchors(
+        right, text_col, id_col, k=k, hash_family=hash_family,
+        max_doc_freq=None,
+    )
+    matches = la.alias("a").join(
+        ra.alias("b"), F.col("a.h") == F.col("b.h")
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    return _diag_islands(matches, k=k, min_len=min_len)
 
 
 def remove_spans(

@@ -189,6 +189,7 @@ HEADLINE = (
     "image_neardup",
     "video_neardup",
     "classifier_fit",
+    "decontam_excise",
     "compound_growth_index",
 )
 

@@ -61,3 +61,80 @@ def test_eval_ngram_set_distinct(spark):
     grams = {r.g for r in eval_ngram_set(eval_df, "text", "doc_id", n=3).collect()}
     assert "a b c" in grams
     assert len(grams) == len(set(grams))
+
+
+# --- span-grain decontamination ---------------------------------------------
+
+LEAK = "the famous benchmark passage everyone quotes in their training data"
+
+
+def test_shared_span_pairs_cross_exact_and_no_self_pairs(spark):
+    from airflow_retail_etl_spark.operators.dedup import (
+        shared_span_pairs_cross,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words. {LEAK} and a tail."),
+            (2, f"intro words. {LEAK} and a tail."),  # dup of 1 (train-side)
+            (3, "completely unrelated training document text here."),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, f"eval question referencing {LEAK} verbatim.")],
+        "doc_id long, text string",  # id 1 collides with train id 1: fine
+    )
+    rows = shared_span_pairs_cross(
+        train, ev, "text", "doc_id", k=8, min_len=20
+    ).collect()
+    # only train x eval pairs; both train dups hit the one eval doc
+    assert sorted((r["id_a"], r["id_b"]) for r in rows) == [(1, 1), (2, 1)]
+    for r in rows:
+        ta = f"intro words. {LEAK} and a tail.".lower()
+        tb = f"eval question referencing {LEAK} verbatim.".lower()
+        assert (
+            ta[r["start_a"] - 1:r["start_a"] - 1 + r["span_len"]]
+            == tb[r["start_b"] - 1:r["start_b"] - 1 + r["span_len"]]
+        )
+        assert r["span_len"] >= len(LEAK)
+    # train 1 x train 2 are identical but must NOT appear (cross only)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="detection floor"):
+        shared_span_pairs_cross(train, ev, "text", "doc_id", k=16, min_len=8)
+
+
+def test_decontaminate_spans_excises_only_eval_leaks(spark):
+    from airflow_retail_etl_spark.operators.decontam import (
+        decontaminate_spans,
+    )
+
+    shared_train_only = (
+        "this long sentence appears in two training documents but in "
+        "no evaluation document at all"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"clean doc one. {shared_train_only}"),
+            (2, f"clean doc two. {shared_train_only}"),
+            (3, f"leaky document quoting {LEAK} mid-text."),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark item: {LEAK}!")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(
+            train, ev, "text", "doc_id", k=8, min_len=20
+        ).collect()
+    }
+    # train-internal duplication is NOT decontamination's business
+    assert out[1]["n_removed_chars"] == 0
+    assert out[2]["n_removed_chars"] == 0
+    # the eval leak is surgically excised; the doc survives
+    assert out[3]["n_removed_chars"] >= len(LEAK)
+    assert LEAK not in out[3]["text_clean"]
+    assert "leaky document" in out[3]["text_clean"]
