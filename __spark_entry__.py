@@ -1706,6 +1706,31 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs, end-to-end through real bytes:
+    synthesize structured 65-window square-wave WAVs per document
+    (multimodal.synth_wave_payload — amplitude contour class = doc_id %
+    16, one boosted window indexed by (doc_id//16) % 3), decode with the
+    stdlib wave codec and fingerprint by exact integer window-energy
+    deltas in mapInPandas Arrow batches (audio_fingerprint_media — 8
+    bytes per clip), then Hamming ≤ 4 pairs via the SimHash pigeonhole
+    machinery with 8-bit blocks (complete for radius ≤ 7). The energy of
+    a ±A square-wave window is exactly 64·A², so the oracle predicts
+    every fingerprint bit from the amplitude contour alone — all integer
+    math, no float anywhere."""
+    from airflow_retail_etl_spark import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_wave_corpus(docs)
+    return (
+        multimodal.audio_neardup_pairs(media, max_hamming=4)
+        .select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata columns."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3528,6 +3553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard (the in-prefix dedup_resolve exercises the same
         # inverted-index engine via jaccard_pairs)
         "video_neardup": q_video_neardup,
+        # energy-delta audio fingerprints through the same Hamming
+        # machinery (8-bit pigeonhole blocks)
+        "audio_neardup": q_audio_neardup,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
         "daily_type_unpivot": q_daily_type_unpivot,
@@ -5630,6 +5658,44 @@ def oracle_sql() -> dict[str, str]:
         FROM hashes ha
         JOIN hashes hb ON ha.doc_id < hb.doc_id
         WHERE bit_count(xor(ha.h, hb.h)) <= 3
+        ORDER BY id_a, id_b
+        """,
+        # audio_neardup: the ±A square-wave window energy is exactly
+        # 64·A², so energy-delta bits reduce to amplitude comparisons
+        # (A > 0, monotone) — the oracle replays the decode+fingerprint
+        # pipeline from the amplitude contour, pure integers.
+        "audio_neardup": """
+        WITH params AS (
+            SELECT d.doc_id, w.w,
+                   1000 * (1 + ((1 + (d.doc_id % 4) * 2) * w.w * w.w * w.w
+                              + (1 + ((d.doc_id % 16) // 4) * 3) * w.w * w.w
+                              + ((1 + (d.doc_id % 4) * 2)
+                                 + (1 + ((d.doc_id % 16) // 4) * 3)) * w.w
+                               ) % 13)
+                   + CASE WHEN w.w = 13 + 17 * ((d.doc_id // 16) % 3)
+                          THEN 13500 ELSE 0 END AS amp
+            FROM documents d, generate_series(0, 64) w(w)
+        ), bits AS (
+            SELECT l.doc_id, l.w AS i,
+                   CASE WHEN r.amp > l.amp THEN 1 ELSE 0 END AS bit
+            FROM params l
+            JOIN params r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+            WHERE l.w < 64
+        ), hashes AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN bit = 1 THEN
+                         CASE WHEN i = 63
+                              THEN CAST(-9223372036854775808 AS HUGEINT)
+                              ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT)
+                         END
+                       ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS h
+            FROM bits GROUP BY doc_id
+        )
+        SELECT ha.doc_id AS id_a, hb.doc_id AS id_b,
+               CAST(bit_count(xor(ha.h, hb.h)) AS INTEGER) AS hamming
+        FROM hashes ha
+        JOIN hashes hb ON ha.doc_id < hb.doc_id
+        WHERE bit_count(xor(ha.h, hb.h)) <= 4
         ORDER BY id_a, id_b
         """,
         # video_neardup: per-frame analytic dHash (frame f's brightness

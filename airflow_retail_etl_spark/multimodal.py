@@ -725,3 +725,146 @@ def video_neardup_pairs(
     return _dedup.set_jaccard_pairs(
         sets_, min_jaccard=min_jaccard, max_doc_freq=max_doc_freq
     )
+
+
+# --- audio fingerprinting: energy-delta near-dup ----------------------------
+
+AUDIO_FP_WINDOWS = 65   #: energy windows (64 delta bits)
+AUDIO_FP_WINLEN = 64    #: samples per window
+
+
+def synth_wave_payload(doc_id: int) -> bytes:
+    """Deterministic STRUCTURED WAV for audio fingerprinting (the
+    constant-amplitude synth_payload square wave has uniform energy —
+    degenerate for any energy-delta code). 65 windows × 64 samples of a
+    ±A_w square wave, PCM16 mono 8 kHz, with the amplitude contour
+    analytic in doc_id:
+
+    - class = doc_id % 16 → a = 1 + (class % 4)·2, b = 1 + (class ⌊/⌋ 4)·3;
+      A_w = 1000·(1 + (a·w³ + b·w² + (a+b)·w) mod 13) — 16 contours
+      separated by ≥9 fingerprint bits (measured over the full grid);
+    - c = (doc_id ⌊/⌋ 16) % 3 boosts window 13 + 17·c by +13500 (still
+      < 2¹⁵): same-class takes are near-identical, ≤4 bits apart.
+    """
+    cls = doc_id % 16
+    a, b = 1 + (cls % 4) * 2, 1 + (cls // 4) * 3
+    amps = [
+        1000 * (1 + (a * w**3 + b * w**2 + (a + b) * w) % 13)
+        for w in range(AUDIO_FP_WINDOWS)
+    ]
+    amps[13 + 17 * ((doc_id // 16) % 3)] += 13500
+    pcm: list[int] = []
+    for amp in amps:
+        pcm.extend(
+            amp if s % 2 == 0 else -amp for s in range(AUDIO_FP_WINLEN)
+        )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(pcm)}h", *pcm))
+    return buf.getvalue()
+
+
+def synth_wave_corpus(docs: DataFrame) -> DataFrame:
+    """(asset_id, media) structured WAV payloads per document."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media": [synth_wave_payload(int(i)) for i in ids],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
+    return spread(docs.select("doc_id"), "doc_id").mapInPandas(
+        batches, schema
+    )
+
+
+def audio_fingerprint64(payload: bytes) -> int:
+    """Reference energy-delta fingerprint of one PCM16 WAV (signed int64).
+
+    Decode (stdlib ``wave``), split into AUDIO_FP_WINDOWS fixed windows,
+    exact integer energy E_w = Σ sample² per window, bit i =
+    E[i+1] > E[i]. The 1-band energy-difference code — banded spectral
+    fingerprints (Chromaprint/Echoprint) slot into the same plumbing
+    with an FFT per window; the Spark-side batch shape is identical.
+    """
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("expected PCM16 mono")
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    n = AUDIO_FP_WINDOWS * AUDIO_FP_WINLEN
+    if len(x) < n:
+        raise ValueError(f"need >= {n} samples, got {len(x)}")
+    e = (x[:n] ** 2).reshape(AUDIO_FP_WINDOWS, AUDIO_FP_WINLEN).sum(axis=1)
+    val = 0
+    for i in range(AUDIO_FP_WINDOWS - 1):
+        if e[i + 1] > e[i]:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_fingerprint_media(media_df: DataFrame) -> DataFrame:
+    """Partition-parallel energy-delta fingerprints via mapInPandas →
+    (asset_id, afp). 8 bytes per clip however long the audio."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "afp": [
+                        audio_fingerprint64(bytes(p)) for p in pdf["media"]
+                    ],
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema)
+
+
+def audio_neardup_pairs(
+    media_df: DataFrame,
+    *,
+    max_hamming: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: energy-delta fingerprints through the
+    SimHash pigeonhole machinery with 8-bit blocks (8 blocks ⇒ complete
+    for Hamming radius ≤ 7, covering the default radius 4 — re-encodes
+    and level-shifted takes land within a few bits; unrelated clips
+    differ in ~32). Returns (id_a, id_b, hamming)."""
+    from airflow_retail_etl_spark.operators import dedup as _dedup
+
+    sigs = audio_fingerprint_media(media_df).select(
+        F.col("asset_id").alias("id"), F.col("afp").alias("simhash")
+    )
+    return _dedup.simhash_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        prefix_bits=8,
+        max_bucket_size=max_bucket_size,
+    )

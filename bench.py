@@ -190,6 +190,7 @@ HEADLINE = (
     "video_neardup",
     "classifier_fit",
     "decontam_excise",
+    "audio_neardup",
     "compound_growth_index",
 )
 

@@ -338,3 +338,92 @@ def test_set_jaccard_pairs_cap_matches_uncapped_scores(spark):
     assert (1, 3) in uncapped and (2, 3) in uncapped
     assert (1, 3) not in capped and (2, 3) not in capped
     assert capped[(1, 2)] == uncapped[(1, 2)] == 3 / 5
+
+
+def test_audio_fingerprint_matches_reference(spark):
+    from airflow_retail_etl_spark import multimodal as M
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    got = {
+        r["asset_id"]: r["afp"]
+        for r in M.audio_fingerprint_media(
+            M.synth_wave_corpus(docs)
+        ).collect()
+    }
+    for i in range(24):
+        assert got[i] == M.audio_fingerprint64(M.synth_wave_payload(i)), i
+
+
+def test_audio_neardup_recall_on_perturbed_takes(spark):
+    """Level-shifted / lightly edited takes of the same clip must pair at
+    radius 4; a different contour class must not."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    import numpy as np
+
+    from airflow_retail_etl_spark import multimodal as M
+
+    base = M.synth_wave_payload(9)
+    with _wave.open(_io.BytesIO(base), "rb") as w:
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+    def to_wav(samples):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                _struct.pack(f"<{len(samples)}h", *map(int, samples))
+            )
+        return buf.getvalue()
+
+    # gentle global gain (~-3%): scales every window energy equally —
+    # every E[i+1] > E[i] comparison is preserved, hamming 0
+    gained = to_wav((x * 31) // 32)
+    # zero out a few samples inside ONE window: a couple of bits at most
+    edited = x.copy()
+    edited[20 * 64 + 5:20 * 64 + 10] = 0
+    edited_wav = to_wav(edited)
+    unrelated = M.synth_wave_payload(2)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    f = M.audio_fingerprint64
+    assert ham(f(base), f(gained)) == 0
+    assert 0 <= ham(f(base), f(edited_wav)) <= 4
+    assert ham(f(base), f(unrelated)) > 4
+
+    media = spark.createDataFrame(
+        [(1, base), (2, gained), (3, edited_wav), (4, unrelated)],
+        "asset_id long, media binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.audio_neardup_pairs(media, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_audio_neardup_class_separation(spark):
+    from airflow_retail_etl_spark import multimodal as M
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    media = M.synth_wave_corpus(docs)
+    pairs = M.audio_neardup_pairs(media, max_hamming=4).collect()
+    assert pairs
+    found = set()
+    for r in pairs:
+        assert r["id_a"] % 16 == r["id_b"] % 16, r
+        found.add((r["id_a"], r["id_b"]))
+    # complete within class on this corpus (intra <= 4 by construction)
+    for cls in range(16):
+        members = [i for i in range(64) if i % 16 == cls]
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                assert (a, b) in found, (a, b)
