@@ -1051,6 +1051,76 @@ def q_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene report — the REVERSE aggregation of decontam_excise:
+    for every benchmark (eval-slice) document, how badly is it leaked
+    into the training corpus? Per eval doc: number of distinct training
+    docs carrying a verbatim span ≥ 40 chars of it, total leaked span
+    chars (span grain, double-counting overlaps across train docs —
+    the exposure measure), the longest single leaked span, and the
+    leaked fraction of the eval doc's UNIQUE characters (union of its
+    leaked intervals ÷ doc length — interval-merged, so overlapping
+    reports count once; exact integers, one division rounded 6 dp).
+    The number an eval-set owner tracks to decide which items to retire.
+    """
+    from airflow_retail_etl_spark.operators import dedup, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = sampling.hash_sample(docs, "doc_id", 0.05)
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    spans = dedup.shared_span_pairs_cross(
+        train, eval_df, "text", "doc_id",
+        k=16, min_len=40, hash_family="md5",
+    )
+    # union length of the eval-side intervals, per eval doc
+    sp = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    run_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(F.col("s") > F.coalesce(run_end, F.lit(0)), 1).otherwise(0)
+    ).over(w)
+    union_len = (
+        sp.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg((F.max("e") - F.min("s")).alias("seg"))
+        .groupBy("doc_id")
+        .agg(F.sum("seg").alias("unique_leaked_chars"))
+    )
+    per_doc = spans.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.count_distinct("id_a").alias("n_train_docs"),
+        F.sum("span_len").cast("long").alias("leaked_chars"),
+        F.max("span_len").alias("max_span_len"),
+    )
+    ev_norm = eval_df.select(
+        "doc_id", F.length(dedup.normalize_text(F.col("text"))).alias("n_chars")
+    )
+    return (
+        ev_norm.join(per_doc, "doc_id", "left")
+        .join(union_len, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+            F.coalesce("leaked_chars", F.lit(0).cast("long")).alias(
+                "leaked_chars"
+            ),
+            F.coalesce("max_span_len", F.lit(0)).alias("max_span_len"),
+            F.round(
+                F.coalesce("unique_leaked_chars", F.lit(0))
+                / F.nullif(F.col("n_chars"), F.lit(0)),
+                6,
+            ).alias("leak_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination report over the documents corpus.
 
@@ -3430,6 +3500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-grain sibling: excise the leaked passage, keep the doc
         # (cross-corpus face of the in-prefix span_excise machinery)
         "decontam_excise": q_decontam_excise,
+        # and its eval-hygiene reverse aggregation (which benchmark
+        # items are compromised, and how badly)
+        "eval_leak_report": q_eval_leak_report,
         # bm25_search reps the retrieval module in the window; the lm
         # module keeps tfidf_keywords in-prefix, and unigram_score (same
         # token/model machinery, LM-scoring face) moves just past it
@@ -5266,6 +5339,81 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS n_removed_chars
         FROM tr LEFT JOIN rebuilt r ON r.id = tr.doc_id
         ORDER BY tr.doc_id
+        """,
+        # eval_leak_report: the decontam_excise cross-anchor chain, spans
+        # re-keyed to the EVAL side (s = pa - diag), then the per-eval-doc
+        # exposure aggregates + interval-merged unique leaked length
+        "eval_leak_report": f"""
+        WITH split AS (
+            SELECT doc_id, {_NORM_TEXT} AS t,
+                   {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                       < CAST('{_thr(0.05)}' AS HUGEINT) AS is_eval
+            FROM documents
+        ), anchors AS (
+            SELECT doc_id, is_eval, CAST(i AS INTEGER) AS pos,
+                   {xhash.duck_md5_long("substr(t, CAST(i AS INTEGER), 16)")}
+                       AS h
+            FROM split, UNNEST(generate_series(1, length(t) - 15)) AS u(i)
+            WHERE length(t) >= 16
+        ), m AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM anchors a JOIN anchors b
+              ON a.h = b.h AND NOT a.is_eval AND b.is_eval
+        ), isl AS (
+            SELECT id_a, id_b, diag, pa,
+                   pa - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa
+                   ) AS grp
+            FROM m
+        ), spans AS (
+            SELECT id_a, id_b,
+                   CAST(MIN(pa) - diag AS INTEGER) AS s,
+                   CAST(MAX(pa) - diag + 16 AS INTEGER) AS e,
+                   CAST(MAX(pa) - MIN(pa) + 16 AS INTEGER) AS span_len
+            FROM isl GROUP BY id_a, id_b, diag, grp
+            HAVING MAX(pa) - MIN(pa) + 16 >= 40
+        ), per_doc AS (
+            SELECT id_b AS doc_id,
+                   CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_train_docs,
+                   CAST(SUM(span_len) AS BIGINT) AS leaked_chars,
+                   MAX(span_len) AS max_span_len
+            FROM spans GROUP BY id_b
+        ), w1 AS (
+            SELECT id_b AS doc_id, s, e,
+                   MAX(e) OVER (
+                       PARTITION BY id_b ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS run_end
+            FROM spans
+        ), g AS (
+            SELECT doc_id, s, e,
+                   SUM(CASE WHEN s > COALESCE(run_end, 0) THEN 1 ELSE 0
+                       END) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS grp
+            FROM w1
+        ), uni AS (
+            SELECT doc_id, SUM(seg) AS unique_leaked_chars
+            FROM (
+                SELECT doc_id, grp, MAX(e) - MIN(s) AS seg
+                FROM g GROUP BY doc_id, grp
+            ) GROUP BY doc_id
+        ), ev AS (
+            SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars
+            FROM split WHERE is_eval
+        )
+        SELECT ev.doc_id, ev.n_chars,
+               COALESCE(p.n_train_docs, CAST(0 AS BIGINT)) AS n_train_docs,
+               COALESCE(p.leaked_chars, CAST(0 AS BIGINT)) AS leaked_chars,
+               COALESCE(p.max_span_len, 0) AS max_span_len,
+               ROUND(COALESCE(u.unique_leaked_chars, 0)
+                     / NULLIF(ev.n_chars, 0), 6) AS leak_frac
+        FROM ev
+        LEFT JOIN per_doc p ON p.doc_id = ev.doc_id
+        LEFT JOIN uni u ON u.doc_id = ev.doc_id
+        ORDER BY ev.doc_id
         """,
         "decontaminate": f"""
         WITH split AS (

@@ -191,6 +191,7 @@ HEADLINE = (
     "classifier_fit",
     "decontam_excise",
     "audio_neardup",
+    "eval_leak_report",
     "compound_growth_index",
 )
 

@@ -138,3 +138,41 @@ def test_decontaminate_spans_excises_only_eval_leaks(spark):
     assert out[3]["n_removed_chars"] >= len(LEAK)
     assert LEAK not in out[3]["text_clean"]
     assert "leaky document" in out[3]["text_clean"]
+
+
+def test_eval_leak_report_counts_overlaps_once(spark):
+    """leak_frac uses the UNION of leaked eval intervals (overlapping
+    spans from different train docs count once); leaked_chars is the
+    exposure sum (double-counted on purpose)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rep = {r["doc_id"]: r for r in
+           entry.queries()["eval_leak_report"](spark, sf).collect()}
+    assert rep, "eval slice empty?"
+    for r in rep.values():
+        # union length can never exceed the doc, nor the exposure sum
+        assert 0.0 <= r["leak_frac"] <= 1.0
+        assert r["leak_frac"] * r["n_chars"] <= r["leaked_chars"] + 0.5  # 6dp rounding slack
+        if r["n_train_docs"] == 0:
+            assert r["leaked_chars"] == 0 and r["leak_frac"] == 0.0
+    # construct a guaranteed overlap case: two train docs quote the SAME
+    # eval passage -> leaked_chars ~ 2x but leak_frac counts it once
+    from airflow_retail_etl_spark.operators.dedup import (
+        shared_span_pairs_cross,
+    )
+    passage = "a distinctive benchmark passage that two sources copied"
+    train = spark.createDataFrame(
+        [(1, f"source one says {passage} end."),
+         (2, f"source two also says {passage} closing.")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, f"q: {passage}?")], "doc_id long, text string"
+    )
+    spans = shared_span_pairs_cross(
+        train, ev, "text", "doc_id", k=8, min_len=20
+    ).collect()
+    assert len(spans) == 2  # one per train doc, same eval interval
+    (s1, s2) = spans
+    assert (s1["start_b"], s1["span_len"]) == (s2["start_b"], s2["span_len"])
