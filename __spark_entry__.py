@@ -2815,6 +2815,54 @@ from airflow_retail_etl_spark.operators.classifier import (  # noqa: E402
 )
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier — the calibration
+    audit every deployed gate needs: bucket the 6-dp logistic scores
+    into 10 fixed-width bins, and per bin report document count, mean
+    predicted score, and the EMPIRICAL Gopher-keep rate. A calibrated
+    model has mean_score ≈ keep_rate per bin; divergence says the
+    threshold is lying. Determinism: bin edges compare the ROUNDED score
+    (membership engine-stable); mean score = DECIMAL sum of 6-dp scores
+    ÷ count (one division, 6 dp); keep rate = exact int ÷ count (one
+    division, 6 dp). Empty docs (NULL score) are excluded — they fail
+    the gate upstream."""
+    from airflow_retail_etl_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier.logistic_score(
+        docs.select("doc_id", "text"),
+        _clf_features(F.col("text")),
+        _CLF_WEIGHTS,
+        _CLF_BIAS,
+    )
+    keep = tf.gopher_flags(F.col("text"))["keep"].cast("int")
+    binned = scored.select(
+        "doc_id",
+        "score",
+        keep.alias("y"),
+    ).filter(F.col("score").isNotNull()).withColumn(
+        "bin", F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    )
+    # mean over 6-dp scores as ONE division of exact integers: micro =
+    # score·10⁶ is integral-valued (round() clears float residue), the
+    # bigint sum is exact, and n·10⁶ is exact in double — so the single
+    # bigint/double division is engine-identical (no DECIMAL division,
+    # whose precision rules differ between Spark and DuckDB)
+    micro = F.round(F.col("score") * 1000000).cast("long")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(micro) / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("mean_score"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("keep_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate: logistic regression over text features
     (operators.classifier.logistic_score) — the trained-filter face of the
@@ -3550,6 +3598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-engine ridge training (DECIMAL normal equations + driver
         # solve); the scoring face, quality_classifier, is in-prefix
         "classifier_fit": q_classifier_fit,
+        # reliability diagram: per score-decile predicted vs empirical
+        # keep rate for the shipped model
+        "classifier_calibration": q_classifier_calibration,
         "filter_funnel": q_filter_funnel,
         "returned_items": q_returned_items,
         "large_orders": q_large_orders,
@@ -6969,6 +7020,57 @@ def oracle_sql() -> dict[str, str]:
                CAST({format(_RIDGE_EXPECT['f_ttr'], '.6f')} AS DOUBLE)
                    AS w_ttr
         FROM feat WHERE n_tokens > 0 ORDER BY doc_id
+        """,
+        # classifier_calibration: the scored chain + inline Gopher flags
+        # (renamed CTEs), binned on the 6-dp score; mean over scores as
+        # ONE bigint/double division (micro-units), matching the Spark
+        # plan's formulation exactly
+        "classifier_calibration": _clf_feat_cte() + f"""
+        , gb AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                        END AS ltoks,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), gm2 AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_words,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS mean_word_len,
+                   CAST(len(regexp_extract_all(text, '{tf.SYMBOL_PATTERN}'))
+                        AS DOUBLE) / NULLIF(len(toks), 0) AS symbol_ratio,
+                   CAST(len(list_filter(toks,
+                            t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS alpha_word_frac,
+                   CAST(len(list_intersect(list_distinct(ltoks),
+                            {_STOPWORDS_SQL})) AS INTEGER)
+                       AS n_distinct_stopwords,
+                   CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                       / NULLIF(len(lines), 0) AS bullet_line_frac
+            FROM gb
+        ), gk AS (
+            SELECT doc_id,
+                   CASE WHEN COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+                         AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+                         AND COALESCE(symbol_ratio <= 0.1, FALSE)
+                         AND COALESCE(alpha_word_frac >= 0.8, FALSE)
+                         AND COALESCE(n_distinct_stopwords >= 2, FALSE)
+                         AND COALESCE(bullet_line_frac <= 0.9, FALSE)
+                        THEN 1 ELSE 0 END AS y
+            FROM gm2
+        )
+        SELECT LEAST(CAST(floor(sc.score * 10) AS INTEGER), 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(CAST(ROUND(sc.score * 1000000) AS BIGINT))
+                     / (COUNT(*) * 1000000.0), 6) AS mean_score,
+               ROUND(SUM(gk.y) / COUNT(*), 6) AS keep_rate
+        FROM scored sc JOIN gk USING (doc_id)
+        WHERE sc.score IS NOT NULL
+        GROUP BY 1 ORDER BY bin
         """,
         "quality_classifier": _clf_feat_cte()
         + """

@@ -192,6 +192,7 @@ HEADLINE = (
     "decontam_excise",
     "audio_neardup",
     "eval_leak_report",
+    "classifier_calibration",
     "compound_growth_index",
 )
 

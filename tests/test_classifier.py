@@ -183,3 +183,24 @@ def test_ridge_fit_recovers_exact_linear_relation(spark):
     assert abs(w["f_a"] - 2.0) < 1e-3
     assert abs(w["f_b"] + 1.5) < 1e-3
     assert abs(bias - 0.3) < 1e-3
+
+
+def test_entry_classifier_calibration_partitions_corpus(spark):
+    """Calibration bins partition the non-empty corpus; rates and mean
+    scores live in the bin's range."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["classifier_calibration"](spark, sf).collect()
+    assert rows
+    from airflow_retail_etl_spark.functions.text import token_count
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    n_nonempty = docs.filter(token_count(F.col("text")) > 0).count()
+    assert sum(r["n_docs"] for r in rows) == n_nonempty
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["keep_rate"] <= 1.0
+        lo, hi = r["bin"] / 10, (r["bin"] + 1) / 10 + 1e-9
+        assert lo - 1e-6 <= r["mean_score"] <= hi + 1e-6
