@@ -1051,6 +1051,38 @@ def q_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness sweep — the curation knob-tuning diagnostic:
+    exact token-3-gram Jaccard pairs computed ONCE, then for each
+    candidate threshold (0.5..0.9) the surviving pair count and the
+    number of distinct documents touched. A curator reads this to pick
+    neardup_jaccard's threshold: the gap between successive rows is the
+    corpus mass each notch of aggressiveness would affect. Thresholds
+    and jaccard values are identical double literals/arithmetic in both
+    engines (BM25 constant policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", kind="token", n=3, min_jaccard=0.5
+    )
+    th = F.explode(
+        F.array(*[F.lit(x) for x in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    ).alias("threshold")
+    pt = pairs.select("id_a", "id_b", "jaccard").select(
+        "id_a", "id_b", "jaccard", th
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    ex = pt.select(
+        "threshold", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    return (
+        ex.groupBy("threshold")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-hygiene report — the REVERSE aggregation of decontam_excise:
     for every benchmark (eval-slice) document, how badly is it leaked
@@ -3636,6 +3668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_resolve (identical jaccard_pairs call feeding the
         # cluster resolution)
         "neardup_jaccard": q_neardup_jaccard,
+        # threshold knob-tuning sweep over the same exact pairs
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "winnow": q_winnow,
         "simhash": q_simhash,
         "market_share": q_market_share,
@@ -5003,6 +5037,22 @@ def oracle_sql() -> dict[str, str]:
         FROM r CROSS JOIN kmin
         WHERE rk <= kmin.k
         ORDER BY doc_id
+        """,
+        "dedup_threshold_sweep": _JACCARD_CTE + """
+        , th AS (
+            SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+        ), pt AS (
+            SELECT th.threshold, j.id_a, j.id_b
+            FROM jac j, th WHERE j.jaccard >= th.threshold
+        ), ex AS (
+            SELECT threshold, id_a AS id FROM pt
+            UNION ALL
+            SELECT threshold, id_b FROM pt
+        )
+        SELECT threshold,
+               CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+        FROM ex GROUP BY threshold ORDER BY threshold
         """,
         "containment_pairs": _JACCARD_CTE
         + """

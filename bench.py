@@ -193,6 +193,7 @@ HEADLINE = (
     "audio_neardup",
     "eval_leak_report",
     "classifier_calibration",
+    "dedup_threshold_sweep",
     "compound_growth_index",
 )
 

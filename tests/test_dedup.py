@@ -464,3 +464,26 @@ def test_containment_capped_close_to_exact(spark):
     assert set(capped) == set(exact)
     for k, v in capped.items():
         assert v == pytest.approx(exact[k], abs=1e-9)
+
+
+def test_entry_dedup_threshold_sweep_monotone(spark):
+    """Higher thresholds can only shrink the pair set and the touched-doc
+    set; every row is consistent with a direct jaccard_pairs run."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as SF
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["dedup_threshold_sweep"](spark, sf).collect()
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_docs"] >= b["n_docs"]
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    direct = dedup.jaccard_pairs(
+        docs, "text", "doc_id", kind="token", n=3, min_jaccard=0.7
+    ).count()
+    assert direct == next(
+        r["n_pairs"] for r in rows if r["threshold"] == 0.7
+    )
