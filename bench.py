@@ -349,6 +349,37 @@ def _production_sketches():
             )
         )
 
+    def decontam_excise_prod(spark, sf_dir):
+        from airflow_retail_etl_spark.operators import decontam, sampling
+
+        docs = load_table(spark, sf_dir, "documents")
+        eval_df = sampling.hash_sample(docs, "doc_id", 0.05)
+        train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+        return decontam.decontaminate_spans(
+            train, eval_df, "text", "doc_id",
+            k=16, min_len=40, max_doc_freq=200, hash_family="xxhash64",
+        )
+
+    def eval_leak_report_prod(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from airflow_retail_etl_spark.operators import dedup as dd
+        from airflow_retail_etl_spark.operators import sampling
+
+        docs = load_table(spark, sf_dir, "documents")
+        eval_df = sampling.hash_sample(docs, "doc_id", 0.05)
+        train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+        spans = dd.shared_span_pairs_cross(
+            train, eval_df, "text", "doc_id",
+            k=16, min_len=40, max_doc_freq=200, hash_family="xxhash64",
+        )
+        return spans.groupBy(F.col("id_b").alias("doc_id")).agg(
+            F.count_distinct("id_a").alias("n_train_docs"),
+            F.sum("span_len").cast("long").alias("leaked_chars"),
+            F.max("span_len").alias("max_span_len"),
+        )
+
     return {
         "minhash_lsh_pairs": minhash_prod,
         "simhash": simhash_prod,
@@ -361,6 +392,8 @@ def _production_sketches():
         "shared_spans": shared_spans_prod,
         "span_excise": span_excise_prod,
         "duplication_profile": duplication_profile_prod,
+        "decontam_excise": decontam_excise_prod,
+        "eval_leak_report": eval_leak_report_prod,
     }
 
 
