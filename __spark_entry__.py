@@ -1833,6 +1833,45 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup RESOLUTION — the step after image_neardup that shrinks
+    the asset store: connected components over the perceptual-hash pair
+    graph (pointer-jumping dedup.connected_components), then one
+    canonical survivor per cluster (min asset id — synth images share
+    dimensions, so the deterministic tiebreak IS the policy; a real
+    deployment orders by resolution/recency first, same window). Output:
+    (asset_id, cluster_id, cluster_size, keeper_id, is_keeper) — the
+    text-side dedup_resolve contract applied to images. Oracle: the
+    analytic dHash pair graph closed with a recursive CTE, min per
+    component."""
+    from airflow_retail_etl_spark import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_gradient_corpus(docs)
+    pairs = multimodal.image_neardup_pairs(media, max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    cc = dedup.connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    w_cluster = Window.partitionBy("cluster_id")
+    return (
+        cc.select(
+            F.col("node").alias("asset_id"),
+            F.col("comp").alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(w_cluster).cast("long")
+        )
+        # comp IS the min reachable id (connected_components contract),
+        # so the keeper is the cluster id itself — kept as an explicit
+        # column for the dedup_resolve-shaped consumer contract
+        .withColumn("keeper_id", F.min("asset_id").over(w_cluster))
+        .withColumn("is_keeper", F.col("asset_id") == F.col("keeper_id"))
+        .orderBy("asset_id")
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata columns."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3714,6 +3753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # energy-delta audio fingerprints through the same Hamming
         # machinery (8-bit pigeonhole blocks)
         "audio_neardup": q_audio_neardup,
+        # pairs -> clusters -> canonical survivor for media assets (the
+        # dedup_resolve contract applied to the image pair graph)
+        "image_dedup_resolve": q_image_dedup_resolve,
         "revenue_moving_avg": q_revenue_moving_avg,
         "revenue_cube": q_revenue_cube,
         "daily_type_unpivot": q_daily_type_unpivot,
@@ -5946,6 +5988,40 @@ def oracle_sql() -> dict[str, str]:
         JOIN hashes hb ON ha.doc_id < hb.doc_id
         WHERE bit_count(xor(ha.h, hb.h)) <= 4
         ORDER BY id_a, id_b
+        """,
+        # image_dedup_resolve: the analytic dHash pair graph (radius <= 3)
+        # closed with a recursive CTE; comp = min reachable id, keeper =
+        # min member (identical by the closure), sizes per component
+        "image_dedup_resolve": """
+        WITH RECURSIVE params AS (
+            SELECT doc_id,
+                   5 + 8 * (doc_id % 4) AS a,
+                   3 + 8 * ((doc_id % 16) // 4) AS b,
+                   (doc_id // 16) % 3 AS c
+            FROM documents
+        )""" + _dhash_grid_sql("doc_id") + """
+        , prs AS (
+            SELECT ha.doc_id AS id_a, hb.doc_id AS id_b
+            FROM hashes ha JOIN hashes hb ON ha.doc_id < hb.doc_id
+            WHERE bit_count(xor(ha.h, hb.h)) <= 3
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM prs
+            UNION ALL
+            SELECT id_b, id_a FROM prs
+        ), reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ), cc AS (
+            SELECT node AS asset_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+        )
+        SELECT asset_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size,
+               MIN(asset_id) OVER (PARTITION BY cluster_id) AS keeper_id,
+               asset_id = MIN(asset_id) OVER (PARTITION BY cluster_id)
+                   AS is_keeper
+        FROM cc ORDER BY asset_id
         """,
         # video_neardup: per-frame analytic dHash (frame f's brightness
         # offset c = ((doc_id//16 + f) % 8) % 3, same slope class), then

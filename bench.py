@@ -194,6 +194,7 @@ HEADLINE = (
     "eval_leak_report",
     "classifier_calibration",
     "dedup_threshold_sweep",
+    "image_dedup_resolve",
     "compound_growth_index",
 )
 

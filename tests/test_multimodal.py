@@ -427,3 +427,24 @@ def test_audio_neardup_class_separation(spark):
         for i, a in enumerate(members):
             for b in members[i + 1:]:
                 assert (a, b) in found, (a, b)
+
+
+def test_entry_image_dedup_resolve_contract(spark):
+    """Clusters partition the assets; keeper = cluster_id = min member;
+    exactly one keeper per cluster; same-class assets share a cluster."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["image_dedup_resolve"](spark, sf).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        assert r["keeper_id"] == r["cluster_id"]
+        assert r["is_keeper"] == (r["asset_id"] == r["keeper_id"])
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(m["is_keeper"] for m in members) == 1
+        assert min(m["asset_id"] for m in members) == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
+        # near-dup classes never merge across slope classes
+        assert len({m["asset_id"] % 16 for m in members}) == 1
