@@ -1778,7 +1778,11 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synth_gradient_corpus(docs)
     return (
-        multimodal.image_neardup_pairs(media, max_hamming=3)
+        # uncapped: the oracle models the exact (skew-unbounded) join;
+        # production keeps the 10k bucket backstop (see the docstring)
+        multimodal.image_neardup_pairs(
+            media, max_hamming=3, max_bucket_size=None
+        )
         .select(
             "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
         )
@@ -1825,7 +1829,10 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synth_wave_corpus(docs)
     return (
-        multimodal.audio_neardup_pairs(media, max_hamming=4)
+        # uncapped: the oracle models the exact (skew-unbounded) join
+        multimodal.audio_neardup_pairs(
+            media, max_hamming=4, max_bucket_size=None
+        )
         .select(
             "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
         )
@@ -1848,9 +1855,9 @@ def q_image_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synth_gradient_corpus(docs)
-    pairs = multimodal.image_neardup_pairs(media, max_hamming=3).select(
-        "id_a", "id_b"
-    )
+    pairs = multimodal.image_neardup_pairs(
+        media, max_hamming=3, max_bucket_size=None
+    ).select("id_a", "id_b")
     cc = dedup.connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node"))
     )

@@ -231,7 +231,14 @@ def promote_staging(spark: SparkSession, staging: str, final: str) -> None:
       complete (recover by renaming either back);
     - after promote: final intact (``__old`` is garbage to re-delete).
 
-    A leftover ``__old`` from a previous crash is cleared first. This is
+    A leftover ``__old`` from a previous crash is cleared first ONLY when
+    final exists (post-promote garbage). When final is MISSING and
+    ``__old`` exists — exactly the between-aside-and-promote crash window
+    above — ``__old`` is the last full copy of the table, so it is
+    renamed BACK to final (auto-recover) before the swap proceeds;
+    deleting it there would silently destroy the old table the moment any
+    automated rerun (e.g. a compaction that re-staged after the read path
+    vanished) called this again. This is
     the maintenance-job swap (compactions, history rebuilds) — jobs that
     READ the path they replace must stage to a temp dir anyway (a Spark
     overwrite of its own input deletes files mid-read), and the
@@ -247,7 +254,12 @@ def promote_staging(spark: SparkSession, staging: str, final: str) -> None:
     if not fs.exists(p_staging):
         raise FileNotFoundError(f"staging path missing: {staging}")
     if fs.exists(p_old):
-        fs.delete(p_old, True)
+        if fs.exists(p_final):
+            fs.delete(p_old, True)  # post-promote garbage from a crash
+        elif not fs.rename(p_old, p_final):  # interrupted swap: recover
+            raise OSError(
+                f"could not recover {final}__old back to {final}"
+            )
     if fs.exists(p_final):
         if not fs.rename(p_final, p_old):
             raise OSError(f"could not move {final} aside to {final}__old")

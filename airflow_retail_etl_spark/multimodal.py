@@ -613,8 +613,15 @@ def image_neardup_pairs(
     """Perceptual near-duplicate image pairs: dHash signatures fed through
     the text-SimHash Hamming machinery (operators.dedup.simhash_pairs —
     16-bit pigeonhole blocks, EXACT for max_hamming <= 3, linear candidate
-    generation, same max_bucket_size backstop against identical-image
-    mega-clusters). Returns (id_a, id_b, hamming)."""
+    generation). Returns (id_a, id_b, hamming).
+
+    Exactness vs the cap: the default ``max_bucket_size=10_000`` is the
+    production skew backstop — a pigeonhole block shared by more than
+    10k images (identical-image mega-clusters) is truncated, silently
+    dropping pairs beyond it. Real corpora should resolve exact-duplicate
+    payloads FIRST (dedup_exact on a payload hash), after which blocks
+    stay small; callers wanting the exact contract at any skew (the
+    oracle-graded registry forms do) pass ``max_bucket_size=None``."""
     from airflow_retail_etl_spark.operators import dedup as _dedup
 
     sigs = dhash_media(media_df).select(
@@ -856,7 +863,12 @@ def audio_neardup_pairs(
     SimHash pigeonhole machinery with 8-bit blocks (8 blocks ⇒ complete
     for Hamming radius ≤ 7, covering the default radius 4 — re-encodes
     and level-shifted takes land within a few bits; unrelated clips
-    differ in ~32). Returns (id_a, id_b, hamming)."""
+    differ in ~32). Returns (id_a, id_b, hamming).
+
+    Same exactness-vs-cap contract as image_neardup_pairs: the 10k
+    default bucket cap is a production skew backstop that silently drops
+    pairs inside mega-buckets; oracle-graded forms pass
+    ``max_bucket_size=None`` for the exact contract."""
     from airflow_retail_etl_spark.operators import dedup as _dedup
 
     sigs = audio_fingerprint_media(media_df).select(

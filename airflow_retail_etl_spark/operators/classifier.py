@@ -133,6 +133,11 @@ def ridge_fit(
     they are INJECTED as literals into downstream scoring plans (and
     their oracle twins), never re-derived per engine.
 
+    Rows with a NULL label are excluded along with NULL-feature rows:
+    F.sum skips NULLs, so a NULL-y row would otherwise count in every
+    XᵀX entry while silently dropping out of the Xᵀy sums — an
+    inconsistent normal-equation system (it would fit as if y=0).
+
     Returns (weights by feature name, bias). One aggregation job total;
     at 100 TB the fit costs one scan with a 20-cell partial-agg state.
     """
@@ -143,7 +148,7 @@ def ridge_fit(
         features[n].cast(_DEC) for n in names
     ]
     y = label.cast(_DEC)
-    ok = F.lit(True)
+    ok = label.isNotNull()
     for n in names:
         ok = ok & features[n].isNotNull()
     base = df.select(

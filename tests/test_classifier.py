@@ -185,6 +185,27 @@ def test_ridge_fit_recovers_exact_linear_relation(spark):
     assert abs(bias - 0.3) < 1e-3
 
 
+def test_ridge_fit_excludes_null_label_rows(spark):
+    """A NULL-label row must be dropped from BOTH XᵀX and Xᵀy — F.sum's
+    null-skipping would otherwise count it in XᵀX only, fitting as if
+    y=0. Fit with NULL-y rows present must equal the fit without them."""
+    from airflow_retail_etl_spark.operators.classifier import ridge_fit
+
+    rows = [(i, round(0.1 * i, 6), round(0.05 * (i % 7), 6)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    label = F.when(
+        F.col("id") % 5 != 0,
+        F.round(F.lit(0.3) + F.lit(2.0) * F.col("a") - F.lit(1.5) * F.col("b"), 6),
+    )  # every 5th row: features present, label NULL
+    feats = {"f_a": F.col("a"), "f_b": F.col("b")}
+    w_with, b_with = ridge_fit(df, feats, label, l2=1e-9)
+    w_ref, b_ref = ridge_fit(df.filter("id % 5 != 0"), feats, label, l2=1e-9)
+    assert w_with == w_ref and b_with == b_ref
+    # and the clean-subset fit still recovers the generating weights
+    assert abs(w_with["f_a"] - 2.0) < 1e-3
+    assert abs(w_with["f_b"] + 1.5) < 1e-3
+
+
 def test_entry_classifier_calibration_partitions_corpus(spark):
     """Calibration bins partition the non-empty corpus; rates and mean
     scores live in the bin's range."""

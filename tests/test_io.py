@@ -257,3 +257,25 @@ def test_promote_staging_swap_and_crash_residue(spark, tmp_path):
     spark.range(7).write.parquet(final2 + "__staging")
     promote_staging(spark, final2 + "__staging", final2)
     assert spark.read.parquet(final2).count() == 7
+
+
+def test_promote_staging_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window between aside-rename and promote: final missing,
+    __old holds the last full copy. A later promote must NOT delete
+    __old (that would silently destroy the table); it recovers it back
+    to final first, then swaps in the new staging."""
+    import os
+
+    from airflow_retail_etl_spark.io import promote_staging
+
+    final = str(tmp_path / "tbl")
+    # simulate the interrupted state: old copy moved aside, no final
+    spark.range(4).write.parquet(final + "__old")
+    spark.range(11).write.parquet(final + "__staging")
+    assert not os.path.exists(final)
+    promote_staging(spark, final + "__staging", final)
+    # new data promoted; nothing lost mid-way (recovery happened first,
+    # so a crash between recover and swap would still leave final intact)
+    assert spark.read.parquet(final).count() == 11
+    assert not os.path.exists(final + "__staging")
+    assert not os.path.exists(final + "__old")
