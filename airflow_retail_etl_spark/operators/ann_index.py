@@ -108,20 +108,78 @@ def build_ann_index(
     ).parquet(f"{path}/codebook")
 
 
-def _load_codebook(spark: SparkSession, path: str):
-    """Stored codebook rows → ndarray (m, ksub, dsub).
+def _fs_signature(spark: SparkSession, dirpath: str) -> tuple:
+    """(name, length, mtime) of every file under ``dirpath`` — a single
+    Hadoop listStatus, the cache key that detects index rebuilds."""
+    sc = spark.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(dirpath)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    return tuple(
+        sorted(
+            (st.getPath().getName(), st.getLen(), st.getModificationTime())
+            for st in fs.listStatus(p)
+        )
+    )
+
+
+#: (path → (codebook+centroid signature, codebook ndarray, centroid rows,
+#: centroid schema)). Build-once-query-many is the index's contract; the
+#: constants are plan-construction inputs (LUT/ADC literals, broadcast
+#: centroids), so re-collecting them per query costs two Spark jobs for
+#: data that changes only on rebuild. The signature (file names/sizes/
+#: mtimes via one listStatus each) invalidates on rebuild; appends touch
+#: only ``cells/`` and correctly keep the cache.
+_META_CACHE: dict[str, tuple[tuple, "np.ndarray", list, object]] = {}
+
+
+def _load_index_meta(spark: SparkSession, path: str):
+    """Stored codebook → ndarray (m, ksub, dsub) + centroid rows/schema,
+    cached per path+signature.
 
     A driver-side read of m·ksub constant vectors — the query plan needs
     them as LITERALS (the LUT/ADC expressions are built from them), so
     this is plan construction, not a data collect.
     """
+    sig = _fs_signature(spark, f"{path}/codebook") + _fs_signature(
+        spark, f"{path}/centroids"
+    )
+    hit = _META_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1], hit[2], hit[3]
     rows = spark.read.parquet(f"{path}/codebook").collect()
     m = 1 + max(r["s"] for r in rows)
     ksub = 1 + max(r["j"] for r in rows)
     cb = np.empty((m, ksub, len(rows[0]["c"])))
     for r in rows:
         cb[r["s"], r["j"]] = r["c"]
-    return cb
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    cent_rows = cent_df.collect()
+    _META_CACHE[path] = (sig, cb, cent_rows, cent_df.schema)
+    return cb, cent_rows, cent_df.schema
+
+
+def _load_codebook(spark: SparkSession, path: str):
+    """Stored codebook rows → ndarray (m, ksub, dsub) (cached)."""
+    return _load_index_meta(spark, path)[0]
+
+
+#: path → (cells/ signature, DataFrame). The partitioned read re-runs
+#: partition discovery (a listing job over every cell directory) on each
+#: ``spark.read.parquet`` — per-query overhead for an index that changes
+#: only on build/append. Cell-directory mtimes advance when files land
+#: inside them, so the top-level listStatus signature catches both
+#: rebuilds and appends.
+_CELLS_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
+
+
+def _cells_df(spark: SparkSession, path: str) -> DataFrame:
+    sig = _fs_signature(spark, f"{path}/cells")
+    hit = _CELLS_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    df = spark.read.parquet(f"{path}/cells")
+    _CELLS_CACHE[path] = (sig, df)
+    return df
 
 
 def ann_index_topk(
@@ -146,12 +204,14 @@ def ann_index_topk(
     come from the stored codebook, not arguments — the index is
     self-describing.
     """
-    cb = _load_codebook(spark, path)
+    cb, cent_rows, cent_schema = _load_index_meta(spark, path)
     m, ksub, dsub = cb.shape
     cent, _ = _pq_literals(m, ksub, dsub, cb)
 
     q = _pq_query_side(queries, id_col, vec_col, cent, m, ksub, dsub)
-    centers_df = spark.read.parquet(f"{path}/centroids")
+    # centroids re-enter as a local-rows DataFrame (n_cells rows, cached
+    # with the codebook) — no parquet scan in the query plan for them
+    centers_df = spark.createDataFrame(cent_rows, cent_schema)
     qc = (
         q.crossJoin(F.broadcast(centers_df))
         .withColumn("aff", dot(F.col("qv"), F.col("centroid")))
@@ -166,16 +226,26 @@ def ann_index_topk(
         .select("query_id", "qq", "lut", "cell")
     )
 
-    enc = spark.read.parquet(f"{path}/cells").withColumnsRenamed(
+    enc = _cells_df(spark, path).withColumnsRenamed(
         {"id": "neighbor_id", "v": "cv", "nn": "cc"}
     )
     adc = (
         enc.select("neighbor_id", "cc", "codes", "cell")
         .join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _adc_col(m, ksub).alias("adc"))
+        .select(
+            "query_id", "neighbor_id", "cell", _adc_col(m, ksub).alias("adc")
+        )
     )
-    return _pq_shortlist_rescore(adc, enc, q, k=k, shortlist=shortlist)
+    # rescore joins on (cell, neighbor_id): every shortlist candidate came
+    # from a probed cell, so carrying the partition column lets dynamic
+    # partition pruning restrict the SECOND cells scan to the probed
+    # directories too — without it the exact-rescore vector fetch re-reads
+    # the whole index
+    return _pq_shortlist_rescore(
+        adc, enc, q, k=k, shortlist=shortlist,
+        join_on=("cell", "neighbor_id"),
+    )
 
 
 def append_to_ann_index(

@@ -475,6 +475,7 @@ def incremental_lsh_dedup(
     index_shingles: DataFrame | None = None,
     return_artifacts: bool = False,
     incoming_sigs: DataFrame | None = None,
+    return_drops: bool = False,
 ) -> DataFrame:
     """Admit incoming docs against a PRECOMPUTED corpus index — the
     100 TB form of incremental_dedup.
@@ -597,6 +598,13 @@ def incremental_lsh_dedup(
         .select(F.col("id_b").alias("drop_id"))
     )
     drops = cross_drop.unionByName(self_drop).distinct()
+    if return_drops:
+        # the verdict alone (one small id column): batch-sequential
+        # callers checkpoint THIS instead of the survivor rows — same
+        # dedup compute, kilobytes materialized instead of full
+        # documents, and every downstream (admitted rows, next-batch
+        # index) is a cheap anti/semi join off it
+        return drops
     survivors = incoming.join(
         drops, incoming[id_col] == drops["drop_id"], "left_anti"
     )

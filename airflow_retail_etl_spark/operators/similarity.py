@@ -697,22 +697,30 @@ def _adc_col(m: int, ksub: int) -> Column:
 
 
 def _pq_shortlist_rescore(
-    adc: DataFrame, enc: DataFrame, q: DataFrame, *, k: int, shortlist: int
+    adc: DataFrame,
+    enc: DataFrame,
+    q: DataFrame,
+    *,
+    k: int,
+    shortlist: int,
+    join_on: tuple[str, ...] = ("neighbor_id",),
 ) -> DataFrame:
     """Top-``shortlist`` by ADC per query → exact-cosine rescore → top-k.
 
     The scan output shuffles (query_id, neighbor_id, adc) keys only;
-    vectors re-attach to the (tiny) shortlist via the enc join."""
+    vectors re-attach to the (tiny) shortlist via the enc join.
+    ``join_on`` lets a partition-pruned caller (the persisted index) join
+    on (cell, neighbor_id) so the rescore scan prunes to probed cells."""
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
     cand = (
         adc.withColumn("sr", F.row_number().over(w_short))
         .filter(F.col("sr") <= shortlist)
-        .select("query_id", "neighbor_id")
+        .select("query_id", *join_on)
     )
     rescored = (
-        cand.join(enc.select("neighbor_id", "cv", "cc"), "neighbor_id")
+        cand.join(enc.select(*join_on, "cv", "cc"), list(join_on))
         .join(F.broadcast(q.select("query_id", "qv", "qq")), "query_id")
         .select(
             "query_id",

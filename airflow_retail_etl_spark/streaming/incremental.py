@@ -253,14 +253,17 @@ def replay_admission(
     verified match with any previously admitted doc or a smaller-id
     batch sibling — are testable and oracle-checkable without a
     checkpoint directory. Each batch is SIGNED ONCE (the expensive
-    shingle-explode + 63-hash min-agg) into an eager localCheckpoint;
-    the dedup, the admitted rows, and the next-batch band/shingle index
-    rows are all cheap derivations off that one materialization. The
-    fold is inherently sequential (batch N's index depends on N−1's
-    survivors), and without the pinning every later batch's plan
-    re-shingles ALL prior survivors through the accumulated union's
-    lineage — quadratic in batches (measured 11.1 s → 8.5 s at sf0.1
-    even at just 3 batches; the gap widens with batch count).
+    shingle-explode + 63-hash min-agg) into an eager localCheckpoint,
+    and its admission VERDICT (the drop-id set — kilobytes) into a
+    second; the admitted rows and the next-batch band/shingle index
+    rows are all cheap anti/semi joins off those two materializations
+    (checkpointing full survivor documents instead re-writes every
+    batch's text for no extra pinning). The fold is inherently
+    sequential (batch N's index depends on N−1's survivors), and
+    without the pinning every later batch's plan re-shingles ALL prior
+    survivors through the accumulated union's lineage — quadratic in
+    batches (measured 11.1 s → 8.5 s at sf0.1 even at just 3 batches;
+    the gap widens with batch count).
     Returns the admitted union in arrival order.
     """
     from airflow_retail_etl_spark.operators import dedup
@@ -275,7 +278,7 @@ def replay_admission(
         sigs = dedup.minhash_signatures(
             b, text_col, id_col, num_hashes=63, hash=hash
         ).localCheckpoint(eager=True)
-        surv = dedup.incremental_lsh_dedup(
+        drops = dedup.incremental_lsh_dedup(
             bands,
             b,
             text_col,
@@ -285,9 +288,15 @@ def replay_admission(
             max_bucket_size=max_bucket_size,
             index_shingles=shingles,
             incoming_sigs=sigs,
+            return_drops=True,
         ).localCheckpoint(eager=True)
+        surv = b.join(
+            drops, b[id_col] == drops["drop_id"], "left_anti"
+        )
         admitted = surv if admitted is None else admitted.unionByName(surv)
-        surv_ids = surv.select(F.col(id_col).alias("id"))
+        surv_ids = sigs.select("id").join(
+            drops, F.col("id") == drops["drop_id"], "left_anti"
+        )
         bands = bands.unionByName(
             dedup.band_rows(sigs, hash=hash).join(surv_ids, "id", "left_semi")
         )

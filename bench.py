@@ -17,9 +17,15 @@ the md5km/DECIMAL replay overhead that exists only for DuckDB
 bit-replication is measured head-to-head instead of inferred.
 
 Every run appends its full record to BENCH_HISTORY.jsonl (durable even
-when tail-capture truncates stdout) and embeds a per-query regression
-diff vs the previous same-SF entry in the full record ("regressions":
-queries ≥1.5× slower and ≥0.3 s absolute).
+when tail-capture truncates stdout) and embeds TWO per-query regression
+diffs in the full record (both at the ≥1.5×-slower AND ≥0.3 s-absolute
+bar): "regressions" vs the previous same-SF entry, and
+"regressions_vs_prev_round" vs the LAST same-SF entry of the previous
+round (records carry a "round" tag = 1 + the highest BENCH_r*.json the
+driver has written). The second diff exists because drift that arrives
+in several sub-bar steps within a round is invisible to the
+record-to-record diff — round 7's ivf_pq 1.79× crept in exactly that
+way.
 
 ``baseline_ratio`` compares against the reference's log-derived anchors
 (BASELINE.md) where a direct workload mapping exists — ratios < 1.0 mean
@@ -437,10 +443,20 @@ def main() -> None:
     # confirm-before-flag: single-shot timings of sub-second queries
     # wobble 0.3–1 s with session GC/python-worker state, which is enough
     # to trip the regression diff (≥1.5× AND ≥0.3 s) on queries nothing
-    # touched. Any would-be regression is re-timed once and keeps the
+    # touched. Any would-be regression — against EITHER baseline (previous
+    # entry, previous round's final) — is re-timed once and keeps the
     # MINIMUM of the two runs — a real plan regression reproduces, noise
     # doesn't. Only flagged candidates pay the re-run.
-    prev_q = _previous_same_sf_queries(float(sf))
+    rnd = _current_round()
+    prev_entry = _previous_same_sf_queries(float(sf))
+    prev_round = _prev_round_final_queries(float(sf), rnd)
+    prev_q = {
+        name: min(
+            [v for v in (prev_entry.get(name), prev_round.get(name)) if v]
+        )
+        for name in set(prev_entry) | set(prev_round)
+        if prev_entry.get(name) or prev_round.get(name)
+    }
     for name, sec in list(timings.items()):
         p = prev_q.get(name)
         if p and sec >= 1.5 * p and sec - p >= 0.3:
@@ -505,7 +521,10 @@ def main() -> None:
             "reference's 12,717 products"
         ),
     }
-    record["regressions"] = _append_history(record)
+    record["round"] = rnd
+    regs, regs_xround = _append_history(record)
+    record["regressions"] = regs
+    record["regressions_vs_prev_round"] = regs_xround
     print(json.dumps(record), flush=True)
     # guaranteed-small final line: always-valid JSON for tail capture
     print(
@@ -524,55 +543,96 @@ def main() -> None:
     )
 
 
+def _current_round() -> int:
+    """1 + the highest BENCH_r{N}.json the driver has written — the
+    driver records round N's final bench AT ROUND END, so any run while
+    r{N} is the newest file belongs to round N+1."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return 1 + max(rounds, default=0)
+
+
+def _history_records() -> list[dict]:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_HISTORY.jsonl")
+    out: list[dict] = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+    except FileNotFoundError:
+        pass
+    return out
+
+
 def _previous_same_sf_queries(sf: float) -> dict[str, float]:
     """Per-query timings of the last same-SF BENCH_HISTORY entry (empty
     dict when none) — the baseline the regression diff compares against."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_HISTORY.jsonl")
     prev: dict[str, float] = {}
-    try:
-        with open(path) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                cand = json.loads(line)
-                if cand.get("sf") == sf:
-                    prev = cand.get("queries", {})
-    except FileNotFoundError:
-        pass
+    for cand in _history_records():
+        if cand.get("sf") == sf:
+            prev = cand.get("queries", {})
     return prev
 
 
-def _append_history(record: dict) -> dict:
+def _prev_round_final_queries(sf: float, current_round: int) -> dict[str, float]:
+    """Per-query timings of the LAST same-SF entry of the previous round
+    (the driver's round-final record) — the cross-round drift baseline."""
+    prev: dict[str, float] = {}
+    for cand in _history_records():
+        if cand.get("sf") == sf and cand.get("round") == current_round - 1:
+            prev = cand.get("queries", {})
+    return prev
+
+
+def _flag_regressions(
+    now: dict[str, float], prev: dict[str, float]
+) -> dict[str, dict]:
+    """Queries ≥1.5× slower AND ≥0.3 s absolute vs ``prev``."""
+    out: dict[str, dict] = {}
+    for name, sec in now.items():
+        p = prev.get(name)
+        if p and sec >= 1.5 * p and sec - p >= 0.3:
+            out[name] = {"prev": p, "now": sec, "ratio": round(sec / p, 2)}
+    return out
+
+
+def _append_history(record: dict) -> tuple[dict, dict]:
     """Append the full record to BENCH_HISTORY.jsonl (the durable ledger —
-    BENCH_r* tail captures have truncated before) and return the per-query
-    regression diff vs the previous same-SF entry: queries ≥1.5× slower AND
-    ≥0.3 s absolute (bench totals are load-sensitive, ~±20%)."""
+    BENCH_r* tail captures have truncated before) and return both
+    regression diffs (previous entry, previous round's final): queries
+    ≥1.5× slower AND ≥0.3 s absolute (bench totals are load-sensitive,
+    ~±20%)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_HISTORY.jsonl")
-    prev = None
-    try:
-        with open(path) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                cand = json.loads(line)
-                if cand.get("sf") == record["sf"]:
-                    prev = cand
-    except FileNotFoundError:
-        pass
-    regressions: dict[str, dict] = {}
-    if prev:
-        for name, sec in record["queries"].items():
-            p = prev.get("queries", {}).get(name)
-            if p and sec >= 1.5 * p and sec - p >= 0.3:
-                regressions[name] = {"prev": p, "now": sec,
-                                     "ratio": round(sec / p, 2)}
+    rnd = record.get("round", _current_round())
+    regressions = _flag_regressions(
+        record["queries"], _previous_same_sf_queries(record["sf"])
+    )
+    vs_prev_round = _flag_regressions(
+        record["queries"], _prev_round_final_queries(record["sf"], rnd)
+    )
     with open(path, "a") as fh:
-        fh.write(json.dumps(record | {"regressions": regressions}) + "\n")
-    return regressions
+        fh.write(
+            json.dumps(
+                record
+                | {
+                    "regressions": regressions,
+                    "regressions_vs_prev_round": vs_prev_round,
+                }
+            )
+            + "\n"
+        )
+    return regressions, vs_prev_round
 
 
 def _dim_product_refsize(spark, sf_dir):

@@ -40,6 +40,23 @@ def test_query_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+    # EVERY cells scan must be pruned — the exact-rescore vector fetch
+    # joins on (cell, neighbor_id) precisely so the second scan doesn't
+    # re-read the whole index (round 8). Tree-line text truncates, so
+    # parse the formatted explain's per-node blocks instead.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    blocks = buf.getvalue().split("\n\n")
+    cells_scans = [
+        b for b in blocks if "Scan parquet" in b and "/cells" in b
+    ]
+    assert cells_scans and all(
+        "dynamicpruning" in b for b in cells_scans
+    ), buf.getvalue()[:4000]
 
 
 def test_append_admits_new_vectors_without_refit(spark, sf_dir, tmp_path):
