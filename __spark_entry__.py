@@ -3550,7 +3550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     profiling (table_profile), BM25 retrieval, hash sampling
     (stratified_sample), incremental/streaming admission
     (streaming_admission), dedup/sketch, ANN/vector (ivf_pq for the PQ
-    family), streaming-batch, multimodal — and
+    family), streaming-batch, multimodal (multimodal_decode for the
+    Arrow decode leaves; image_neardup — rotated in round 8 — for the
+    perceptual-media near-dup family AND the SimHash/pigeonhole Hamming
+    engine it runs) — and
     tests/test_entry_contract.py enforces per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
@@ -3651,24 +3654,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_excise": q_span_excise,
         "dedup_resolve": q_dedup_resolve,
         "winnow_pairs": q_winnow_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        # simhash_pairs subsumes the simhash signature query (same sigs,
-        # plus the pigeonhole block join) — the pair form reps the family
-        "simhash_pairs": q_simhash_pairs,
+        # the banded-MinHash machinery (signatures, band buckets, exact
+        # verify) is repped in-window by incremental_dedup AND
+        # streaming_admission, which run the identical engine
+        # incrementally; the one-shot minhash_lsh_pairs rotates just past
+        # the prefix
+        # the SimHash pigeonhole-Hamming family is repped in-window by
+        # image_neardup, which runs the IDENTICAL dedup.simhash_pairs
+        # machinery over dHash signatures; the text-side simhash_pairs
+        # (and its signature-only subset simhash) rotate just past the
+        # prefix
         "lang_id": q_lang_id,
         # -- ANN / vector / multimodal ------------------------------------
         "knn_cosine": q_knn_cosine,
         # semdedup reps cluster-blocked semantic dedup in the window;
-        # the LSH hyperplane machinery stays represented by
-        # neardup_cosine_lsh (same planes, block join, and verify path
-        # as ann_lsh, which moves just past the prefix)
+        # the LSH hyperplane machinery (shared planes, block join, and
+        # verify path) lives just past the prefix in ann_lsh and
+        # neardup_cosine_lsh, both oracle-checked every round
         "semdedup": q_semdedup,
         "ann_ivf": q_ann_ivf,
-        "neardup_cosine_lsh": q_neardup_cosine_lsh,
+        # image_neardup reps the perceptual-media near-dup family (r7's
+        # dHash → SimHash-Hamming pipeline through real decoded bytes) in
+        # the window; neardup_cosine_lsh rotates just past the prefix —
+        # its hyperplane-LSH block-join machinery stays represented by
+        # ann_lsh's identical planes/verify path and semdedup's blocked
+        # cosine verify (both oracle-checked every round)
+        "image_neardup": q_image_neardup,
         "multimodal_decode": q_multimodal_decode,
         # ------------------------------------------------------- entry 50
         # Same-family variants beyond the driver's window (still fully
         # oracle-checked by tools/check_oracle.py and the test suite):
+        "neardup_cosine_lsh": q_neardup_cosine_lsh,
+        # text-side SimHash pair join (the Hamming machinery itself is
+        # verified in-window through image_neardup)
+        "simhash_pairs": q_simhash_pairs,
+        # one-shot banded-MinHash pairs (engine verified in-window via
+        # incremental_dedup / streaming_admission)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh": q_ann_lsh,
         "range_join": q_range_join,
         "regional_revenue": q_regional_revenue,
@@ -3750,9 +3772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": q_balanced_sample,
         "corpus_entropy": q_corpus_entropy,
         "multimodal_resize": q_multimodal_resize,
-        # perceptual image near-dup: dHash over real P6 bytes fed through
-        # the in-prefix simhash_pairs Hamming machinery
-        "image_neardup": q_image_neardup,
+        # (image_neardup — the perceptual image near-dup representative —
+        # rotated INTO the verified prefix in round 8)
         # frame-grain video near-dup: per-frame dHash sets + exact set
         # Jaccard (the in-prefix dedup_resolve exercises the same
         # inverted-index engine via jaccard_pairs)
