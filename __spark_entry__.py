@@ -1030,6 +1030,54 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle (sampling.corpus_shuffle):
+    every document's exact 1-based position in the epoch-2 permutation.
+
+    The order key is a seeded md5 draw over doc_id — a pure projection —
+    so the permutation is a function of (seed, epoch, doc_id) alone:
+    layout-invariant (pinned by test), bit-reproducible cross-engine,
+    and a different independent order every epoch. The position comes
+    from the DISTRIBUTED prefix sum (selection.global_cumsum: range
+    repartition + broadcast partition offsets — no single-partition
+    window), and io.write_sorted on (shuffle_u, doc_id) lays the corpus
+    down so readers stream it in shuffled order. Oracle: ROW_NUMBER()
+    over the identical DuckDB md5 expression.
+    """
+    from airflow_retail_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.corpus_shuffle(docs, "doc_id", seed="r8", epoch=2)
+        .select("position", "doc_id", "source")
+        .orderBy("position")
+    )
+
+
+def q_epoch_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch slicing for parallel corpus consumption
+    (sampling.epoch_slice): slice 1 of 4 of the epoch-2 corpus, in its
+    within-slice shuffled order.
+
+    Slices are disjoint md5 buckets covering the corpus — a PURE FILTER
+    (no shuffle, no global state), so N trainers each read 1/N of the
+    data with zero coordination and a crashed job re-derives exactly its
+    slice; the slice draw is independent of the order draw (different
+    seed tag), so slicing does not bias the order. Positions restart at
+    1 within the slice (corpus_shuffle composed on the filtered slice —
+    the same distributed prefix sum).
+    """
+    from airflow_retail_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    sl = sampling.epoch_slice(docs, "doc_id", 4, 1, seed="r8", epoch=2)
+    return (
+        sampling.corpus_shuffle(sl, "doc_id", seed="r8", epoch=2)
+        .select("position", "doc_id", "lang")
+        .orderBy("position")
+    )
+
+
 def q_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-GRAIN eval decontamination (operators.decontam.
     decontaminate_spans): the same deterministic 5% hash-slice of the
@@ -3710,6 +3758,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_parts": q_significant_parts,
         "top_terms": q_top_terms,
         "split_assign": q_split_assign,
+        # reproducible epoch-seeded global shuffle + disjoint-slice
+        # consumption (the sampling-module draw machinery, verified
+        # in-window via stratified_sample)
+        "corpus_shuffle": q_corpus_shuffle,
+        "epoch_slice": q_epoch_slice,
         "doc_chunks": q_doc_chunks,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
@@ -5429,6 +5482,38 @@ def oracle_sql() -> dict[str, str]:
                          < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+        """,
+        # same seeded md5 permutation draw as sampling.corpus_shuffle;
+        # the position is just the rank of that draw (key tiebreak)
+        "corpus_shuffle": f"""
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY {xhash.duck_md5_u64(
+                       "concat_ws(chr(31), 'shuffle-r8-epoch-2',"
+                       " CAST(doc_id AS VARCHAR))")} ASC,
+                            doc_id ASC
+               ) AS BIGINT) AS position,
+               doc_id, source
+        FROM documents
+        ORDER BY position
+        """,
+        # independent slice draw (different seed tag) → filter, then the
+        # same permutation rank WITHIN the slice
+        "epoch_slice": f"""
+        WITH sl AS (
+            SELECT doc_id, lang FROM documents
+            WHERE ({xhash.duck_md5_u64(
+                       "concat_ws(chr(31), 'slice-r8-epoch-2',"
+                       " CAST(doc_id AS VARCHAR))")}) % 4 = 1
+        )
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY {xhash.duck_md5_u64(
+                       "concat_ws(chr(31), 'shuffle-r8-epoch-2',"
+                       " CAST(doc_id AS VARCHAR))")} ASC,
+                            doc_id ASC
+               ) AS BIGINT) AS position,
+               doc_id, lang
+        FROM sl
+        ORDER BY position
         """,
         # same 5% hash split + token-3-gram overlap as operators.decontam
         # span-grain decontamination: the same 5% md5-slice split, then

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.functions import xhash
+from airflow_retail_etl_spark.operators.selection import global_cumsum
 
 #: u is uniform on [0, 2^64); keep iff u < fraction · 2^64
 TWO64 = xhash.TWO64
@@ -186,4 +187,101 @@ def balanced_sample(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= F.col("__kmin"))
         .drop("__rk", "__kmin")
+    )
+
+
+def _shuffle_seed(seed: str, epoch: int) -> str:
+    """Seed string binding a shuffle draw to (user seed, epoch): each
+    epoch is an INDEPENDENT deterministic permutation of the corpus."""
+    return f"shuffle-{seed}-epoch-{epoch}"
+
+
+def shuffle_u(key: Column, *, seed: str = "", epoch: int = 0) -> Column:
+    """Permutation draw for corpus shuffling — the seeded hash-sample
+    draw (md5-u64, DECIMAL(20,0)) with the epoch folded into the seed.
+
+    Oracle twin: ``duck_md5_u64(concat_ws(chr(31), '<shuffle seed>',
+    CAST(key AS VARCHAR)))`` with the literal from :func:`_shuffle_seed`.
+    """
+    return _sample_u(key, _shuffle_seed(seed, epoch))
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    seed: str = "",
+    epoch: int = 0,
+    num_partitions: int = 16,
+    u_col: str = "shuffle_u",
+    position_col: str = "position",
+) -> DataFrame:
+    """Reproducible global corpus shuffle with exact positions.
+
+    Training-data pipelines need the document ORDER randomized — and that
+    order re-derivable for any epoch, on any cluster layout, years later
+    (curriculum audits, resume-from-step, loss-spike forensics). RNG
+    shuffles (``ORDER BY rand()``) give none of that. Here the order key
+    is a seeded md5 draw over the row key — a pure projection — so the
+    permutation is a function of (seed, epoch, key) alone:
+
+    - **Layout-invariant**: input partitioning cannot change the result
+      (pinned by test); reruns and backfills reproduce it bit-exact.
+    - **Distributed**: the 1-based ``position`` comes from the
+      range-partitioned prefix-sum (``selection.global_cumsum`` — no
+      single-partition window anywhere); ``num_partitions`` sizes the
+      range exchange (raise it ∝ corpus at scale).
+    - **Writable**: feed ``(u_col, key_col)`` to ``io.write_sorted`` to
+      lay the shuffled corpus down as range-clustered parquet readers
+      stream in shuffled order.
+
+    The draw is total-ordered by ``(u, key)`` — the key tiebreak makes
+    64-bit collisions harmless.
+    """
+    key = F.col(key_col).cast("string")
+    out = global_cumsum(
+        df.withColumn(u_col, shuffle_u(key, seed=seed, epoch=epoch))
+        .withColumn("__one", F.lit(1)),
+        [F.col(u_col).asc(), F.col(key_col).asc()],
+        "__one",
+        out_col=position_col,
+        num_partitions=num_partitions,
+    )
+    return out.drop("__one").withColumn(
+        position_col, F.col(position_col).cast("long")
+    )
+
+
+def epoch_slice_id(
+    key: Column, n_slices: int, *, seed: str = "", epoch: int = 0
+) -> Column:
+    """Deterministic slice assignment for epoch-wise corpus consumption:
+    ``md5-u64(slice seed, key) mod n_slices`` as INT. An independent
+    draw from :func:`shuffle_u` (different seed tag), so slice membership
+    and intra-slice order are uncorrelated."""
+    u = _sample_u(key, f"slice-{seed}-epoch-{epoch}")
+    return (u % F.lit(n_slices).cast("decimal(20,0)")).cast("int")
+
+
+def epoch_slice(
+    df: DataFrame,
+    key_col: str,
+    n_slices: int,
+    slice_idx: int,
+    *,
+    seed: str = "",
+    epoch: int = 0,
+) -> DataFrame:
+    """One slice of the epoch's corpus — a PURE FILTER (no shuffle, no
+    global state): slices are disjoint hash buckets covering the corpus
+    (pinned by test), so N training jobs each read 1/N of the data with
+    zero coordination, and a crashed job re-derives exactly its slice.
+    Compose with :func:`corpus_shuffle` (same seed/epoch) for the
+    within-slice order."""
+    if not 0 <= slice_idx < n_slices:
+        raise ValueError(f"slice_idx {slice_idx} not in [0, {n_slices})")
+    key = F.col(key_col).cast("string")
+    return df.filter(
+        epoch_slice_id(key, n_slices, seed=seed, epoch=epoch)
+        == F.lit(slice_idx)
     )

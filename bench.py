@@ -202,6 +202,9 @@ HEADLINE = (
     "dedup_threshold_sweep",
     "image_dedup_resolve",
     "compound_growth_index",
+    # round 8: epoch-seeded reproducible shuffle + slice consumption
+    "corpus_shuffle",
+    "epoch_slice",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

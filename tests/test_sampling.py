@@ -154,3 +154,78 @@ def test_balanced_sample_equalizes_skewed_strata(spark):
         ).collect()
     }
     assert len(c) == 9
+
+
+def test_corpus_shuffle_layout_invariant_and_total(spark, sf_dir):
+    """The shuffled order is a pure function of (seed, epoch, key):
+    re-running on a differently-partitioned input yields the IDENTICAL
+    position for every row, and positions are exactly 1..n."""
+    from airflow_retail_etl_spark.operators.sampling import corpus_shuffle
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = corpus_shuffle(docs, "doc_id", seed="s", epoch=1)
+    b = corpus_shuffle(
+        docs.repartition(13), "doc_id", seed="s", epoch=1
+    )
+    ra = {r["doc_id"]: r["position"] for r in a.collect()}
+    rb = {r["doc_id"]: r["position"] for r in b.collect()}
+    assert ra == rb
+    n = docs.count()
+    assert sorted(ra.values()) == list(range(1, n + 1))
+
+
+def test_corpus_shuffle_epochs_are_independent_permutations(spark, sf_dir):
+    """Different epochs (or seeds) produce different permutations of the
+    SAME row set — and the same epoch reproduces itself."""
+    from airflow_retail_etl_spark.operators.sampling import corpus_shuffle
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    e1 = {r["doc_id"]: r["position"]
+          for r in corpus_shuffle(docs, "doc_id", epoch=1).collect()}
+    e2 = {r["doc_id"]: r["position"]
+          for r in corpus_shuffle(docs, "doc_id", epoch=2).collect()}
+    e1_again = {r["doc_id"]: r["position"]
+                for r in corpus_shuffle(docs, "doc_id", epoch=1).collect()}
+    assert e1 == e1_again
+    assert set(e1) == set(e2)
+    # a real permutation change, not a rotation: many rows move
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved > len(e1) * 0.9
+
+
+def test_epoch_slices_disjoint_cover_and_pure_filter(spark, sf_dir):
+    """Slices partition the corpus: disjoint, union = corpus, and the
+    slice operator adds NO exchange (pure predicate on the scan)."""
+    from airflow_retail_etl_spark.operators.sampling import epoch_slice
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_slices = 4
+    ids = [
+        {r["doc_id"] for r in
+         epoch_slice(docs, "doc_id", n_slices, i, epoch=3)
+         .select("doc_id").collect()}
+        for i in range(n_slices)
+    ]
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set().union(*ids) == all_ids
+    assert sum(len(s) for s in ids) == len(all_ids)  # disjoint
+    # pure filter: no Exchange in the slice plan
+    plan = (
+        epoch_slice(docs, "doc_id", n_slices, 0, epoch=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_epoch_slice_validates_index(spark, sf_dir):
+    import pytest
+
+    from airflow_retail_etl_spark.operators.sampling import epoch_slice
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        epoch_slice(docs, "doc_id", 4, 4)
