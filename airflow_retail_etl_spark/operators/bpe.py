@@ -5,20 +5,27 @@ tokenizer step: repeatedly find the most frequent adjacent symbol pair
 and merge it everywhere. The classic implementation is single-machine
 (a dict of word counts); this one keeps the corpus distributed:
 
-- state is the WORD-SHAPE table (distinct word → weight), orders of
-  magnitude smaller than the corpus and the only thing the loop touches;
-- each round is one aggregation (pair counts, map-side combined) plus a
-  one-ROW driver action (the argmax pair — never data rows), then an HOF
-  rewrite of the symbol arrays and an eager localCheckpoint so 50 rounds
-  don't build a 50-deep lazy plan;
+- state is the WORD-SHAPE table (distinct word → weight) — BPE's
+  sufficient statistic, vocab-sized by Heaps' law, not corpus-sized; the
+  corpus is scanned exactly once to build it;
+- when that table fits a driver bound, the ENTIRE merge sequence is
+  learned driver-side from the collected statistic (3 Spark jobs total —
+  model fitting, the same class as ridge_fit's normal-equation solve);
+- above the bound, a distributed loop runs BATCHED rounds: one
+  aggregation (pair counts, map-side combined), a bounded top-N collect,
+  driver-side acceptance of the maximal provably-sequential prefix, and
+  ONE native-replace rewrite + eager localCheckpoint per round so deep
+  loops don't build deep lazy plans;
 - greedy left-to-right merge semantics inside a word match the reference
   BPE algorithm (overlaps consume: "aaa" + merge(a,a) → ["aa","a"]),
-  pinned against a pure-Python reference implementation in tests.
+  pinned against a pure-Python reference implementation in tests; both
+  paths produce the IDENTICAL merge list.
 
-Rounds are inherently sequential (merge i+1's counts depend on merge i),
-so wall-clock is rounds × one-aggregation latency; each aggregation is
-fully parallel. The driver transfer is O(1) per round — this is the same
-iterate-with-checkpoint shape as dedup.connected_components.
+Distributed rounds are inherently sequential (merge i+1's counts depend
+on merge i), so wall-clock is rounds × one-aggregation latency; each
+aggregation is fully parallel. The driver transfer is bounded per round —
+this is the same iterate-with-checkpoint shape as
+dedup.connected_components.
 """
 
 from __future__ import annotations
@@ -69,44 +76,211 @@ def _pair_counts(shapes: DataFrame) -> DataFrame:
     )
 
 
-def _merge_expr(a: str, b: str):
-    """Greedy left-to-right merge of adjacent (a, b) inside ``syms``."""
-    merged = a + b
-    return F.aggregate(
-        F.col("syms"),
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
-            & (x == F.lit(b)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
+def _safe_batch(
+    top: list, c_min: int, prev_strings: set[str], budget: int
+) -> list[tuple[str, str]]:
+    """Maximal prefix of the ranked candidate pairs that provably equals
+    the one-merge-at-a-time sequence (standard batched BPE, made exact).
+
+    Merging (a, b) → "ab" can only (i) DECREASE counts of existing pairs
+    (those losing their a/b occurrences) and (ii) CREATE pairs involving
+    the new symbol, each bounded by an existing neighbor pair:
+    count(x, ab) ≤ old count(x, a) and count(ab, y) ≤ old count(b, y).
+    So candidate k is still the true sequential argmax after the earlier
+    batch members iff:
+
+    - its symbols are untouched by every earlier acceptance (strings a,
+      b, and a+b — its own count is then unchanged, and every old pair
+      ranked above it has already been accepted, prefix order);
+    - its count strictly exceeds ``cap`` = the best possible created
+      pair so far: max over collected (·,a)/(b,·) neighbor counts of
+      each accepted merge, floored by ``c_min`` (the N-th collected
+      count bounds every uncollected pair). Strictness kills ties a
+      created pair could win lexicographically;
+    - no accepted merge string pre-exists as a symbol (a+b ∈ previous
+      merges ∪ {EOW} — the one case where an EXISTING pair's count can
+      grow, because new instances of an old string appear). Multi-char
+      symbols can only come from previous merges or EOW, so the check
+      is exact and driver-side.
+
+    Stops (never skips) at the first unsafe candidate: a conflicting
+    candidate's count may have dropped, so everything after it is
+    unordered without a recount.
+    """
+    accepted: list[tuple[str, str]] = []
+    touched: set[str] = set()
+    cap = None
+    for r in top:
+        if len(accepted) >= budget:
+            break
+        a, b, n = r["a"], r["b"], r["n"]
+        if accepted and (
+            a in touched
+            or b in touched
+            or (a + b) in touched
+            or (cap is not None and n <= cap)
+        ):
+            break
+        accepted.append((a, b))
+        if (a + b) in prev_strings:
+            break  # created string pre-exists: old pairs may now grow
+        touched |= {a, b, a + b}
+        bound = c_min
+        for r2 in top:
+            if r2["b"] == a or r2["a"] == b:
+                bound = max(bound, r2["n"])
+        cap = bound if cap is None else max(cap, bound)
+    return accepted
+
+
+def _apply_merges_expr(merges: list[tuple[str, str]]):
+    """One projection applying ``merges`` in order to ``syms`` — the
+    apply_bpe boundary-marked native-replace chain, on a single word's
+    symbol array (no word separator needed; one row is one word)."""
+    s = F.concat(
+        F.lit(_SEP),
+        F.array_join(F.col("syms"), _SEP + _SEP),
+        F.lit(_SEP),
+    )
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"),
+            F.lit(f"{_SEP}{a}{b}{_SEP}"),
+        )
+    return F.split(
+        F.btrim(F.replace(s, F.lit(_SEP + _SEP), F.lit(_SEP)), F.lit(_SEP)),
+        _SEP,
     )
 
 
+def _driver_bpe(
+    shapes: dict[tuple[str, ...], int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Exact sequential BPE over a collected word-shape dict, with
+    incremental pair-count maintenance (only words containing the merged
+    pair are rewritten per step — the standard trainer loop). Identical
+    semantics to the distributed loop: greedy left-to-right merges,
+    (count desc, pair lex asc) argmax."""
+    from collections import Counter, defaultdict
+
+    words: list[list] = []  # [syms, weight]
+    for syms, w in shapes.items():
+        words.append([list(syms), w])
+
+    def word_pairs(syms: list[str]) -> Counter:
+        c: Counter = Counter()
+        for i in range(len(syms) - 1):
+            c[(syms[i], syms[i + 1])] += 1
+        return c
+
+    counts: Counter = Counter()
+    index: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (syms, w) in enumerate(words):
+        for p, k in word_pairs(syms).items():
+            counts[p] += k * w
+            index[p].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        for p, n in counts.items():
+            if n > 0 and (
+                best is None
+                or n > best[1]
+                or (n == best[1] and p < best[0])
+            ):
+                best = (p, n)
+        if best is None:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for wi in list(index[(a, b)]):
+            syms, w = words[wi]
+            before = word_pairs(syms)
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[wi][0] = out
+            after = word_pairs(out)
+            for p in before.keys() | after.keys():
+                d = after.get(p, 0) - before.get(p, 0)
+                if d:
+                    counts[p] += d * w
+                if after.get(p, 0):
+                    index[p].add(wi)
+                else:
+                    index[p].discard(wi)
+    return merges
+
+
 def learn_bpe_merges(
-    df: DataFrame, text_col: str, *, n_merges: int = 32
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 32,
+    batch_candidates: int = 128,
+    max_driver_words: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the ranked
     merge list (the tokenizer artifact). Ties break lexicographically so
-    the result is deterministic across layouts and engines."""
+    the result is deterministic across layouts and engines.
+
+    Round-trip structure (round 8): the corpus-scale work is ONE
+    aggregation — the distinct word-shape table, BPE's sufficient
+    statistic, vocab-sized by Heaps' law, not corpus-sized. When it fits
+    ``max_driver_words`` the whole merge sequence is learned driver-side
+    from the collected table (:func:`_driver_bpe` — model fitting on a
+    sufficient statistic, the same class as ridge_fit's normal-equation
+    solve or the PQ codebook fit): 3 Spark jobs TOTAL for any vocab
+    size, vs 2 jobs PER MERGE for the round-trip loop — 64k driver
+    round-trips for a 32k-merge production vocabulary, ~21000× fewer
+    jobs (the test pins ≥8×). Every real tokenizer trainer
+    (SentencePiece et al.) works off this exact statistic.
+
+    Above the bound (web-scale corpora where even the wordform table is
+    huge), falls back to the distributed loop, itself BATCHED: each
+    round collects the top ``batch_candidates`` pairs and accepts the
+    maximal provably-sequential prefix (:func:`_safe_batch`), applying
+    all accepted merges in ONE native-replace projection +
+    localCheckpoint. Both paths produce the IDENTICAL merge list
+    (reference- and cross-path parity pinned in tests).
+    """
     shapes = word_shapes(df, text_col).localCheckpoint(eager=True)
+    if shapes.count() <= max_driver_words:
+        collected = {
+            tuple(r["syms"]): r["weight"] for r in shapes.collect()
+        }
+        return _driver_bpe(collected, n_merges)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(shapes)
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] is None:
+    prev_strings = {EOW}
+    while len(merges) < n_merges:
+        top = [
+            r
+            for r in (
+                _pair_counts(shapes)
+                .orderBy(
+                    F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .limit(batch_candidates)
+                .collect()
+            )
+            if r["n"] is not None
+        ]
+        if not top:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        # every pair collected → no uncollected pair to bound against
+        c_min = top[-1]["n"] if len(top) == batch_candidates else 0
+        batch = _safe_batch(
+            top, c_min, prev_strings, n_merges - len(merges)
+        )
+        merges.extend(batch)
+        prev_strings |= {a + b for a, b in batch}
         shapes = shapes.select(
-            _merge_expr(a, b).alias("syms"), "weight"
+            _apply_merges_expr(batch).alias("syms"), "weight"
         ).localCheckpoint(eager=True)
     return merges
 

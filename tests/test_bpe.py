@@ -87,3 +87,33 @@ def test_apply_bpe_reconstructs_words(spark):
         # merging strictly reduces or preserves token count vs chars
         n_chars = len(norm.replace(" ", "")) + len(norm.split(" "))
         assert out[i].n_bpe_tokens <= n_chars
+
+
+def test_driver_path_job_count_at_least_8x_fewer(spark):
+    """The sufficient-statistic path must run ≤ 8 Spark jobs for 32
+    merges (the old loop ran 2 per merge = 64; bar is ≥8× fewer)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS * 10)], ["doc_id", "text"]
+    )
+    st = spark.sparkContext.statusTracker()
+    before = max(st.getJobIdsForGroup() or [0])
+    merges = learn_bpe_merges(df, "text", n_merges=32)
+    jobs = len([j for j in (st.getJobIdsForGroup() or []) if j > before])
+    assert merges  # it actually learned something
+    assert jobs <= 8, jobs
+
+
+def test_distributed_fallback_equals_driver_path(spark, sf_dir):
+    """Force the distributed batched loop (max_driver_words=0) and pin
+    it merge-for-merge against the driver sufficient-statistic path on
+    a real corpus slice — including the regime where naive (cap-free)
+    batching is KNOWN to diverge from sequential order (sf0.001
+    documents diverge at merge 23 without the _safe_batch cap rule)."""
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    seq = learn_bpe_merges(docs, "text", n_merges=32)
+    dist = learn_bpe_merges(
+        docs, "text", n_merges=32, max_driver_words=0
+    )
+    assert dist == seq
