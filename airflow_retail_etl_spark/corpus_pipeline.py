@@ -87,6 +87,14 @@ class CorpusConfig:
     #: invent one); None disables the cap (exhaustive mode — small
     #: corpora / verification only).
     excise_max_doc_freq: int | None = 200
+    #: seed for the reproducible global shuffle of packed training
+    #: sequences (sampling.corpus_shuffle draw over the sequence key);
+    #: None disables the shuffle stage. Combine with shuffle_epoch to
+    #: re-derive any epoch's order bit-exactly.
+    shuffle_seed: str | None = None
+    #: epoch folded into the shuffle seed — each epoch an independent
+    #: deterministic permutation of the packed sequences
+    shuffle_epoch: int = 0
 
 
 def quality_gate(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
@@ -240,6 +248,36 @@ def excise_shared_spans(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     )
 
 
+def shuffle_packed(packed: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Optional final stage: epoch-seeded reproducible ordering of the
+    packed training sequences.
+
+    Every chunk row gets the sequence's shuffle draw (``shuffle_u`` —
+    sampling.shuffle_u over the ``bucket:seq_id`` key with
+    ``shuffle_seed``/``shuffle_epoch``): sorting by ``(shuffle_u,
+    seq_key, seq_offset)`` yields sequences in a deterministic random
+    order, chunks contiguous within each sequence — lay it down with
+    ``io.write_sorted`` on exactly those columns so the trainer streams
+    the epoch's order straight off range-clustered parquet. A pure
+    projection (no shuffle here; the ORDER materializes at write time),
+    re-derivable for any epoch on any layout. No-op when
+    ``shuffle_seed`` is None.
+    """
+    if cfg.shuffle_seed is None:
+        return packed
+    from airflow_retail_etl_spark.operators.sampling import shuffle_u
+
+    seq_key = F.concat_ws(
+        ":", F.col("bucket").cast("string"), F.col("seq_id").cast("string")
+    )
+    return packed.withColumn("seq_key", seq_key).withColumn(
+        "shuffle_u",
+        shuffle_u(
+            F.col("seq_key"), seed=cfg.shuffle_seed, epoch=cfg.shuffle_epoch
+        ),
+    )
+
+
 def run_corpus_build(
     docs: DataFrame,
     eval_df: DataFrame,
@@ -273,6 +311,7 @@ def run_corpus_build(
     packed = packing.pack_chunks(
         chunks, max_tokens=cfg.max_tokens, n_buckets=cfg.pack_buckets
     )
+    packed = shuffle_packed(packed, cfg)
     return {
         "gated": gated,
         "fluent": fluent,

@@ -204,3 +204,65 @@ def test_excise_stage_cuts_partial_inclusions(spark):
     off = {r["doc_id"]: r["text"] for r in
            excise_shared_spans(docs, CorpusConfig()).collect()}
     assert off[2] == docs.collect()[1]["text"]
+
+
+def test_shuffle_stage_orders_sequences_reproducibly(spark, sf_dir):
+    """With shuffle_seed set, packed rows carry (seq_key, shuffle_u);
+    sorting by (shuffle_u, seq_key, seq_offset) keeps every sequence's
+    chunks contiguous, the epoch order is layout-invariant, and a
+    different epoch yields a different sequence order."""
+    import dataclasses
+
+    from airflow_retail_etl_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05, seed="eval")
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    # smaller sequences + more buckets → enough sequences that two epoch
+    # permutations can't coincide by chance (2 sequences could)
+    cfg = dataclasses.replace(
+        CFG, shuffle_seed="s8", shuffle_epoch=1,
+        max_tokens=32, pack_buckets=16,
+    )
+    packed = run_corpus_build(train, eval_df, cfg)["packed"]
+
+    rows = (
+        packed.orderBy("shuffle_u", "seq_key", "seq_offset")
+        .select("seq_key", "seq_offset")
+        .collect()
+    )
+    # contiguity: each seq_key appears as ONE run in the sorted stream
+    seen, prev = set(), None
+    order = []
+    for r in rows:
+        if r.seq_key != prev:
+            assert r.seq_key not in seen, f"split run for {r.seq_key}"
+            seen.add(r.seq_key)
+            order.append(r.seq_key)
+            prev = r.seq_key
+    assert len(order) > 1
+
+    # layout invariance: rebuilding from a repartitioned input gives the
+    # identical epoch order
+    again = run_corpus_build(train.repartition(7), eval_df, cfg)["packed"]
+    order2 = [
+        r.seq_key
+        for r in again.select("seq_key", "shuffle_u")
+        .distinct()
+        .orderBy("shuffle_u", "seq_key")
+        .collect()
+    ]
+    assert order == order2
+
+    # a different epoch is a different permutation of the same sequences
+    cfg3 = dataclasses.replace(cfg, shuffle_epoch=2)
+    third = run_corpus_build(train, eval_df, cfg3)["packed"]
+    order3 = [
+        r.seq_key
+        for r in third.select("seq_key", "shuffle_u")
+        .distinct()
+        .orderBy("shuffle_u", "seq_key")
+        .collect()
+    ]
+    assert sorted(order3) == sorted(order)
+    assert order3 != order

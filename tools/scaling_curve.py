@@ -64,6 +64,14 @@ PROBES = (
     # corpus chars, so the probe checks the self-join stays ~linear once
     # the hot-anchor cap bounds per-key fanout
     "span_excise",
+    # perceptual-media family: mapInPandas Arrow decode leaf (the real
+    # per-byte cost) + dHash + capped Hamming pair join. Production-
+    # shaped corpus (see image_neardup_prod below): near-dup class COUNT
+    # scales with the corpus while class SIZE stays constant — the
+    # registry synth corpus has a fixed 128-image vocabulary, so at 10×
+    # docs its cliques grow quadratically, a property of the probe
+    # corpus, not the operator (the semdedup_prod precedent)
+    "image_neardup",
 )
 
 DEFAULT_SF_DIRS = (
@@ -110,6 +118,55 @@ def main() -> None:
 
     queries["semdedup"] = semdedup_prod
 
+    def image_neardup_prod(spark_, sf_dir):
+        # production-shaped media corpus: ~25 images per perceptual
+        # class, classes ∝ corpus (a bigger crawl has more subjects, not
+        # bigger duplicate cliques). Payloads are seeded-noise 64×64 P6
+        # — real bytes through the real decode/hash leaves — identical
+        # within a class (Hamming-0 cliques of bounded size), ~32-bit
+        # apart across classes. Caps ON (the production default).
+        from pyspark.sql import types as T
+
+        from airflow_retail_etl_spark import multimodal
+        from airflow_retail_etl_spark.functions.partitioning import spread
+        from airflow_retail_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark_, sf_dir, "documents").select("doc_id")
+
+        def batches(it):
+            import numpy as np
+            import pandas as pd
+
+            header = b"P6\n64 64\n255\n"
+            cache: dict[int, bytes] = {}
+            for pdf in it:
+                ids = pdf["doc_id"].astype("int64")
+                payloads = []
+                for i in ids:
+                    cls = int(i) // 25
+                    p = cache.get(cls)
+                    if p is None:
+                        rng = np.random.default_rng(cls)
+                        p = header + rng.integers(
+                            0, 256, 64 * 64 * 3, dtype=np.uint8
+                        ).tobytes()
+                        cache[cls] = p
+                    payloads.append(p)
+                yield pd.DataFrame(
+                    {"asset_id": ids, "media": payloads}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("media", T.BinaryType(), False),
+            ]
+        )
+        media = spread(docs, "doc_id").mapInPandas(batches, schema)
+        return multimodal.image_neardup_pairs(media, max_hamming=3)
+
+    queries["image_neardup"] = image_neardup_prod
+
     out: dict[str, dict] = {}
     for name in PROBES:
         # per-probe warmup at the smallest sf: whole-stage-codegen JIT for
@@ -142,12 +199,14 @@ def main() -> None:
             for i in range(len(sfs) - 1)
         }
         out[name] = {"sec": times, "step_ratio": ratios}
-    print(
-        json.dumps(
-            {"metric": "scaling_curve", "cpus": int(cpus), "probes": out}
-        ),
-        flush=True,
-    )
+    record = {"metric": "scaling_curve", "cpus": int(cpus), "probes": out}
+    # durable ledger, same contract as BENCH_HISTORY (round 8): every run
+    # appends, so curve drift is diffable round-over-round. Single-shot
+    # in-session sf1 numbers wobble with session age/GC — re-probe
+    # outliers in isolation before reading a jump as a regression.
+    with open(_ROOT / "SCALING_HISTORY.jsonl", "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
