@@ -529,6 +529,39 @@ def main() -> None:
     record["regressions"] = regs
     record["regressions_vs_prev_round"] = regs_xround
     print(json.dumps(record), flush=True)
+    # regenerate the plan audit with this session (plan-only, nothing
+    # executes; ~1 min) so PLANS.md cannot go stale relative to the
+    # benched plans — round 7 shipped a stale table. Runs AFTER every
+    # timing; failures must not eat the record. Set
+    # SPARK_GRAFT_SKIP_PLANS=1 to skip (e.g. sf-sweep experiments).
+    if os.environ.get("SPARK_GRAFT_SKIP_PLANS") != "1":
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "plan_audit",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "plan_audit.py",
+                ),
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            n = mod.run_audit(
+                spark,
+                "/root/testdata/sf0.01",
+                __import__("pathlib").Path(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "PLANS.md",
+                    )
+                ),
+            )
+            print(f"# regenerated PLANS.md ({n} queries)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — audit is best-effort
+            print(f"# plan audit failed: {exc}", file=sys.stderr)
+
     # guaranteed-small final line: always-valid JSON for tail capture
     print(
         json.dumps(
