@@ -192,6 +192,7 @@ def ann_index_topk(
     k: int = 10,
     n_probe: int = 4,
     shortlist: int = 50,
+    prune_rescore: bool | None = None,
 ) -> DataFrame:
     """Top-k against the persisted index — ivf_pq_topk's query side over
     the stored tables.
@@ -203,6 +204,14 @@ def ann_index_topk(
     persisting it. Shortlist + exact rescore as everywhere else; m/ksub
     come from the stored codebook, not arguments — the index is
     self-describing.
+
+    ``prune_rescore`` controls whether the exact-rescore vector fetch
+    ALSO joins on the partition column (pruning the second cells scan to
+    the probed directories). Pruning pays a DPP subquery per query-batch
+    — worth it exactly when the scan it skips is bigger. Default None
+    decides by the index's on-disk size (same philosophy as Spark's own
+    size-based join selection): ≥64 MB → prune; a small index reads
+    faster whole than the subquery costs. Tests force both paths.
     """
     cb, cent_rows, cent_schema = _load_index_meta(spark, path)
     m, ksub, dsub = cb.shape
@@ -242,9 +251,17 @@ def ann_index_topk(
     # partition pruning restrict the SECOND cells scan to the probed
     # directories too — without it the exact-rescore vector fetch re-reads
     # the whole index
+    if prune_rescore is None:
+        # recursive byte count (top-level listStatus only sees the cell
+        # DIRECTORIES, whose length is 0) — one getContentSummary call
+        sc = spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        cells_bytes = fs.getContentSummary(p).getLength()
+        prune_rescore = cells_bytes >= 64 * 1024 * 1024
+    join_on = ("cell", "neighbor_id") if prune_rescore else ("neighbor_id",)
     return _pq_shortlist_rescore(
-        adc, enc, q, k=k, shortlist=shortlist,
-        join_on=("cell", "neighbor_id"),
+        adc, enc, q, k=k, shortlist=shortlist, join_on=join_on
     )
 
 

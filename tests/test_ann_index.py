@@ -36,27 +36,47 @@ def test_query_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     path = str(tmp_path / "ann")
     ann_index.build_ann_index(emb, path, n_cells=16, fit_fraction=0.5)
     df = ann_index.ann_index_topk(
-        spark, path, queries, k=5, n_probe=2, shortlist=20
+        spark, path, queries, k=5, n_probe=2, shortlist=20,
+        prune_rescore=True,
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
-    # EVERY cells scan must be pruned — the exact-rescore vector fetch
-    # joins on (cell, neighbor_id) precisely so the second scan doesn't
-    # re-read the whole index (round 8). Tree-line text truncates, so
-    # parse the formatted explain's per-node blocks instead.
+    # With prune_rescore (the big-index default), EVERY cells scan must
+    # be pruned — the exact-rescore vector fetch joins on
+    # (cell, neighbor_id) precisely so the second scan doesn't re-read
+    # the whole index (round 8). Tree-line text truncates, so parse the
+    # formatted explain's per-node blocks instead.
     import contextlib
     import io
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    blocks = buf.getvalue().split("\n\n")
-    cells_scans = [
-        b for b in blocks if "Scan parquet" in b and "/cells" in b
-    ]
-    assert cells_scans and all(
-        "dynamicpruning" in b for b in cells_scans
-    ), buf.getvalue()[:4000]
+    def cells_scan_blocks(frame):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        blocks = buf.getvalue().split("\n\n")
+        return [
+            b for b in blocks if "Scan parquet" in b and "/cells" in b
+        ]
+
+    scans = cells_scan_blocks(df)
+    assert scans and all("dynamicpruning" in b for b in scans), scans
+    # results are identical either way — pruning is a plan choice only
+    pruned = ann_index.ann_index_topk(
+        spark, path, queries, k=5, n_probe=2, shortlist=20,
+        prune_rescore=True,
+    ).collect()
+    unpruned = ann_index.ann_index_topk(
+        spark, path, queries, k=5, n_probe=2, shortlist=20,
+        prune_rescore=False,
+    ).collect()
+    assert _tuples(pruned) == _tuples(unpruned)
+    # auto mode on a KB-sized test index picks the whole-scan rescore
+    # (the DPP subquery costs more than the scan it would skip)
+    auto = ann_index.ann_index_topk(
+        spark, path, queries, k=5, n_probe=2, shortlist=20
+    )
+    auto_scans = cells_scan_blocks(auto)
+    assert sum("dynamicpruning" in b for b in auto_scans) < len(auto_scans)
 
 
 def test_append_admits_new_vectors_without_refit(spark, sf_dir, tmp_path):
