@@ -1078,6 +1078,43 @@ def q_epoch_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (sampling.curriculum_order): rank documents by
+    an exact difficulty proxy (whitespace token count — shortest-first is
+    the classic curriculum), cut into 4 equal bands, shuffle within each
+    band with the epoch-1 seeded draw. Bands come from pure integer
+    arithmetic on the distributed-prefix-sum rank (((rk−1)·4) div n), the
+    position from a second prefix sum — no single-partition window, no
+    float anywhere before the final ordering. Oracle: ROW_NUMBER over
+    the identical band/draw expressions."""
+    from airflow_retail_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.curriculum_order(
+        docs, tf.token_count(F.col("text")), "doc_id",
+        n_bands=4, seed="c8", epoch=1,
+    )
+    return out.select("position", "doc_id", "band").orderBy("position")
+
+
+def q_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (packing.packing_report): per bucket,
+    how full the packed training sequences are — chunk count, sequence
+    count, exact token sum, boundary-spanning chunks, and the 6dp fill
+    rate. Concat-and-chop means only each bucket's LAST sequence can be
+    underfull, so fill tunes n_buckets against the corpus token budget.
+    Same chunk/pack configuration as pack_sequences; the oracle
+    aggregates the identical packing CTE."""
+    from airflow_retail_etl_spark.operators import chunking, packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(
+        docs, "text", "doc_id", chunk_size=32, overlap=8
+    )
+    packed = packing.pack_chunks(chunks, max_tokens=128, n_buckets=8)
+    return packing.packing_report(packed, max_tokens=128).orderBy("bucket")
+
+
 def q_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-GRAIN eval decontamination (operators.decontam.
     decontaminate_spans): the same deterministic 5% hash-slice of the
@@ -3763,7 +3800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via stratified_sample)
         "corpus_shuffle": q_corpus_shuffle,
         "epoch_slice": q_epoch_slice,
+        # banded easy-to-hard schedule on top of the same draw machinery
+        "curriculum_order": q_curriculum_order,
         "doc_chunks": q_doc_chunks,
+        # per-bucket sequence fill audit over the pack_sequences layout
+        "packing_report": q_packing_report,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -5482,6 +5523,70 @@ def oracle_sql() -> dict[str, str]:
                          < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+        """,
+        # exact-integer banding on the token-count rank, then the seeded
+        # epoch draw within bands — identical arithmetic to
+        # sampling.curriculum_order
+        "curriculum_order": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END AS INTEGER) AS d
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY d, doc_id) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM t
+        ), b AS (
+            SELECT doc_id,
+                   CAST(((rk - 1) * 4) // n AS INTEGER) AS band,
+                   {xhash.duck_md5_u64(
+                       "concat_ws(chr(31), 'shuffle-c8-epoch-1',"
+                       " CAST(doc_id AS VARCHAR))")} AS u
+            FROM r
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY band, u, doc_id)
+                    AS BIGINT) AS position,
+               doc_id, band
+        FROM b
+        ORDER BY position
+        """,
+        # aggregate of the identical pack CTE (see pack_sequences)
+        "packing_report": _DOC_CHUNKS_CTE
+        + f"""
+        , b AS (
+            SELECT doc_id, chunk_id, n_chunk_tokens,
+                   CAST({xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")} % 8
+                        AS INTEGER) AS bucket
+            FROM chunks
+        ), w AS (
+            SELECT bucket,
+                   CAST(n_chunk_tokens AS BIGINT) AS n,
+                   CAST(sum(n_chunk_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM b
+        ), p AS (
+            SELECT bucket, n,
+                   (cum - n) // 128 AS seq_id,
+                   ((cum - n + greatest(n - 1, 0)) // 128)
+                       > ((cum - n) // 128) AS spans
+            FROM w
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN spans THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boundary_spans,
+               ROUND(CAST(SUM(n) AS DOUBLE)
+                     / (CAST(MAX(seq_id) + 1 AS BIGINT) * 128), 6)
+                   AS fill_rate
+        FROM p
+        GROUP BY bucket
+        ORDER BY bucket
         """,
         # same seeded md5 permutation draw as sampling.corpus_shuffle;
         # the position is just the rank of that draw (key tiebreak)

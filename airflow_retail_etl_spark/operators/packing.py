@@ -110,3 +110,37 @@ def pack_stats(packed: DataFrame, *, max_tokens: int = 2048) -> DataFrame:
             F.round(F.col("head_tokens") / F.lit(max_tokens), 6),
         )
     )
+
+
+def packing_report(
+    packed: DataFrame, *, max_tokens: int, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Packing-efficiency report: one row per bucket from the
+    pack_chunks output — how full the training sequences actually are.
+
+    ``fill_rate`` = total tokens / (sequences × max_tokens); only each
+    bucket's LAST sequence can be underfull (concat-and-chop), so low
+    fill means too many buckets for the corpus, not packing waste —
+    exactly the knob (n_buckets vs corpus tokens) this report tunes.
+    One aggregation at the bucket grain; exact integer sums, the ratio
+    rounded to 6dp at the end (report grain, never accumulated).
+    """
+    return (
+        packed.groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("spans_boundary").cast("long"))
+            .cast("long")
+            .alias("n_boundary_spans"),
+        )
+        .withColumn(
+            "fill_rate",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_seqs") * F.lit(int(max_tokens))),
+                6,
+            ),
+        )
+    )

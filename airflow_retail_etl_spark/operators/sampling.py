@@ -285,3 +285,61 @@ def epoch_slice(
         epoch_slice_id(key, n_slices, seed=seed, epoch=epoch)
         == F.lit(slice_idx)
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty: Column,
+    key_col: str,
+    *,
+    n_bands: int = 4,
+    seed: str = "",
+    epoch: int = 0,
+    num_partitions: int = 16,
+) -> DataFrame:
+    """Curriculum ordering: rank by ``difficulty``, cut into ``n_bands``
+    equal-size bands, shuffle WITHIN each band — the classic
+    easy-to-hard schedule (shortest-first, quality-first, …) with
+    randomization inside each difficulty level so the trainer never sees
+    a difficulty-sorted (and therefore length/topic-correlated) stream.
+
+    Everything is exact and layout-invariant: the difficulty rank and
+    the final 1-based ``position`` both come from the distributed prefix
+    sum (no single-partition window), band = ((rank−1)·n_bands) div n
+    (pure integer arithmetic — bands differ by at most one row), and the
+    within-band order is the seeded epoch draw (:func:`shuffle_u`), so
+    every epoch re-randomizes within bands while the band structure
+    stays fixed. Returns df + ``band`` + ``position``; sort/write by
+    ``position`` for the training stream.
+    """
+    if n_bands < 1:
+        raise ValueError(f"need n_bands >= 1, got {n_bands}")
+    key = F.col(key_col).cast("string")
+    ranked = global_cumsum(
+        df.withColumn("__d", difficulty).withColumn("__one", F.lit(1)),
+        [F.col("__d").asc(), F.col(key_col).asc()],
+        "__one",
+        out_col="__rk",
+        num_partitions=num_partitions,
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    banded = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "band",
+            F.expr(f"CAST(((__rk - 1) * {int(n_bands)}) div __n AS INT)"),
+        )
+        .withColumn("__u", shuffle_u(key, seed=seed, epoch=epoch))
+        .drop("__n", "__rk", "__d")
+    )
+    out = global_cumsum(
+        banded,
+        [F.col("band").asc(), F.col("__u").asc(), F.col(key_col).asc()],
+        "__one",
+        out_col="position",
+        num_partitions=num_partitions,
+    )
+    return (
+        out.drop("__one", "__u")
+        .withColumn("position", F.col("position").cast("long"))
+    )

@@ -202,9 +202,12 @@ HEADLINE = (
     "dedup_threshold_sweep",
     "image_dedup_resolve",
     "compound_growth_index",
-    # round 8: epoch-seeded reproducible shuffle + slice consumption
+    # round 8: epoch-seeded reproducible shuffle + slice consumption,
+    # banded curriculum schedule, packing fill audit
     "corpus_shuffle",
     "epoch_slice",
+    "curriculum_order",
+    "packing_report",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

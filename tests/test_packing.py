@@ -82,3 +82,27 @@ def test_invalid_params(spark):
         pack_chunks(df, max_tokens=0)
     with pytest.raises(ValueError):
         pack_chunks(df, n_buckets=0)
+
+
+def test_packing_report_fill_bounds_and_conservation(spark, sf_dir):
+    """Report invariants: token totals conserve the chunk stream, fill
+    rate is in (0, 1], and a bucket's waste is bounded by one sequence
+    (concat-and-chop: only the last sequence can be underfull)."""
+    from airflow_retail_etl_spark.operators import chunking, packing
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(
+        docs, "text", "doc_id", chunk_size=32, overlap=8
+    )
+    packed = packing.pack_chunks(chunks, max_tokens=128, n_buckets=8)
+    rep = packing.packing_report(packed, max_tokens=128).collect()
+    assert len(rep) == 8
+    total = sum(r.total_tokens for r in rep)
+    assert total == sum(
+        r.n_chunk_tokens for r in chunks.collect()
+    )
+    for r in rep:
+        assert 0 < r.fill_rate <= 1
+        # waste < one max_tokens sequence per bucket
+        assert r.n_seqs * 128 - r.total_tokens < 128

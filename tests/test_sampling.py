@@ -229,3 +229,53 @@ def test_epoch_slice_validates_index(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         epoch_slice(docs, "doc_id", 4, 4)
+
+
+def test_curriculum_order_bands_and_within_band_shuffle(spark, sf_dir):
+    """Bands are equal-size (±1 row), monotone in difficulty (every doc
+    in band b has difficulty <= every doc in band b+1 up to ties),
+    positions are 1..n grouped by band, and the within-band order is
+    layout-invariant and epoch-dependent."""
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.functions import text as tf
+    from airflow_retail_etl_spark.operators.sampling import curriculum_order
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    diff = tf.token_count(F.col("text"))
+    out = curriculum_order(docs, diff, "doc_id", n_bands=4, epoch=1)
+    rows = out.select(
+        "doc_id", "band", "position", diff.alias("d")
+    ).collect()
+    n = len(rows)
+    sizes = {}
+    for r in rows:
+        sizes[r.band] = sizes.get(r.band, 0) + 1
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    # band boundaries respect difficulty (ties may straddle)
+    for b in range(3):
+        hi = max(r.d for r in rows if r.band == b)
+        lo = min(r.d for r in rows if r.band == b + 1)
+        assert hi <= lo
+    # positions are grouped by band: all of band b before band b+1
+    by_pos = sorted(rows, key=lambda r: r.position)
+    assert [r.band for r in by_pos] == sorted(r.band for r in rows)
+    # layout invariance
+    again = curriculum_order(
+        docs.repartition(13), diff, "doc_id", n_bands=4, epoch=1
+    ).select("doc_id", "position").collect()
+    assert {r.doc_id: r.position for r in again} == {
+        r.doc_id: r.position for r in rows
+    }
+    # a different epoch re-shuffles within bands but keeps band shape
+    e2 = curriculum_order(docs, diff, "doc_id", n_bands=4, epoch=2)
+    rows2 = e2.select("doc_id", "band", "position").collect()
+    assert {r.doc_id: r.band for r in rows2} == {
+        r.doc_id: r.band for r in rows
+    }
+    assert {r.doc_id: r.position for r in rows2} != {
+        r.doc_id: r.position for r in rows
+    }
