@@ -323,3 +323,33 @@ def append_to_ann_index(
         keep=("cell",),
     )
     enc.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> None:
+    """Maintenance compaction for the persisted index's ``cells/`` table.
+
+    Every ``append_to_ann_index`` batch lands new files inside the
+    assigned cell partitions; a long-lived index accumulates exactly the
+    small-file pathology the streaming band index's ``compact_index``
+    exists for — file-count-bound listing and footer reads on every
+    query. This folds each cell partition to one file (repartition on
+    the partition column → one task per cell → one file), staged to a
+    temp dir and swapped in with ``io.promote_staging`` (never
+    overwrite-in-place the table being read; crash-recoverable at every
+    point). Decision-preserving: same rows, same cells — only the file
+    layout changes. The query path's metadata/listing caches invalidate
+    themselves via the directory-signature check. Centroids and codebook
+    are single-file constants and never need compaction.
+    """
+    from airflow_retail_etl_spark.io import promote_staging
+
+    cells = f"{path}/cells"
+    staging = f"{cells}__staging"
+    (
+        spark.read.parquet(cells)
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    promote_staging(spark, staging, cells)

@@ -108,3 +108,42 @@ def test_append_admits_new_vectors_without_refit(spark, sf_dir, tmp_path):
     # applies to ids present, so compare against brute force on base with
     # the same query set
     assert _tuples(before) == _tuples(want_base)
+
+
+def test_compact_folds_append_files_and_preserves_answers(spark, sf_dir, tmp_path):
+    """append_to_ann_index accumulates files per cell; compact folds each
+    cell to ONE file, answers identical before/after (the query path's
+    caches invalidate via the directory signature)."""
+    import glob
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter("vec_id % 3 = 0")
+    queries = emb.filter("vec_id % 100 = 0")
+    path = str(tmp_path / "ann")
+    ann_index.build_ann_index(base, path, n_cells=8, fit_fraction=0.5)
+    ann_index.append_to_ann_index(emb.filter("vec_id % 3 = 1"), path)
+    ann_index.append_to_ann_index(emb.filter("vec_id % 3 = 2"), path)
+
+    def files_per_cell():
+        out = {}
+        for d in glob.glob(os.path.join(path, "cells", "cell=*")):
+            out[os.path.basename(d)] = len(
+                [f for f in os.listdir(d) if f.endswith(".parquet")]
+            )
+        return out
+
+    before_files = files_per_cell()
+    assert any(n > 1 for n in before_files.values()), before_files
+    before = ann_index.ann_index_topk(
+        spark, path, queries, k=10, n_probe=8, shortlist=100
+    ).collect()
+
+    ann_index.compact_ann_index(spark, path)
+    after_files = files_per_cell()
+    assert set(after_files) == set(before_files)
+    assert all(n == 1 for n in after_files.values()), after_files
+    after = ann_index.ann_index_topk(
+        spark, path, queries, k=10, n_probe=8, shortlist=100
+    ).collect()
+    assert _tuples(after) == _tuples(before)
