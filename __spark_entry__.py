@@ -1097,6 +1097,24 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("position", "doc_id", "band").orderBy("position")
 
 
+def q_source_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoching plan (mixing.source_repeat_plan): split
+    a 75k-token training budget across sources as uniformly as possible
+    with every source capped at 3 passes over its data — the UniMax
+    allocation. Closed-form integer waterfill over prefix sums on the
+    source-grain aggregate (|sources| rows; the only corpus-scale work is
+    one token-sum aggregation); allocations sum to min(budget, Σcap)
+    exactly. The sf0.01 budget is chosen so both branches are real: the
+    small sources hit their repeat cap, the large ones sit at the water
+    level ±1. Oracle replays the identical integer arithmetic."""
+    from airflow_retail_etl_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.source_repeat_plan(
+        docs, "source", tf.token_count(F.col("text")), 75_000, max_repeat=3
+    ).orderBy("source")
+
+
 def q_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency report (packing.packing_report): per bucket,
     how full the packed training sequences are — chunk count, sequence
@@ -3805,6 +3823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         # per-bucket sequence fill audit over the pack_sequences layout
         "packing_report": q_packing_report,
+        # UniMax integer waterfill: budget across sources, repeat-capped
+        "source_repeat_plan": q_source_repeat_plan,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -5523,6 +5543,56 @@ def oracle_sql() -> dict[str, str]:
                          < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+        """,
+        # UniMax waterfill: pure integer prefix-sum arithmetic on the
+        # source-grain aggregate — identical to mixing.source_repeat_plan
+        "source_repeat_plan": """
+        WITH t AS (
+            SELECT source,
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), c AS (
+            SELECT source, n_tokens,
+                   CAST(n_tokens * 3 AS BIGINT) AS capacity
+            FROM t
+        ), r AS (
+            SELECT source, n_tokens, capacity,
+                   ROW_NUMBER() OVER (ORDER BY capacity, source) AS r,
+                   COALESCE(SUM(capacity) OVER (
+                       ORDER BY capacity, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prefix,
+                   COUNT(*) OVER () AS s_total
+            FROM c
+        ), kk AS (
+            SELECT *,
+                   COALESCE(MAX(CASE WHEN capacity * (s_total - r + 1)
+                                          + prefix <= 75000
+                                THEN r END) OVER (), 0) AS k
+            FROM r
+        ), pk AS (
+            SELECT *,
+                   COALESCE(MAX(CASE WHEN r = k THEN prefix + capacity END)
+                            OVER (), 0) AS prefix_k
+            FROM kk
+        ), a AS (
+            SELECT source, n_tokens, capacity,
+                   CAST(CASE
+                        WHEN r <= k OR k = s_total THEN capacity
+                        ELSE (75000 - prefix_k) // (s_total - k)
+                             + CASE WHEN r - k <=
+                                    (75000 - prefix_k) % (s_total - k)
+                               THEN 1 ELSE 0 END
+                        END AS BIGINT) AS alloc_tokens
+            FROM pk
+        )
+        SELECT source, n_tokens, capacity, alloc_tokens,
+               ROUND(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6)
+                   AS repeat_factor
+        FROM a
+        ORDER BY source
         """,
         # exact-integer banding on the token-count rank, then the seeded
         # epoch draw within bands — identical arithmetic to

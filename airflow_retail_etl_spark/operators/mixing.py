@@ -89,3 +89,109 @@ def mix_corpus(
         F.col("__p") * F.col("__w") * two64
     )
     return joined.filter(keep).drop("__n", "__w", "__p", "__q")
+
+
+def source_repeat_plan(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: Column,
+    budget: int,
+    *,
+    max_repeat: int = 4,
+) -> DataFrame:
+    """Data-constrained epoching plan: split a token ``budget`` across
+    sources as uniformly as possible, capping every source at
+    ``max_repeat`` passes over its data — the UniMax allocation
+    (Chung et al. 2023) that replaced ad-hoc mixture weights for
+    data-constrained pretraining.
+
+    Exact integer waterfill, closed-form over prefix sums (no
+    iteration): with per-source capacities c_s = n_tokens·max_repeat
+    sorted ascending, a source is CAPPED iff granting its capacity to
+    itself and every larger source still fits the remaining budget
+    (c_r·(S−r+1) + prefix_{r−1} ≤ B); the largest such rank k fixes the
+    water level t = (B − prefix_k) div (S − k), and the first
+    (B − prefix_k) − t·(S−k) uncapped sources get one extra token so the
+    plan sums to min(B, Σc) EXACTLY. Every step is integer arithmetic —
+    bit-identical in Spark and DuckDB.
+
+    All computation runs on the SOURCE-GRAIN aggregate (|sources| rows —
+    config-scale, like a date dimension), so the single-partition
+    windows here are over a handful of rows however big the corpus; the
+    only corpus-scale work is the one token-sum aggregation. Returns
+    (source, n_tokens, capacity, alloc_tokens, repeat_factor) with
+    repeat_factor = round(alloc/n_tokens, 6) for display.
+    """
+    if budget < 0 or max_repeat < 1:
+        raise ValueError(f"need budget >= 0 and max_repeat >= 1")
+    from pyspark.sql import Window
+
+    per = (
+        df.groupBy(group_col)
+        .agg(F.sum(tokens_col).cast("long").alias("n_tokens"))
+        .withColumn(
+            "capacity", (F.col("n_tokens") * F.lit(int(max_repeat))).cast("long")
+        )
+    )
+    w = Window.orderBy(F.col("capacity").asc(), F.col(group_col).asc())
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = F.lit(int(budget))
+    ranked = (
+        per.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("capacity").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("s_total", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "is_capped",
+            F.col("capacity") * (F.col("s_total") - F.col("r") + 1)
+            + F.col("prefix")
+            <= b,
+        )
+        .withColumn(
+            "k",
+            F.coalesce(
+                F.max(F.when(F.col("is_capped"), F.col("r"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "prefix_k",
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("r") == F.col("k"),
+                        F.col("prefix") + F.col("capacity"),
+                    )
+                ).over(w_all),
+                F.lit(0),
+            ),
+        )
+    )
+    t = F.expr("(CAST(%d AS BIGINT) - prefix_k) div (s_total - k)" % budget)
+    leftover = F.expr(
+        "(CAST(%d AS BIGINT) - prefix_k) %% (s_total - k)" % budget
+    )
+    alloc = (
+        F.when(F.col("r") <= F.col("k"), F.col("capacity"))
+        .when(F.col("k") == F.col("s_total"), F.col("capacity"))
+        .otherwise(
+            t + F.when(F.col("r") - F.col("k") <= leftover, 1).otherwise(0)
+        )
+        .cast("long")
+    )
+    return ranked.select(
+        group_col,
+        "n_tokens",
+        "capacity",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("repeat_factor"),
+    )

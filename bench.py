@@ -208,6 +208,7 @@ HEADLINE = (
     "epoch_slice",
     "curriculum_order",
     "packing_report",
+    "source_repeat_plan",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
