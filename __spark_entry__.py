@@ -1097,6 +1097,30 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("position", "doc_id", "band").orderBy("position")
 
 
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED eval contamination (decontam.contamination_score): per
+    training doc, the fraction of its distinct token 3-grams present
+    anywhere in the eval slice — the ranking signal between
+    drop-on-any-hit (decontaminate) and span excision (decontam_excise).
+    Same deterministic 5% eval split; fraction = one division of exact
+    integer counts, rounded at the report grain (even empty docs have
+    one whole-text shingle, so no divide-by-zero; NULLIF guards the
+    oracle the same way)."""
+    from airflow_retail_etl_spark.operators import decontam, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = sampling.hash_sample(docs, "doc_id", 0.05)
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    return (
+        decontam.contamination_score(train, eval_df, "text", "doc_id", n=3)
+        .withColumnRenamed("id", "doc_id")
+        .select(
+            "doc_id", "n_ngrams", "n_hit_ngrams", "contamination_frac"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_source_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained epoching plan (mixing.source_repeat_plan): split
     a 75k-token training budget across sources as uniformly as possible
@@ -3825,6 +3849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_report": q_packing_report,
         # UniMax integer waterfill: budget across sources, repeat-capped
         "source_repeat_plan": q_source_repeat_plan,
+        # graded contamination fraction (between decontaminate's binary
+        # drop and decontam_excise's surgical cut)
+        "contamination_score": q_contamination_score,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -5543,6 +5570,40 @@ def oracle_sql() -> dict[str, str]:
                          < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+        """,
+        # same split + trigram CTE as decontaminate, plus per-doc totals
+        # and the rounded integer-ratio fraction
+        "contamination_score": f"""
+        WITH split AS (
+            SELECT doc_id, {_NORM_TEXT} AS t,
+                   {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                       < CAST('{_thr(0.05)}' AS HUGEINT) AS is_eval
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, is_eval,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   )) AS shingles
+            FROM (SELECT doc_id, is_eval, string_split(t, ' ') AS toks
+                  FROM split)
+        ), ev_g AS (
+            SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE is_eval
+        ), tr_g AS (
+            SELECT doc_id, unnest(shingles) AS g FROM sh WHERE NOT is_eval
+        ), hits AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tr_g JOIN ev_g USING (g) GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(len(t.shingles) AS INTEGER) AS n_ngrams,
+               COALESCE(h.n, CAST(0 AS BIGINT)) AS n_hit_ngrams,
+               ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE)
+                     / NULLIF(len(t.shingles), 0), 6)
+                   AS contamination_frac
+        FROM sh t LEFT JOIN hits h USING (doc_id)
+        WHERE NOT t.is_eval
+        ORDER BY t.doc_id
         """,
         # UniMax waterfill: pure integer prefix-sum arithmetic on the
         # source-grain aggregate — identical to mixing.source_repeat_plan

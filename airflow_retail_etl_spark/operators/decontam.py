@@ -132,3 +132,46 @@ def decontaminate_spans(
         train, spans, text_col, id_col,
         id_span_col="id_a", start_col="start_a",
     )
+
+
+def contamination_score(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """GRADED contamination: per train doc, what fraction of its
+    distinct n-grams occur anywhere in the eval set —
+    (id, n_ngrams, n_hit_ngrams, contamination_frac).
+
+    The ranking signal between :func:`decontaminate`'s drop-on-any-hit
+    and :func:`decontaminate_spans`' surgical excision: threshold it
+    (tolerate incidental single-shingle overlap, drop wholesale
+    copies), sort by it for manual audit, or feed it to a selection
+    budget. Every train doc appears (zero hits → 0.0; even empty
+    text shingles to one whole-text gram, so n_ngrams ≥ 1 — the NULLIF
+    guard only matters if shingling semantics ever change). Same
+    plan shape as contamination (one broadcastable eval distinct set,
+    one semi-ish join at n-gram grain, one doc-keyed agg); the fraction
+    is one division of exact integers, rounded at the report grain.
+    """
+    tr = _with_shingles(train, text_col, id_col, kind="token", n=n)
+    totals = tr.select("id", F.size("shingles").alias("n_ngrams"))
+    hits = contamination(train, eval_df, text_col, id_col, n=n)
+    return (
+        totals.join(hits, "id", "left")
+        .withColumn(
+            "n_hit_ngrams",
+            F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(
+                F.col("n_hit_ngrams")
+                / F.nullif(F.col("n_ngrams"), F.lit(0)),
+                6,
+            ),
+        )
+    )

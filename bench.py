@@ -209,6 +209,7 @@ HEADLINE = (
     "curriculum_order",
     "packing_report",
     "source_repeat_plan",
+    "contamination_score",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -176,3 +176,41 @@ def test_eval_leak_report_counts_overlaps_once(spark):
     assert len(spans) == 2  # one per train doc, same eval interval
     (s1, s2) = spans
     assert (s1["start_b"], s1["span_len"]) == (s2["start_b"], s2["span_len"])
+
+
+def test_contamination_score_grades_overlap(spark):
+    """Full-copy train docs score 1.0, partial quotes score strictly
+    between 0 and 1, clean docs 0.0 (empty docs shingle to the single
+    whole-text gram, so they score 0.0 too — never a divide error);
+    every train doc appears exactly once."""
+    from airflow_retail_etl_spark.operators.decontam import (
+        contamination_score,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # full copy
+            (2, "intro words here alpha beta gamma delta more tail words"),
+            (3, "totally unrelated clean document text body"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.id: r
+        for r in contamination_score(
+            train, eval_df, "text", "doc_id", n=3
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].contamination_frac == 1.0
+    assert 0 < rows[2].contamination_frac < 1
+    assert rows[3].contamination_frac == 0.0
+    assert rows[3].n_hit_ngrams == 0
+    # empty text -> one whole-text shingle (token_shingles_from), which
+    # the eval set does not contain
+    assert rows[4].n_ngrams == 1 and rows[4].contamination_frac == 0.0
