@@ -1097,6 +1097,27 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("position", "doc_id", "band").orderBy("position")
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift alarm (profile.ks_drift): EXACT two-sample
+    Kolmogorov–Smirnov distance between the whitespace-token-count
+    distributions of two corpus halves (doc_id parity as the crawl-A /
+    crawl-B stand-in). Cumulative counts ride the distributed prefix sum
+    over the value grain; the statistic's numerator max |c_a·n_b −
+    c_b·n_a| is an exact integer, divided once and rounded 6dp. Oracle:
+    the same integer arithmetic in SQL windows."""
+    from airflow_retail_etl_spark.operators.profile import ks_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", tf.token_count(F.col("text")).alias("n_toks")
+    )
+    return ks_drift(
+        vals.filter(F.col("doc_id") % 2 == 0),
+        vals.filter(F.col("doc_id") % 2 == 1),
+        "n_toks",
+    )
+
+
 def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRADED eval contamination (decontam.contamination_score): per
     training doc, the fraction of its distinct token 3-grams present
@@ -3852,6 +3873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded contamination fraction (between decontaminate's binary
         # drop and decontam_excise's surgical cut)
         "contamination_score": q_contamination_score,
+        # exact two-sample KS distance: corpus-snapshot drift detection
+        "ks_drift": q_ks_drift,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -5570,6 +5593,43 @@ def oracle_sql() -> dict[str, str]:
                          < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+        """,
+        # exact integer KS: cumulative per-value counts, cross-multiplied
+        # numerator max, one division — identical to profile.ks_drift
+        "ks_drift": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END AS INTEGER) AS val
+            FROM documents
+        ), a AS (
+            SELECT val AS v, CAST(COUNT(*) AS BIGINT) AS ca
+            FROM t WHERE doc_id % 2 = 0 GROUP BY 1
+        ), b AS (
+            SELECT val AS v, CAST(COUNT(*) AS BIGINT) AS cb
+            FROM t WHERE doc_id % 2 = 1 GROUP BY 1
+        ), m AS (
+            SELECT COALESCE(a.v, b.v) AS v,
+                   COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+            FROM a FULL OUTER JOIN b ON a.v = b.v
+        ), c AS (
+            SELECT SUM(ca) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+                   SUM(cb) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_b,
+                   SUM(ca) OVER () AS n_a,
+                   SUM(cb) OVER () AS n_b
+            FROM m
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                   AS ks_numerator,
+               ROUND(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+                     / NULLIF(n_a * n_b, 0), 6) AS ks_stat
+        FROM c
+        GROUP BY n_a, n_b
         """,
         # same split + trigram CTE as decontaminate, plus per-doc totals
         # and the rounded integer-ratio fraction

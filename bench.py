@@ -210,6 +210,7 @@ HEADLINE = (
     "packing_report",
     "source_repeat_plan",
     "contamination_score",
+    "ks_drift",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -64,3 +64,34 @@ def test_profile_subset_and_empty_cols(spark, df):
     assert profile_table(df, ["v"]).count() == 1
     with pytest.raises(ValueError):
         profile_table(df, [])
+
+
+def test_ks_drift_exact_statistic_and_bounds(spark):
+    """KS(df, df) == 0; a clean shift gives the hand-computable exact
+    statistic; result is layout-invariant and in [0, 1]."""
+    from airflow_retail_etl_spark.operators.profile import ks_drift
+
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1, 2, 2, 3, 3, 3, 4, 5])],
+        ["id", "v"],
+    )
+    same = ks_drift(a, a, "v").collect()[0]
+    assert same.ks_numerator == 0 and same.ks_stat == 0.0
+
+    # b = a shifted by +2: F_a(2) = 3/8, F_b(2) = 0 -> KS must be at
+    # least 3/8; exact max is at v=3: F_a=6/8, F_b=1/8 -> 5/8
+    b = spark.createDataFrame(
+        [(i, v + 2) for i, v in enumerate([1, 2, 2, 3, 3, 3, 4, 5])],
+        ["id", "v"],
+    )
+    r = ks_drift(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b) == (8, 8)
+    assert r.ks_numerator == abs(6 * 8 - 1 * 8)  # at v=3: |6*8 - 1*8| = 40
+    assert r.ks_stat == 0.625
+    # layout invariance
+    r2 = ks_drift(a.repartition(5), b.repartition(3), "v").collect()[0]
+    assert (r2.ks_numerator, r2.ks_stat) == (r.ks_numerator, r.ks_stat)
+    # NULLs excluded
+    an = a.union(spark.createDataFrame([(99, None)], a.schema))
+    r3 = ks_drift(an, b, "v").collect()[0]
+    assert r3.n_a == 8
