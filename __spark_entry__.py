@@ -1097,6 +1097,23 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("position", "doc_id", "band").orderBy("position")
 
 
+def q_keyword_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level corpus comparison (lm.keyword_divergence): the 30
+    tokens whose frequencies most distinguish sources src0-9 from
+    src10-19, ranked by the exact 2×2 chi-square statistic — the
+    what-changed-between-crawls companion of ks_drift. Integer counts,
+    fixed-order double arithmetic with ONE division, 6dp rounding before
+    the deterministic top-k (the collocations/tfidf no-libm policy)."""
+    from airflow_retail_etl_spark.operators.lm import keyword_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = F.substring("source", 4, 10).cast("int") < 10
+    return keyword_divergence(
+        docs.filter(half), docs.filter(~half), "text", "doc_id",
+        k=30, min_count=5,
+    )
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shift alarm (profile.ks_drift): EXACT two-sample
     Kolmogorov–Smirnov distance between the whitespace-token-count
@@ -3875,6 +3892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_score": q_contamination_score,
         # exact two-sample KS distance: corpus-snapshot drift detection
         "ks_drift": q_ks_drift,
+        # chi-square token divergence: what changed between snapshots
+        "keyword_divergence": q_keyword_divergence,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -5593,6 +5612,54 @@ def oracle_sql() -> dict[str, str]:
                          < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+        """,
+        # exact 2x2 chi-square at token grain: integer counts, fixed-order
+        # double products, one division, 6dp-rounded rank — identical to
+        # lm.keyword_divergence
+        "keyword_divergence": f"""
+        WITH t AS (
+            SELECT doc_id, source, {_NORM_TEXT} AS nt FROM documents
+        ), tok AS (
+            SELECT CAST(substr(source, 4) AS INTEGER) < 10 AS in_a,
+                   unnest(string_split(nt, ' ')) AS tok
+            FROM t WHERE length(nt) > 0
+        ), ca AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS a
+            FROM tok WHERE in_a GROUP BY 1
+        ), cb AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS b
+            FROM tok WHERE NOT in_a GROUP BY 1
+        ), m AS (
+            SELECT COALESCE(ca.tok, cb.tok) AS tok,
+                   COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+            FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+        ), tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS ta,
+                   CAST(SUM(b) AS BIGINT) AS tb
+            FROM m
+        ), s AS (
+            SELECT tok, a, b,
+                   CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+                   CAST(ta AS DOUBLE) AS tad, CAST(tb AS DOUBLE) AS tbd,
+                   a * tb AS axb, b * ta AS bxa
+            FROM m, tot
+            WHERE a + b >= 5
+        )
+        SELECT tok,
+               a AS count_a,
+               b AS count_b,
+               ROUND(
+                   (((tad + tbd) * (ad * (tbd - bd) - bd * (tad - ad)))
+                        * (ad * (tbd - bd) - bd * (tad - ad)))
+                   / NULLIF((ad + bd) * ((tad + tbd) - ad - bd)
+                            * tad * tbd, 0.0),
+                   6) AS chi2,
+               CASE WHEN axb > bxa THEN 'a'
+                    WHEN axb < bxa THEN 'b'
+                    ELSE 'equal' END AS enriched_in
+        FROM s
+        ORDER BY chi2 DESC, tok ASC
+        LIMIT 30
         """,
         # exact integer KS: cumulative per-value counts, cross-multiplied
         # numerator max, one division — identical to profile.ks_drift

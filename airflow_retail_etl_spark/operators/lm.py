@@ -454,3 +454,82 @@ def collocations(
         .filter(F.col("rank") <= k)
         .select("bg", "c_pair", "c_a", "c_b", "lift", "rank")
     )
+
+
+def keyword_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k tokens that most distinguish corpus A from corpus B, ranked
+    by the 2×2 chi-square statistic — "what changed textually between
+    these two crawls/filters/snapshots", the token-level companion of
+    profile.ks_drift's scalar test.
+
+    For each token: a = count in A, b = count in B, with totals T_a,
+    T_b; chi² = N·(a·(T_b−b) − b·(T_a−a))² / ((a+b)·(N−a−b)·T_a·T_b),
+    N = T_a+T_b. Every subexpression is an exact integer converted once
+    to double and combined in a fixed order with ONE division (the
+    no-libm policy collocations/tfidf use), then rounded 6dp BEFORE
+    ranking with a token tiebreak — deterministic and engine-identical.
+    ``min_count`` (on a+b) suppresses one-off tokens whose statistic is
+    pure noise, and keeps the top-k sort vocabulary-scale.
+
+    Plan: two token-keyed counts (map-side combined, vocabulary-sized),
+    one full-outer join at token grain, two 1-row broadcast totals, one
+    top-k. Direction comes from the sign of the rate difference
+    (``enriched_in``).
+    """
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _tokens(df, text_col, id_col)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    merged = (
+        counts(docs_a, "a")
+        .join(counts(docs_b, "b"), "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    totals = merged.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ta, tb = F.col("ta").cast("double"), F.col("tb").cast("double")
+    n = ta + tb
+    det = a * (tb - b) - b * (ta - a)
+    chi2 = F.round(
+        (n * det * det)
+        / F.nullif((a + b) * (n - a - b) * ta * tb, F.lit(0.0)),
+        6,
+    )
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .filter(F.col("a") + F.col("b") >= min_count)
+        .select(
+            "tok",
+            F.col("a").alias("count_a"),
+            F.col("b").alias("count_b"),
+            chi2.alias("chi2"),
+            # rate comparison by integer cross-multiplication (no division)
+            F.when(
+                F.col("a") * F.col("tb") > F.col("b") * F.col("ta"), "a"
+            )
+            .when(F.col("a") * F.col("tb") < F.col("b") * F.col("ta"), "b")
+            .otherwise("equal")
+            .alias("enriched_in"),
+        )
+        .orderBy(F.col("chi2").desc(), F.col("tok").asc())
+        .limit(k)
+    )

@@ -211,6 +211,7 @@ HEADLINE = (
     "source_repeat_plan",
     "contamination_score",
     "ks_drift",
+    "keyword_divergence",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -265,3 +265,32 @@ def test_frequency_spectrum_known_corpus(spark):
     assert rows[1]["type_share"] == round(1 / 3, 6)     # hapax rate
     assert rows[3]["mass_share"] == 0.5                 # 'a' mass 3/6
     assert sum(r["mass_share"] for r in rows.values()) == 1.0
+
+
+def test_keyword_divergence_chi2_and_direction(spark):
+    """Hand-checkable 2x2 chi-square: a token exclusive to A tops the
+    ranking with the textbook statistic; shared-rate tokens score 0;
+    enriched_in reports the right side; min_count suppresses rare."""
+    from airflow_retail_etl_spark.operators.lm import keyword_divergence
+
+    a = spark.createDataFrame(
+        [(1, "x x x x x common common common common common")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(2, "y y y y y common common common common common")],
+        ["doc_id", "text"],
+    )
+    rows = {r.tok: r for r in keyword_divergence(a, b, k=10).collect()}
+    # x: a=5,b=0, Ta=Tb=10, N=20 -> chi2 = 20*(5*10-0*5)^2/(5*15*10*10)
+    assert rows["x"].chi2 == round(20 * (50.0) ** 2 / (5 * 15 * 100), 6)
+    assert rows["x"].enriched_in == "a"
+    assert rows["y"].enriched_in == "b"
+    assert rows["common"].chi2 == 0.0
+    assert rows["common"].enriched_in == "equal"
+    # min_count: a 1-off token never appears
+    a2 = a.union(
+        spark.createDataFrame([(3, "rareword")], ["doc_id", "text"])
+    )
+    toks = {r.tok for r in keyword_divergence(a2, b, k=10).collect()}
+    assert "rareword" not in toks
