@@ -1097,6 +1097,23 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("position", "doc_id", "band").orderBy("position")
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health audit (similarity.embedding_dim_stats):
+    per-dimension n/mean/variance/min/max over the embeddings table —
+    dead dimensions and scale drift surface here before they poison
+    ANN/PQ subspaces. Components round to 6dp and DECIMAL-accumulate
+    (exact, partition-invariant — money_sum applied to vectors); the
+    mean/variance divisions run in DOUBLE off the exact sums (decimal
+    division scale rules differ across engines; IEEE ops on identical
+    inputs do not). One posexplode + one dim-keyed aggregation."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
 def q_keyword_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level corpus comparison (lm.keyword_divergence): the 30
     tokens whose frequencies most distinguish sources src0-9 from
@@ -3894,6 +3911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         # chi-square token divergence: what changed between snapshots
         "keyword_divergence": q_keyword_divergence,
+        # per-dimension embedding health audit (dead dims, scale drift)
+        "embedding_dim_stats": q_embedding_dim_stats,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -5612,6 +5631,37 @@ def oracle_sql() -> dict[str, str]:
                          < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+        """,
+        # 6dp-rounded components DECIMAL-accumulated exactly; final
+        # mean/variance divisions in DOUBLE — identical to
+        # similarity.embedding_dim_stats
+        "embedding_dim_stats": """
+        WITH e AS (
+            SELECT unnest(range(len(embedding))) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x_raw
+            FROM embeddings
+        ), x AS (
+            SELECT dim, x_raw,
+                   CAST(ROUND(x_raw, 6) AS DECIMAL(24,6)) AS x
+            FROM e
+        ), s AS (
+            SELECT dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx,
+                   SUM(x * x) AS sxx,
+                   MIN(x_raw) AS min_val,
+                   MAX(x_raw) AS max_val
+            FROM x GROUP BY dim
+        )
+        SELECT CAST(dim AS INTEGER) AS dim, n,
+               ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+               ROUND((CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS variance,
+               min_val, max_val
+        FROM s
+        ORDER BY dim
         """,
         # exact 2x2 chi-square at token grain: integer counts, fixed-order
         # double products, one division, 6dp-rounded rank — identical to

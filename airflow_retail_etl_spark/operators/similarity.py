@@ -933,3 +933,80 @@ def hard_negative_topk(
             F.round(F.col("sim"), 6).alias("sim"),
         )
     )
+
+
+def embedding_dim_stats(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension health audit of an embedding column — the check a
+    vector pipeline runs BEFORE trusting ANN/PQ over it: dead dimensions
+    (zero variance), scale drift between dims (PQ subspaces assume
+    comparable scales), and outlier ranges.
+
+    (dim, n, mean, variance, min_val, max_val), exact and
+    partition-invariant: each component is rounded to 6 dp and cast to
+    DECIMAL, so the Σx and Σx² accumulations are EXACT integer-scaled
+    sums (no FP order dependence — the money_sum policy applied to
+    vector components); mean and the population variance
+    (Σx² − (Σx)²/n)/n are single divisions at the end, rounded 6 dp.
+    min/max compare raw doubles (order-free). One posexplode + one
+    dim-keyed aggregation — shuffle rows = n·dims keys only.
+    """
+    x6 = F.round(F.element_at("__v", F.col("dim") + 1), 6).cast(
+        "decimal(24,6)"
+    )
+    base = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        .select(
+            "id",
+            "__v",
+            F.posexplode(F.col("__v")).alias("dim", "x_raw"),
+        )
+        .select(
+            "dim",
+            F.col("x_raw"),
+            F.round("x_raw", 6).cast("decimal(24,6)").alias("x"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("decimal(20,0)")
+    sx = F.sum("x")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return (
+        base.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            sx.alias("sx"),
+            sxx.alias("sxx"),
+            F.min("x_raw").alias("min_val"),
+            F.max("x_raw").alias("max_val"),
+        )
+        .select(
+            "dim",
+            F.col("n").cast("long").alias("n"),
+            # final arithmetic in DOUBLE off the exact decimal sums:
+            # decimal division scale rules differ across engines, IEEE
+            # double ops on identical exact inputs do not
+            F.round(
+                F.col("sx").cast("double") / F.col("n").cast("double"), 6
+            ).alias("mean"),
+            F.round(
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / F.col("n").cast("double"),
+                6,
+            ).alias("variance"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("dim")
+    )

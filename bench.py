@@ -212,6 +212,7 @@ HEADLINE = (
     "contamination_score",
     "ks_drift",
     "keyword_divergence",
+    "embedding_dim_stats",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -307,3 +307,32 @@ def test_hard_negatives_are_topmost_cross_label_neighbors(spark, sf_dir):
         for r in hard_negative_topk(emb, queries, k=5).orderBy("rank").collect()
     ]
     assert mined == expected
+
+
+def test_embedding_dim_stats_detects_dead_dims_and_is_exact(spark):
+    """A constant dimension shows variance 0 (dead); stats match the
+    hand computation on 6dp-rounded components; partition-invariant."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    rows = [
+        (i, [float(i), 7.0, 0.125 * i]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim: r for r in embedding_dim_stats(df).collect()}
+    assert set(got) == {0, 1, 2}
+    # dim 1 constant -> dead
+    assert got[1].variance == 0.0 and got[1].mean == 7.0
+    # dim 0: 0..7 -> mean 3.5, population variance 5.25
+    assert got[0].mean == 3.5 and got[0].variance == 5.25
+    assert got[0].min_val == 0.0 and got[0].max_val == 7.0
+    assert all(got[d].n == 8 for d in got)
+    # layout invariance
+    again = {
+        r.dim: r
+        for r in embedding_dim_stats(df.repartition(5)).collect()
+    }
+    assert {d: (v.mean, v.variance) for d, v in again.items()} == {
+        d: (v.mean, v.variance) for d, v in got.items()
+    }
