@@ -1097,6 +1097,23 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("position", "doc_id", "band").orderBy("position")
 
 
+def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-exact global quantiles of event values
+    (selection.global_quantiles): the scale-path twin of
+    value_percentiles' buffering percentile — value-grain counts, one
+    distributed prefix sum, and each q finds its two bracketing order
+    statistics through a broadcast position join; type-7 interpolation
+    in fixed-order double arithmetic rounded 6dp. No aggregation buffer
+    ever holds the column. Oracle replays the identical rank
+    arithmetic."""
+    from airflow_retail_etl_spark.operators.selection import (
+        global_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return global_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
+
+
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column health audit (similarity.embedding_dim_stats):
     per-dimension n/mean/variance/min/max over the embeddings table —
@@ -3913,6 +3930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_divergence": q_keyword_divergence,
         # per-dimension embedding health audit (dead dims, scale drift)
         "embedding_dim_stats": q_embedding_dim_stats,
+        # distributed-exact global quantiles (rank arithmetic, no buffers)
+        "global_quantiles": q_global_quantiles,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -5631,6 +5650,50 @@ def oracle_sql() -> dict[str, str]:
                          < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+        """,
+        # identical rank arithmetic: value-grain cumulative counts,
+        # bracketing order statistics at h = q*(n-1)+1, type-7
+        # interpolation in the same fixed-order double expression
+        "global_quantiles": """
+        WITH c AS (
+            SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), cum AS (
+            SELECT v, cnt,
+                   SUM(cnt) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) - cnt AS cum_prev,
+                   SUM(cnt) OVER () AS n
+            FROM c
+        ), q AS (
+            SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q
+        ), pos AS (
+            SELECT q.q, cum.n,
+                   q.q * CAST(cum.n - 1 AS DOUBLE) + 1.0 AS h
+            FROM q, (SELECT DISTINCT n FROM cum) cum
+        ), pp AS (
+            SELECT q, n, h,
+                   CAST(FLOOR(h) AS BIGINT) AS lo,
+                   CAST(CEIL(h) AS BIGINT) AS hi,
+                   h - CAST(CAST(FLOOR(h) AS BIGINT) AS DOUBLE) AS d
+            FROM pos
+        ), lo_v AS (
+            SELECT pp.q, pp.n, pp.d, cum.v AS lv
+            FROM pp JOIN cum
+              ON cum.cum_prev < pp.lo AND pp.lo <= cum.cum
+        ), hi_v AS (
+            SELECT pp.q, cum.v AS hv
+            FROM pp JOIN cum
+              ON cum.cum_prev < pp.hi AND pp.hi <= cum.cum
+        )
+        SELECT lo_v.q,
+               ROUND(CAST(lv AS DOUBLE)
+                     + d * (CAST(hv AS DOUBLE) - CAST(lv AS DOUBLE)), 6)
+                   AS quantile,
+               CAST(n AS BIGINT) AS n
+        FROM lo_v JOIN hi_v ON lo_v.q = hi_v.q
+        ORDER BY lo_v.q
         """,
         # 6dp-rounded components DECIMAL-accumulated exactly; final
         # mean/variance divisions in DOUBLE — identical to

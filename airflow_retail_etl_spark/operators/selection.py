@@ -89,3 +89,86 @@ def budget_select(
         df, order, value_col, out_col=cum_col, num_partitions=num_partitions
     )
     return cum.filter(F.col(cum_col) <= F.lit(budget))
+
+
+def global_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    num_partitions: int = 16,
+) -> DataFrame:
+    """EXACT interpolated quantiles of ``value_col``, computed the way a
+    100 TB column allows: rank arithmetic over value-grain cumulative
+    counts — never buffering a partition's values in memory (Spark's
+    ``percentile`` holds every value of a group in one aggregation
+    buffer; fine per small group, fatal for a global quantile of a big
+    column — this is its scale-path twin, exact to the same type-7
+    definition).
+
+    Plan: one value-grain count aggregation, one distributed prefix sum
+    (``global_cumsum``), then each requested q finds its two bracketing
+    order statistics h = q·(n−1)+1 via a BROADCAST join of the (|qs|-row)
+    position table against the cumulative table — one pass, no sort of
+    the data, no per-group buffers. Interpolation (1−d)·lo + d·hi runs in
+    fixed-order double arithmetic, rounded 6dp. NULLs excluded. Returns
+    (q, quantile, n).
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = global_cumsum(
+        counts, [F.col("v").asc()], "c", out_col="cum",
+        num_partitions=num_partitions,
+    ).withColumn("cum_prev", F.col("cum") - F.col("c"))
+    n = cum.agg(F.sum("c").cast("long").alias("n"))
+    spark = df.sparkSession
+    qdf = (
+        spark.createDataFrame([(float(q),) for q in qs], "q double")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "h",
+            F.col("q") * (F.col("n") - 1).cast("double") + F.lit(1.0),
+        )
+        .withColumn("lo", F.floor("h").cast("long"))
+        .withColumn("hi", F.ceil("h").cast("long"))
+        .withColumn("d", F.col("h") - F.col("lo").cast("double"))
+    )
+    lo_v = (
+        cum.join(
+            F.broadcast(qdf),
+            (F.col("cum_prev") < F.col("lo"))
+            & (F.col("lo") <= F.col("cum")),
+        )
+        .select("q", "n", "d", F.col("v").alias("lv"))
+    )
+    hi_v = (
+        cum.join(
+            F.broadcast(qdf.select("q", "hi")),
+            (F.col("cum_prev") < F.col("hi"))
+            & (F.col("hi") <= F.col("cum")),
+        )
+        .select("q", F.col("v").alias("hv"))
+    )
+    return (
+        lo_v.join(hi_v, "q")
+        .select(
+            "q",
+            F.round(
+                F.col("lv").cast("double")
+                + F.col("d")
+                * (
+                    F.col("hv").cast("double")
+                    - F.col("lv").cast("double")
+                ),
+                6,
+            ).alias("quantile"),
+            "n",
+        )
+        .orderBy("q")
+    )

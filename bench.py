@@ -213,6 +213,7 @@ HEADLINE = (
     "ks_drift",
     "keyword_divergence",
     "embedding_dim_stats",
+    "global_quantiles",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -85,3 +85,33 @@ def test_no_single_partition_window_over_data(spark):
     assert len(windows) == 2
     data_windows = [w for w in windows if "n_tokens" in w]
     assert data_windows and all("__pid" in w for w in data_windows)
+
+
+def test_global_quantiles_matches_buffering_percentile(spark, sf_dir):
+    """The distributed rank-arithmetic quantiles must equal Spark's own
+    buffering F.percentile (same type-7 definition) to 6dp, be
+    layout-invariant, exclude NULLs, and reject bad q."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators.selection import global_quantiles
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.9, 0.99]
+    got = {r.q: r.quantile for r in global_quantiles(ev, "value", qs).collect()}
+    ref = ev.filter(F.col("value").isNotNull()).agg(
+        *[
+            F.round(F.percentile(F.col("value"), F.lit(q)), 6).alias(str(q))
+            for q in qs
+        ]
+    ).collect()[0]
+    for q in qs:
+        assert got[q] == ref[str(q)], (q, got[q], ref[str(q)])
+    again = {
+        r.q: r.quantile
+        for r in global_quantiles(ev.repartition(11), "value", qs).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError):
+        global_quantiles(ev, "value", [1.5])
