@@ -38,9 +38,68 @@ from airflow_retail_etl_spark.functions.text import normalize_text, tokens
 #: end-of-word sentinel (classic BPE: lets merges learn word endings)
 EOW = "</w>"
 
+#: escape lead-in for the marker chars (``_SEP``/``_WSEP``) used by the
+#: string-form merge passes. Arbitrary corpus text may legitimately
+#: contain any single character — including the markers themselves — so
+#: structure and content must be distinguishable (round-8 advice: a
+#: literal '•' in corpus text corrupted the symbol stream and broke the
+#: driver≡distributed merge-list parity contract). The scheme is
+#: char-local (``␛``→``␛e``, ``•``→``␛b``, ``‖``→``␛w``) so escaping
+#: commutes with concatenation: _esc(a+b) == _esc(a) + _esc(b), which is
+#: what lets merge literals be built from escaped halves.
+_ESC = "␛"
+_ESC_MAP = [(_ESC, _ESC + "e"), ("•", _ESC + "b"), ("‖", _ESC + "w")]
+
+#: zero-width split that keeps 2-char escape sequences together: split
+#: everywhere except at the start and right after the escape lead-in.
+_ESC_CHAR_SPLIT = f"(?!^)(?<!{_ESC})"
+
+
+def _esc_chars(c):
+    """Escaped-char array of a string column. Spark's split keeps one
+    trailing empty for zero-width patterns (the end position always
+    matches: post-escape no string ends in ``␛``); there are no interior
+    empties, so array_remove drops exactly that one."""
+    return F.array_remove(F.split(_esc_col(c), _ESC_CHAR_SPLIT), "")
+
+
+def _esc(s: str) -> str:
+    """Driver-side symbol escape (see ``_ESC_MAP``)."""
+    for raw, esc in _ESC_MAP:
+        s = s.replace(raw, esc)
+    return s
+
+
+def _unesc(s: str) -> str:
+    """Inverse of :func:`_esc` (safe in forward map order: after the
+    marker pairs are restored, every remaining ``␛`` precedes an 'e')."""
+    for raw, esc in _ESC_MAP[1:]:
+        s = s.replace(esc, raw)
+    return s.replace(_ESC + "e", _ESC)
+
+
+def _esc_col(c):
+    """Native (codegen) column form of :func:`_esc` — 3 chained replaces."""
+    for raw, esc in _ESC_MAP:
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def _unesc_col(c):
+    """Native column form of :func:`_unesc`."""
+    for raw, esc in _ESC_MAP[1:]:
+        c = F.replace(c, F.lit(esc), F.lit(raw))
+    return F.replace(c, F.lit(_ESC + "e"), F.lit(_ESC))
+
 
 def word_shapes(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, weight) with each word as its char-symbol array + EOW."""
+    """(word, weight) with each word as its ESCAPED char-symbol array +
+    EOW. Symbols are kept in escaped form throughout the learn pipeline
+    (a symbol is one original character = 1–2 escaped chars, grouped by
+    the escape-aware split) so the string-form merge pass can never
+    confuse text content with boundary markers; for text without marker
+    chars the escape is the identity. :func:`learn_bpe_merges` unescapes
+    the merge list at the API boundary."""
     toks = df.select(
         tokens(normalize_text(F.col(text_col))).alias("toks")
     ).select(F.explode("toks").alias("word"))
@@ -50,7 +109,7 @@ def word_shapes(df: DataFrame, text_col: str) -> DataFrame:
         .agg(F.count("*").alias("weight"))
     )
     symbols = F.concat(
-        F.split(F.col("word"), ""),  # chars
+        _esc_chars(F.col("word")),
         F.array(F.lit(EOW)),
     )
     return counted.select(symbols.alias("syms"), "weight")
@@ -136,7 +195,11 @@ def _safe_batch(
 def _apply_merges_expr(merges: list[tuple[str, str]]):
     """One projection applying ``merges`` in order to ``syms`` — the
     apply_bpe boundary-marked native-replace chain, on a single word's
-    symbol array (no word separator needed; one row is one word)."""
+    symbol array (no word separator needed; one row is one word).
+    Both ``syms`` and ``merges`` are in ESCAPED form here (the learn
+    pipeline's internal representation), so no raw marker char can
+    appear inside a symbol and every replace match is an exact
+    symbol-boundary match."""
     s = F.concat(
         F.lit(_SEP),
         F.array_join(F.col("syms"), _SEP + _SEP),
@@ -251,19 +314,26 @@ def learn_bpe_merges(
     """
     shapes = word_shapes(df, text_col).localCheckpoint(eager=True)
     if shapes.count() <= max_driver_words:
+        # symbols arrive escaped; the driver trainer runs on RAW symbols
+        # so its lexicographic tie-break matches the textbook reference
         collected = {
-            tuple(r["syms"]): r["weight"] for r in shapes.collect()
+            tuple(_unesc(s) for s in r["syms"]): r["weight"]
+            for r in shapes.collect()
         }
         return _driver_bpe(collected, n_merges)
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str]] = []  # escaped until the return
     prev_strings = {EOW}
     while len(merges) < n_merges:
         top = [
             r
             for r in (
                 _pair_counts(shapes)
+                # tie-break on the UNESCAPED form so the order matches
+                # the driver path's raw-symbol lexicographic rule
                 .orderBy(
-                    F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+                    F.col("n").desc(),
+                    _unesc_col(F.col("a")).asc(),
+                    _unesc_col(F.col("b")).asc(),
                 )
                 .limit(batch_candidates)
                 .collect()
@@ -282,12 +352,15 @@ def learn_bpe_merges(
         shapes = shapes.select(
             _apply_merges_expr(batch).alias("syms"), "weight"
         ).localCheckpoint(eager=True)
-    return merges
+    return [(_unesc(a), _unesc(b)) for a, b in merges]
 
 
-#: token/word boundary markers for the string-form merge pass. Both are
-#: outside normalized text's alphabet by construction; a literal "</w>"
-#: in text char-splits into <,/,w,> so it can never collide with EOW.
+#: token/word boundary markers for the string-form merge pass. Text
+#: content is kept out of their way by the ``_ESC_MAP`` escape (a
+#: literal marker char in corpus text becomes a 2-char escape sequence
+#: before any wrapping, and is restored after the final split); a
+#: literal "</w>" in text char-splits into <,/,w,> so it can never
+#: collide with EOW.
 _SEP = "•"  # • wraps every symbol: •sym•
 _WSEP = "‖"  # ‖ joins words, so merges cannot cross word boundaries
 
@@ -305,10 +378,17 @@ def apply_bpe(
     replace stays inside whole-stage codegen where the equivalent nested
     HOF folds (one per merge) ran interpreted and ~5× slower. No
     shuffles; the merge list is a plan constant, exactly how a trained
-    tokenizer ships."""
+    tokenizer ships.
+
+    Text is marker-escaped before wrapping and tokens unescaped after
+    the final split (``_ESC_MAP``), so a literal marker char in corpus
+    content can never be read as structure; ``merges`` arrive RAW (the
+    user-facing artifact from :func:`learn_bpe_merges`) and are escaped
+    into the plan literals here. For marker-free text every escape
+    replace is a no-op pass over the string."""
     wrapped_word = lambda w: F.concat(  # noqa: E731  # •c••c•…••</w>•
         F.lit(_SEP),
-        F.array_join(F.split(w, ""), _SEP + _SEP),
+        F.array_join(_esc_chars(w), _SEP + _SEP),
         F.lit(_SEP + _SEP + EOW + _SEP),
     )
     base = df.select(
@@ -318,7 +398,7 @@ def apply_bpe(
     s = F.array_join(
         F.transform(F.col("toks"), wrapped_word), _WSEP
     )
-    for a, b in merges:
+    for a, b in ((_esc(a), _esc(b)) for a, b in merges):
         s = F.replace(
             s,
             F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"),
@@ -335,11 +415,15 @@ def apply_bpe(
     # the merge chain feeds three output expressions; materialize it once
     # behind an exchange instead of evaluating the replaces per reference
     mid = base.select("id", joined.alias("j")).transform(_spread_id)
+    raw_split = F.split(F.col("j"), _SEP)  # escaped tokens
     toks_out = F.when(
         F.length("j") == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.col("j"), _SEP))
+    ).otherwise(F.transform(raw_split, _unesc_col))
+    n_out = F.when(F.length("j") == 0, F.lit(0)).otherwise(
+        F.size(raw_split)  # unescape preserves length — skip the HOF
+    )
     return mid.select(
         "id",
         toks_out.alias("bpe_tokens"),
-        F.size(toks_out).alias("n_bpe_tokens"),
+        n_out.alias("n_bpe_tokens"),
     )

@@ -117,3 +117,43 @@ def test_distributed_fallback_equals_driver_path(spark, sf_dir):
         docs, "text", n_merges=32, max_driver_words=0
     )
     assert dist == seq
+
+
+MARKER_TEXTS = [
+    # corpus text containing every marker char the string-form merge
+    # pass uses internally: the symbol wrapper •, the word joiner ‖,
+    # and the escape lead-in ␛ (round-8 advice: a literal • corrupted
+    # the distributed symbol stream and broke driver≡distributed parity)
+    "low• low• lower• •low low",
+    "a‖b a‖b a‖b c␛d c␛d",
+    "•␛‖ •␛‖ •• ‖‖ ␛␛ ␛b ␛e ␛w",
+    "new newer newest new",
+]
+
+
+def test_marker_chars_driver_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in MARKER_TEXTS], ["text"])
+    got = learn_bpe_merges(df, "text", n_merges=12)
+    assert got == _ref_bpe(MARKER_TEXTS, 12)
+
+
+def test_marker_chars_distributed_matches_driver(spark):
+    """The exact round-8 advice repro: the distributed fallback must
+    produce the IDENTICAL merge list on text containing the separator."""
+    df = spark.createDataFrame([(t,) for t in MARKER_TEXTS], ["text"])
+    seq = learn_bpe_merges(df, "text", n_merges=12)
+    dist = learn_bpe_merges(df, "text", n_merges=12, max_driver_words=0)
+    assert dist == seq
+
+
+def test_marker_chars_apply_bpe_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(MARKER_TEXTS)], ["doc_id", "text"]
+    )
+    merges = learn_bpe_merges(df, "text", n_merges=8)
+    out = {r.id: r for r in apply_bpe(df, "text", "doc_id", merges).collect()}
+    for i, t in enumerate(MARKER_TEXTS):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        joined = "".join(out[i].bpe_tokens).replace(EOW, "")
+        assert joined == norm.replace(" ", "")
+        assert out[i].n_bpe_tokens == len(out[i].bpe_tokens)
