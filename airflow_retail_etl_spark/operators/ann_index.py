@@ -109,27 +109,43 @@ def build_ann_index(
 
 
 def _fs_signature(spark: SparkSession, dirpath: str) -> tuple:
-    """(name, length, mtime) of every file under ``dirpath`` — a single
-    Hadoop listStatus, the cache key that detects index rebuilds."""
+    """(path, length, mtime) of every FILE under ``dirpath``,
+    RECURSIVELY (one Hadoop listFiles sweep) — the cache key that
+    detects index rebuilds and appends. Recursion matters (round-8
+    advice): a top-level listStatus saw only directory entries whose
+    mtimes can miss two appends landing within the filesystem's mtime
+    granularity — and object stores have no real directory mtimes at
+    all. The recursive file inventory (names + byte lengths) perturbs
+    on any append regardless of timestamp resolution."""
     sc = spark.sparkContext
     p = sc._jvm.org.apache.hadoop.fs.Path(dirpath)
     fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
-    return tuple(
-        sorted(
-            (st.getPath().getName(), st.getLen(), st.getModificationTime())
-            for st in fs.listStatus(p)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        out.append(
+            (st.getPath().toString(), st.getLen(), st.getModificationTime())
         )
-    )
+    return tuple(sorted(out))
 
 
-#: (path → (codebook+centroid signature, codebook ndarray, centroid rows,
-#: centroid schema)). Build-once-query-many is the index's contract; the
-#: constants are plan-construction inputs (LUT/ADC literals, broadcast
-#: centroids), so re-collecting them per query costs two Spark jobs for
-#: data that changes only on rebuild. The signature (file names/sizes/
-#: mtimes via one listStatus each) invalidates on rebuild; appends touch
-#: only ``cells/`` and correctly keep the cache.
-_META_CACHE: dict[str, tuple[tuple, "np.ndarray", list, object]] = {}
+#: ((app_id, path) → (codebook+centroid signature, codebook ndarray,
+#: centroid rows, centroid schema)). Build-once-query-many is the
+#: index's contract; the constants are plan-construction inputs
+#: (LUT/ADC literals, broadcast centroids), so re-collecting them per
+#: query costs two Spark jobs for data that changes only on rebuild.
+#: The signature (recursive file inventory) invalidates on rebuild;
+#: appends touch only ``cells/`` and correctly keep the cache. Keys
+#: include the SparkSession's applicationId (round-8 advice: a
+#: path-only key served DataFrames bound to a dead session after a
+#: restart, and grew unboundedly per path — replacing stale app
+#: generations in place bounds it to live-apps × paths).
+_META_CACHE: dict[tuple[str, str], tuple[tuple, "np.ndarray", list, object]] = {}
+
+
+def _cache_key(spark: SparkSession, path: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, path)
 
 
 def _load_index_meta(spark: SparkSession, path: str):
@@ -143,7 +159,8 @@ def _load_index_meta(spark: SparkSession, path: str):
     sig = _fs_signature(spark, f"{path}/codebook") + _fs_signature(
         spark, f"{path}/centroids"
     )
-    hit = _META_CACHE.get(path)
+    key = _cache_key(spark, path)
+    hit = _META_CACHE.get(key)
     if hit is not None and hit[0] == sig:
         return hit[1], hit[2], hit[3]
     rows = spark.read.parquet(f"{path}/codebook").collect()
@@ -154,7 +171,10 @@ def _load_index_meta(spark: SparkSession, path: str):
         cb[r["s"], r["j"]] = r["c"]
     cent_df = spark.read.parquet(f"{path}/centroids")
     cent_rows = cent_df.collect()
-    _META_CACHE[path] = (sig, cb, cent_rows, cent_df.schema)
+    # drop entries for dead app generations of the same path
+    for k in [k for k in _META_CACHE if k[1] == path and k != key]:
+        del _META_CACHE[k]
+    _META_CACHE[key] = (sig, cb, cent_rows, cent_df.schema)
     return cb, cent_rows, cent_df.schema
 
 
@@ -163,22 +183,25 @@ def _load_codebook(spark: SparkSession, path: str):
     return _load_index_meta(spark, path)[0]
 
 
-#: path → (cells/ signature, DataFrame). The partitioned read re-runs
-#: partition discovery (a listing job over every cell directory) on each
-#: ``spark.read.parquet`` — per-query overhead for an index that changes
-#: only on build/append. Cell-directory mtimes advance when files land
-#: inside them, so the top-level listStatus signature catches both
-#: rebuilds and appends.
-_CELLS_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
+#: (app_id, path) → (cells/ signature, DataFrame). The partitioned read
+#: re-runs partition discovery (a listing job over every cell directory)
+#: on each ``spark.read.parquet`` — per-query overhead for an index that
+#: changes only on build/append. The recursive file signature catches
+#: rebuilds and appends; the applicationId in the key keeps a restarted
+#: session from receiving a DataFrame bound to the dead one.
+_CELLS_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
 
 
 def _cells_df(spark: SparkSession, path: str) -> DataFrame:
     sig = _fs_signature(spark, f"{path}/cells")
-    hit = _CELLS_CACHE.get(path)
+    key = _cache_key(spark, path)
+    hit = _CELLS_CACHE.get(key)
     if hit is not None and hit[0] == sig:
         return hit[1]
     df = spark.read.parquet(f"{path}/cells")
-    _CELLS_CACHE[path] = (sig, df)
+    for k in [k for k in _CELLS_CACHE if k[1] == path and k != key]:
+        del _CELLS_CACHE[k]
+    _CELLS_CACHE[key] = (sig, df)
     return df
 
 

@@ -152,19 +152,30 @@ def contamination_score(
     copies), sort by it for manual audit, or feed it to a selection
     budget. Every train doc appears (zero hits → 0.0; even empty
     text shingles to one whole-text gram, so n_ngrams ≥ 1 — the NULLIF
-    guard only matters if shingling semantics ever change). Same
-    plan shape as contamination (one broadcastable eval distinct set,
-    one semi-ish join at n-gram grain, one doc-keyed agg); the fraction
-    is one division of exact integers, rounded at the report grain.
+    guard only matters if shingling semantics ever change). The
+    corpus-scale side is shingled ONCE (round-8 advice: the earlier
+    totals-plus-contamination() composition exploded the train side
+    twice): one explode, one broadcast LEFT join against the distinct
+    eval gram set with a hit marker, and one doc-keyed agg counting
+    both totals (non-null grams) and hits (matched markers) in the same
+    pass; the fraction is one division of exact integers, rounded at
+    the report grain.
     """
     tr = _with_shingles(train, text_col, id_col, kind="token", n=n)
-    totals = tr.select("id", F.size("shingles").alias("n_ngrams"))
-    hits = contamination(train, eval_df, text_col, id_col, n=n)
+    ev = F.broadcast(
+        eval_ngram_set(eval_df, text_col, id_col, n=n).withColumn(
+            "__hit", F.lit(1)
+        )
+    )
+    grams = tr.select("id", F.explode_outer("shingles").alias("g"))
     return (
-        totals.join(hits, "id", "left")
-        .withColumn(
-            "n_hit_ngrams",
-            F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long"),
+        grams.join(ev, "g", "left")
+        .groupBy("id")
+        .agg(
+            # per-doc shingle sets are distinct and the eval side is a
+            # distinct set, so the left join never multiplies rows
+            F.count("g").cast("int").alias("n_ngrams"),
+            F.count("__hit").cast("long").alias("n_hit_ngrams"),
         )
         .withColumn(
             "contamination_frac",

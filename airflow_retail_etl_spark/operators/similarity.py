@@ -955,9 +955,6 @@ def embedding_dim_stats(
     min/max compare raw doubles (order-free). One posexplode + one
     dim-keyed aggregation — shuffle rows = n·dims keys only.
     """
-    x6 = F.round(F.element_at("__v", F.col("dim") + 1), 6).cast(
-        "decimal(24,6)"
-    )
     base = (
         vectors.select(
             F.col(id_col).alias("id"),

@@ -147,3 +147,53 @@ def test_compact_folds_append_files_and_preserves_answers(spark, sf_dir, tmp_pat
         spark, path, queries, k=10, n_probe=8, shortlist=100
     ).collect()
     assert _tuples(after) == _tuples(before)
+
+
+def test_cache_keys_and_signature_resolution(spark, sf_dir, tmp_path):
+    """Round-8 advice pins: (1) caches are keyed by (applicationId,
+    path) so a restarted session can never receive a DataFrame bound to
+    a dead one, and stale app generations are evicted rather than
+    accumulating; (2) the fs signature is a RECURSIVE file inventory, so
+    an append that leaves every directory mtime unchanged (object-store
+    semantics / coarse mtime granularity) still perturbs it."""
+    import os
+    from airflow_retail_etl_spark.operators import ann_index as ai
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    path = str(tmp_path / "idx")
+    vecs = load_table(spark, sf_dir, "embeddings").limit(64)
+    ai.build_ann_index(vecs, path, n_cells=4)
+
+    app = spark.sparkContext.applicationId
+    ai._cells_df(spark, path)
+    ai._load_index_meta(spark, path)
+    assert (app, path) in ai._CELLS_CACHE
+    assert (app, path) in ai._META_CACHE
+
+    # a dead-session generation for the same path is evicted on refresh
+    ai._CELLS_CACHE[("dead-app", path)] = ai._CELLS_CACHE[(app, path)]
+    ai._META_CACHE[("dead-app", path)] = ai._META_CACHE[(app, path)]
+    ai._CELLS_CACHE.pop((app, path))
+    ai._META_CACHE.pop((app, path))
+    ai._cells_df(spark, path)
+    ai._load_index_meta(spark, path)
+    assert ("dead-app", path) not in ai._CELLS_CACHE
+    assert ("dead-app", path) not in ai._META_CACHE
+
+    # freeze every mtime under cells/, then land a new file inside an
+    # existing cell partition: the recursive signature must still change
+    cells = f"{path}/cells"
+    before = ai._fs_signature(spark, cells)
+    stamp = 1_600_000_000
+    celldir = next(
+        os.path.join(cells, d) for d in os.listdir(cells)
+        if d.startswith("cell=")
+    )
+    with open(os.path.join(celldir, "part-appended.parquet"), "wb") as f:
+        f.write(b"x")
+    for root, _dirs, files in os.walk(cells):
+        os.utime(root, (stamp, stamp))
+        for fn in files:
+            os.utime(os.path.join(root, fn), (stamp, stamp))
+    after = ai._fs_signature(spark, cells)
+    assert before != after
