@@ -3752,7 +3752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family), streaming-batch, multimodal (multimodal_decode for the
     Arrow decode leaves; image_neardup — rotated in round 8 — for the
     perceptual-media near-dup family AND the SimHash/pigeonhole Hamming
-    engine it runs) — and
+    engine it runs), and — rotated in round 9 so the round-8 machinery
+    gets external verification — corpus_shuffle (epoch-seeded
+    reproducible draw over the distributed prefix sum), ks_drift
+    (snapshot drift) and global_quantiles (rank-arithmetic exact
+    quantiles) — and
     tests/test_entry_contract.py enforces per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
@@ -3763,7 +3767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     neardup_jaccard's jaccard_pairs machinery running in-prefix inside
     dedup_resolve, shared_spans ⊂ span_excise — which holds the exact
     span family's in-prefix slot with the full detect+excise
-    composition).
+    composition; the round-9 rotations out: daily_type_pivot /
+    events_hourly are relational reshapes of in-window agg machinery,
+    knn_cosine's brute-force dot/top-k runs inside ann_ivf's in-window
+    exact rescore).
     """
     return {
         # -- retail star schema (SURVEY §2 core) --------------------------
@@ -3796,7 +3803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical oracle (probe-all ≡ exhaustive ADC) plus the IVF cell
         # composition on top — strictly more machinery under the same check
         "ivf_pq": q_ivf_pq,
-        "daily_type_pivot": q_daily_type_pivot,
         "asof_join": q_asof_join,
         # pagerank reps the iterative-graph family in the window (its
         # sibling, min-label connected components, is already exercised
@@ -3807,7 +3813,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_upsert": q_dim_upsert,
         "scd2_user_status": q_scd2_user_status,
         "sessionize": q_sessionize,
-        "events_hourly": q_events_hourly,
         "salted_agg": q_salted_agg,
         # -- corpus / LLM-pipeline surface --------------------------------
         # repetition reps the repetition-metrics module in the window;
@@ -3819,6 +3824,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_stats (functions.text stats, whose machinery quality_filter
         # and bpe_tokenize keep in-window) moves just past the prefix
         "table_profile": q_table_profile,
+        # ks_drift reps the round-8 distribution-drift family (exact
+        # two-sample KS via value-grain counts + prefix sums) in the
+        # window; keyword_divergence (chi-square face of the same
+        # snapshot-compare machinery) sits just past the prefix
+        "ks_drift": q_ks_drift,
+        # global_quantiles reps the round-8 rank-arithmetic exact-quantile
+        # machinery (range repartition + broadcast offsets, no
+        # approx buffers) in the window
+        "global_quantiles": q_global_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
@@ -3840,6 +3854,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-batch logic, replayed): its own family representative
         "streaming_admission": q_streaming_admission,
         "stratified_sample": q_stratified_sample,
+        # corpus_shuffle reps the round-8 reproducible-draw family in the
+        # window (epoch-seeded global shuffle positions via the
+        # DISTRIBUTED prefix sum, consumed as a pure filter); its
+        # epoch_slice / curriculum_order siblings run the identical
+        # machinery just past the prefix
+        "corpus_shuffle": q_corpus_shuffle,
         "pack_sequences": q_pack_sequences,
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
@@ -3865,7 +3885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix
         "lang_id": q_lang_id,
         # -- ANN / vector / multimodal ------------------------------------
-        "knn_cosine": q_knn_cosine,
         # semdedup reps cluster-blocked semantic dedup in the window;
         # the LSH hyperplane machinery (shared planes, block join, and
         # verify path) lives just past the prefix in ann_lsh and
@@ -3883,6 +3902,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------- entry 50
         # Same-family variants beyond the driver's window (still fully
         # oracle-checked by tools/check_oracle.py and the test suite):
+        # rotated out in round 9 to give the round-8 machinery driver
+        # verification (see docstring): pivot/hourly are plain relational
+        # reshapes of in-window agg machinery, and knn_cosine's
+        # brute-force dot/top-k runs in-window inside ann_ivf's exact
+        # rescore (and ivf_pq's probe-all oracle)
+        "daily_type_pivot": q_daily_type_pivot,
+        "events_hourly": q_events_hourly,
+        "knn_cosine": q_knn_cosine,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         # text-side SimHash pair join (the Hamming machinery itself is
         # verified in-window through image_neardup)
@@ -3909,10 +3936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_parts": q_significant_parts,
         "top_terms": q_top_terms,
         "split_assign": q_split_assign,
-        # reproducible epoch-seeded global shuffle + disjoint-slice
-        # consumption (the sampling-module draw machinery, verified
-        # in-window via stratified_sample)
-        "corpus_shuffle": q_corpus_shuffle,
+        # disjoint-slice consumption over the in-window corpus_shuffle
+        # draw machinery
         "epoch_slice": q_epoch_slice,
         # banded easy-to-hard schedule on top of the same draw machinery
         "curriculum_order": q_curriculum_order,
@@ -3924,14 +3949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded contamination fraction (between decontaminate's binary
         # drop and decontam_excise's surgical cut)
         "contamination_score": q_contamination_score,
-        # exact two-sample KS distance: corpus-snapshot drift detection
-        "ks_drift": q_ks_drift,
         # chi-square token divergence: what changed between snapshots
+        # (drift family repped in-window by ks_drift)
         "keyword_divergence": q_keyword_divergence,
         # per-dimension embedding health audit (dead dims, scale drift)
         "embedding_dim_stats": q_embedding_dim_stats,
-        # distributed-exact global quantiles (rank arithmetic, no buffers)
-        "global_quantiles": q_global_quantiles,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
