@@ -574,16 +574,32 @@ def _pq_literals(m: int, ksub: int, dsub: int, codebook=None):
 
     cb = _pq_codebook(m, ksub, dsub) if codebook is None else codebook
     assert cb.shape == (m, ksub, dsub), cb.shape
-    cent = F.array(*[
-        F.array(*[F.lit(float(x)) for x in cb[s, j]])
-        for s in range(m)
-        for j in range(ksub)
-    ])
-    c2 = F.array(*[
-        F.lit(float(np.dot(cb[s, j], cb[s, j])))
-        for s in range(m)
-        for j in range(ksub)
-    ])
+    # ONE F.expr string parse instead of m·ksub·dsub F.lit Column objects:
+    # the py4j/Connect expression-tree construction is O(literal count)
+    # Python round-trips and measured ~5 s at 160×64 doubles (the semdedup
+    # ∝-corpus probe regime) vs ~0.1 s for the parser. repr(float) is the
+    # shortest round-trip form and Java's parseDouble is correctly
+    # rounded, so the parsed doubles are bit-identical to the F.lit path
+    # (pinned in tests); the 'D' suffix forces DOUBLE (plain decimal
+    # literals parse as DECIMAL in Spark SQL).
+    cent = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cb[s, j]) + ")"
+            for s in range(m)
+            for j in range(ksub)
+        )
+        + ")"
+    )
+    c2 = F.expr(
+        "array("
+        + ",".join(
+            f"{float(np.dot(cb[s, j], cb[s, j]))!r}D"
+            for s in range(m)
+            for j in range(ksub)
+        )
+        + ")"
+    )
     return cent, c2
 
 

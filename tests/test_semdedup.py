@@ -70,3 +70,37 @@ def test_trained_centroids_deterministic_and_blocking(spark, emb):
     # trained centroids produce a full partition of the corpus
     assert out.count() == emb.count()
     assert out.select("cluster").distinct().count() <= 4
+
+
+def test_matmul_assignment_equals_literal_path(spark, sf_dir):
+    """The large-k Arrow-matmul assignment must agree with the
+    oracle-replicated inlined-literal argmin on real embeddings
+    (deterministic data + deterministic kernels; exact centroid-distance
+    ties are the only divergence channel and are generically absent)."""
+    from airflow_retail_etl_spark.operators import semdedup as sd
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sd.semdedup_train_centroids(
+        emb, n_clusters=24, fit_fraction=0.5, max_iter=3
+    )
+    lit = sd.semdedup_assign(
+        emb, n_clusters=24, centroids=cents, strategy="literal"
+    ).select("id", "cluster", "nn")
+    mat = sd.semdedup_assign(
+        emb, n_clusters=24, centroids=cents, strategy="matmul"
+    ).select("id", "cluster", "nn")
+    l = {r.id: (r.cluster, r.nn) for r in lit.collect()}
+    m = {r.id: (r.cluster, r.nn) for r in mat.collect()}
+    assert l == m  # clusters identical AND nn bit-identical (same fold)
+
+
+def test_auto_strategy_switches_on_k(spark, sf_dir):
+    from airflow_retail_etl_spark.operators import semdedup as sd
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    big = sd.semdedup(emb, n_clusters=64, dims=64,
+                      centroids=sd.semdedup_centroids(64, 64))
+    small = sd.semdedup(emb, n_clusters=16, dims=64)
+    assert big.count() == small.count() == 200
