@@ -431,6 +431,45 @@ def minhash_band_index(
     return _banded(sigs, bands, rows_per_band, hash)
 
 
+def write_band_index_bucketed(
+    bands_df: DataFrame,
+    table: str,
+    *,
+    buckets: int = 64,
+    path: str | None = None,
+    append: bool = False,
+) -> None:
+    """Persist ``minhash_band_index`` rows as a BUCKETED catalog table,
+    clustered AND sorted by the (band, bucket) join key.
+
+    The 100 TB admission shape: the index side of
+    ``incremental_lsh_dedup``'s candidate sort-merge join is the
+    corpus-scale side, and with a plain parquet layout every per-batch
+    probe re-shuffles and re-sorts it. A bucketed table's scan reports
+    HashPartitioning((band, bucket), ``buckets``) + the sort order, so
+    the probe join plans NO exchange and NO sort above the index scan —
+    only the (batch-sized) incoming side shuffles. Same trick as the
+    fact⋈dim co-location in tests/test_bucketing.py; pinned for this
+    index in tests/test_stream_dedup_admission.py.
+
+    ``append=True`` adds survivor rows batch-proportionally (Spark
+    datasource bucketed tables accept multiple files per bucket;
+    co-location survives appends, the one-file-per-bucket sorted-read
+    fast path degrades to a re-sort until a compaction rewrite).
+    ``path`` makes it an external table at that location. ``buckets``
+    sizes the co-located parallelism — pick ≈ the cluster's target scan
+    parallelism, NOT bands×buckets (it is a hash modulus, not a
+    directory fanout)."""
+    w = (
+        bands_df.write.bucketBy(buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .mode("append" if append else "overwrite")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def band_rows(
     sigs: DataFrame,
     *,

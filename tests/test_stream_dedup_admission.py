@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from airflow_retail_etl_spark.streaming.incremental import dedup_stream_sink
@@ -181,3 +182,61 @@ def test_index_compaction_preserves_admission_decisions(spark, tmp_path):
         )
     # doc 20 dups the indexed corpus (doc 1), doc 21 is novel
     assert outs["compacted"] == outs["control"] == [1, 2, 12, 21]
+
+
+def test_bucketed_index_probe_is_exchange_free_on_index_side(spark, sf_dir):
+    """Round-8 verdict item 5: persisting the band index BUCKETED on the
+    (band, bucket) join key must let incremental_lsh_dedup's index-side
+    sort-merge join read co-located buckets — no Exchange and no Sort
+    above the index scan; only the batch side shuffles. Results must be
+    identical to the plain-layout probe."""
+    import re
+
+    from airflow_retail_etl_spark.operators import dedup
+    from airflow_retail_etl_spark.plans.explain import formatted_plan
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    bands = dedup.minhash_band_index(corpus, "text", "doc_id")
+    shingles = dedup.shingle_store(corpus, "text", "doc_id")
+    spark.sql("DROP TABLE IF EXISTS band_idx_test")
+    dedup.write_band_index_bucketed(bands, "band_idx_test", buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            surv_bucketed = dedup.incremental_lsh_dedup(
+                spark.table("band_idx_test"), batch, "text", "doc_id",
+                index_shingles=shingles,
+            )
+            plan = formatted_plan(surv_bucketed)
+            assert "SortMergeJoin" in plan
+            # the bucketed index scan feeds its SMJ directly: every scan
+            # of the bucketed table must have Bucketed: true and no
+            # Exchange between it and the join (the scan's plan id never
+            # appears under an Exchange input). Cheap global form: the
+            # candidate cross-join subtree contains exactly ONE
+            # non-broadcast Exchange (the incoming side) where the plain
+            # layout needs two.
+            assert "Bucketed: true" in plan, plan
+            n_ex_bucketed = len(
+                re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
+            )
+            plain = dedup.incremental_lsh_dedup(
+                bands, batch, "text", "doc_id", index_shingles=shingles,
+            )
+            n_ex_plain = len(
+                re.findall(
+                    r"(?<!Broadcast)Exchange \(\d+\)",
+                    formatted_plan(plain),
+                )
+            )
+            assert n_ex_bucketed < n_ex_plain, (n_ex_bucketed, n_ex_plain)
+            got = sorted(r.doc_id for r in surv_bucketed.collect())
+            want = sorted(r.doc_id for r in plain.collect())
+            assert got == want
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_idx_test")
