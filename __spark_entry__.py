@@ -1700,6 +1700,24 @@ def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k / scan-cost frontier of IVF probing
+    (similarity.ivf_recall_report): one row per n_probe in the grid with
+    recall against the exact brute-force top-k and the scanned-candidate
+    cost axis. Seeded unit centroids (the semdedup literal family) make
+    cell assignment, the per-query cell ranking, and the 6dp-rounded
+    candidate sims engine-replicable, so the WHOLE frontier — including
+    the monotone recall curve and recall=1.0 at probe-all — is
+    oracle-exact. The PQ-shortlisted persisted-index frontier (where a
+    fixed ADC shortlist can bend monotonicity) is pinned in tests via
+    the persisted index's own recall_report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_recall_report(
+        emb, queries_df, k=10, n_probe_grid=(1, 2, 4, 8, 16), n_cells=16
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-blocked semantic dedup), oracle-checked end to
     end: the seeded centroids and their squared norms are numpy-computed
@@ -3918,6 +3936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_dedup / streaming_admission)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh": q_ann_lsh,
+        # recall@k vs scanned-candidates frontier across the n_probe
+        # grid (the ANN knob-tuning report; IVF machinery verified
+        # in-window by ann_ivf/ivf_pq)
+        "ann_recall": q_ann_recall,
         "range_join": q_range_join,
         "regional_revenue": q_regional_revenue,
         "cluster_split": q_cluster_split,
@@ -4752,6 +4774,102 @@ def _semdedup_sql(n_clusters: int, dims: int, tau: float) -> str:
     SELECT asg.vec_id, CAST(cluster AS INTEGER) AS cluster, d.dup_of
     FROM asg LEFT JOIN d ON asg.vec_id = d.id_b
     ORDER BY vec_id
+    """
+
+
+def _ann_recall_sql(
+    n_cells: int, dims: int, k: int, grid: tuple[int, ...]
+) -> str:
+    """IVF recall-frontier replication: seeded centroids + squared norms
+    are the SAME numpy literals the Spark plan embeds, so cell assignment
+    (argmin, first-index tiebreak), the per-query cell ranking (affinity
+    desc, cell asc), the 6dp-rounded candidate sims, the per-grid-point
+    top-k, and the exact brute-force reference all replicate
+    bit-for-bit."""
+    import numpy as np
+
+    from airflow_retail_etl_spark.operators.semdedup import semdedup_centroids
+
+    cb = semdedup_centroids(n_cells, dims)
+    cent = "[" + ",\n".join(
+        "[" + ", ".join(repr(float(x)) for x in cb[j]) + "]"
+        for j in range(n_cells)
+    ) + "]"
+    c2 = "[" + ", ".join(
+        repr(float(np.dot(cb[j], cb[j]))) for j in range(n_cells)
+    ) + "]"
+    dist = "c2[j+1] - 2*list_dot_product(e, c[j+1])"
+    grid_sql = "[" + ", ".join(str(int(p)) for p in grid) + "]"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cb AS (
+        SELECT {cent} AS c, {c2} AS c2
+    ), asg AS (
+        SELECT vec_id, e, list_dot_product(e, e) AS nn,
+               list_position(
+                   list_transform(generate_series(0, {n_cells - 1}),
+                                  j -> {dist}),
+                   list_min(
+                   list_transform(generate_series(0, {n_cells - 1}),
+                                  j -> {dist}))
+               ) AS cell
+        FROM v, cb
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe, list_dot_product(e, e) AS qq
+        FROM v WHERE vec_id % 50 = 0
+    ), qc AS (
+        SELECT query_id, qe, qq, j + 1 AS cell,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qe, c[j+1]) DESC, j ASC
+               ) AS cell_rank
+        FROM q, cb, generate_series(0, {n_cells - 1}) AS t(j)
+    ), cand AS (
+        SELECT qc.query_id, a.vec_id AS neighbor_id, qc.cell_rank,
+               round(list_dot_product(qc.qe, a.e) / sqrt(qc.qq * a.nn), 6)
+                   AS sim
+        FROM qc JOIN asg a ON a.cell = qc.cell
+        WHERE a.vec_id != qc.query_id
+    ), grid AS (
+        SELECT unnest({grid_sql}) AS n_probe
+    ), probed AS (
+        SELECT g.n_probe, c.* FROM cand c
+        JOIN grid g ON c.cell_rank <= g.n_probe
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id, n_probe
+            ORDER BY sim DESC, neighbor_id ASC
+        ) AS r FROM probed
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qe, c.e)
+                                / sqrt(q.qq * list_dot_product(c.e, c.e))
+                                DESC, c.vec_id ASC
+                   ) AS rank
+            FROM q JOIN v c ON c.vec_id != q.query_id
+        ) WHERE rank <= {k}
+    ), hits AS (
+        SELECT n_probe, COUNT(*) AS n_hits
+        FROM ranked JOIN exact USING (query_id, neighbor_id)
+        WHERE r <= {k} GROUP BY 1
+    ), scanned AS (
+        SELECT n_probe, COUNT(*) AS n_scanned FROM probed GROUP BY 1
+    ), nq AS (SELECT COUNT(*) AS n FROM q)
+    SELECT CAST(g.n_probe AS INTEGER) AS n_probe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(nq.n * {k} AS BIGINT) AS n_pairs,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                 / (nq.n * {k}), 6) AS recall_at_k,
+           ROUND(CAST(COALESCE(s.n_scanned, 0) AS DOUBLE) / nq.n, 6)
+               AS avg_scanned
+    FROM grid g
+    LEFT JOIN hits h USING (n_probe)
+    LEFT JOIN scanned s USING (n_probe), nq
+    ORDER BY n_probe
     """
 
 
@@ -6829,6 +6947,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _pq_sql(m=8, ksub=16, dsub=8, shortlist=50, k=10),
         # probe-all IVF-PQ ≡ exhaustive PQ scan: same oracle by design
         "ivf_pq": _pq_sql(m=8, ksub=16, dsub=8, shortlist=50, k=10),
+        "ann_recall": _ann_recall_sql(
+            n_cells=16, dims=64, k=10, grid=(1, 2, 4, 8, 16)
+        ),
         # TPC-H Q2 shape: correlated per-part minimum via window
         "min_cost_supplier": """
         WITH uc AS (

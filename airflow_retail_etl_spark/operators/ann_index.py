@@ -376,3 +376,61 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
         .parquet(staging)
     )
     promote_staging(spark, staging, cells)
+
+
+def recall_report(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe_grid: tuple[int, ...] = (1, 2, 4, 8, 16),
+    shortlist: int = 50,
+) -> DataFrame:
+    """Recall@k frontier of the PERSISTED index across ``n_probe_grid`` —
+    the observability report an ANN service publishes so consumers pick
+    their n_probe with eyes open: (n_probe, n_hits, n_pairs,
+    recall_at_k).
+
+    Ground truth is exact brute-force cosine over the vectors STORED in
+    the index's cells table (the index's own corpus — so the report
+    grades probing + the ADC shortlist, not ingestion drift). Each grid
+    point runs the real query path (``ann_index_topk``: DPP-pruned cell
+    scan, ADC shortlist, exact rescore). Unlike the exact-rescore IVF
+    frontier (similarity.ivf_recall_report, provably monotone), a FIXED
+    ADC shortlist can evict a true neighbor as n_probe adds candidates —
+    so monotonicity holds when ``shortlist`` covers the probed
+    candidates (pinned in tests with shortlist ≥ corpus) but is not
+    guaranteed at production shortlists; that gap IS the report's
+    point."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    stored = _cells_df(spark, path).select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col)
+    )
+    exact = brute_force_topk(
+        stored, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    n_q = queries.count()
+    rows = []
+    for p in n_probe_grid:
+        got = ann_index_topk(
+            spark, path, queries,
+            id_col=id_col, vec_col=vec_col,
+            k=k, n_probe=int(p), shortlist=shortlist,
+        ).select("query_id", "neighbor_id")
+        hits = got.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        rows.append((int(p), int(hits), int(n_q) * k))
+    rep = spark.createDataFrame(
+        rows, "n_probe int, n_hits long, n_pairs long"
+    )
+    return rep.select(
+        "n_probe", "n_hits", "n_pairs",
+        F.round(F.col("n_hits") / F.col("n_pairs"), 6).alias("recall_at_k"),
+    ).orderBy("n_probe")

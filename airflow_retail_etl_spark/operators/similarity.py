@@ -1023,3 +1023,151 @@ def embedding_dim_stats(
         )
         .orderBy("dim")
     )
+
+
+def ivf_recall_report(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe_grid: tuple[int, ...] = (1, 2, 4, 8, 16),
+    n_cells: int = 16,
+    dims: int = 64,
+    centroids=None,
+) -> DataFrame:
+    """Recall@k / scan-cost frontier of IVF probing — the knob-tuning
+    report an ANN service publishes before anyone picks ``n_probe``.
+
+    One row per grid point: (n_probe, n_hits, n_pairs, recall_at_k,
+    avg_scanned). ``recall_at_k`` = |ANN top-k ∩ exact top-k| / (k·|Q|)
+    and ``avg_scanned`` = candidate vectors scanned per query — the cost
+    axis (a 100 TB probe's bill is the scanned fraction, so the frontier
+    is recall vs scanned, not recall vs wall-clock, which no oracle can
+    replay). Deterministic end to end: seeded unit centroids
+    (semdedup_centroids — the shared sketch-seed family) make cell
+    assignment and the per-query cell ranking (affinity desc, cell asc —
+    _probe_cells' tiebreak) engine-replicable literals, candidate sims
+    are exact 6dp-rounded cosines (no PQ in this form, so candidates are
+    rescored exactly), and with a strict total order (sim desc, id asc)
+    the top-k of a candidate set that GROWS with n_probe has
+    monotonically non-decreasing overlap with the exact top-k —
+    recall is provably monotone and reaches 1.0 at n_probe = n_cells
+    (pinned in tests; the PQ-shortlisted persisted-index variant, where
+    ADC can evict true neighbors from a fixed shortlist, reports its
+    frontier via ann_index.recall_report).
+
+    Shape: assignment is a zero-shuffle argmin projection, the candidate
+    join is (query-cells × corpus-cells) on the cell key, the grid is a
+    broadcast inequality join against len(grid) literals, and the top-k
+    is one window per (query, grid point) — corpus-scale work is ONE
+    cell-keyed candidate scan reused by every grid point.
+    """
+    from airflow_retail_etl_spark.operators.semdedup import (
+        semdedup_assign,
+        semdedup_centroids,
+    )
+
+    spark = vectors.sparkSession
+    cb = semdedup_centroids(n_cells, dims) if centroids is None else centroids
+    asg = semdedup_assign(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_clusters=n_cells,
+        dims=dims,
+        centroids=cb,
+        strategy="literal",
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nn").alias("cc"),
+        F.col("cluster").alias("cell"),
+    )
+    cent, _c2 = _pq_literals(1, n_cells, dims, cb[None, :, :])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qq", dot(F.col("qv"), F.col("qv")))
+        .withColumn(
+            "aff",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                lambda j: dot(F.col("qv"), F.element_at(cent, j + 1)),
+            ),
+        )
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("a").desc(), F.col("cell").asc()
+    )
+    q_cells = (
+        q.select(
+            "query_id", "qv", "qq",
+            F.posexplode("aff").alias("c0", "a"),
+        )
+        .withColumn("cell", F.col("c0") + 1)
+        .withColumn("cell_rank", F.row_number().over(w_cells))
+        .select("query_id", "qv", "qq", "cell", "cell_rank")
+    )
+    cands = (
+        q_cells.join(asg, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell_rank",
+            F.round(
+                cosine_hoisted(
+                    F.col("qv"), F.col("cv"), F.col("qq"), F.col("cc")
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.lit([int(p) for p in n_probe_grid])
+        ).alias("n_probe")
+    )
+    probed = cands.join(
+        F.broadcast(grid), F.col("cell_rank") <= F.col("n_probe")
+    )
+    w_rank = Window.partitionBy("query_id", "n_probe").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ann_topk = (
+        probed.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= k)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    exact = brute_force_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    hits = (
+        ann_topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    scanned = probed.groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_scanned")
+    )
+    n_q = queries.count()
+    return (
+        grid.join(hits, "n_probe", "left")
+        .join(scanned, "n_probe", "left")
+        .select(
+            "n_probe",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(int(n_q) * k).cast("long").alias("n_pairs"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(int(n_q) * k), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce("n_scanned", F.lit(0)) / F.lit(int(n_q)), 6
+            ).alias("avg_scanned"),
+        )
+        .orderBy("n_probe")
+    )

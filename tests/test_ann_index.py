@@ -197,3 +197,43 @@ def test_cache_keys_and_signature_resolution(spark, sf_dir, tmp_path):
             os.utime(os.path.join(root, fn), (stamp, stamp))
     after = ai._fs_signature(spark, cells)
     assert before != after
+
+
+def test_recall_report_monotone_and_exact_at_probe_all(spark, sf_dir):
+    """Recall frontiers: (1) the exact-rescore IVF form is monotone in
+    n_probe and reaches 1.0 at probe-all (provable: top-k of a growing
+    candidate set under a strict total order); (2) the persisted-index
+    form (real query path: DPP scan + ADC shortlist + rescore) is
+    monotone when the shortlist covers the probed candidates, and also
+    reaches 1.0 at probe-all then (probe-all + full shortlist enumerates
+    every pair exactly)."""
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators import ann_index as ai
+    from airflow_retail_etl_spark.operators import similarity
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+
+    rep = similarity.ivf_recall_report(
+        emb, qs, k=10, n_probe_grid=(1, 4, 16), n_cells=16
+    ).collect()
+    rec = [r.recall_at_k for r in sorted(rep, key=lambda r: r.n_probe)]
+    assert rec == sorted(rec), rec
+    assert rec[-1] == 1.0
+    scanned = [r.avg_scanned for r in sorted(rep, key=lambda r: r.n_probe)]
+    assert scanned == sorted(scanned)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/idx"
+        ai.build_ann_index(emb, path, n_cells=8)
+        n = emb.count()
+        rep2 = ai.recall_report(
+            spark, path, qs, k=10, n_probe_grid=(1, 4, 8), shortlist=n
+        ).collect()
+        rec2 = [r.recall_at_k for r in sorted(rep2, key=lambda r: r.n_probe)]
+        assert rec2 == sorted(rec2), rec2
+        assert rec2[-1] == 1.0
