@@ -416,10 +416,77 @@ def _production_sketches():
     }
 
 
+def _contamination_reason(ports=range(4040, 4057)) -> str | None:
+    """Detect a live sibling Spark workload BEFORE this bench starts.
+
+    Bench timings are load-sensitive (CLAUDE.md invariant; two
+    contaminated records were removed from the ledger in round 7), so a
+    run that starts next to another Spark JVM must not write
+    BENCH_HISTORY. Two independent detectors:
+
+    - a bench LOCKFILE (``.bench.lock`` beside this file) holding the
+      owner's pid — guards against concurrent bench.py runs. A lock
+      whose pid is dead is stale and reclaimed.
+    - listening Spark UI ports (4040–4056, the default bind-retry
+      range) — any open one means a live Spark driver (pytest session,
+      notebook, another job) shares the machine's cores with us.
+
+    Returns a human-readable reason when contaminated, else None (the
+    lock is then HELD by this process; _release_bench_lock in finally).
+    """
+    import socket
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    lock = os.path.join(here, ".bench.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        try:
+            pid = int(open(lock).read().strip() or "0")
+        except ValueError:
+            pid = 0
+        alive = False
+        if pid > 0:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True
+        if alive:
+            return f"bench lockfile held by live pid {pid}"
+        os.remove(lock)  # stale lock: reclaim
+        return _contamination_reason(ports)
+    for port in ports:
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.settimeout(0.2)
+        try:
+            if s.connect_ex(("127.0.0.1", port)) == 0:
+                _release_bench_lock()
+                return f"live Spark UI on port {port}"
+        finally:
+            s.close()
+    return None
+
+
+def _release_bench_lock() -> None:
+    lock = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench.lock"
+    )
+    try:
+        os.remove(lock)
+    except FileNotFoundError:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    contaminated = _contamination_reason()
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -534,9 +601,17 @@ def main() -> None:
         ),
     }
     record["round"] = rnd
-    regs, regs_xround = _append_history(record)
-    record["regressions"] = regs
-    record["regressions_vs_prev_round"] = regs_xround
+    if contaminated is None:
+        regs, regs_xround = _append_history(record)
+        record["regressions"] = regs
+        record["regressions_vs_prev_round"] = regs_xround
+        _release_bench_lock()
+    else:
+        # refused-run shape: timings still print (the caller asked for
+        # them) but the durable ledger gets NOTHING — a contaminated
+        # record poisons every later regression diff (two were scrubbed
+        # in round 7)
+        record["history_append_refused"] = contaminated
     print(json.dumps(record), flush=True)
     # regenerate the plan audit with this session (plan-only, nothing
     # executes; ~1 min) so PLANS.md cannot go stale relative to the
