@@ -31,6 +31,7 @@ from airflow_retail_etl_spark.operators import (
     star,
 )
 from airflow_retail_etl_spark.session import configure
+from airflow_retail_etl_spark.sources import tables as tables_mod
 from airflow_retail_etl_spark.sources.tables import load_table
 
 VIEW, CART, PURCHASE = FUNNEL_TYPES
@@ -2547,6 +2548,182 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_profit_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9, REAL form over the partsupp table (round-8 verdict
+    item 6): profit = Σ disc_price − ps_supplycost·l_quantity on a
+    part-name family, by supplier nation and order year. partsupp comes
+    from sources.tables.partsupp — a file-backed read when the table is
+    materialized (gen_scale), else the deterministic hash-synthesized
+    derivation BOTH engines rebuild identically, so this is hash-exact
+    with no proxy arithmetic (q_product_profit keeps the proxy form).
+    All money stays DECIMAL until the final cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ps = tables_mod.partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    )
+    cost = F.col("ps_supplycost") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
+        .orderBy("nation", "order_year")
+    )
+
+
+def q_important_stock_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11, REAL form over partsupp: per-part stock value
+    (Σ ps_supplycost·ps_availqty) for suppliers of one nation, keeping
+    parts above 1.2× the mean part value (the scale-invariant threshold
+    significant_parts established — a fixed global fraction admits
+    nothing at 10× parts). One part-keyed DECIMAL rollup reused for the
+    per-part values and the broadcast 1-row total."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    ps = tables_mod.partsupp(spark, sf_dir)
+    value = F.col("ps_supplycost") * F.col("ps_availqty").cast(
+        "decimal(10,0)"
+    )
+    per_part = (
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(value.cast("decimal(24,2)")).alias("stock_value"),
+        )
+    )
+    total = per_part.agg(
+        F.sum(F.col("stock_value").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("stock_value")
+            > F.col("total_value") / F.col("n_parts") * 1.2
+        )
+        .select(
+            "ps_partkey",
+            F.col("stock_value").cast("double").alias("stock_value"),
+            F.round(
+                F.col("stock_value") / F.col("total_value"), 6
+            ).alias("share"),
+        )
+        .orderBy("ps_partkey")
+    )
+
+
+def q_supplier_part_counts_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16, REAL form over partsupp: distinct suppliers per
+    (brand, type, size) with the real exclusions — one brand banned, a
+    type family NOT LIKE'd out, a size IN-list, and complaint suppliers
+    (negative acctbal stand-in) anti-joined away. Relation cardinality
+    comes from partsupp itself (the proxy derived it from lineitem)."""
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    ps = tables_mod.partsupp(spark, sf_dir)
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("ECONOMY%"))
+        & (F.col("p_size").isin(1, 9, 19, 29, 39, 49))
+    )
+    return (
+        ps.join(
+            F.broadcast(flagged),
+            ps.ps_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
+        .join(pf, ps.ps_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def q_promotion_stock_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20, REAL form over partsupp: suppliers holding EXCESS
+    stock of a promotable part family — ps_availqty > 0.5 × their own
+    1996 shipments of that part (the real correlated comparison the
+    proxy approximated shipped-vs-shipped). Quantities are exact:
+    availqty is integer, shipments accumulate in DECIMAL, and the test
+    is 2·availqty > shipped in integers-scaled DECIMAL — no double
+    boundary. Returns qualifying suppliers with their excess part
+    count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = tables_mod.partsupp(spark, sf_dir)
+    target = part.filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.join(F.broadcast(target), li.l_partkey == target.p_partkey)
+        .filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_quantity"), 2).cast("decimal(18,2)")
+            ).alias("qty_96")
+        )
+    )
+    excess = (
+        ps.join(F.broadcast(target), ps.ps_partkey == target.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(
+            F.col("ps_availqty").cast("decimal(18,2)") * 2
+            > F.col("qty_96")
+        )
+    )
+    return (
+        excess.groupBy("ps_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+        .join(supp, F.col("ps_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_excess_parts",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on a part-name family by supplier nation
     and order year. The testdata carries no partsupp table, so supply
@@ -4019,6 +4196,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "volume_shipping": q_volume_shipping,
         "product_profit": q_product_profit,
+        # REAL partsupp forms (round-9): the table the testdata lacks,
+        # closed as a deterministic cross-engine derivation
+        # (sources.tables.partsupp) — proxies above stay for shape
+        # continuity
+        "nation_profit_ps": q_nation_profit_ps,
+        "important_stock_ps": q_important_stock_ps,
+        "supplier_part_counts_ps": q_supplier_part_counts_ps,
+        "promotion_stock_ps": q_promotion_stock_ps,
         "promo_revenue_share": q_promo_revenue_share,
         "supplier_part_counts": q_supplier_part_counts,
         "blamed_suppliers": q_blamed_suppliers,
@@ -4775,6 +4960,14 @@ def _semdedup_sql(n_clusters: int, dims: int, tau: float) -> str:
     FROM asg LEFT JOIN d ON asg.vec_id = d.id_b
     ORDER BY vec_id
     """
+
+
+#: derived-partsupp CTE prefix shared by the real TPC-H Q9/Q11/Q16/Q20
+#: oracle forms — rebuilt from the SAME hash derivation as
+#: sources.tables.partsupp (bit-identical rows, pinned in tests)
+from airflow_retail_etl_spark.sources.tables import partsupp_duck_cte
+
+_PS_CTE = "WITH ps AS (" + partsupp_duck_cte() + ")"
 
 
 def _ann_recall_sql(
@@ -7350,6 +7543,84 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE n1.n_name != n2.n_name
         GROUP BY 1, 2, 3
+        """,
+        "nation_profit_ps": _PS_CTE + """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(3,2))
+                        - ps_supplycost
+                          * CAST(l_quantity AS DECIMAL(12,2)))
+                    AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN ps       ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "important_stock_ps": _PS_CTE + """
+        , per_part AS (
+            SELECT ps_partkey,
+                   SUM(CAST(ps_supplycost
+                            * CAST(ps_availqty AS DECIMAL(10,0))
+                            AS DECIMAL(24,2))) AS stock_value
+            FROM ps
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+            GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(CAST(stock_value AS DECIMAL(30,2)))
+                        AS DOUBLE) AS total_value,
+                   COUNT(*) AS n_parts
+            FROM per_part
+        )
+        SELECT ps_partkey,
+               CAST(stock_value AS DOUBLE) AS stock_value,
+               round(stock_value / total_value, 6) AS share
+        FROM per_part, tot
+        WHERE stock_value > total_value / n_parts * 1.2
+        ORDER BY ps_partkey
+        """,
+        "supplier_part_counts_ps": _PS_CTE + """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps
+        JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand != 'Brand#5'
+          AND p_type NOT LIKE 'ECONOMY%'
+          AND p_size IN (1, 9, 19, 29, 39, 49)
+          AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "promotion_stock_ps": _PS_CTE + """
+        , target AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        ), shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+                       AS qty_96
+            FROM lineitem JOIN target ON l_partkey = p_partkey
+            WHERE year(l_shipdate) = 1996
+            GROUP BY 1, 2
+        ), excess AS (
+            SELECT ps_suppkey
+            FROM ps
+            JOIN target ON ps_partkey = p_partkey
+            JOIN shipped ON ps_partkey = l_partkey
+                        AND ps_suppkey = l_suppkey
+            WHERE CAST(ps_availqty AS DECIMAL(18,2)) * 2 > qty_96
+        )
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               CAST(n AS BIGINT) AS n_excess_parts
+        FROM (SELECT ps_suppkey, COUNT(*) AS n FROM excess GROUP BY 1)
+        JOIN supplier ON ps_suppkey = s_suppkey
+        ORDER BY s_suppkey
         """,
         "product_profit": """
         SELECT n_name AS nation,

@@ -60,6 +60,11 @@ from airflow_retail_etl_spark.sources.tables import load_table
 #: Queries timed for the headline number (the rest still run in correctness).
 HEADLINE = (
     "staging_clean",
+    "ann_recall",
+    "nation_profit_ps",
+    "important_stock_ps",
+    "supplier_part_counts_ps",
+    "promotion_stock_ps",
     "fact_rollup",
     "dim_user",
     "dim_product",

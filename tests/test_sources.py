@@ -128,3 +128,44 @@ def test_jdbc_read_options_partitioned_requires_bounds():
         jdbc_read_options(
             "jdbc:postgresql://h/db", "SELECT 1", partition_column="id"
         )
+
+
+def test_partsupp_derivation_matches_duckdb_and_flag_path(spark, sf_dir, tmp_path):
+    """sources.tables.partsupp (round-8 verdict item 6): the derived
+    table must be BIT-IDENTICAL to the DuckDB CTE both real-TPC-H
+    oracles rebuild (same md5 halves/moduli/decimal pinning), refer only
+    to (part, supp) pairs lineitem actually ships (referential
+    integrity by construction), and flip to the file-backed read when a
+    materialized partsupp.parquet exists."""
+    import duckdb
+
+    from airflow_retail_etl_spark.sources import tables
+
+    ps = tables.partsupp(spark, sf_dir)
+    rows_s = sorted(
+        (r.ps_partkey, r.ps_suppkey, r.ps_availqty, str(r.ps_supplycost))
+        for r in ps.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    rows_d = sorted(
+        (a, b, c, str(d))
+        for a, b, c, d in con.sql(tables.partsupp_duck_cte()).fetchall()
+    )
+    assert rows_s == rows_d
+    assert all(1 <= q <= 9999 for _, _, q, _ in rows_s)
+
+    # flag path: materialized file wins and round-trips identically
+    import shutil
+
+    alt = str(tmp_path / "sf")
+    shutil.copytree(sf_dir, alt)
+    ps.write.mode("overwrite").parquet(f"{alt}/partsupp.parquet")
+    from_file = tables.partsupp(spark, alt)
+    rows_f = sorted(
+        (r.ps_partkey, r.ps_suppkey, r.ps_availqty, str(r.ps_supplycost))
+        for r in from_file.collect()
+    )
+    assert rows_f == rows_s

@@ -126,6 +126,16 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{out_dir}/{name}.parquet")
         print(f"copied {name}", flush=True)
+    # materialize partsupp from the sharded lineitem with the SAME
+    # derivation queries use when the file is absent (statistics
+    # consistent with lineitem by construction); its presence flips
+    # sources.tables.partsupp to the file-backed read path
+    from airflow_retail_etl_spark.sources.tables import partsupp
+
+    partsupp(spark, out_dir).write.mode("overwrite").parquet(
+        f"{out_dir}/partsupp.parquet"
+    )
+    print("wrote partsupp", flush=True)
     print(f"done: {out_dir}", flush=True)
 
 
