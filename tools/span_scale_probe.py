@@ -40,24 +40,23 @@ def _ensure_sf10_docs(spark) -> str:
     out = str(SF10_DOCS / "documents.parquet")
     if os.path.exists(out):
         return str(SF10_DOCS)
+    # shards written INCREMENTALLY (append) — a 100-way union in one
+    # write buffered 32 tasks of 100x-expanded text and OOM'd the JVM
     src = spark.read.parquet(f"{SRC}/documents.parquet")
-    parts = []
+    tmp = out + "__staging"
     for s in range(100):
         text = F.col("text") if s == 0 else F.regexp_replace(
             "text", r"(\S+)", rf"$1x{s}"
         )
-        parts.append(
-            src.select(
-                (F.col("doc_id") + F.lit(s * OFF)).alias("doc_id"),
-                text.alias("text"),
-                "lang",
-                "source",
-            ).withColumn("n_chars", F.length("text"))
-        )
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    df.write.mode("overwrite").parquet(out)
+        src.select(
+            (F.col("doc_id") + F.lit(s * OFF)).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+        ).withColumn("n_chars", F.length("text")).write.mode(
+            "append"
+        ).parquet(tmp)
+    os.rename(tmp, out)
     return str(SF10_DOCS)
 
 
@@ -77,20 +76,33 @@ def main() -> None:
     sf10 = _ensure_sf10_docs(spark)
     tiers = [("0.1", SRC), ("1", str(ROOT / ".scale_data" / "sf1")),
              ("10", sf10)]
-    caps = [100, 200, 400]
+    caps = [
+        int(c)
+        for c in os.environ.get("SPAN_PROBE_CAPS", "100,200").split(",")
+    ]
+    # cap=400 at sf10 is NOT in the default sweep: its shuffle spill
+    # exhausted local disk (the Σmin(df,cap)² bound's cap² constant) —
+    # see the round-9 span_cap_probe SCALING_HISTORY record
     probes: dict[str, dict] = {}
     for cap in caps:
         sec: dict[str, float] = {}
         pairs: dict[str, int] = {}
-        for sf, d in tiers:
-            docs = spark.read.parquet(f"{d}/documents.parquet")
-            t0 = time.time()
-            n = dedup.shared_span_pairs(
-                docs, "text", "doc_id", k=16, min_len=60,
-                hash_family="xxhash64", max_doc_freq=cap,
-            ).count()
-            sec[sf] = round(time.time() - t0, 3)
-            pairs[sf] = int(n)
+        try:
+            for sf, d in tiers:
+                docs = spark.read.parquet(f"{d}/documents.parquet")
+                t0 = time.time()
+                n = dedup.shared_span_pairs(
+                    docs, "text", "doc_id", k=16, min_len=60,
+                    hash_family="xxhash64", max_doc_freq=cap,
+                ).count()
+                sec[sf] = round(time.time() - t0, 3)
+                pairs[sf] = int(n)
+        except Exception as exc:  # noqa: BLE001 — record partial sweeps
+            probes[f"cap={cap}"] = {
+                "sec": sec, "pairs": pairs, "dnf": str(exc)[:200],
+            }
+            print(json.dumps({f"cap={cap}": "DNF"}), flush=True)
+            continue
         steps = {
             "0.1->1": round(sec["1"] / sec["0.1"], 2),
             "1->10": round(sec["10"] / sec["1"], 2),
