@@ -1521,6 +1521,25 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (dedup.edit_distance_pairs): ordered
+    character-edit similarity over the 80-char normalized prefix — the
+    near-dup notion the set/bag sketches can't express (titles, queries,
+    template IDs). Spark blocks with PassJoin pigeonhole segments (a
+    CONSTANT number of keys per row — never all-pairs) and verifies with
+    threshold-bounded levenshtein; the oracle computes the ALL-PAIRS
+    distance directly, so the hash match certifies the blocking's
+    completeness, not just the verify step. Uncapped here so that
+    certificate is unconditional; production uses the bucket cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.edit_distance_pairs(
+            docs, "text", "doc_id", max_dist=4, max_bucket_size=None
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per doc (dedup.winnow_fingerprints, md5
     family so the oracle replays every fingerprint; production uses
@@ -4178,6 +4197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_resolve (identical jaccard_pairs call feeding the
         # cluster resolution)
         "neardup_jaccard": q_neardup_jaccard,
+        # ordered character-edit near-dup (PassJoin blocking + bounded
+        # levenshtein verify; oracle = all-pairs distance, so the hash
+        # match certifies blocking completeness)
+        "edit_neardup": q_edit_neardup,
         # threshold knob-tuning sweep over the same exact pairs
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "winnow": q_winnow,
@@ -6602,6 +6625,20 @@ def oracle_sql() -> dict[str, str]:
         FROM merged ORDER BY doc_id
         """,
         # same k=5 gram hashes + window-4 minima as winnow_fingerprints
+        # all-pairs ground truth: the Spark side must reproduce this
+        # from pigeonhole blocking — completeness certificate, see
+        # q_edit_neardup
+        "edit_neardup": f"""
+        WITH s AS (
+            SELECT doc_id, substr({_NORM_TEXT}, 1, 80) AS s
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.s, b.s) <= 4
+        ORDER BY id_a, id_b
+        """,
         "winnow": _winnow_cte(5, 4)
         + """
         SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,

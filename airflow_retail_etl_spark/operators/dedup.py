@@ -1449,3 +1449,167 @@ def containment_pairs(
     if min_containment > 0:
         out = out.filter(F.col("containment") >= min_containment)
     return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 2,
+    key_chars: int = 80,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over a short normalized key —
+    (id_a, id_b, dist) for every pair whose first ``key_chars``
+    normalized characters are within Levenshtein distance ``max_dist``.
+
+    The one near-dup semantics the sketch families don't give: Jaccard /
+    MinHash / SimHash are set/bag similarities (order-insensitive,
+    token-grain), while edit distance counts ORDERED character edits —
+    the right notion for titles, queries, URLs, and template IDs. The
+    key is a bounded prefix because Levenshtein verification is
+    O(len²) per pair; for whole-document near-dup use the span/sketch
+    families.
+
+    Scale shape (NOT all-pairs): PassJoin-style pigeonhole blocking.
+    Split each string of length n into m = max_dist+1 contiguous
+    segments (fixed boundaries per length); if ed(s, t) ≤ max_dist then
+    at least one of s's segments occurs VERBATIM in t within ±max_dist
+    of its position (≤ max_dist edits shift any alignment by ≤
+    max_dist). So the segmented side emits m keys per doc and the probe
+    side emits, for every candidate partner length ℓ ∈ [n−k, n+k], the
+    substrings at the partner's segment boundaries ± k — O(k²·m) keys
+    per doc, a CONSTANT per row. Candidates join on (partner_length,
+    segment_index, content); exact verification uses Spark's
+    threshold-bounded ``levenshtein(a, b, k)`` (early-exit DP).
+    Completeness is pinned by the DuckDB oracle, which computes the
+    all-pairs distance directly. ``max_bucket_size`` caps degenerate
+    blocks (boilerplate prefixes) exactly like the LSH bucket caps.
+    """
+    from airflow_retail_etl_spark.functions.text import normalize_text
+
+    k, m = max_dist, max_dist + 1
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(normalize_text(F.col(text_col)), 1, key_chars).alias(
+            "s"
+        ),
+    ).withColumn("n", F.length("s")).transform(_spread_id)
+
+    def seg_len(ell, i):  # length of segment i when the string has len ell
+        return (ell / m).cast("int") + F.when(
+            i < ell % m, F.lit(1)
+        ).otherwise(F.lit(0))
+
+    def seg_pos(ell, i):  # 0-based start of segment i
+        base_len = (ell / m).cast("int")
+        return i * base_len + F.least(i, ell % m)
+
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    segs = base.select(
+        "id",
+        "s",
+        "n",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.substring(
+                        F.col("s"),
+                        seg_pos(F.col("n"), i) + 1,
+                        seg_len(F.col("n"), i),
+                    ).alias("content"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.i").alias("i"), F.col("g.content").alias("content"), F.col("n").alias("ell"))
+    segs = segs.filter(F.length("content") > 0)
+
+    lens = F.sequence(F.col("n") - k, F.col("n") + k)
+    shifts = F.sequence(F.lit(-k), F.lit(k))
+    probes = base.select(
+        "id",
+        "s",
+        "n",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    lens,
+                    lambda ell: F.flatten(
+                        F.transform(
+                            idx,
+                            lambda i: F.transform(
+                                shifts,
+                                lambda d: F.struct(
+                                    ell.alias("ell"),
+                                    i.alias("i"),
+                                    (seg_pos(ell, i) + d).alias("p"),
+                                    seg_len(ell, i).alias("L"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("g"),
+    ).filter(
+        (F.col("g.ell") >= 1)
+        & (F.col("g.L") >= 1)
+        & (F.col("g.p") >= 0)
+        & (F.col("g.p") + F.col("g.L") <= F.col("n"))
+    ).select(
+        F.col("id").alias("pid"),
+        F.col("g.ell").alias("ell"),
+        F.col("g.i").alias("i"),
+        F.substring(
+            F.col("s"), F.col("g.p") + 1, F.col("g.L")
+        ).alias("content"),
+    ).dropDuplicates(["pid", "ell", "i", "content"])
+
+    segs = _cap_buckets(segs, ["ell", "i", "content"], max_bucket_size)
+    probes = _cap_buckets(probes, ["ell", "i", "content"], max_bucket_size)
+    cand = (
+        segs.join(probes, ["ell", "i", "content"])
+        .filter(F.col("id") != F.col("pid"))
+        .select(
+            F.least("id", "pid").alias("id_a"),
+            F.greatest("id", "pid").alias("id_b"),
+        )
+    )
+    # pigeonhole escape hatch: a string of length ≤ k can have EVERY
+    # nonempty segment edited (the untouched part may be the empty one),
+    # so segment keys prove nothing for it. Its partners are ≤ 2k chars
+    # (length diff bounds edits), so pair the ≤k strings against the
+    # ≤2k strings in one dedicated block — a sliver of any real corpus,
+    # and still behind the same skew cap.
+    tiny_a = base.filter(F.col("n") <= k).select(
+        F.col("id").alias("tid"), F.lit(1).alias("__blk")
+    )
+    tiny_b = _cap_buckets(
+        base.filter(F.col("n") <= 2 * k).select(
+            F.col("id").alias("pid2"), F.lit(1).alias("__blk")
+        ),
+        ["__blk"],
+        max_bucket_size,
+    )
+    cand_tiny = (
+        tiny_a.join(tiny_b, "__blk")
+        .filter(F.col("tid") != F.col("pid2"))
+        .select(
+            F.least("tid", "pid2").alias("id_a"),
+            F.greatest("tid", "pid2").alias("id_b"),
+        )
+    )
+    cand = cand.unionByName(cand_tiny).dropDuplicates(["id_a", "id_b"])
+    a = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    dist = F.levenshtein(F.col("sa"), F.col("sb"), k)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)  # threshold form returns -1 above k
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -61,6 +61,7 @@ from airflow_retail_etl_spark.sources.tables import load_table
 HEADLINE = (
     "staging_clean",
     "ann_recall",
+    "edit_neardup",
     "nation_profit_ps",
     "important_stock_ps",
     "supplier_part_counts_ps",

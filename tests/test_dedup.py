@@ -487,3 +487,70 @@ def test_entry_dedup_threshold_sweep_monotone(spark):
     assert direct == next(
         r["n_pairs"] for r in rows if r["threshold"] == 0.7
     )
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    """PassJoin pigeonhole blocking must find EVERY pair within the
+    distance bound — pinned against a pure-Python all-pairs Levenshtein
+    on a corpus with engineered substitutions/insertions/deletions at
+    segment boundaries and interiors, plus length-edge cases."""
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dot",      # sub @ end
+        "Xhe quick brown fox jumps over the lazy dog",      # sub @ start
+        "the quick brown fox jumXps over the lazy dog",     # insert mid
+        "the quick brown fox jmps over the lazy dog",       # delete mid
+        "the quick brown fox jumps over lazy dog",          # word del (4)
+        "a completely different sentence about spark",
+        "ab",                                               # len < m
+        "abc",
+        "",                                                 # empty
+        "the quick brown fox jumps over the lazy dog  ",    # ws-normalized dup
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    for k in (1, 2, 4):
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in dedup.edit_distance_pairs(
+                df, "text", "doc_id", max_dist=k, max_bucket_size=None
+            ).collect()
+        )
+        import re as _re
+
+        norm = [
+            _re.sub(r"\s+", " ", t.strip().lower())[:80] for t in texts
+        ]
+        want = sorted(
+            (i, j, lev(norm[i], norm[j]))
+            for i in range(len(texts))
+            for j in range(i + 1, len(texts))
+            if lev(norm[i], norm[j]) <= k
+        )
+        assert got == want, (k, got, want)
+
+
+def test_edit_distance_pairs_bucket_cap_drops_hot_blocks(spark):
+    # 40 docs sharing one boilerplate prefix: uncapped finds the clique,
+    # a tiny cap suppresses candidate generation from the hot blocks
+    rows = [(i, "common boilerplate prefix here") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = dedup.edit_distance_pairs(
+        df, "text", "doc_id", max_dist=2, max_bucket_size=None
+    ).count()
+    capped = dedup.edit_distance_pairs(
+        df, "text", "doc_id", max_dist=2, max_bucket_size=10
+    ).count()
+    assert full == 40 * 39 // 2
+    assert capped == 0
