@@ -1194,6 +1194,32 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (profile.snapshot_diff): ADDED / REMOVED /
+    CHANGED / UNCHANGED verdict per doc between two snapshots — here
+    simulated deterministically from one table (old drops doc_id%10==0,
+    new drops %10==1 and rewrites text for %7==0), so both engines see
+    identical snapshots. One full-outer join on length-prefixed md5
+    content fingerprints; the id-grain verdict table is the output the
+    reprocess decision consumes."""
+    from airflow_retail_etl_spark.operators import profile as profile_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")),
+    )
+    return (
+        profile_ops.snapshot_diff(old, new, "doc_id", ["text", "lang", "source"])
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_source_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained epoching plan (mixing.source_repeat_plan): split
     a 75k-token training budget across sources as uniformly as possible
@@ -4170,6 +4196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chi-square token divergence: what changed between snapshots
         # (drift family repped in-window by ks_drift)
         "keyword_divergence": q_keyword_divergence,
+        # id-grain ADDED/REMOVED/CHANGED/UNCHANGED verdict between two
+        # corpus snapshots (same drift/maintenance family)
+        "snapshot_diff": q_snapshot_diff,
         # per-dimension embedding health audit (dead dims, scale drift)
         "embedding_dim_stats": q_embedding_dim_stats,
         "high_value_customers": q_high_value_customers,
@@ -6085,6 +6114,42 @@ def oracle_sql() -> dict[str, str]:
         # exact 2x2 chi-square at token grain: integer counts, fixed-order
         # double products, one division, 6dp-rounded rank — identical to
         # lm.keyword_divergence
+        "snapshot_diff": f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(concat_ws('|',
+                       CASE WHEN text IS NULL THEN '∅'
+                            ELSE length(text) || ':' || text END,
+                       CASE WHEN lang IS NULL THEN '∅'
+                            ELSE length(lang) || ':' || lang END,
+                       CASE WHEN source IS NULL THEN '∅'
+                            ELSE length(source) || ':' || source END))
+                       AS f
+            FROM documents
+        ), fp2 AS (
+            SELECT doc_id,
+                   md5(concat_ws('|',
+                       CASE WHEN t IS NULL THEN '∅'
+                            ELSE length(t) || ':' || t END,
+                       CASE WHEN lang IS NULL THEN '∅'
+                            ELSE length(lang) || ':' || lang END,
+                       CASE WHEN source IS NULL THEN '∅'
+                            ELSE length(source) || ':' || source END))
+                       AS f
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 0
+                              THEN text || ' [rev2]' ELSE text END AS t,
+                         lang, source
+                  FROM documents WHERE doc_id % 10 != 1)
+        ), o AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 != 0)
+        SELECT COALESCE(o.doc_id, fp2.doc_id) AS doc_id,
+               CASE WHEN o.f IS NULL THEN 'ADDED'
+                    WHEN fp2.f IS NULL THEN 'REMOVED'
+                    WHEN o.f = fp2.f THEN 'UNCHANGED'
+                    ELSE 'CHANGED' END AS status
+        FROM o FULL OUTER JOIN fp2 ON o.doc_id = fp2.doc_id
+        ORDER BY doc_id
+        """,
         "keyword_divergence": f"""
         WITH t AS (
             SELECT doc_id, source, {_NORM_TEXT} AS nt FROM documents

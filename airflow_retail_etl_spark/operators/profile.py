@@ -153,3 +153,52 @@ def ks_drift(
             ).alias("ks_stat"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Corpus snapshot diff: per document, ADDED / REMOVED / CHANGED /
+    UNCHANGED between two snapshots — the audit a pipeline runs before
+    reprocessing a refreshed crawl (how much actually moved decides
+    between incremental admission and a full rebuild).
+
+    One FULL OUTER join on the id with md5 content fingerprints computed
+    over the named columns (null-tagged, ``|``-joined with a
+    length-prefix per field so no concatenation collision can fake
+    UNCHANGED). Output is the id-grain verdict table
+    (``id``, ``status``); aggregate it for the summary, anti-join it for
+    the to-reprocess slice. Exactly one shuffle; at 100 TB both sides
+    scan once and the join is the id-keyed co-location every table
+    maintenance job already pays.
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in content_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("∅")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.concat_ws("|", *parts)).alias("fp"),
+        )
+
+    o = fp(old).withColumnRenamed("fp", "fp_old")
+    n = fp(new).withColumnRenamed("fp", "fp_new")
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            "id",
+            F.when(F.col("fp_old").isNull(), F.lit("ADDED"))
+            .when(F.col("fp_new").isNull(), F.lit("REMOVED"))
+            .when(F.col("fp_old") == F.col("fp_new"), F.lit("UNCHANGED"))
+            .otherwise(F.lit("CHANGED"))
+            .alias("status"),
+        )
+    )

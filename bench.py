@@ -62,6 +62,7 @@ HEADLINE = (
     "staging_clean",
     "ann_recall",
     "edit_neardup",
+    "snapshot_diff",
     "nation_profit_ps",
     "important_stock_ps",
     "supplier_part_counts_ps",

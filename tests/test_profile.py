@@ -95,3 +95,39 @@ def test_ks_drift_exact_statistic_and_bounds(spark):
     an = a.union(spark.createDataFrame([(99, None)], a.schema))
     r3 = ks_drift(an, b, "v").collect()[0]
     assert r3.n_a == 8
+
+
+def test_snapshot_diff_statuses(spark):
+    from airflow_retail_etl_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", None), (4, "d", "de")],
+        ["id", "text", "lang"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "en"), (3, "c2", None), (5, "e", "fr"), (4, "d", "de")],
+        ["id", "text", "lang"],
+    )
+    got = {
+        r.id: r.status
+        for r in snapshot_diff(old, new, "id", ["text", "lang"]).collect()
+    }
+    assert got == {
+        1: "REMOVED", 2: "UNCHANGED", 3: "CHANGED", 4: "UNCHANGED",
+        5: "ADDED",
+    }
+
+
+def test_snapshot_diff_no_concat_collision(spark):
+    # ("ab", "c") vs ("a", "bc") must NOT hash UNCHANGED: the
+    # length-prefixed encoding makes field boundaries unambiguous;
+    # NULL vs empty string must also differ
+    from airflow_retail_etl_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame([(1, "ab", "c"), (2, None, "x")],
+                                ["id", "t", "u"])
+    new = spark.createDataFrame([(1, "a", "bc"), (2, "", "x")],
+                                ["id", "t", "u"])
+    got = {r.id: r.status
+           for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()}
+    assert got == {1: "CHANGED", 2: "CHANGED"}
