@@ -120,6 +120,8 @@ def _fs_signature(spark: SparkSession, dirpath: str) -> tuple:
     sc = spark.sparkContext
     p = sc._jvm.org.apache.hadoop.fs.Path(dirpath)
     fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(p):  # optional dirs (tombstones) sign as empty
+        return ()
     out = []
     it = fs.listFiles(p, True)
     while it.hasNext():
@@ -193,16 +195,62 @@ _CELLS_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
 
 
 def _cells_df(spark: SparkSession, path: str) -> DataFrame:
-    sig = _fs_signature(spark, f"{path}/cells")
+    """LIVE cells: the stored rows minus tombstoned ids. Deletes are a
+    broadcast anti-join until compaction folds them in physically, so
+    a deleted vector can neither occupy a shortlist slot nor be
+    returned; the cache signature covers BOTH dirs, so a delete or a
+    compaction invalidates it."""
+    sig = _fs_signature(spark, f"{path}/cells") + _fs_signature(
+        spark, f"{path}/tombstones"
+    )
     key = _cache_key(spark, path)
     hit = _CELLS_CACHE.get(key)
     if hit is not None and hit[0] == sig:
         return hit[1]
     df = spark.read.parquet(f"{path}/cells")
+    tomb = _tombstones_df(spark, path)
+    if tomb is not None:
+        df = df.join(
+            F.broadcast(tomb), df["id"] == tomb["__dead_id"], "left_anti"
+        )
     for k in [k for k in _CELLS_CACHE if k[1] == path and k != key]:
         del _CELLS_CACHE[k]
     _CELLS_CACHE[key] = (sig, df)
     return df
+
+
+def _tombstones_df(spark: SparkSession, path: str):
+    """(``__dead_id``) or None when no tombstones exist."""
+    try:
+        t = spark.read.parquet(f"{path}/tombstones")
+    except Exception:  # AnalysisException: dir absent
+        return None
+    return t.select(F.col("id").alias("__dead_id")).distinct()
+
+
+def delete_from_ann_index(spark: SparkSession, path: str, ids) -> None:
+    """Tombstone vectors out of the index — the missing third of the
+    lifecycle (build / append / DELETE / compact). ``ids`` is a
+    DataFrame whose first column holds the ids, or a Python iterable.
+
+    Deletes are LOGICAL and O(batch): one id-list parquet append under
+    ``tombstones/`` — no cells rewrite, no refit (centroids/codebook
+    gate candidate generation only, and the rescore is exact over live
+    rows). The query path anti-joins the broadcast tombstone set;
+    ``compact_ann_index`` applies them physically and clears the
+    directory, with a crash-safe order (cells swap first, clear after —
+    a crash between leaves no-op tombstones, never resurrects rows).
+    Re-adding a deleted id goes through ``append_to_ann_index`` AFTER a
+    compaction; while a tombstone for the id exists, the anti-join
+    hides every row of that id by design (delete wins)."""
+    if isinstance(ids, DataFrame):
+        first = ids.columns[0]
+        df = ids.select(F.col(first).alias("id")).distinct()
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in ids], "id bigint"
+        ).distinct()
+    df.write.mode("append").parquet(f"{path}/tombstones")
 
 
 def ann_index_topk(
@@ -359,8 +407,10 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     the partition column → one task per cell → one file), staged to a
     temp dir and swapped in with ``io.promote_staging`` (never
     overwrite-in-place the table being read; crash-recoverable at every
-    point). Decision-preserving: same rows, same cells — only the file
-    layout changes. The query path's metadata/listing caches invalidate
+    point). Decision-preserving for LIVE rows: tombstoned ids
+    (``delete_from_ann_index``) are applied physically here and the
+    tombstone directory cleared after the swap; otherwise same rows,
+    same cells — only the file layout changes. The query path's metadata/listing caches invalidate
     themselves via the directory-signature check. Centroids and codebook
     are single-file constants and never need compaction.
     """
@@ -368,14 +418,26 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
 
     cells = f"{path}/cells"
     staging = f"{cells}__staging"
+    live = spark.read.parquet(cells)
+    tomb = _tombstones_df(spark, path)
+    if tomb is not None:
+        live = live.join(
+            F.broadcast(tomb), live["id"] == tomb["__dead_id"], "left_anti"
+        )
     (
-        spark.read.parquet(cells)
-        .repartition(F.col("cell"))
+        live.repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(staging)
     )
     promote_staging(spark, staging, cells)
+    # clear tombstones AFTER the swap: a crash in between leaves no-op
+    # tombstones (their rows are already gone), never resurrected rows
+    if tomb is not None:
+        sc = spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(p, True)
 
 
 def recall_report(

@@ -237,3 +237,51 @@ def test_recall_report_monotone_and_exact_at_probe_all(spark, sf_dir):
         rec2 = [r.recall_at_k for r in sorted(rep2, key=lambda r: r.n_probe)]
         assert rec2 == sorted(rec2), rec2
         assert rec2[-1] == 1.0
+
+
+def test_delete_tombstones_then_compact(spark, sf_dir, tmp_path):
+    """Index lifecycle's delete leg: tombstoned ids vanish from query
+    results immediately (their former ranks filled by live vectors, not
+    holes), survive replayed deletes idempotently, and compaction
+    applies them physically and clears the tombstone directory while
+    preserving every live answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators import ann_index as ai
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    path = str(tmp_path / "idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ai.build_ann_index(emb, path, n_cells=4)
+    qs = emb.filter(F.col("vec_id") % 50 == 0).limit(3)
+
+    before = ai.ann_index_topk(spark, path, qs, k=5, n_probe=4)
+    victims = sorted({r.neighbor_id for r in before.collect()})[:2]
+    ai.delete_from_ann_index(spark, path, victims)
+    ai.delete_from_ann_index(spark, path, victims)  # replay: idempotent
+
+    after = ai.ann_index_topk(spark, path, qs, k=5, n_probe=4)
+    rows = after.collect()
+    assert not {r.neighbor_id for r in rows} & set(victims)
+    # ranks stay dense: every query still gets k results from live rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+    expect = sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in rows
+    )
+    ai.compact_ann_index(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    stored_ids = {
+        r.id for r in spark.read.parquet(f"{path}/cells").collect()
+    }
+    assert not stored_ids & set(victims)  # physically gone
+    again = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ai.ann_index_topk(spark, path, qs, k=5, n_probe=4).collect()
+    )
+    assert again == expect
