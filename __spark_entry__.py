@@ -1566,6 +1566,54 @@ def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report: per language, BPE tokens per
+    whitespace word and normalized chars per BPE token under the shipped
+    merge list — the tokenizer-health metric a multilingual pipeline
+    tracks (a language whose fertility balloons is being split to
+    near-characters and will dominate the token budget). Exact integer
+    sums (token counts from the same apply_bpe fold the bpe_tokenize
+    oracle replays; word/char counts from the normalized text), one
+    division per ratio at the report grain."""
+    from airflow_retail_etl_spark.functions import text as tf
+    from airflow_retail_etl_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = bpe.apply_bpe(docs, "text", "doc_id", _BPE_MERGES).select(
+        F.col("id").alias("doc_id"), "n_bpe_tokens"
+    )
+    norm = tf.normalize_text(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        tf.token_count(norm).alias("n_words"),
+        F.length(norm).alias("n_chars"),
+    )
+    return (
+        stats.join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.nullif(F.col("n_words"), F.lit(0)), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars") / F.nullif(F.col("n_tokens"), F.lit(0)), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per doc (dedup.winnow_fingerprints, md5
     family so the oracle replays every fingerprint; production uses
@@ -4213,6 +4261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-health Zipf spectrum over the same vocabulary table
         "frequency_spectrum": q_frequency_spectrum,
         "doc_stats": q_doc_stats,
+        # per-language tokens/word + chars/token under the shipped
+        # merges (tokenizer-health face of the in-window bpe_tokenize
+        # apply machinery)
+        "tokenizer_fertility": q_tokenizer_fertility,
         "vocab": q_vocab,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
@@ -6665,6 +6717,41 @@ def oracle_sql() -> dict[str, str]:
         # is wrapped •tok•, words joined by ‖ so merges cannot cross word
         # boundaries; replace() resumes after each match = the fold's
         # greedy left-to-right semantics
+        "tokenizer_fertility": f"""
+        WITH norm AS (
+            SELECT doc_id, lang, {_NORM_TEXT} AS t FROM documents
+        ), words AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split(t, ' ') END AS ws
+            FROM norm
+        ), wrapped AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(ws,
+                       w -> '•' || array_to_string(string_split(w, ''), '••')
+                            || '••</w>•'), '‖') AS s
+            FROM words
+        ), merged AS (
+            SELECT doc_id, {_bpe_merge_sql("s")} AS s FROM wrapped
+        ), per_doc AS (
+            SELECT n.doc_id, n.lang,
+                   CASE WHEN length(n.t) = 0 THEN 0
+                        ELSE len(string_split(n.t, ' ')) END AS n_words,
+                   length(n.t) AS n_chars,
+                   CAST((length(m.s) - length(replace(m.s, '•', ''))) // 2
+                        AS BIGINT) AS n_tokens
+            FROM norm n JOIN merged m ON n.doc_id = m.doc_id
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                     / NULLIF(SUM(n_words), 0), 6) AS fertility,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                     / NULLIF(SUM(n_tokens), 0), 6) AS chars_per_token
+        FROM per_doc GROUP BY lang ORDER BY lang
+        """,
         "bpe_tokenize": f"""
         WITH norm AS (
             SELECT doc_id, {_NORM_TEXT} AS t FROM documents

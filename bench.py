@@ -63,6 +63,7 @@ HEADLINE = (
     "ann_recall",
     "edit_neardup",
     "snapshot_diff",
+    "tokenizer_fertility",
     "nation_profit_ps",
     "important_stock_ps",
     "supplier_part_counts_ps",
