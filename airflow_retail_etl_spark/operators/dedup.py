@@ -586,33 +586,7 @@ def incremental_lsh_dedup(
         else index.select("id", "shingles").dropDuplicates(["id"])
     )
 
-    def _verified(df: DataFrame) -> DataFrame:
-        # intersection size projected ONCE, jaccard derived from the
-        # column — array_intersect is the dominant per-pair cost and a
-        # lambda inlining it twice doubles the verify step
-        inter = F.size(F.array_intersect("sa", "sb"))
-        return (
-            df.withColumn("__inter", inter)
-            .filter(
-                F.col("__inter")
-                / (F.size("sa") + F.size("sb") - F.col("__inter"))
-                >= min_jaccard
-            )
-        )
-
-    cross_drop = (
-        _verified(
-            cross.join(
-                inc_sh.withColumnsRenamed({"id": "inc_id", "shingles": "sa"}),
-                "inc_id",
-            ).join(
-                ex_sh.withColumnsRenamed({"id": "ex_id", "shingles": "sb"}),
-                "ex_id",
-            )
-        )
-        .select(F.col("inc_id").alias("drop_id"))
-    )
-    # incoming × incoming: smaller id wins
+    # incoming × incoming: smaller id wins — the DROPPED side is id_b
     self_cand = (
         inc_banded.alias("a")
         .join(
@@ -621,22 +595,44 @@ def incremental_lsh_dedup(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("b.id").alias("drop_cand"), F.col("a.id").alias("partner"))
+        .dropDuplicates(["drop_cand", "partner"])
     )
-    self_drop = (
-        _verified(
-            self_cand.join(
-                inc_sh.withColumnsRenamed({"id": "id_a", "shingles": "sa"}),
-                "id_a",
-            ).join(
-                inc_sh.withColumnsRenamed({"id": "id_b", "shingles": "sb"}),
-                "id_b",
-            )
+    # ONE verify pipeline for both candidate sources (round 9: the two
+    # separate verify join chains cost an extra join + exchange per
+    # batch on the slowest benched query). Partners come from the union
+    # store (index shingles ∪ batch shingles — ids are globally unique
+    # under the incremental contract: the index holds previously
+    # admitted docs, the batch holds new ones), so one candidate union
+    # needs one probe join + one partner join + one capped verify.
+    cand = cross.select(
+        F.col("inc_id").alias("drop_cand"), F.col("ex_id").alias("partner")
+    ).unionByName(self_cand)
+    store = ex_sh.unionByName(inc_sh)
+
+    inter = F.size(F.array_intersect("sa", "sb"))
+    drops = (
+        cand.join(
+            inc_sh.withColumnsRenamed(
+                {"id": "drop_cand", "shingles": "sa"}
+            ),
+            "drop_cand",
         )
-        .select(F.col("id_b").alias("drop_id"))
+        .join(
+            store.withColumnsRenamed(
+                {"id": "partner", "shingles": "sb"}
+            ),
+            "partner",
+        )
+        .withColumn("__inter", inter)
+        .filter(
+            F.col("__inter")
+            / (F.size("sa") + F.size("sb") - F.col("__inter"))
+            >= min_jaccard
+        )
+        .select(F.col("drop_cand").alias("drop_id"))
+        .distinct()
     )
-    drops = cross_drop.unionByName(self_drop).distinct()
     if return_drops:
         # the verdict alone (one small id column): batch-sequential
         # callers checkpoint THIS instead of the survivor rows — same
