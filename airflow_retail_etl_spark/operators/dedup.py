@@ -1523,7 +1523,19 @@ def edit_distance_pairs(
     ).select("id", F.col("g.i").alias("i"), F.col("g.content").alias("content"), F.col("n").alias("ell"))
     segs = segs.filter(F.length("content") > 0)
 
-    lens = F.sequence(F.col("n") - k, F.col("n") + k)
+    # prune probe partner-lengths against the corpus length histogram:
+    # ℓ values nobody has generate keys nobody joins. The histogram is
+    # bounded by key_chars+1 distinct values (≤ 81 here) — a model-sized
+    # driver constant, the ANN-codebook class of collect; on prefix-key
+    # corpora where every doc normalizes to the full key length this is
+    # a (2k+1)× probe-key reduction.
+    present = sorted(
+        r["n"] for r in base.select("n").distinct().collect()
+    )
+    lens = F.filter(
+        F.sequence(F.col("n") - k, F.col("n") + k),
+        lambda ell: ell.isin(*present) if present else F.lit(False),
+    )
     shifts = F.sequence(F.lit(-k), F.lit(k))
     probes = base.select(
         "id",
