@@ -300,3 +300,49 @@ def test_incremental_dedup_matches_declarative_rule(spark, ex_texts, in_texts):
         ).collect()
     )
     assert got == sorted(expected)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_edit_distance_pairs_complete_on_random_corpora(spark, texts, k):
+    """PassJoin blocking completeness fuzz: tiny alphabet ('a','b',space)
+    maximizes near-collisions, whitespace exercises normalization, and
+    short strings hit the tiny-string block and empty-segment edges."""
+    import re
+
+    from airflow_retail_etl_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(
+            df, "text", "doc_id", max_dist=k, max_bucket_size=None
+        ).collect()
+    )
+    norm = [re.sub(r"\s+", " ", t.strip().lower())[:80] for t in texts]
+    want = sorted(
+        (i, j, _lev(norm[i], norm[j]))
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if _lev(norm[i], norm[j]) <= k
+    )
+    assert got == want
