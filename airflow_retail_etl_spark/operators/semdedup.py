@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .similarity import cosine_hoisted, pq_encode
+from .similarity import _lloyd_numpy, cosine_hoisted, pq_encode
 
 __all__ = [
     "semdedup",
@@ -122,32 +122,6 @@ def semdedup_train_centroids(
     return np.array(
         sorted([float(x) for x in c] for c in model.clusterCenters())
     )
-
-
-def _lloyd_numpy(x, k: int, *, seed: int, max_iter: int):
-    """Plain Lloyd iterations on an in-memory sample: seeded distinct-row
-    init, argmin assignment (first-index tiebreak), mean update, empty
-    clusters keep their previous center. Lexicographically sorted on
-    return."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    n = len(x)
-    if n == 0:
-        raise ValueError("empty training sample for semdedup centroids")
-    init_idx = rng.choice(n, size=min(k, n), replace=False)
-    c = x[np.sort(init_idx)].astype(float).copy()
-    if len(c) < k:  # fewer sample rows than clusters: pad by repetition
-        c = np.vstack([c, c[rng.integers(0, len(c), k - len(c))]])
-    for _ in range(max_iter):
-        # ‖x−c‖² = ‖x‖² − 2x·cᵀ + ‖c‖²; the ‖x‖² term is argmin-constant
-        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
-        a = d.argmin(axis=1)
-        for j in range(k):
-            m = a == j
-            if m.any():
-                c[j] = x[m].mean(axis=0)
-    return np.array(sorted([float(v) for v in row] for row in c))
 
 
 #: cluster count above which assignment switches from the inlined-literal

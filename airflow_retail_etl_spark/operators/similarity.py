@@ -295,6 +295,65 @@ def _ivf_corpus(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _lloyd_numpy(x, k: int, *, seed: int, max_iter: int):
+    """Plain Lloyd iterations on an in-memory sample: seeded distinct-row
+    init, argmin assignment (first-index tiebreak), mean update, empty
+    clusters keep their previous center. Lexicographically sorted on
+    return."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    if n == 0:
+        raise ValueError("empty training sample for semdedup centroids")
+    init_idx = rng.choice(n, size=min(k, n), replace=False)
+    c = x[np.sort(init_idx)].astype(float).copy()
+    if len(c) < k:  # fewer sample rows than clusters: pad by repetition
+        c = np.vstack([c, c[rng.integers(0, len(c), k - len(c))]])
+    for _ in range(max_iter):
+        # ‖x−c‖² = ‖x‖² − 2x·cᵀ + ‖c‖²; the ‖x‖² term is argmin-constant
+        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    return np.array(sorted([float(v) for v in row] for row in c))
+
+
+#: cluster count above which assignment switches from the inlined-literal
+#: Catalyst argmin (oracle-replicable, plan size O(k·dims)) to the
+#: Arrow-batched matmul projection (plan size O(1)). The registry/oracle
+#: form (16 seeded centroids) stays well under it.
+_LITERAL_ASSIGN_MAX_K = 32
+
+
+def _nearest_centroid_udf(cb, *, base: int = 0):
+    """Arrow-batched BLAS argmin assignment over a centroid matrix —
+    O(1) plan size, no shuffle (the semdedup matmul strategy, shared by
+    the IVF coarse quantizer). Returns a pandas_udf mapping an
+    array<double> column to the ``base``-indexed nearest-centroid id
+    (first-index tiebreak)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.ascontiguousarray(cb, dtype=float)
+    c2 = (c * c).sum(axis=1)
+
+    @pandas_udf("int")
+    def _nearest(vs):
+        import numpy as _np
+        import pandas as _pd
+
+        x = _np.array(vs.tolist(), dtype=float)
+        if x.size == 0:
+            return _pd.Series([], dtype="int32")
+        d = -2.0 * (x @ c.T) + c2[None, :]
+        return _pd.Series(d.argmin(axis=1) + base, dtype="int32")
+
+    return _nearest
+
+
 def _fit_coarse_cells(
     v: DataFrame,
     *,
@@ -303,18 +362,42 @@ def _fit_coarse_cells(
     fit_fraction: float | None,
     init_mode: str,
     max_iter: int,
+    max_driver_rows: int = 500_000,
 ):
     """Fit the coarse quantizer and assign cells.
 
     Returns (assigned, centers_df): ``assigned`` is ``v`` with a ``cell``
     column (fv dropped), ``centers_df`` a tiny (cell, centroid) literal
     table for query-side probing. Shared by ivf_topk and ivf_pq_topk.
+
+    When the (sampled) training set fits ``max_driver_rows``, the Lloyd
+    iterations run driver-side in numpy and assignment is the Arrow
+    matmul projection — the semdedup round-9 medicine applied to the
+    coarse quantizer (Spark ML's estimator + transform cost seconds of
+    JVM orchestration per ∝-corpus fit and was most of ann_ivf's sf1
+    decade step). Cell geometry gates candidate generation only — the
+    rescore is exact and the integrity oracle (probe-all ≡ brute force)
+    is fit-independent. Spark ML remains the above-bound fallback.
     """
+    import numpy as np
     from pyspark.ml.clustering import KMeans
 
     fit_input = (
         v if fit_fraction is None else v.sample(fit_fraction, seed=seed)
     )
+    rows = fit_input.select("cv").limit(max_driver_rows + 1).collect()
+    if len(rows) <= max_driver_rows:
+        x = np.array([r["cv"] for r in rows])
+        x = x[np.lexsort(x.T[::-1])]  # layout-independent row order
+        cb = _lloyd_numpy(x, n_cells, seed=seed, max_iter=max_iter)
+        assigned = v.withColumn(
+            "cell", _nearest_centroid_udf(cb)(F.col("cv"))
+        ).drop("fv")
+        centers = [(i, [float(c) for c in row]) for i, row in enumerate(cb)]
+        centers_df = v.sparkSession.createDataFrame(
+            centers, ["cell", "centroid"]
+        )
+        return assigned, centers_df
     # cache the slim training projection: Lloyd's re-reads its input every
     # iteration, and uncached that means maxIter parquet scans + vector
     # conversions. The training set is the SAMPLE (small by design at
