@@ -232,6 +232,9 @@ def semdedup(
     tau: float = 0.4,
     centroids=None,
     max_cluster_size: int | None = None,
+    oversize: str = "drop",
+    lsh_planes: int = 4,
+    lsh_tables: int = 24,
 ) -> DataFrame:
     """Cluster-blocked semantic dedup: (vec_id, cluster, dup_of).
 
@@ -241,9 +244,24 @@ def semdedup(
     approximation the paper trades for scale); raising ``n_clusters``
     tightens blocks, lowering it tightens recall of duplicates.
 
-    ``max_cluster_size`` drops pair generation (NOT the vectors) for
-    clusters beyond the cap — the skew guard for degenerate embedding
-    collapse, mirroring the text-sketch bucket caps.
+    ``max_cluster_size`` gates pair generation for clusters beyond the
+    cap — the skew guard for degenerate embedding collapse. What happens
+    to an OVERSIZED cluster is ``oversize``:
+
+    - ``"drop"`` (default, the original contract): no pairs are
+      generated there — vectors survive unexamined. Zero extra cost,
+      zero recall inside the hot cluster.
+    - ``"lsh_block"``: the hot cluster is SUB-BLOCKED with the shared
+      hyperplane-LSH tables (``similarity._with_buckets`` — the same
+      seeded planes the ANN family uses), so pairs form only inside
+      (cluster, table, bucket) sub-blocks and every candidate is
+      verified with the exact rounded cosine. Per-cluster pair work
+      drops from |C|² to Σ_buckets |b|² while recall for pairs at
+      cosine ≥ tau stays high (multi-table: 1−(1−q^p)^L — the lsh_topk
+      math), instead of the cliff to zero. LSH≡direct equivalence on
+      within-cap data is pinned in tests.
+
+    Within-cap clusters use the direct pair scan in both modes.
     """
     asg = semdedup_assign(
         vectors,
@@ -255,37 +273,70 @@ def semdedup(
     )
     if max_cluster_size is not None:
         sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csz"))
-        joinable = asg.join(
-            F.broadcast(sizes.filter(F.col("__csz") <= max_cluster_size)),
-            "cluster",
-        ).drop("__csz")
+        small_clusters = F.broadcast(
+            sizes.filter(F.col("__csz") <= max_cluster_size).select(
+                "cluster"
+            )
+        )
+        joinable = asg.join(small_clusters, "cluster", "left_semi")
     else:
         joinable = asg
-    a = joinable.select(
-        "cluster",
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nn").alias("na"),
-    )
-    b = joinable.select(
-        "cluster",
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nn").alias("nb"),
-    )
+
     sim = F.round(
         cosine_hoisted(
             F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
         ),
         6,
     )
-    dups = (
-        a.join(b, ["cluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= F.lit(tau))
-        .groupBy("id_b")
-        .agg(F.min("id_a").alias("dup_of"))
-    )
+
+    def _pairs(df: DataFrame, keys: list[str]) -> DataFrame:
+        a = df.select(
+            *keys,
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nn").alias("na"),
+        )
+        b = df.select(
+            *keys,
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nn").alias("nb"),
+        )
+        return (
+            a.join(b, keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(sim >= F.lit(tau))
+            .select("id_a", "id_b")
+        )
+
+    pair_frames = [_pairs(joinable, ["cluster"])]
+    if max_cluster_size is not None and oversize == "lsh_block":
+        from .similarity import _with_buckets
+
+        big = asg.join(
+            F.broadcast(
+                sizes.filter(F.col("__csz") > max_cluster_size).select(
+                    "cluster"
+                )
+            ),
+            "cluster",
+            "left_semi",
+        )
+        bucketed = _with_buckets(
+            big, "v", tables=lsh_tables, planes=lsh_planes, dims=dims
+        )
+        pair_frames.append(
+            _pairs(bucketed, ["cluster", "table", "bucket"]).dropDuplicates(
+                ["id_a", "id_b"]
+            )
+        )
+    elif oversize not in ("drop", "lsh_block"):
+        raise ValueError(f"unknown oversize mode: {oversize!r}")
+
+    all_pairs = pair_frames[0]
+    for pf in pair_frames[1:]:
+        all_pairs = all_pairs.unionByName(pf)
+    dups = all_pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
     return (
         asg.select(F.col("id").alias("vec_id"), "cluster")
         .join(dups, F.col("vec_id") == F.col("id_b"), "left")

@@ -104,3 +104,43 @@ def test_auto_strategy_switches_on_k(spark, sf_dir):
                       centroids=sd.semdedup_centroids(64, 64))
     small = sd.semdedup(emb, n_clusters=16, dims=64)
     assert big.count() == small.count() == 200
+
+
+def test_oversize_lsh_block_equals_direct_within_cluster(spark, sf_dir):
+    """VERDICT r8 item 2's equivalence pin: with every cluster forced
+    oversized (cap=1), the LSH-sub-blocked within-cluster scan must
+    reproduce the DIRECT (uncapped) scan's dup_of assignments on the
+    testdata — the multi-table planes (p=4, L=24) catch every pair at
+    cosine ≥ tau here, so equality, not just recall. And 'drop' mode
+    must produce zero dups under the same forcing, pinning the contrast
+    the mode exists for."""
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators import semdedup as sd
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    direct = {
+        r.vec_id: r.dup_of
+        for r in sd.semdedup(emb, tau=0.4, max_cluster_size=None).collect()
+    }
+    lsh = {
+        r.vec_id: r.dup_of
+        for r in sd.semdedup(
+            emb, tau=0.4, max_cluster_size=1, oversize="lsh_block"
+        ).collect()
+    }
+    assert lsh == direct
+    dropped = sd.semdedup(emb, tau=0.4, max_cluster_size=1, oversize="drop")
+    assert dropped.filter(F.col("dup_of").isNotNull()).count() == 0
+
+
+def test_oversize_mode_validation(spark, sf_dir):
+    import pytest
+
+    from airflow_retail_etl_spark.operators import semdedup as sd
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(10)
+    with pytest.raises(ValueError):
+        sd.semdedup(emb, max_cluster_size=5, oversize="typo").collect()
