@@ -349,3 +349,42 @@ def funnel_stats(stages: dict[str, DataFrame], cfg: CorpusConfig) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def refresh_delta(
+    admitted: DataFrame,
+    snapshot: DataFrame,
+    cfg: CorpusConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """Recrawl refresh: (to_process, to_retire) from a fresh snapshot.
+
+    The weekly-recrawl flow a corpus service actually runs, composed
+    from the diff + admission machinery: ``profile.snapshot_diff``
+    classifies every doc of ``snapshot`` against the currently-admitted
+    corpus, and only ADDED ∪ CHANGED docs flow into reprocessing
+    (gates + incremental dedup admission — work ∝ the delta, never the
+    corpus), while REMOVED ∪ CHANGED ids are the retirement list the
+    caller applies to the corpus store and the dedup band index
+    (delete-then-readmit gives CHANGED docs clean index rows).
+    UNCHANGED docs — the overwhelming mass of a weekly recrawl — cost
+    exactly one fingerprint join and nothing else.
+
+    Returns (to_process, to_retire): the new-snapshot rows to run
+    through the admission pipeline, and the (id, status) retirement
+    verdicts. Composition only — every piece is the already-verified
+    operator.
+    """
+    from airflow_retail_etl_spark.operators.profile import snapshot_diff
+
+    diff = snapshot_diff(
+        admitted, snapshot, cfg.id_col, [cfg.text_col]
+    )
+    to_process = snapshot.join(
+        diff.filter(F.col("status").isin("ADDED", "CHANGED")).select(
+            F.col("id").alias(cfg.id_col)
+        ),
+        cfg.id_col,
+        "left_semi",
+    )
+    to_retire = diff.filter(F.col("status").isin("REMOVED", "CHANGED"))
+    return to_process, to_retire

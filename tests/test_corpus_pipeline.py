@@ -266,3 +266,29 @@ def test_shuffle_stage_orders_sequences_reproducibly(spark, sf_dir):
     ]
     assert sorted(order3) == sorted(order)
     assert order3 != order
+
+
+def test_refresh_delta_routes_only_the_delta(spark):
+    """Recrawl refresh invariants: UNCHANGED docs never reprocess,
+    ADDED and CHANGED flow to processing, REMOVED and CHANGED retire,
+    and the two outputs never disagree about a CHANGED doc."""
+    from airflow_retail_etl_spark.corpus_pipeline import (
+        CorpusConfig,
+        refresh_delta,
+    )
+
+    cfg = CorpusConfig()
+    admitted = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")], ["doc_id", "text"]
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo-v2"), (4, "delta")], ["doc_id", "text"]
+    )
+    to_process, to_retire = refresh_delta(admitted, snapshot, cfg)
+    proc = {r.doc_id for r in to_process.collect()}
+    retire = {(r.id, r.status) for r in to_retire.collect()}
+    assert proc == {2, 4}  # CHANGED + ADDED; UNCHANGED 1 untouched
+    assert retire == {(2, "CHANGED"), (3, "REMOVED")}
+    # processed CHANGED rows carry the NEW text
+    texts = {r.doc_id: r.text for r in to_process.collect()}
+    assert texts[2] == "bravo-v2"
