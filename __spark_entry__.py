@@ -4040,11 +4040,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family), streaming-batch, multimodal (multimodal_decode for the
     Arrow decode leaves; image_neardup — rotated in round 8 — for the
     perceptual-media near-dup family AND the SimHash/pigeonhole Hamming
-    engine it runs), and — rotated in round 9 so the round-8 machinery
-    gets external verification — corpus_shuffle (epoch-seeded
-    reproducible draw over the distributed prefix sum), ks_drift
-    (snapshot drift) and global_quantiles (rank-arithmetic exact
-    quantiles) — and
+    engine it runs), rotated in round 9 so the round-8 machinery gets
+    external verification — corpus_shuffle (epoch-seeded reproducible
+    draw over the distributed prefix sum), ks_drift (snapshot drift) and
+    global_quantiles (rank-arithmetic exact quantiles) — and rotated in
+    round 10 for the round-9 machinery: edit_neardup (PassJoin
+    character-edit near-dup), nation_profit_ps (real-partsupp TPC-H Q9),
+    snapshot_diff (id-grain corpus snapshot verdicts) — and
     tests/test_entry_contract.py enforces per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
@@ -4058,7 +4060,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     composition; the round-9 rotations out: daily_type_pivot /
     events_hourly are relational reshapes of in-window agg machinery,
     knn_cosine's brute-force dot/top-k runs inside ann_ivf's in-window
-    exact rescore).
+    exact rescore; the round-10 rotations out: pricing_summary's DECIMAL
+    money conditional-agg machinery runs in-window via fact_rollup +
+    daily_revenue_summary, decontaminate is the binary-drop face of the
+    in-window decontam_excise, dedup_exact's content-hash keep-first is
+    covered by dedup_resolve's canonical keep + the star D3 dedup).
     """
     return {
         # -- retail star schema (SURVEY §2 core) --------------------------
@@ -4071,9 +4077,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_funnel_by_brand": q_daily_funnel_by_brand,
         "top_brands_by_revenue": q_top_brands_by_revenue,
         "events_summary": q_events_summary,
-        "pricing_summary": q_pricing_summary,
         # -- relational breadth: joins / windows / rollup / pivot ---------
         "revenue_by_nation": q_revenue_by_nation,
+        # nation_profit_ps (rotated in round 10) reps the REAL-partsupp
+        # TPC-H forms (sources.tables.partsupp cross-engine derivation,
+        # round 9); pricing_summary rotates just past the prefix — its
+        # DECIMAL money-sum conditional-agg machinery stays in-window via
+        # fact_rollup + daily_revenue_summary
+        "nation_profit_ps": q_nation_profit_ps,
         # quality_classifier reps the model-scoring family (DECIMAL dot
         # product + sigmoid gate) in the window; regional_revenue moves
         # past the prefix — revenue_by_nation keeps the multi-join
@@ -4121,14 +4132,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery (range repartition + broadcast offsets, no
         # approx buffers) in the window
         "global_quantiles": q_global_quantiles,
+        # snapshot_diff (rotated in round 10) reps the round-9 id-grain
+        # corpus maintenance face of the profile module (full-outer
+        # fingerprint join → ADDED/REMOVED/CHANGED/UNCHANGED verdicts)
+        "snapshot_diff": q_snapshot_diff,
         "tfidf_keywords": q_tfidf_keywords,
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
         "mix_corpus": q_mix_corpus,
         "embed_quantize": q_embed_quantize,
-        "decontaminate": q_decontaminate,
-        # span-grain sibling: excise the leaked passage, keep the doc
-        # (cross-corpus face of the in-prefix span_excise machinery)
+        # decontam_excise reps the decontam module in the window with the
+        # span-grain excision (strictly more machinery than the binary
+        # drop); decontaminate rotates just past the prefix in round 10
         "decontam_excise": q_decontam_excise,
         # and its eval-hygiene reverse aggregation (which benchmark
         # items are compromised, and how badly)
@@ -4151,7 +4166,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
-        "dedup_exact": q_dedup_exact,
+        # edit_neardup (rotated in round 10) reps the round-9 ordered
+        # character-edit near-dup semantics (PassJoin pigeonhole blocking
+        # + bounded levenshtein verify; the all-pairs oracle certifies
+        # blocking completeness); dedup_exact rotates just past the
+        # prefix — its content-hash keep-first machinery stays in-window
+        # via dedup_resolve's canonical keep and the star D3 row_number
+        # dedup in staging/dim queries
+        "edit_neardup": q_edit_neardup,
         # span_excise reps the exact-span family (anchor join + diagonal
         # islands + interval-merge excision) in the window — winnow_pairs
         # reps detection-only sketching, not excision; neardup_jaccard
@@ -4190,6 +4212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------- entry 50
         # Same-family variants beyond the driver's window (still fully
         # oracle-checked by tools/check_oracle.py and the test suite):
+        # rotated out in round 10 (see inline notes at their replacements'
+        # slots): pricing_summary (money machinery ⊂ fact_rollup +
+        # daily_revenue_summary), decontaminate (binary-drop face of the
+        # in-window decontam_excise), dedup_exact (content-hash keep-first
+        # ⊂ dedup_resolve canonical keep + star D3 dedup)
+        "pricing_summary": q_pricing_summary,
+        "decontaminate": q_decontaminate,
+        "dedup_exact": q_dedup_exact,
         # rotated out in round 9 to give the round-8 machinery driver
         # verification (see docstring): pivot/hourly are plain relational
         # reshapes of in-window agg machinery, and knn_cosine's
@@ -4244,9 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chi-square token divergence: what changed between snapshots
         # (drift family repped in-window by ks_drift)
         "keyword_divergence": q_keyword_divergence,
-        # id-grain ADDED/REMOVED/CHANGED/UNCHANGED verdict between two
-        # corpus snapshots (same drift/maintenance family)
-        "snapshot_diff": q_snapshot_diff,
+        # (snapshot_diff rotated INTO the verified prefix in round 10)
         # per-dimension embedding health audit (dead dims, scale drift)
         "embedding_dim_stats": q_embedding_dim_stats,
         "high_value_customers": q_high_value_customers,
@@ -4278,10 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_resolve (identical jaccard_pairs call feeding the
         # cluster resolution)
         "neardup_jaccard": q_neardup_jaccard,
-        # ordered character-edit near-dup (PassJoin blocking + bounded
-        # levenshtein verify; oracle = all-pairs distance, so the hash
-        # match certifies blocking completeness)
-        "edit_neardup": q_edit_neardup,
+        # (edit_neardup rotated INTO the verified prefix in round 10)
         # threshold knob-tuning sweep over the same exact pairs
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "winnow": q_winnow,
@@ -4303,8 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL partsupp forms (round-9): the table the testdata lacks,
         # closed as a deterministic cross-engine derivation
         # (sources.tables.partsupp) — proxies above stay for shape
-        # continuity
-        "nation_profit_ps": q_nation_profit_ps,
+        # continuity (nation_profit_ps rotated INTO the prefix, round 10)
         "important_stock_ps": q_important_stock_ps,
         "supplier_part_counts_ps": q_supplier_part_counts_ps,
         "promotion_stock_ps": q_promotion_stock_ps,
@@ -5155,17 +5179,22 @@ def _ann_recall_sql(
         WHERE r <= {k} GROUP BY 1
     ), scanned AS (
         SELECT n_probe, COUNT(*) AS n_scanned FROM probed GROUP BY 1
-    ), nq AS (SELECT COUNT(*) AS n FROM q)
+    ), nq AS (SELECT COUNT(*) AS n FROM q),
+    -- denominator = ACTUAL ground-truth pair count (mirrors
+    -- similarity.ivf_recall_report): brute force excludes self-matches
+    -- and yields < k rows/query on tiny corpora, so |Q|*k would cap
+    -- recall below 1.0
+    np AS (SELECT COUNT(*) AS n FROM exact)
     SELECT CAST(g.n_probe AS INTEGER) AS n_probe,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(nq.n * {k} AS BIGINT) AS n_pairs,
+           CAST(np.n AS BIGINT) AS n_pairs,
            ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
-                 / (nq.n * {k}), 6) AS recall_at_k,
+                 / np.n, 6) AS recall_at_k,
            ROUND(CAST(COALESCE(s.n_scanned, 0) AS DOUBLE) / nq.n, 6)
                AS avg_scanned
     FROM grid g
     LEFT JOIN hits h USING (n_probe)
-    LEFT JOIN scanned s USING (n_probe), nq
+    LEFT JOIN scanned s USING (n_probe), nq, np
     ORDER BY n_probe
     """
 

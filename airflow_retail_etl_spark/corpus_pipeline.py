@@ -87,6 +87,11 @@ class CorpusConfig:
     #: invent one); None disables the cap (exhaustive mode — small
     #: corpora / verification only).
     excise_max_doc_freq: int | None = 200
+    #: acknowledge a cap above dedup.SPAN_CAP_SAFE_MAX (=200): the
+    #: anchor join's shuffle volume is quadratic in the cap and the sf10
+    #: probe DNF'd at cap=400 (SCALE.md span-cap envelope) — without
+    #: this, shared_span_pairs refuses oversized caps
+    excise_unsafe_large_cap: bool = False
     #: seed for the reproducible global shuffle of packed training
     #: sequences (sampling.corpus_shuffle draw over the sequence key);
     #: None disables the shuffle stage. Combine with shuffle_epoch to
@@ -237,6 +242,7 @@ def excise_shared_spans(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
         df, cfg.text_col, cfg.id_col,
         k=cfg.excise_k, min_len=cfg.excise_min_span,
         max_doc_freq=cfg.excise_max_doc_freq,
+        unsafe_large_cap=cfg.excise_unsafe_large_cap,
     )
     cleaned = dedup.remove_spans(df, spans, cfg.text_col, cfg.id_col)
     others = [c for c in df.columns if c != cfg.text_col]

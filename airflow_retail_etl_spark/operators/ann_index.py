@@ -477,7 +477,12 @@ def recall_report(
     exact = brute_force_topk(
         stored, queries, id_col=id_col, vec_col=vec_col, k=k
     ).select("query_id", "neighbor_id")
-    n_q = queries.count()
+    # denominator = the ACTUAL ground-truth pair count, not |Q|*k:
+    # brute_force_topk excludes self-matches and returns < k rows per
+    # query when the live (post-tombstone) corpus has fewer than k+1
+    # vectors, so |Q|*k would understate recall on small or
+    # heavily-deleted indexes and never reach 1.0
+    n_pairs = exact.count()
     rows = []
     for p in n_probe_grid:
         got = ann_index_topk(
@@ -488,7 +493,7 @@ def recall_report(
         hits = got.join(
             exact, ["query_id", "neighbor_id"], "left_semi"
         ).count()
-        rows.append((int(p), int(hits), int(n_q) * k))
+        rows.append((int(p), int(hits), int(n_pairs)))
     rep = spark.createDataFrame(
         rows, "n_probe int, n_hits long, n_pairs long"
     )

@@ -100,6 +100,7 @@ def decontaminate_spans(
     min_len: int = 40,
     max_doc_freq: int | None = None,
     hash_family: str = "xxhash64",
+    unsafe_large_cap: bool = False,
 ) -> DataFrame:
     """SPAN-GRAIN decontamination: excise every substring ≥ ``min_len``
     chars that a training document shares verbatim with any eval
@@ -126,7 +127,7 @@ def decontaminate_spans(
     spans = shared_span_pairs_cross(
         train, eval_df, text_col, id_col,
         k=k, min_len=min_len, max_doc_freq=max_doc_freq,
-        hash_family=hash_family,
+        hash_family=hash_family, unsafe_large_cap=unsafe_large_cap,
     )
     return remove_spans(
         train, spans, text_col, id_col,

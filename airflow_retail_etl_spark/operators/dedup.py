@@ -1078,6 +1078,32 @@ def incremental_dedup(
     )
 
 
+#: measured safe ceiling for the span-anchor doc-frequency cap: the
+#: anchor join's volume grows with cap² (Σmin(df,cap)²), and the round-9
+#: sf10 probe (tools/span_scale_probe.py; SCALE.md "Cap transition
+#: measured one decade further") found cap=200 settles sub-linear while
+#: cap=400 exhausted shuffle disk (DNF). Raising past this requires
+#: unsafe_large_cap=True — an explicit statement that the cluster's
+#: shuffle capacity is provisioned for the quadratic-in-cap volume.
+SPAN_CAP_SAFE_MAX = 200
+
+
+def _check_span_cap(max_doc_freq: int | None, unsafe_large_cap: bool) -> None:
+    if (
+        max_doc_freq is not None
+        and max_doc_freq > SPAN_CAP_SAFE_MAX
+        and not unsafe_large_cap
+    ):
+        raise ValueError(
+            f"max_doc_freq={max_doc_freq} exceeds the measured safe "
+            f"ceiling {SPAN_CAP_SAFE_MAX}: anchor-join shuffle volume "
+            "grows quadratically in the cap and cap=400 exhausted "
+            "shuffle disk at the sf10 probe (SCALE.md span-cap "
+            "envelope). Pass unsafe_large_cap=True only if shuffle "
+            "capacity is provisioned for Σmin(df,cap)² anchor matches."
+        )
+
+
 def shared_span_pairs(
     df: DataFrame,
     text_col: str,
@@ -1087,6 +1113,7 @@ def shared_span_pairs(
     min_len: int = 40,
     max_doc_freq: int | None = None,
     hash_family: str = "xxhash64",
+    unsafe_large_cap: bool = False,
 ) -> DataFrame:
     """EXACT cross-document shared-substring spans (the plagiarism
     "diagonal method") — winnowing's exactness upgrade: not just WHICH
@@ -1121,9 +1148,16 @@ def shared_span_pairs(
     hash (functions.xhash.md5_long) so the DuckDB oracle replays spans
     bit-exactly; production keeps xxhash64 (same contract as
     winnow_fingerprints).
+
+    Caps above ``SPAN_CAP_SAFE_MAX`` are refused unless
+    ``unsafe_large_cap=True`` — the sf10 probe measured cap=400 DNF on
+    shuffle-disk exhaustion (quadratic-in-cap anchor volume; SCALE.md).
+    ``max_doc_freq=None`` stays allowed: the documented exhaustive /
+    verification mode for corpora small enough to enumerate.
     """
     from pyspark.sql import Window
 
+    _check_span_cap(max_doc_freq, unsafe_large_cap)
     if min_len < k:
         raise ValueError(
             f"min_len={min_len} < k={k}: spans shorter than the anchor "
@@ -1235,6 +1269,7 @@ def shared_span_pairs_cross(
     min_len: int = 40,
     max_doc_freq: int | None = None,
     hash_family: str = "xxhash64",
+    unsafe_large_cap: bool = False,
 ) -> DataFrame:
     """EXACT shared-substring spans BETWEEN two corpora (no self-pairs):
     every maximal substring ≥ ``min_len`` chars that a ``left`` document
@@ -1252,7 +1287,10 @@ def shared_span_pairs_cross(
 
     Output: (id_a, id_b, start_a, start_b, span_len) where ``id_a`` is
     the LEFT document, 1-based starts into each side's NORMALIZED text.
+    Caps above ``SPAN_CAP_SAFE_MAX`` are refused without
+    ``unsafe_large_cap=True`` (see shared_span_pairs / SCALE.md).
     """
+    _check_span_cap(max_doc_freq, unsafe_large_cap)
     if min_len < k:
         raise ValueError(
             f"min_len={min_len} < k={k}: k is the detection floor "

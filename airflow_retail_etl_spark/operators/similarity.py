@@ -1238,15 +1238,20 @@ def ivf_recall_report(
         F.count(F.lit(1)).alias("n_scanned")
     )
     n_q = queries.count()
+    # denominator = the ACTUAL ground-truth pair count, not |Q|*k:
+    # brute_force_topk excludes self-matches and returns < k rows per
+    # query when the corpus has fewer than k+1 vectors, so |Q|*k would
+    # understate recall and cap it below 1.0 on small corpora
+    n_pairs = exact.count()
     return (
         grid.join(hits, "n_probe", "left")
         .join(scanned, "n_probe", "left")
         .select(
             "n_probe",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.lit(int(n_q) * k).cast("long").alias("n_pairs"),
+            F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
             F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.lit(int(n_q) * k), 6
+                F.coalesce("n_hits", F.lit(0)) / F.lit(int(n_pairs)), 6
             ).alias("recall_at_k"),
             F.round(
                 F.coalesce("n_scanned", F.lit(0)) / F.lit(int(n_q)), 6

@@ -239,6 +239,48 @@ def test_recall_report_monotone_and_exact_at_probe_all(spark, sf_dir):
         assert rec2[-1] == 1.0
 
 
+def test_recall_report_small_corpus_reaches_one(spark):
+    """Recall denominator = the ACTUAL ground-truth pair count, not
+    |Q|*k: with a corpus smaller than k+1 vectors, brute force returns
+    fewer than k neighbors per query (self-matches excluded), and a
+    probe-all run that returns exactly those pairs must report
+    recall 1.0 — the |Q|*k denominator would cap it at (n-1)/k
+    (round-9 advice, ann_index.py + similarity.ivf_recall_report)."""
+    import tempfile
+
+    from airflow_retail_etl_spark.operators import ann_index as ai
+    from airflow_retail_etl_spark.operators import similarity
+
+    n, dims, k = 6, 64, 10  # n - 1 < k: ground truth is 5 pairs/query
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(dims)])
+         for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = emb.limit(2)
+
+    rep = {
+        r.n_probe: r
+        for r in similarity.ivf_recall_report(
+            emb, qs, k=k, n_probe_grid=(4,), n_cells=4, dims=dims
+        ).collect()
+    }
+    assert rep[4].n_pairs == 2 * (n - 1)
+    assert rep[4].recall_at_k == 1.0
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/idx"
+        ai.build_ann_index(emb, path, n_cells=2, dims=dims)
+        rep2 = {
+            r.n_probe: r
+            for r in ai.recall_report(
+                spark, path, qs, k=k, n_probe_grid=(2,), shortlist=n
+            ).collect()
+        }
+        assert rep2[2].n_pairs == 2 * (n - 1)
+        assert rep2[2].recall_at_k == 1.0
+
+
 def test_delete_tombstones_then_compact(spark, sf_dir, tmp_path):
     """Index lifecycle's delete leg: tombstoned ids vanish from query
     results immediately (their former ranks filled by live vectors, not

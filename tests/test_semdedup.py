@@ -144,3 +144,18 @@ def test_oversize_mode_validation(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(10)
     with pytest.raises(ValueError):
         sd.semdedup(emb, max_cluster_size=5, oversize="typo").collect()
+
+
+def test_oversize_lsh_block_without_cap_is_refused(spark, sf_dir):
+    """oversize='lsh_block' with max_cluster_size=None would silently do
+    NO sub-blocking (no cluster is ever 'oversized'); the caller asked
+    for an LSH path they aren't getting — refuse instead (round-9
+    verdict watch item)."""
+    import pytest
+
+    from airflow_retail_etl_spark.operators import semdedup as sd
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(10)
+    with pytest.raises(ValueError, match="lsh_block"):
+        sd.semdedup(emb, max_cluster_size=None, oversize="lsh_block")

@@ -181,6 +181,36 @@ def test_min_len_below_k_raises(spark):
         shared_span_pairs(df, "text", "doc_id", k=16, min_len=10)
 
 
+def test_cap_above_safe_max_refused_without_opt_in(spark):
+    """Caps past SPAN_CAP_SAFE_MAX (=200) are refused unless
+    unsafe_large_cap=True: the sf10 probe measured cap=400 DNF on
+    shuffle-disk exhaustion — the guard turns SCALE.md's operational
+    rule into code (round-9 verdict item 4). cap=None (exhaustive /
+    verification mode) and caps ≤ the ceiling stay unguarded."""
+    from airflow_retail_etl_spark.operators.dedup import (
+        SPAN_CAP_SAFE_MAX,
+        shared_span_pairs_cross,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="unsafe_large_cap"):
+        shared_span_pairs(
+            df, "text", "doc_id", k=8, min_len=20,
+            max_doc_freq=SPAN_CAP_SAFE_MAX + 1,
+        )
+    with pytest.raises(ValueError, match="unsafe_large_cap"):
+        shared_span_pairs_cross(
+            df, df, "text", "doc_id", k=8, min_len=20, max_doc_freq=400
+        )
+    # opt-in unlocks, ceiling-or-below and None never guard
+    for kw in (
+        {"max_doc_freq": 400, "unsafe_large_cap": True},
+        {"max_doc_freq": SPAN_CAP_SAFE_MAX},
+        {"max_doc_freq": None},
+    ):
+        shared_span_pairs(df, "text", "doc_id", k=8, min_len=20, **kw)
+
+
 # --- skew guard (SCALE.md): adversarial boilerplate corpus -----------------
 
 HEADER = (

@@ -44,6 +44,14 @@ def _ensure_sf10_docs(spark) -> str:
     # write buffered 32 tasks of 100x-expanded text and OOM'd the JVM
     src = spark.read.parquet(f"{SRC}/documents.parquet")
     tmp = out + "__staging"
+    # a crash mid-build leaves the staging dir; appending 100 MORE
+    # shards onto the leftover would rename a 2x corpus with duplicate
+    # doc_ids into place and silently skew every sf10 timing — always
+    # start from a clean staging dir
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
     for s in range(100):
         text = F.col("text") if s == 0 else F.regexp_replace(
             "text", r"(\S+)", rf"$1x{s}"
@@ -91,9 +99,13 @@ def main() -> None:
             for sf, d in tiers:
                 docs = spark.read.parquet(f"{d}/documents.parquet")
                 t0 = time.time()
+                # unsafe_large_cap: this probe IS the envelope
+                # measurement the guard's ceiling comes from, so it may
+                # sweep past SPAN_CAP_SAFE_MAX deliberately
                 n = dedup.shared_span_pairs(
                     docs, "text", "doc_id", k=16, min_len=60,
                     hash_family="xxhash64", max_doc_freq=cap,
+                    unsafe_large_cap=True,
                 ).count()
                 sec[sf] = round(time.time() - t0, 3)
                 pairs[sf] = int(n)
