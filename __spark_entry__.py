@@ -1519,11 +1519,56 @@ _BPE_MERGES = [
 ]
 
 
+def _bpe_esc_sql(col: str) -> str:
+    """Char-local marker escape, mirroring bpe._esc (round-9 advice: the
+    oracle must escape exactly like the Spark side or the two engines
+    diverge on corpus text containing • / ‖ / ␛). Built from bpe._ESC_MAP
+    so the two can't drift."""
+    from airflow_retail_etl_spark.operators.bpe import _ESC_MAP
+
+    out = col
+    for raw, esc in _ESC_MAP:
+        out = f"replace({out}, '{raw}', '{esc}')"
+    return out
+
+
+def _bpe_unesc_sql(col: str) -> str:
+    """Inverse of _bpe_esc_sql, in bpe._unesc's order (marker pairs
+    first, then the lead-in)."""
+    from airflow_retail_etl_spark.operators.bpe import _ESC, _ESC_MAP
+
+    out = col
+    for raw, esc in _ESC_MAP[1:]:
+        out = f"replace({out}, '{esc}', '{raw}')"
+    return f"replace({out}, '{_ESC}e', '{_ESC}')"
+
+
+def _bpe_wrapped_sql() -> str:
+    """The boundary-marked word form: each ESCAPED char wrapped •c•,
+    chars double-separated, EOW appended, words joined by ‖ — exactly
+    apply_bpe's wrapped_word over _esc_chars. The escape is applied
+    per char AFTER the split: _esc is char-local, so this equals
+    splitting the escaped string escape-aware (bpe._ESC_CHAR_SPLIT)."""
+    esc_char = _bpe_esc_sql("c")
+    return (
+        "array_to_string(list_transform(ws,\n"
+        "                       w -> '•' || array_to_string(\n"
+        f"                           list_transform(string_split(w, ''), c -> {esc_char}),\n"
+        "                           '••') || '••</w>•'), '‖')"
+    )
+
+
 def _bpe_merge_sql(col: str) -> str:
-    """Nested boundary-marked replaces replaying _BPE_MERGES greedily."""
+    """Nested boundary-marked replaces replaying _BPE_MERGES greedily —
+    merge halves ESCAPED into the patterns, exactly as apply_bpe escapes
+    its plan literals (identity for marker-free merge lists like the
+    shipped one)."""
+    from airflow_retail_etl_spark.operators.bpe import _esc
+
     out = col
     for a, b in _BPE_MERGES:
-        out = f"replace({out}, '•{a}••{b}•', '•{a}{b}•')"
+        ea, eb = _esc(a), _esc(b)
+        out = f"replace({out}, '•{ea}••{eb}•', '•{ea}{eb}•')"
     return out
 
 
@@ -6745,7 +6790,10 @@ def oracle_sql() -> dict[str, str]:
         # greedy BPE merges as boundary-marked string replaces: each token
         # is wrapped •tok•, words joined by ‖ so merges cannot cross word
         # boundaries; replace() resumes after each match = the fold's
-        # greedy left-to-right semantics
+        # greedy left-to-right semantics. Content is marker-ESCAPED
+        # before wrapping (_bpe_esc_sql ≡ bpe._esc), so a literal • / ‖ /
+        # ␛ in corpus text is data, not structure — identical to the
+        # Spark side (round-9 advice)
         "tokenizer_fertility": f"""
         WITH norm AS (
             SELECT doc_id, lang, {_NORM_TEXT} AS t FROM documents
@@ -6756,9 +6804,7 @@ def oracle_sql() -> dict[str, str]:
             FROM norm
         ), wrapped AS (
             SELECT doc_id,
-                   array_to_string(list_transform(ws,
-                       w -> '•' || array_to_string(string_split(w, ''), '••')
-                            || '••</w>•'), '‖') AS s
+                   {_bpe_wrapped_sql()} AS s
             FROM words
         ), merged AS (
             SELECT doc_id, {_bpe_merge_sql("s")} AS s FROM wrapped
@@ -6791,9 +6837,7 @@ def oracle_sql() -> dict[str, str]:
             FROM norm
         ), wrapped AS (
             SELECT doc_id,
-                   array_to_string(list_transform(ws,
-                       w -> '•' || array_to_string(string_split(w, ''), '••')
-                            || '••</w>•'), '‖') AS s
+                   {_bpe_wrapped_sql()} AS s
             FROM words
         ), merged AS (
             SELECT doc_id, {_bpe_merge_sql("s")} AS s FROM wrapped
@@ -6801,7 +6845,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST((length(s) - length(replace(s, '•', ''))) // 2
                     AS INTEGER) AS n_bpe_tokens,
-               md5(trim(replace(replace(s, '‖', ''), '••', '•'), '•'))
+               md5({_bpe_unesc_sql(
+                   "trim(replace(replace(s, '‖', ''), '••', '•'), '•')"
+               )})
                    AS tokens_md5
         FROM merged ORDER BY doc_id
         """,

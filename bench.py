@@ -544,6 +544,7 @@ def main() -> None:
         for name in set(prev_entry) | set(prev_round)
         if prev_entry.get(name) or prev_round.get(name)
     }
+    flagged_after_retime: set[str] = set()
     for name, sec in list(timings.items()):
         p = prev_q.get(name)
         if p and sec >= 1.5 * p and sec - p >= 0.3:
@@ -552,6 +553,24 @@ def main() -> None:
                 "overwrite"
             ).save()
             timings[name] = min(sec, round(time.time() - t0, 3))
+            if timings[name] >= 1.5 * p and timings[name] - p >= 0.3:
+                flagged_after_retime.add(name)
+
+    # session-independent adjudication of surviving flags: re-time one
+    # stable, unflagged anchor; if it inflated too, the session — not
+    # the query — is slow (_session_canary docstring)
+    canary = None
+    if flagged_after_retime:
+        def _retime(cname: str) -> float:
+            t0 = time.time()
+            queries[cname](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return round(time.time() - t0, 3)
+
+        canary = _session_canary(
+            flagged_after_retime, prev_q, timings, _retime
+        )
 
     # head-to-head: the graded (md5km oracle-replicable) forms of the
     # families the headline times in production configuration — measures
@@ -609,6 +628,8 @@ def main() -> None:
         ),
     }
     record["round"] = rnd
+    if canary is not None:
+        record["regression_canary"] = canary
     if contaminated is None:
         regs, regs_xround = _append_history(record)
         record["regressions"] = regs
@@ -734,6 +755,48 @@ def _flag_regressions(
     return out
 
 
+#: stable anchors eligible to adjudicate a flagged regression — cheap,
+#: plan-simple queries whose own history is long
+CANARY_CANDIDATES = ("fact_rollup", "dim_user", "staging_clean")
+
+#: canary inflation bar: laxer than the 1.5× flag bar — a session-wide
+#: slowdown inflates everything a little, not one query a lot
+CANARY_SUSPECT_RATIO = 1.3
+
+
+def _session_canary(
+    flagged: set[str],
+    prev_q: dict[str, float],
+    timings: dict[str, float],
+    retime,
+) -> dict | None:
+    """Adjudicate flagged regressions against a SESSION-INDEPENDENT
+    signal (round-9 verdict item 2: the min-of-two in-session re-time
+    cannot distinguish a per-query plan regression from session-wide
+    GC/python-worker slowdown — decontam_excise flagged 1.61× while an
+    isolated run matched the previous round).
+
+    Re-times ONE stable anchor that is not itself flagged; if the anchor
+    also inflated ≥``CANARY_SUSPECT_RATIO`` vs its own history, the whole
+    session is slow and the regressions are annotated session_suspect
+    instead of reproduced. Returns the canary record (or None when no
+    eligible anchor has history)."""
+    for cname in CANARY_CANDIDATES:
+        if cname in flagged:  # a flagged anchor can't adjudicate itself
+            continue
+        cprev = prev_q.get(cname)
+        if cname in timings and cprev:
+            csec = retime(cname)
+            return {
+                "query": cname,
+                "sec": csec,
+                "prev": cprev,
+                "ratio": round(csec / cprev, 2),
+                "session_suspect": csec >= CANARY_SUSPECT_RATIO * cprev,
+            }
+    return None
+
+
 def _append_history(record: dict) -> tuple[dict, dict]:
     """Append the full record to BENCH_HISTORY.jsonl (the durable ledger —
     BENCH_r* tail captures have truncated before) and return both
@@ -749,6 +812,21 @@ def _append_history(record: dict) -> tuple[dict, dict]:
     vs_prev_round = _flag_regressions(
         record["queries"], _prev_round_final_queries(record["sf"], rnd)
     )
+    # carry the canary's adjudication onto every flagged entry:
+    # "session_suspect" (the unflagged anchor inflated too — session-wide
+    # slowdown, re-time in isolation before believing it) vs
+    # "reproduced_canary_clean" (the anchor is at its historical speed —
+    # the regression is real to this query)
+    canary = record.get("regression_canary")
+    if canary is not None:
+        verdict = (
+            "session_suspect"
+            if canary["session_suspect"]
+            else "reproduced_canary_clean"
+        )
+        for regs in (regressions, vs_prev_round):
+            for d in regs.values():
+                d["verdict"] = verdict
     with open(path, "a") as fh:
         fh.write(
             json.dumps(

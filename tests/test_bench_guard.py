@@ -66,6 +66,93 @@ def test_live_spark_ui_port_flags_and_releases_lock():
         b._release_bench_lock()
 
 
+def test_scaling_tools_share_the_contamination_gate():
+    """tools/scaling_curve.py and tools/span_scale_probe.py append to
+    SCALING_HISTORY.jsonl and must run bench's contamination gate before
+    appending (round-9 verdict item 5: the curve tool appended a
+    known-degraded record bench would have refused). Pin the wiring
+    textually — the check must run BEFORE get_spark (our own driver
+    would trip the port scan) and the append must be behind the
+    not-contaminated branch."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for tool in ("scaling_curve.py", "span_scale_probe.py"):
+        src = open(os.path.join(root, "tools", tool)).read()
+        assert "_contamination_reason" in src, tool
+        assert 'record["history_append_refused"] = contaminated' in src, tool
+        gate = src.index("contaminated = _contamination_reason()")
+        assert gate < src.index("get_spark("), tool
+        # the ledger append must sit inside the clean branch: textual
+        # pin — the refused branch assigns the reason before the append
+        # site appears
+        assert src.index(
+            'record["history_append_refused"]'
+        ) < src.index('"SCALING_HISTORY.jsonl", "a"'), tool
+
+
+def test_session_canary_adjudicates_flagged_regressions():
+    """Round-9 verdict item 2: a flagged regression must be adjudicated
+    by re-timing a stable UNFLAGGED anchor — if the anchor inflated too,
+    the record says session_suspect, not regression. Pure-function test
+    with a stubbed re-timer."""
+    b = _bench()
+    prev_q = {"fact_rollup": 1.0, "dim_user": 0.8, "decontam_excise": 3.3}
+    timings = {"fact_rollup": 1.05, "dim_user": 0.85, "decontam_excise": 5.3}
+
+    # slow session: the canary anchor re-times inflated -> suspect
+    c = b._session_canary(
+        {"decontam_excise"}, prev_q, timings, lambda n: 1.6
+    )
+    assert c["query"] == "fact_rollup" and c["session_suspect"]
+
+    # clean session: anchor at historical speed -> regression is real
+    c = b._session_canary(
+        {"decontam_excise"}, prev_q, timings, lambda n: 1.02
+    )
+    assert c["query"] == "fact_rollup" and not c["session_suspect"]
+
+    # a flagged anchor cannot adjudicate itself: next candidate is used
+    c = b._session_canary(
+        {"fact_rollup"}, prev_q, timings, lambda n: 0.81
+    )
+    assert c["query"] == "dim_user"
+
+    # no candidate with history -> no canary (regressions unannotated)
+    assert b._session_canary({"x"}, {}, timings, lambda n: 1.0) is None
+
+
+def test_canary_verdict_lands_on_history_records(tmp_path, monkeypatch):
+    """_append_history must stamp the canary verdict onto every flagged
+    entry in BOTH regression diffs."""
+    b = _bench()
+    monkeypatch.setattr(
+        b, "_previous_same_sf_queries", lambda sf: {"q1": 1.0}
+    )
+    monkeypatch.setattr(
+        b, "_prev_round_final_queries", lambda sf, rnd: {"q1": 1.0}
+    )
+    import os as _os
+
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    real_join = _os.path.join
+    monkeypatch.setattr(
+        b.os.path, "join",
+        lambda *a: str(hist) if a[-1] == "BENCH_HISTORY.jsonl"
+        else real_join(*a),
+    )
+    record = {
+        "queries": {"q1": 2.0},
+        "sf": 0.1,
+        "round": 99,
+        "regression_canary": {
+            "query": "fact_rollup", "sec": 1.6, "prev": 1.0,
+            "ratio": 1.6, "session_suspect": True,
+        },
+    }
+    regs, regs_x = b._append_history(record)
+    assert regs["q1"]["verdict"] == "session_suspect"
+    assert regs_x["q1"]["verdict"] == "session_suspect"
+
+
 def test_refused_record_shape_is_documented_in_main():
     """main() must key the refusal as history_append_refused and skip
     _append_history — pin the wiring textually (running a full bench in

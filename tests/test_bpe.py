@@ -146,6 +146,43 @@ def test_marker_chars_distributed_matches_driver(spark):
     assert dist == seq
 
 
+def test_marker_chars_oracle_matches_spark(spark, tmp_path):
+    """Cross-engine certificate ON marker-laden text (round-9 advice):
+    the bpe_tokenize / tokenizer_fertility DuckDB oracles must escape
+    • / ‖ / ␛ exactly like the Spark side, not merely agree on
+    marker-free testdata. Runs both engines over a marker corpus and
+    compares the full rows."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (i, t, ["en", "de"][i % 2], "web", len(t))
+        for i, t in enumerate(MARKER_TEXTS)
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("bpe_tokenize", "tokenizer_fertility"):
+        got = [
+            tuple(r)
+            for r in entry.queries()[name](spark, d).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in con.sql(entry.oracle_sql()[name]).fetchall()
+        ]
+        assert got == want, name
+
+
 def test_marker_chars_apply_bpe_roundtrip(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(MARKER_TEXTS)], ["doc_id", "text"]

@@ -129,12 +129,19 @@ def main() -> None:
     # materialize partsupp from the sharded lineitem with the SAME
     # derivation queries use when the file is absent (statistics
     # consistent with lineitem by construction); its presence flips
-    # sources.tables.partsupp to the file-backed read path
+    # sources.tables.partsupp to the file-backed read path. On a re-run
+    # the file already exists, and partsupp() would take the file-backed
+    # READ of the very path we are about to overwrite — Spark refuses to
+    # overwrite an input path (or corrupts it mid-delete) — so drop the
+    # stale file first to force the derivation branch (round-9 advice).
+    import shutil
+
     from airflow_retail_etl_spark.sources.tables import partsupp
 
-    partsupp(spark, out_dir).write.mode("overwrite").parquet(
-        f"{out_dir}/partsupp.parquet"
-    )
+    ps_path = f"{out_dir}/partsupp.parquet"
+    if os.path.exists(ps_path):
+        shutil.rmtree(ps_path)
+    partsupp(spark, out_dir).write.mode("overwrite").parquet(ps_path)
     print("wrote partsupp", flush=True)
     print(f"done: {out_dir}", flush=True)
 

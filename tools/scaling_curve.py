@@ -85,6 +85,19 @@ DEFAULT_SF_DIRS = (
 def main() -> None:
     sf_dirs = sys.argv[1:] or [d for d in DEFAULT_SF_DIRS if os.path.isdir(d)]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # same contamination gate as bench.py (round-9 verdict item 5: this
+    # tool appended a known-degraded record bench would have refused):
+    # check BEFORE get_spark — our own driver would otherwise trip the
+    # Spark-UI port detector
+    from bench import _contamination_reason, _release_bench_lock
+
+    contaminated = _contamination_reason()
+    if contaminated:
+        print(
+            f"# CONTAMINATED ({contaminated}): probes will print but "
+            "SCALING_HISTORY gets nothing",
+            file=sys.stderr, flush=True,
+        )
     spark = get_spark(
         app_name="scaling_curve",
         master=f"local[{cpus}]",
@@ -204,8 +217,14 @@ def main() -> None:
     # appends, so curve drift is diffable round-over-round. Single-shot
     # in-session sf1 numbers wobble with session age/GC — re-probe
     # outliers in isolation before reading a jump as a regression.
-    with open(_ROOT / "SCALING_HISTORY.jsonl", "a") as fh:
-        fh.write(json.dumps(record) + "\n")
+    # Contaminated runs print their probes but REFUSE the ledger append
+    # (mirrors bench.py's history_append_refused).
+    if contaminated:
+        record["history_append_refused"] = contaminated
+    else:
+        with open(_ROOT / "SCALING_HISTORY.jsonl", "a") as fh:
+            fh.write(json.dumps(record) + "\n")
+        _release_bench_lock()
     print(json.dumps(record), flush=True)
 
 

@@ -70,6 +70,18 @@ def _ensure_sf10_docs(spark) -> str:
 
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # bench's contamination gate (round-9 verdict item 5 — all
+    # SCALING_HISTORY writers share it); check BEFORE our own driver
+    # opens a Spark UI port
+    from bench import _contamination_reason, _release_bench_lock
+
+    contaminated = _contamination_reason()
+    if contaminated:
+        print(
+            f"# CONTAMINATED ({contaminated}): probes will print but "
+            "SCALING_HISTORY gets nothing",
+            file=sys.stderr, flush=True,
+        )
     spark = get_spark(
         app_name="span_scale_probe",
         master=f"local[{cpus}]",
@@ -136,9 +148,15 @@ def main() -> None:
             "less per decade at the default cap."
         ),
     }
-    with open(ROOT / "SCALING_HISTORY.jsonl", "a") as fh:
-        fh.write(json.dumps(record) + "\n")
-    print(json.dumps({"appended": True}), flush=True)
+    if contaminated:
+        record["history_append_refused"] = contaminated
+        print(json.dumps({"appended": False, "reason": contaminated}),
+              flush=True)
+    else:
+        with open(ROOT / "SCALING_HISTORY.jsonl", "a") as fh:
+            fh.write(json.dumps(record) + "\n")
+        _release_bench_lock()
+        print(json.dumps({"appended": True}), flush=True)
 
 
 if __name__ == "__main__":
