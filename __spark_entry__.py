@@ -2475,6 +2475,14 @@ def q_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_spans(docs, spans, "text", "doc_id")
 
 
+#: demonstration doc-frequency cap for duplication_profile's
+#: capped_anchor_rows recall-accounting column — small enough to be
+#: non-trivially exercised at testdata scale (sf0.01 has 68 anchors with
+#: df > 8; production's SPAN_CAP_SAFE_MAX=200 would report 0 there and
+#: certify nothing)
+_DUP_PROFILE_DIAG_CAP = 8
+
+
 def q_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus duplication health report: per source, how much text is
     verbatim-duplicated elsewhere (span grain, not whole-doc) — the
@@ -2482,17 +2490,33 @@ def q_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup budget goes. Composes q_span_excise's machinery with the doc
     metadata: n_docs, docs carrying an excisable span, chars removed,
     and the duplicated-char fraction (exact integer sums; one double
-    division rounded at 6dp)."""
+    division rounded at 6dp). ``capped_anchor_rows`` (round-10) is the
+    cap-recall instrument: per source, the anchor occurrences a
+    doc-frequency cap of {_DUP_PROFILE_DIAG_CAP} would exclude from the
+    anchor join (dedup.span_cap_dropped) — the report shows cap-induced
+    detection loss next to the duplication it measures, instead of
+    leaving operators to infer it. (The excision itself stays uncapped
+    here — the exhaustive oracle form; production caps at
+    SPAN_CAP_SAFE_MAX and reads this column to budget the trade.)"""
     docs = load_table(spark, sf_dir, "documents")
     spans = dedup.shared_span_pairs(
         docs, "text", "doc_id", k=16, min_len=60, hash_family="md5"
     )
     cleaned = dedup.remove_spans(docs, spans, "text", "doc_id")
-    j = docs.select("doc_id", "source").join(
-        cleaned.withColumn(
-            "orig_len", F.length("text_clean") + F.col("n_removed_chars")
-        ),
-        "doc_id",
+    capped = dedup.span_cap_dropped(
+        docs, "text", "doc_id", k=16,
+        max_doc_freq=_DUP_PROFILE_DIAG_CAP, hash_family="md5",
+    ).withColumnRenamed("id", "doc_id")
+    j = (
+        docs.select("doc_id", "source")
+        .join(
+            cleaned.withColumn(
+                "orig_len",
+                F.length("text_clean") + F.col("n_removed_chars"),
+            ),
+            "doc_id",
+        )
+        .join(capped, "doc_id", "left")
     )
     return (
         j.groupBy("source")
@@ -2503,6 +2527,9 @@ def q_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_docs_excised"),
             F.sum("n_removed_chars").cast("long").alias("chars_removed"),
             F.sum("orig_len").cast("long").alias("chars_total"),
+            F.sum(F.coalesce(F.col("capped_anchor_rows"), F.lit(0)))
+            .cast("long")
+            .alias("capped_anchor_rows"),
         )
         .select(
             "source",
@@ -2515,6 +2542,7 @@ def q_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(F.col("chars_total"), F.lit(0)),
                 6,
             ).alias("dup_char_frac"),
+            "capped_anchor_rows",
         )
         .orderBy("source")
     )
@@ -7541,7 +7569,7 @@ def oracle_sql() -> dict[str, str]:
         FROM n LEFT JOIN rebuilt r ON r.id = n.doc_id
         """,
         # per-source duplication health: same excision CTEs, aggregated
-        "duplication_profile": _span_excise_ctes() + """
+        "duplication_profile": _span_excise_ctes() + f"""
         , per_doc AS (
             SELECT n.doc_id,
                    CAST(length(n.t)
@@ -7549,6 +7577,16 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS n_removed,
                    CAST(length(n.t) AS INTEGER) AS orig_len
             FROM n LEFT JOIN rebuilt r ON r.id = n.doc_id
+        ), adf AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS df_h
+            FROM anchors GROUP BY 1
+        ), capped AS (
+            -- anchor occurrences a df cap of {_DUP_PROFILE_DIAG_CAP}
+            -- would exclude (mirrors dedup.span_cap_dropped)
+            SELECT a.doc_id, COUNT(*) AS capped_rows
+            FROM anchors a JOIN adf USING (h)
+            WHERE adf.df_h > {_DUP_PROFILE_DIAG_CAP}
+            GROUP BY 1
         )
         SELECT d.source,
                COUNT(*) AS n_docs,
@@ -7558,8 +7596,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(p.orig_len) AS BIGINT) AS chars_total,
                round(CAST(CAST(SUM(p.n_removed) AS BIGINT) AS DOUBLE)
                      / NULLIF(CAST(SUM(p.orig_len) AS BIGINT), 0), 6)
-                   AS dup_char_frac
-        FROM documents d JOIN per_doc p USING (doc_id)
+                   AS dup_char_frac,
+               CAST(SUM(COALESCE(c.capped_rows, 0)) AS BIGINT)
+                   AS capped_anchor_rows
+        FROM documents d
+        JOIN per_doc p USING (doc_id)
+        LEFT JOIN capped c USING (doc_id)
         GROUP BY d.source ORDER BY d.source
         """,
         # single-scan column profile; VARCHAR casts match Spark's
