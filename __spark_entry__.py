@@ -3426,18 +3426,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed damped iterations. Per-edge contributions are one division
     rounded to 9 dp and DECIMAL-accumulated, so every iterate — and the
     oracle unrolling the same three rounds in SQL — is bit-identical
-    regardless of partitioning. State is one row per node; each round is
-    an edge⋈rank⋈degree join sharing one src exchange plus a dst-keyed
-    aggregation. Top 50 hubs by (rounded) rank, node id tiebreak.
+    regardless of partitioning. State is one row per node; each round
+    joins the degree-fused checkpointed edge list against the broadcast
+    rank state plus one dst-keyed partial-agg shuffle. Node ids ride as
+    LONGS through the iterations (bipartite_edges encode="long": left
+    k→2k, right k→2k+1 — string hashing was the per-row bill at 10×
+    edges) and decode to the oracle's 's:'/'p:' strings only at the
+    output projection; the round-trip is exact, so scores and ordering
+    are unchanged (test-pinned vs the string path). Top 50 hubs by
+    (rounded) rank, node id tiebreak.
     """
     from airflow_retail_etl_spark.operators import graph
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = graph.bipartite_edges(
-        li, "l_suppkey", "l_partkey", left_prefix="s:", right_prefix="p:"
+        li, "l_suppkey", "l_partkey", encode="long"
     )
     pr = graph.pagerank(
         edges, n_iter=3, damping=0.85, nodes_from_sources=True
+    ).select(
+        graph.decode_bipartite_node(
+            "node", left_prefix="s:", right_prefix="p:"
+        ).alias("node"),
+        "pagerank",
     )
     return pr.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(
         50

@@ -232,3 +232,45 @@ def test_nodes_from_sources_equivalent_on_symmetric_graphs(spark):
         ).collect()
     }
     assert lp_fast == lp_full
+
+
+def test_bipartite_long_encoding_matches_string_path(spark):
+    """encode='long' + decode_bipartite_node must reproduce the string
+    path EXACTLY — same nodes, same scores (the keys never enter the
+    numerics; round 10's pagerank hot-path change rides on this)."""
+    from airflow_retail_etl_spark.operators.graph import (
+        bipartite_edges,
+        decode_bipartite_node,
+    )
+
+    rows = [(1, 10), (1, 20), (2, 10), (3, 30), (3, 30)]
+    df = spark.createDataFrame(rows, ["s", "p"])
+    es = bipartite_edges(df, "s", "p", left_prefix="s:", right_prefix="p:")
+    el = bipartite_edges(df, "s", "p", encode="long")
+    assert sorted(
+        tuple(r) for r in el.select(
+            decode_bipartite_node("src", left_prefix="s:", right_prefix="p:"),
+            decode_bipartite_node("dst", left_prefix="s:", right_prefix="p:"),
+        ).collect()
+    ) == sorted(tuple(r) for r in es.collect())
+
+    got_s = {
+        r["node"]: r["pagerank"] for r in pagerank(es, n_iter=3).collect()
+    }
+    got_l = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(el, n_iter=3)
+        .select(
+            decode_bipartite_node(
+                "node", left_prefix="s:", right_prefix="p:"
+            ).alias("node"),
+            "pagerank",
+        )
+        .collect()
+    }
+    assert got_l == got_s
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="encode"):
+        bipartite_edges(df, "s", "p", encode="typo")

@@ -81,6 +81,35 @@ DEFAULT_SF_DIRS = (
     str(_ROOT / ".scale_data" / "sf1"),
 )
 
+#: probes whose in-session single-shot numbers wobble with session age
+#: (accumulated localCheckpoint RDDs, GC debt — pagerank's sf1 ranged
+#: 13-50 s for identical plans): run each tier in a FRESH JVM via
+#: tools/isolated_probe.py; record the warm number, keep the cold one in
+#: the record for honesty (round-9 verdict item 3)
+ISOLATED_PROBES = {"pagerank"}
+
+
+def _isolated_times(name: str, sf_dirs: list[str]) -> dict[str, dict]:
+    import subprocess
+
+    out: dict[str, dict] = {}
+    for d in sf_dirs:
+        sf = d.rstrip("/").rsplit("sf", 1)[-1]
+        proc = subprocess.run(
+            [sys.executable, str(_ROOT / "tools" / "isolated_probe.py"),
+             name, d],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+        out[sf] = {"sec": rec["sec"], "cold_sec": rec["cold_sec"]}
+        print(
+            f"# {name} sf{sf} (isolated): {rec['sec']}s "
+            f"(cold {rec['cold_sec']}s)",
+            file=sys.stderr, flush=True,
+        )
+    return out
+
 
 def main() -> None:
     sf_dirs = sys.argv[1:] or [d for d in DEFAULT_SF_DIRS if os.path.isdir(d)]
@@ -182,6 +211,22 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for name in PROBES:
+        if name in ISOLATED_PROBES:
+            iso = _isolated_times(name, sf_dirs)
+            times = {sf: v["sec"] for sf, v in iso.items()}
+            sfs = list(times)
+            out[name] = {
+                "sec": times,
+                "cold_sec": {sf: v["cold_sec"] for sf, v in iso.items()},
+                "step_ratio": {
+                    f"{sfs[i]}->{sfs[i + 1]}": round(
+                        times[sfs[i + 1]] / times[sfs[i]], 2
+                    )
+                    for i in range(len(sfs) - 1)
+                },
+                "isolated": True,
+            }
+            continue
         # per-probe warmup at the smallest sf: whole-stage-codegen JIT for
         # a probe's expression tree can cost seconds and would otherwise
         # pollute exactly one measurement
