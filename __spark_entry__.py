@@ -1220,6 +1220,65 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cardinality_sketch knobs (shared by the Spark plan and the oracle so
+#: the two cannot drift): KMV keeps 256 minima; HLL uses p=11 (2048
+#: registers, ~2.3% standard error). Two columns so every estimator
+#: branch is live AT THE DRIVER'S sf0.01: event_id (10k distinct →
+#: KMV order-statistic path, HLL raw harmonic branch) and user_id
+#: (150 distinct → KMV exact small-set path, HLL linear-counting
+#: branch).
+_CARD_K = 256
+_CARD_P = 11
+_CARD_COLS = ("event_id", "user_id")
+
+
+def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-replicable distinct-count sketches vs the exact answer
+    (operators.cardinality): one row per (column, method) with the
+    estimate, the exact distinct count, and the relative error — the
+    100 TB cardinality instrument with a correctness certificate.
+    Spark's builtin HLL++ (approx_count_distinct — profile/marts' scale
+    mode) is engine-private; these sketches are built from the public
+    definitions on the md5 hash family, so DuckDB replays registers,
+    order statistics, and ALL FOUR estimator branches bit-exactly (see
+    _CARD_COLS — the two columns' cardinalities pin both the big- and
+    small-set paths of each sketch at sf0.01). All estimate arithmetic
+    is exact-integer ratios (DECIMAL hash minima / scaled power-of-two
+    register sums) with one final rounded double expression per row."""
+    from airflow_retail_etl_spark.operators import cardinality
+
+    events = load_table(spark, sf_dir, "events")
+    frames = []
+    for c in _CARD_COLS:
+        kmv = cardinality.kmv_distinct(events, c, k=_CARD_K)
+        hll = cardinality.hll_distinct(events, c, p=_CARD_P)
+        exact = events.agg(
+            F.count_distinct(c).alias("exact_distinct")
+        )
+        sk = hll.select("method", "estimate").unionByName(
+            kmv.select("method", "estimate")
+        )
+        frames.append(
+            sk.crossJoin(F.broadcast(exact)).select(
+                F.lit(c).alias("column"),
+                "method",
+                "estimate",
+                F.col("exact_distinct").cast("long").alias(
+                    "exact_distinct"
+                ),
+                F.round(
+                    (F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    6,
+                ).alias("rel_err"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("column", "method")
+
+
 def q_source_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained epoching plan (mixing.source_repeat_plan): split
     a 75k-token training budget across sources as uniformly as possible
@@ -4130,7 +4189,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     global_quantiles (rank-arithmetic exact quantiles) — and rotated in
     round 10 for the round-9 machinery: edit_neardup (PassJoin
     character-edit near-dup), nation_profit_ps (real-partsupp TPC-H Q9),
-    snapshot_diff (id-grain corpus snapshot verdicts) — and
+    snapshot_diff (id-grain corpus snapshot verdicts), plus the NEW
+    round-10 family cardinality_sketch (KMV + deterministic HLL
+    distinct-count sketches; ks_drift rotates out after two green
+    driver verifications) — and
     tests/test_entry_contract.py enforces per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
@@ -4207,11 +4269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_stats (functions.text stats, whose machinery quality_filter
         # and bpe_tokenize keep in-window) moves just past the prefix
         "table_profile": q_table_profile,
-        # ks_drift reps the round-8 distribution-drift family (exact
-        # two-sample KS via value-grain counts + prefix sums) in the
-        # window; keyword_divergence (chi-square face of the same
-        # snapshot-compare machinery) sits just past the prefix
-        "ks_drift": q_ks_drift,
+        # cardinality_sketch reps the round-10 engine-replicable
+        # distinct-count sketch family (KMV order statistics +
+        # deterministic HLL registers) in the window; ks_drift — driver-
+        # verified green in rounds 9 AND 10's local runs — rotates just
+        # past the prefix, its profile-module machinery staying repped
+        # in-window by table_profile + snapshot_diff
+        "cardinality_sketch": q_cardinality_sketch,
         # global_quantiles reps the round-8 rank-arithmetic exact-quantile
         # machinery (range repartition + broadcast offsets, no
         # approx buffers) in the window
@@ -4355,8 +4419,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded contamination fraction (between decontaminate's binary
         # drop and decontam_excise's surgical cut)
         "contamination_score": q_contamination_score,
+        # exact two-sample KS drift (rotated just past the prefix in
+        # round 10 after two green driver verifications; same
+        # value-grain counts + prefix-sum machinery as in-window
+        # global_quantiles)
+        "ks_drift": q_ks_drift,
         # chi-square token divergence: what changed between snapshots
-        # (drift family repped in-window by ks_drift)
+        # (same drift family)
         "keyword_divergence": q_keyword_divergence,
         # (snapshot_diff rotated INTO the verified prefix in round 10)
         # per-dimension embedding health audit (dead dims, scale drift)
@@ -5180,6 +5249,92 @@ def _semdedup_sql(n_clusters: int, dims: int, tau: float) -> str:
 from airflow_retail_etl_spark.sources.tables import partsupp_duck_cte
 
 _PS_CTE = "WITH ps AS (" + partsupp_duck_cte() + ")"
+
+
+def _cardinality_sql_one(col: str, k: int, p: int) -> str:
+    """DuckDB twin of one column's sketches in q_cardinality_sketch:
+    same md5 hash family, same integer order statistics / scaled
+    register sums, and the SAME Python-computed double literals (repr
+    round-trip) in the estimator expressions, so every branch
+    replicates bit-exactly."""
+    from airflow_retail_etl_spark.operators.cardinality import _hll_alpha
+
+    m = 1 << p
+    rest_bits = 64 - p
+    rmax = rest_bits + 1
+    two_rest = 1 << rest_bits
+    amm = repr(_hll_alpha(m) * m * m)          # alpha_m * m^2
+    two_rmax_d = repr(float(1 << rmax))
+    two64_d = repr(float(2**64))
+    km1_d = repr(float(k - 1))
+    m_d = repr(float(m))
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    return f"""
+    WITH hv AS (
+        SELECT DISTINCT {h} AS h FROM events WHERE {col} IS NOT NULL
+    ), sk AS (
+        SELECT h FROM hv ORDER BY h ASC LIMIT {k}
+    ), kmv_agg AS (
+        SELECT COUNT(*) AS n_kept, MAX(h) AS kth FROM sk
+    ), kmv AS (
+        SELECT 'kmv' AS method,
+               ROUND(CASE WHEN n_kept >= {k}
+                     THEN ({km1_d} * {two64_d}) / CAST(kth AS DOUBLE)
+                     ELSE CAST(n_kept AS DOUBLE) END, 6) AS estimate
+        FROM kmv_agg
+    ), regs AS (
+        -- register max over DISTINCT hashes == max over rows (max is
+        -- idempotent), so the kmv CTE's distinct set is reusable
+        SELECT CAST(h // {two_rest} AS INTEGER) AS reg,
+               MAX(CASE WHEN CAST(h % {two_rest} AS BIGINT) = 0
+                        THEN {rmax}
+                        ELSE {rest_bits + 1}
+                             - length(bin(CAST(h % {two_rest} AS BIGINT)))
+                   END) AS mx
+        FROM hv GROUP BY 1
+    ), hagg AS (
+        SELECT COUNT(*) AS hits,
+               SUM(CAST((CAST(1 AS BIGINT) << ({rmax} - mx))
+                        AS HUGEINT)) AS s_hit
+    FROM regs
+    ), hstate AS (
+        SELECT hits,
+               COALESCE(s_hit, 0) + CAST({m} - hits AS HUGEINT)
+                   * CAST({1 << rmax} AS HUGEINT) AS s_scaled,
+               {m} - hits AS v_zero
+        FROM hagg
+    ), hraw AS (
+        SELECT *,
+               ROUND(({amm} * {two_rmax_d}) / CAST(s_scaled AS DOUBLE), 6)
+                   AS raw_estimate
+        FROM hstate
+    ), hll AS (
+        SELECT 'hll' AS method,
+               ROUND(CASE WHEN raw_estimate <= {repr(2.5 * m)}
+                          AND v_zero > 0
+                     THEN {m_d} * ln({m_d} / CAST(v_zero AS DOUBLE))
+                     ELSE raw_estimate END, 6) AS estimate
+        FROM hraw
+    ), ex AS (
+        SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) AS exact_distinct
+        FROM events
+    )
+    SELECT '{col}' AS "column", s.method, s.estimate, ex.exact_distinct,
+           ROUND((s.estimate - CAST(ex.exact_distinct AS DOUBLE))
+                 / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+    FROM (SELECT * FROM hll UNION ALL SELECT * FROM kmv) s, ex
+    """
+
+
+def _cardinality_sql(k: int, p: int) -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT * FROM ({_cardinality_sql_one(c, k, p)})"
+        for c in _CARD_COLS
+    )
+    return f'{parts} ORDER BY "column", method'
 
 
 def _ann_recall_sql(
@@ -6360,6 +6515,10 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY chi2 DESC, tok ASC
         LIMIT 30
         """,
+        # KMV order statistics + deterministic HLL registers on the md5
+        # family; both estimator branches share repr'd double literals
+        # with the Spark plan (operators/cardinality.py)
+        "cardinality_sketch": _cardinality_sql(_CARD_K, _CARD_P),
         # exact integer KS: cumulative per-value counts, cross-multiplied
         # numerator max, one division — identical to profile.ks_drift
         "ks_drift": """

@@ -63,6 +63,7 @@ HEADLINE = (
     "ann_recall",
     "edit_neardup",
     "snapshot_diff",
+    "cardinality_sketch",
     "tokenizer_fertility",
     "nation_profit_ps",
     "important_stock_ps",

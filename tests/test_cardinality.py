@@ -1,0 +1,80 @@
+"""Engine-replicable cardinality sketches (operators/cardinality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.operators import cardinality
+
+
+def _ids(spark, n, parts=None):
+    df = spark.range(n).select(F.col("id").alias("v"))
+    return df.repartition(parts) if parts else df
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distincts than k: the sketch IS the set — exact count,
+    NULL threshold."""
+    r = cardinality.kmv_distinct(_ids(spark, 100), "v", k=256).first()
+    assert r.method == "kmv" and r.n_kept == 100
+    assert r.threshold is None
+    assert r.estimate == 100.0
+
+
+def test_kmv_estimator_accuracy_and_determinism(spark):
+    """Above k the order-statistic estimator runs; md5 determinism makes
+    the estimate EXACTLY reproducible under any partitioning, and the
+    k=256 estimator lands within ~3σ ≈ 3/√k ≈ 19%% of truth."""
+    a = cardinality.kmv_distinct(_ids(spark, 10_000), "v", k=256).first()
+    b = cardinality.kmv_distinct(
+        _ids(spark, 10_000, parts=13), "v", k=256
+    ).first()
+    assert a.threshold is not None
+    assert abs(a.estimate - 10_000) / 10_000 < 0.19
+    assert a.estimate == b.estimate and a.threshold == b.threshold
+
+
+def test_hll_raw_branch_accuracy_and_determinism(spark):
+    """10k distinct ≫ 2.5m: raw harmonic branch; ~3σ ≈ 3·1.04/√2048 ≈
+    7%% at p=11. Partition-count invariance is the DECIMAL scaled-sum
+    policy's whole point."""
+    a = cardinality.hll_distinct(_ids(spark, 10_000), "v", p=11).first()
+    b = cardinality.hll_distinct(
+        _ids(spark, 10_000, parts=7), "v", p=11
+    ).first()
+    assert a.estimate == a.raw_estimate  # raw branch taken
+    assert abs(a.estimate - 10_000) / 10_000 < 0.07
+    assert a.estimate == b.estimate and a.s_scaled == b.s_scaled
+
+
+def test_hll_linear_counting_branch(spark):
+    """Small sets take Flajolet's linear-counting branch (raw ≤ 2.5m,
+    empty registers present) — far tighter than the raw estimate
+    there."""
+    r = cardinality.hll_distinct(_ids(spark, 200), "v", p=11).first()
+    assert r.estimate != r.raw_estimate  # linear branch taken
+    assert r.v_zero > 0
+    assert abs(r.estimate - 200) / 200 < 0.05
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    """Cardinality sketches see multisets: 50 copies of each value must
+    give the identical sketch state as one copy."""
+    base = _ids(spark, 500)
+    dup = base.crossJoin(spark.range(50).select(F.lit(1).alias("x"))).select(
+        "v"
+    )
+    a = cardinality.hll_distinct(base, "v", p=11).first()
+    b = cardinality.hll_distinct(dup, "v", p=11).first()
+    assert a.s_scaled == b.s_scaled and a.estimate == b.estimate
+    ka = cardinality.kmv_distinct(base, "v", k=64).first()
+    kb = cardinality.kmv_distinct(dup, "v", k=64).first()
+    assert ka.estimate == kb.estimate
+
+
+def test_hll_p_validation(spark):
+    with pytest.raises(ValueError, match=r"p must be"):
+        cardinality.hll_distinct(_ids(spark, 10), "v", p=12)
+    with pytest.raises(ValueError, match=r"p must be"):
+        cardinality.hll_distinct(_ids(spark, 10), "v", p=3)
