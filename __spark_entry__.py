@@ -1468,6 +1468,56 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bloom_decontam knobs (shared with the oracle): a deliberately TIGHT
+#: 2^14-bit filter (~50% fill at sf0.01's ~1.7k eval grams — FP/probe
+#: ≈ 0.5^7 ≈ 0.9%) so Bloom false positives are a real, verified
+#: population, not a theoretical rate (production default is 2^26; the
+#: semantics are scale-free)
+_BLOOM_BITS = 1 << 14
+_BLOOM_K = 7
+
+
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated decontamination prefilter vs the exact rule
+    (decontam.bloom_contamination over functions/bloom — the documented
+    scale path for eval sets whose gram set outgrows broadcast, round
+    10): per train doc, the bloom-flagged gram count, the exact count,
+    and the false-positive inflation. The oracle replicates the FILTER
+    ITSELF — a bloom bit is set iff its position is in the inserted
+    position multiset, so DuckDB replays the km-hash positions of every
+    eval gram and every train-gram probe bit-for-bit, certifying the
+    no-false-negative guarantee (n_bloom_hits ≥ n_exact_hits row by
+    row) and the exact false-positive SET, not just a rate. Same 5%
+    hash-slice eval split and token 3-grams as q_decontaminate."""
+    from airflow_retail_etl_spark.operators import decontam, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = sampling.hash_sample(docs, "doc_id", 0.05)
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    gate = decontam.bloom_contamination(
+        train, eval_df, "text", "doc_id",
+        n=3, n_bits=_BLOOM_BITS, k_hashes=_BLOOM_K,
+    ).withColumnRenamed("id", "doc_id")
+    exact = decontam.contamination(
+        train, eval_df, "text", "doc_id", n=3
+    ).withColumnRenamed("id", "doc_id")
+    n_bloom = F.coalesce(F.col("n_bloom_hits"), F.lit(0)).cast("long")
+    n_exact = F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long")
+    return (
+        train.select("doc_id")
+        .join(gate, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_bloom.alias("n_bloom_hits"),
+            n_exact.alias("n_exact_hits"),
+            (n_bloom - n_exact).alias("n_fp_grams"),
+            (n_bloom > 0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsample of the events stream.
 
@@ -4293,9 +4343,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-grain excision (strictly more machinery than the binary
         # drop); decontaminate rotates just past the prefix in round 10
         "decontam_excise": q_decontam_excise,
-        # and its eval-hygiene reverse aggregation (which benchmark
-        # items are compromised, and how badly)
-        "eval_leak_report": q_eval_leak_report,
+        # bloom_decontam (rotated in round 10) reps the NEW deterministic
+        # Bloom-prefilter scale path (functions/bloom + the km-hash
+        # position replication oracle); eval_leak_report — green in the
+        # r9 driver run — rotates just past the prefix, the decontam
+        # module staying doubly repped in-window
+        "bloom_decontam": q_bloom_decontam,
         # bm25_search reps the retrieval module in the window; the lm
         # module keeps tfidf_keywords in-prefix, and unigram_score (same
         # token/model machinery, LM-scoring face) moves just past it
@@ -4368,6 +4421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
+        # eval-hygiene reverse aggregation (which benchmark items are
+        # compromised, and how badly) — rotated just past the prefix in
+        # round 10 for bloom_decontam
+        "eval_leak_report": q_eval_leak_report,
         # rotated out in round 9 to give the round-8 machinery driver
         # verification (see docstring): pivot/hourly are plain relational
         # reshapes of in-window agg machinery, and knn_cosine's
@@ -6918,6 +6975,67 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(h.n, CAST(0 AS BIGINT)) AS n_hit_ngrams,
                COALESCE(h.n, 0) > 0 AS contaminated
         FROM sh t LEFT JOIN hits h USING (doc_id)
+        WHERE NOT t.is_eval
+        ORDER BY t.doc_id
+        """,
+        # Bloom semantics replicated relationally: a filter bit is set
+        # iff its position is in the inserted position set, so membership
+        # = all k km-hash positions of a probe land in the eval grams'
+        # position set — the exact false-positive SET replays, not a rate
+        "bloom_decontam": f"""
+        WITH split AS (
+            SELECT doc_id, {_NORM_TEXT} AS t,
+                   {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                       < CAST('{_thr(0.05)}' AS HUGEINT) AS is_eval
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, is_eval,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   )) AS shingles
+            FROM (SELECT doc_id, is_eval, string_split(t, ' ') AS toks
+                  FROM split)
+        ), ev_g AS (
+            SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE is_eval
+        ), tr_g AS (
+            SELECT doc_id, unnest(shingles) AS g FROM sh WHERE NOT is_eval
+        ), evpos AS (
+            SELECT DISTINCT CAST(
+                {xhash.duck_km_hash(
+                    xhash.duck_md5_u64("g", 1),
+                    xhash.duck_md5_u64("g", 2),
+                    "i",
+                )} % {_BLOOM_BITS} AS BIGINT) AS pos
+            FROM ev_g, generate_series(0, {_BLOOM_K - 1}) AS s(i)
+        ), trpos AS (
+            SELECT doc_id, g, CAST(
+                {xhash.duck_km_hash(
+                    xhash.duck_md5_u64("g", 1),
+                    xhash.duck_md5_u64("g", 2),
+                    "i",
+                )} % {_BLOOM_BITS} AS BIGINT) AS pos
+            FROM tr_g, generate_series(0, {_BLOOM_K - 1}) AS s(i)
+        ), ghit AS (
+            SELECT doc_id, g
+            FROM trpos JOIN evpos USING (pos)
+            GROUP BY doc_id, g HAVING COUNT(*) = {_BLOOM_K}
+        ), bh AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM ghit GROUP BY 1
+        ), eh AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ne
+            FROM tr_g JOIN ev_g USING (g) GROUP BY 1
+        )
+        SELECT t.doc_id,
+               COALESCE(b.nb, CAST(0 AS BIGINT)) AS n_bloom_hits,
+               COALESCE(e.ne, CAST(0 AS BIGINT)) AS n_exact_hits,
+               COALESCE(b.nb, CAST(0 AS BIGINT))
+                   - COALESCE(e.ne, CAST(0 AS BIGINT)) AS n_fp_grams,
+               COALESCE(b.nb, 0) > 0 AS flagged
+        FROM sh t
+        LEFT JOIN bh b USING (doc_id)
+        LEFT JOIN eh e USING (doc_id)
         WHERE NOT t.is_eval
         ORDER BY t.doc_id
         """,

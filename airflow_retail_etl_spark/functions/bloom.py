@@ -1,0 +1,134 @@
+"""Deterministic, engine-replicable Bloom filters over the md5 family.
+
+The decontamination scale path (operators/decontam.py, SCALE.md) probes
+a BROADCAST distinct eval-gram set; its documented fallback once the
+eval side outgrows broadcast — "a Bloom prefilter + shuffled semi-join"
+— lives here. A Bloom filter compresses an n-element membership set to
+~10-15 bits/element (vs full strings), so an eval set whose gram SET is
+too big to broadcast still ships to every executor as a bit array; the
+exact join then runs only on the prefiltered survivors.
+
+Deterministic by construction: bit positions come from Kirsch–
+Mitzenmacher double hashing over the two md5 halves
+(``functions/xhash``) — no seeds, no engine-private hash — so the SAME
+filter (bit-for-bit) is buildable in Spark and DuckDB, membership
+verdicts replicate exactly, and the false-positive SET (not just rate)
+is reproducible across engines, partitionings, and reruns. Bloom
+guarantees: no false negatives ever; false positives at the standard
+(1 - e^{-kn/m})^k rate.
+
+Representation: one row with an ``array<long>`` of ``n_bits/64`` words
+(position p → word p>>6, bit p&63; two's-complement bit_or is plain
+bitwise OR). The array broadcasts as DATA (a few MB for 10⁶ elements),
+never as plan literals — the round-9 plan-size trap does not apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.functions import xhash
+
+
+def _positions(col: Column, k_hashes: int, n_bits: int) -> list[Column]:
+    """The k Kirsch–Mitzenmacher bit positions of a value, as BIGINTs in
+    [0, n_bits). Exact DECIMAL arithmetic until the final mod."""
+    u1 = xhash.md5_u64(col, 1)
+    u2 = xhash.md5_u64(col, 2)
+    return [
+        (xhash.km_hash(u1, u2, i) % F.lit(n_bits)).cast("bigint")
+        for i in range(k_hashes)
+    ]
+
+
+def build_bloom(
+    values: DataFrame,
+    col: str,
+    *,
+    n_bits: int,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """One-row DataFrame (bits: array<long>, n_bits, k_hashes) holding
+    the Bloom filter of ``values[col]`` (nulls ignored).
+
+    Shape: explode k positions per value (linear), one word-keyed
+    bit_or aggregation (≤ n_bits/64 uniform keys, map-side combine),
+    then a dense ordered array built by filling absent words with 0 —
+    the single collect-free fold a filter of any size supports. The
+    result is data, broadcast-joined by probes, so filter size is
+    bounded by executor memory, not plan size.
+    """
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    n_words = n_bits // 64
+    v = values.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    pos = v.select(
+        F.explode(F.array(*_positions(F.col("v"), k_hashes, n_bits))).alias(
+            "p"
+        )
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) & 63)").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    dense = (
+        values.sparkSession.range(n_words)
+        .select(F.col("id").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda s: s["bits"],
+        ).alias("bits")
+    ).select(
+        "bits",
+        F.lit(n_bits).cast("long").alias("n_bits"),
+        F.lit(k_hashes).cast("int").alias("k_hashes"),
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    *,
+    n_bits: int,
+    k_hashes: int = 7,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """``df`` plus a boolean ``hit_col``: every one of the value's k bit
+    positions is set in the filter. ``n_bits``/``k_hashes`` must match
+    the build (they ride the bloom row too; literals here keep the
+    probe a pure projection). The one-row filter cross-joins broadcast —
+    each partition probes locally, the probed side never shuffles."""
+    probed = df.crossJoin(
+        F.broadcast(bloom.select(F.col("bits").alias("__bloom_bits")))
+    )
+    tmp = []
+    for i, p in enumerate(
+        _positions(F.col(col).cast("string"), k_hashes, n_bits)
+    ):
+        tmp.append(f"__bp{i}")
+        probed = probed.withColumn(f"__bp{i}", p)
+    hit = None
+    for name in tmp:
+        c = F.expr(
+            f"(element_at(__bloom_bits, "
+            f"CAST(shiftright({name}, 6) AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({name} AS INT) & 63)) != 0"
+        )
+        hit = c if hit is None else hit & c
+    return probed.withColumn(
+        hit_col, F.col(col).isNotNull() & hit
+    ).drop("__bloom_bits", *tmp)

@@ -67,6 +67,57 @@ def contamination(
     )
 
 
+def bloom_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+    n_bits: int = 1 << 26,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Bloom-gated contamination prefilter: (id, n_bloom_hits) — the
+    documented scale path for when the eval gram SET outgrows broadcast
+    (module docstring step 3's fallback, now implemented; round 10).
+
+    The eval grams build a deterministic md5-family Bloom filter
+    (functions/bloom — n elements compress to ~n_bits bits instead of
+    full strings, so a 10⁸-gram eval side still ships to executors),
+    and every train gram probes it as a pure projection: the train
+    corpus never shuffles, exactly like the broadcast-set join it
+    replaces. GUARANTEES: ``n_bloom_hits`` ≥ the exact
+    :func:`contamination` count for every doc (Bloom has no false
+    negatives — superset-pinned in tests), inflated only by false
+    positives at the standard (1-e^{-kn/m})^k rate. Compose as
+    ``bloom_contamination(...) → filter(n_bloom_hits > 0) → exact
+    contamination on the survivors``: the exact join's input shrinks to
+    the flagged sliver, and the gate never un-flags a true hit. Docs with
+    zero probing grams are absent (LEFT-join and coalesce to 0).
+
+    Default ``n_bits`` = 2²⁶ (8 MB filter — ~10 bits/element at 6-7M
+    eval grams, FP ≈ 1%); size at ~10·|eval grams| bits.
+    """
+    from airflow_retail_etl_spark.functions import bloom
+
+    filt = bloom.build_bloom(
+        eval_ngram_set(eval_df, text_col, id_col, n=n),
+        "g",
+        n_bits=n_bits,
+        k_hashes=k_hashes,
+    )
+    tr = _with_shingles(train, text_col, id_col, kind="token", n=n)
+    grams = tr.select("id", F.explode_outer("shingles").alias("g"))
+    probed = bloom.bloom_probe(
+        grams, "g", filt, n_bits=n_bits, k_hashes=k_hashes
+    )
+    return (
+        probed.filter(F.col("bloom_hit"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_hits"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

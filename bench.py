@@ -64,6 +64,7 @@ HEADLINE = (
     "edit_neardup",
     "snapshot_diff",
     "cardinality_sketch",
+    "bloom_decontam",
     "tokenizer_fertility",
     "nation_profit_ps",
     "important_stock_ps",
