@@ -1477,6 +1477,61 @@ _BLOOM_BITS = 1 << 14
 _BLOOM_K = 7
 
 
+#: corpus_overlap's sketch size (64) and the two doc-set predicates:
+#: English docs vs at-least-median-length docs — genuinely partially
+#: overlapping sets (Jaccard ≈ 0.3 at sf0.01: |en|=218, |long|=250,
+#: both=108), with union > k at every SF so the order-statistic
+#: estimator path is what the driver verifies
+_OVERLAP_K = 64
+_OVERLAP_MIN_CHARS = 306
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free set-overlap estimation (cardinality.kmv_overlap): the
+    English-doc and long-doc id sets meet only through their KMV
+    sketches — the instrument for overlap questions between corpora
+    that must never be co-shuffled (snapshots, clusters, storage
+    tiers). One row: the sketch state, the Jaccard/union/intersection
+    estimates, and the exact answers beside them (cheap at this scale)
+    so the report doubles as its own error audit. Deterministic md5
+    order statistics; the oracle replays pools, union sketch, and the
+    estimators bit-exactly."""
+    from airflow_retail_etl_spark.operators import cardinality
+
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.filter(F.col("lang") == "en")
+    right = docs.filter(F.col("n_chars") >= _OVERLAP_MIN_CHARS)
+    est = cardinality.kmv_overlap(left, right, "doc_id", k=_OVERLAP_K)
+    va = left.select("doc_id").distinct()
+    vb = right.select("doc_id").distinct()
+    exact = (
+        va.unionByName(vb)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            va.join(vb, "doc_id", "left_semi").agg(
+                F.count(F.lit(1)).alias("exact_intersection")
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "k",
+        "n_union_sketch",
+        "n_both_in_sketch",
+        # string form: a 20-digit order statistic overflows both
+        # engines' 64-bit pandas paths (DuckDB renders HUGEINT/DECIMAL
+        # >18 digits as lossy float64)
+        F.col("threshold").cast("string").alias("threshold"),
+        "jaccard_est",
+        "union_est",
+        "intersection_est",
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersection").cast("long").alias(
+            "exact_intersection"
+        ),
+    )
+
+
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated decontamination prefilter vs the exact rule
     (decontam.bloom_contamination over functions/bloom — the documented
@@ -4491,6 +4546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
         "set_ops": q_set_ops,
+        # join-free KMV set-overlap estimates + exact audit (sketch
+        # machinery repped in-prefix by cardinality_sketch)
+        "corpus_overlap_kmv": q_corpus_overlap,
         "quality_report": q_quality_report,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "unigram_score": q_unigram_score,
@@ -5392,6 +5450,72 @@ def _cardinality_sql(k: int, p: int) -> str:
         for c in _CARD_COLS
     )
     return f'{parts} ORDER BY "column", method'
+
+
+def _corpus_overlap_sql(k: int, min_chars: int) -> str:
+    """DuckDB twin of q_corpus_overlap: same md5 pools, union sketch,
+    and estimator literals as cardinality.kmv_overlap."""
+    km1_d = repr(float(k - 1))
+    two64_d = repr(float(2**64))
+    h = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    return f"""
+    WITH pa AS (
+        SELECT h FROM (
+            SELECT DISTINCT {h} AS h FROM documents
+            WHERE lang = 'en' AND doc_id IS NOT NULL
+        ) ORDER BY h ASC LIMIT {k}
+    ), pb AS (
+        SELECT h FROM (
+            SELECT DISTINCT {h} AS h FROM documents
+            WHERE n_chars >= {min_chars} AND doc_id IS NOT NULL
+        ) ORDER BY h ASC LIMIT {k}
+    ), merged AS (
+        SELECT h,
+               CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        FROM (SELECT h FROM pa) a FULL JOIN (SELECT h FROM pb) b
+             USING (h)
+        ORDER BY h ASC LIMIT {k}
+    ), agg AS (
+        SELECT COUNT(*) AS n_u, MAX(h) AS kth,
+               SUM(in_a * in_b) AS n_both
+        FROM merged
+    ), st AS (
+        SELECT CAST({k} AS INTEGER) AS k,
+               CAST(n_u AS BIGINT) AS n_union_sketch,
+               CAST(n_both AS BIGINT) AS n_both_in_sketch,
+               CASE WHEN n_u >= {k} THEN kth ELSE NULL END AS threshold
+        FROM agg
+    ), est AS (
+        SELECT *,
+               ROUND(CAST(n_both_in_sketch AS DOUBLE)
+                     / CAST(n_union_sketch AS DOUBLE), 6) AS jaccard_est,
+               ROUND(CASE WHEN threshold IS NOT NULL
+                     THEN ({km1_d} * {two64_d}) / CAST(threshold AS DOUBLE)
+                     ELSE CAST(n_union_sketch AS DOUBLE) END, 6)
+                   AS union_est
+        FROM st
+    ), ex AS (
+        SELECT
+            (SELECT COUNT(DISTINCT doc_id) FROM documents
+             WHERE (lang = 'en' OR n_chars >= {min_chars})
+               AND doc_id IS NOT NULL) AS exact_union,
+            (SELECT COUNT(DISTINCT doc_id) FROM documents
+             WHERE lang = 'en' AND n_chars >= {min_chars}
+               AND doc_id IS NOT NULL) AS exact_intersection
+    )
+    SELECT est.k, est.n_union_sketch, est.n_both_in_sketch,
+           CAST(est.threshold AS VARCHAR) AS threshold,
+           est.jaccard_est, est.union_est,
+           ROUND(est.jaccard_est * est.union_est, 6)
+               AS intersection_est,
+           CAST(ex.exact_union AS BIGINT) AS exact_union,
+           CAST(ex.exact_intersection AS BIGINT) AS exact_intersection
+    FROM est, ex
+    """
 
 
 def _ann_recall_sql(
@@ -6576,6 +6700,9 @@ def oracle_sql() -> dict[str, str]:
         # family; both estimator branches share repr'd double literals
         # with the Spark plan (operators/cardinality.py)
         "cardinality_sketch": _cardinality_sql(_CARD_K, _CARD_P),
+        # KMV pools → union sketch → Jaccard/union/intersection
+        # estimators, plus the exact-set audit columns
+        "corpus_overlap_kmv": _corpus_overlap_sql(_OVERLAP_K, _OVERLAP_MIN_CHARS),
         # exact integer KS: cumulative per-value counts, cross-multiplied
         # numerator max, one division — identical to profile.ks_drift
         "ks_drift": """

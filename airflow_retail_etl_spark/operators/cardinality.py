@@ -102,6 +102,102 @@ def kmv_distinct(df: DataFrame, col: str, *, k: int = 1024) -> DataFrame:
     )
 
 
+def kmv_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    *,
+    k: int = 1024,
+) -> DataFrame:
+    """Sketch-based set-overlap estimate WITHOUT a join: one row
+    (k, n_union_sketch, threshold, jaccard_est, union_est,
+    intersection_est).
+
+    The KMV union property: the k smallest hashes of A ∪ B are
+    computable from the two sides' own k-minima pools — so two corpora
+    that must never be co-shuffled (different clusters, snapshots, or
+    storage tiers) still get |A∪B|, |A∩B| and Jaccard estimates from
+    kilobyte sketches. Within the union sketch S, members seen on BOTH
+    sides are an unbiased Jaccard sample: Ĵ = |S ∩ A ∩ B| / |S|
+    (Bar-Yossef et al.); |A∪B| is the standard (k-1)/R estimator and
+    |A∩B| = Ĵ·|A∪B|. Exact when the union fits inside k. Deterministic:
+    same md5 order statistics as :func:`kmv_distinct`, one rounded
+    double expression per estimate.
+
+    Scale shape: each side is a distinct-on-uniform-hash + top-k; the
+    overlap math runs on ≤ 2k sketch rows.
+    """
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(_u64(F.col(col)).alias("h"))
+            .filter(F.col("h").isNotNull())
+            .distinct()
+            .orderBy(F.col("h").asc())
+            .limit(k)
+            .select("h", F.lit(1).alias(name))
+        )
+
+    merged = (
+        side(left, "in_a")
+        .join(side(right, "in_b"), "h", "full")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("kth"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
+    )
+    full = F.col("n_u") >= k
+    union_full = (
+        F.lit(float(k - 1)) * F.lit(float(_TWO64))
+        / F.col("threshold").cast("double")
+    )
+    jac = F.col("n_both_in_sketch").cast("double") / F.col(
+        "n_union_sketch"
+    ).cast("double")
+    return (
+        agg.select(
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_u").cast("long").alias("n_union_sketch"),
+            F.col("n_both").cast("long").alias("n_both_in_sketch"),
+            F.when(full, F.col("kth"))
+            .otherwise(F.lit(None))
+            .cast("decimal(20,0)")
+            .alias("threshold"),
+        )
+        .select(
+            "k",
+            "n_union_sketch",
+            "n_both_in_sketch",
+            "threshold",
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(
+                F.when(F.col("threshold").isNotNull(), union_full)
+                .otherwise(F.col("n_union_sketch").cast("double")),
+                6,
+            ).alias("union_est"),
+        )
+        .select(
+            "k",
+            "n_union_sketch",
+            "n_both_in_sketch",
+            "threshold",
+            "jaccard_est",
+            "union_est",
+            F.round(
+                F.col("jaccard_est") * F.col("union_est"), 6
+            ).alias("intersection_est"),
+        )
+    )
+
+
 def _hll_alpha(m: int) -> float:
     """Flajolet's bias-correction constant for m ≥ 128 registers."""
     return 0.7213 / (1.0 + 1.079 / m)

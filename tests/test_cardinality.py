@@ -78,3 +78,30 @@ def test_hll_p_validation(spark):
         cardinality.hll_distinct(_ids(spark, 10), "v", p=12)
     with pytest.raises(ValueError, match=r"p must be"):
         cardinality.hll_distinct(_ids(spark, 10), "v", p=3)
+
+
+def test_kmv_overlap_exact_when_union_fits_and_estimates_otherwise(spark):
+    """Small unions (≤ k) make the union sketch THE union: estimates
+    are exact. Large unions run the order-statistic estimator within
+    its error bars, deterministically under any partitioning."""
+    left = _ids(spark, 300)                      # {0..299}
+    right = spark.range(150, 450).select(F.col("id").alias("v"))
+    # exact path: k = 1024 swallows the 450-element union
+    r = cardinality.kmv_overlap(left, right, "v", k=1024).first()
+    assert r.threshold is None
+    assert r.union_est == 450.0
+    assert r.jaccard_est == round(150 / 450, 6)
+    # intersection consumes the 6dp-ROUNDED jaccard (round-then-consume
+    # policy), so 0.333333 * 450 = 149.99985, not 150 exactly
+    assert r.intersection_est == round(r.jaccard_est * 450, 6)
+    # estimator path: k = 256 < union of 4500 ({0..2999} ∪ {1500..4499})
+    big_l = spark.range(3000).select(F.col("id").alias("v"))
+    big_r = spark.range(1500, 4500).select(F.col("id").alias("v"))
+    e1 = cardinality.kmv_overlap(big_l, big_r, "v", k=256).first()
+    e2 = cardinality.kmv_overlap(
+        big_l.repartition(9), big_r.repartition(5), "v", k=256
+    ).first()
+    assert e1.threshold is not None
+    assert tuple(e1) == tuple(e2)                  # deterministic
+    assert abs(e1.union_est - 4500) / 4500 < 0.2   # ~3σ at k=256
+    assert abs(e1.jaccard_est - 1 / 3) < 0.1
