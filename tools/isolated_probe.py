@@ -1,17 +1,31 @@
 """Fresh-JVM single-query probe (round-9 verdict item 3).
 
-Session-aging wobble: iterative probes (pagerank above all) accumulate
-localCheckpointed RDDs and GC debt across a long curve session, so their
-single-shot in-session sf1 numbers ranged 13-50 s for identical plans.
-Running the probe in its OWN JVM removes every session variable; the
-remaining spread is the OS page cache, which the two-run protocol makes
-explicit: one cold run (reported as ``cold_sec``), one warm run
-(``sec`` — the comparable number; measured pagerank sf1 band ±20%).
+THE probe-noise root cause (found round 10, after heap size, GC logs,
+and tmpfs shuffle dirs were all ruled out): LAZY JVM HEAP COMMIT. With
+a plain ``--driver-memory 48g`` (i.e. -Xmx48g, default -Xms), the heap
+grows on demand, and the kernel zeroes every newly committed page
+INSIDE the timed window — a slow run burns 31.5% of all 32 CPUs in
+system time vs 2.6% in a fast one (measured via /proc/stat around two
+probes), producing a bimodal 12-88 s band for the identical pagerank
+sf1 plan, degrading PROGRESSIVELY across iterations (2.4→2.1→1.8 s in
+a fast run, 11.4→20.4→97.8 s in a slow one — allocation pressure keeps
+tripping expansion). Fix: ``-Xms = -Xmx`` plus ``-XX:+AlwaysPreTouch``,
+which moves the entire commit+zero cost to JVM startup (untimed;
+~45 s wall for 48 GB). Measured after the fix: pagerank sf1
+12.2-13.2 s (48g) / 11.4-13.1 s (24g) across fresh JVMs — the old
+14-88 s band collapses to ±8%. Keep 48g: span_excise sf1 needs the
+shuffle headroom (177 s at 24g vs its 20-85 s at 48g).
+
+This probe still does exactly ONE timed run per JVM (after a small-sf
+JIT warm-up) and exits — in-JVM repeats accumulate checkpointed blocks
+and re-trip heap growth on un-pretouched heaps, and a fresh JVM is the
+only state an operator can reproduce. tools/scaling_curve.py runs it
+twice per tier in separate processes (cold_sec / sec).
 
 Usage: python tools/isolated_probe.py <query> <sf_dir>
-Prints one JSON line: {"query", "sf_dir", "cold_sec", "sec"}.
-Invoked by tools/scaling_curve.py for ISOLATED_PROBES; usable standalone
-to re-probe any registry query that looks like a regression in-curve.
+Prints one JSON line: {"query", "sf_dir", "sec"}.
+Run it standalone to re-probe any registry query that looks like a
+regression inside a long-lived session before believing the number.
 """
 
 from __future__ import annotations
@@ -25,7 +39,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+    "PYSPARK_SUBMIT_ARGS",
+    "--driver-memory 48g --conf spark.driver.extraJavaOptions="
+    "-Xms48g\\ -XX:+AlwaysPreTouch pyspark-shell",
 )
 
 
@@ -51,14 +67,13 @@ def main() -> None:
     ).save()
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    cold = round(time.time() - t0, 3)
-    t0 = time.time()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    warm = round(time.time() - t0, 3)
     print(
         json.dumps(
-            {"query": query, "sf_dir": sf_dir, "cold_sec": cold,
-             "sec": warm}
+            {
+                "query": query,
+                "sf_dir": sf_dir,
+                "sec": round(time.time() - t0, 3),
+            }
         ),
         flush=True,
     )

@@ -42,9 +42,15 @@ _ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_ROOT))
 
 # the sf1 probes need real driver heap (local mode runs executors in the
-# driver JVM; the 1g default GC-thrashes and dies silently at 10× data)
+# driver JVM; the 1g default GC-thrashes and dies silently at 10× data).
+# Xms=Xmx + AlwaysPreTouch: lazy heap commit was THE in-session sf1
+# wobble (kernel page-zeroing inside timed windows — 31.5% system CPU
+# in slow runs; see tools/isolated_probe.py's docstring for the full
+# round-10 diagnosis). Pre-touching pays ~45 s once at startup, untimed.
 os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+    "PYSPARK_SUBMIT_ARGS",
+    "--driver-memory 48g --conf spark.driver.extraJavaOptions="
+    "-Xms48g\\ -XX:+AlwaysPreTouch pyspark-shell",
 )
 
 import __spark_entry__ as entry_mod
@@ -90,22 +96,28 @@ ISOLATED_PROBES = {"pagerank"}
 
 
 def _isolated_times(name: str, sf_dirs: list[str]) -> dict[str, dict]:
+    """Two fresh JVMs per tier, ONE timed run each: the first pays the
+    OS page cache (recorded as cold_sec), the second is the comparable
+    number (sec). One-run-per-JVM is the point — a second run in the
+    SAME JVM measured 2x slower at sf1 (isolated_probe docstring)."""
     import subprocess
 
-    out: dict[str, dict] = {}
-    for d in sf_dirs:
-        sf = d.rstrip("/").rsplit("sf", 1)[-1]
+    def one(d: str) -> float:
         proc = subprocess.run(
             [sys.executable, str(_ROOT / "tools" / "isolated_probe.py"),
              name, d],
             capture_output=True, text=True, timeout=1800,
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        rec = json.loads(line)
-        out[sf] = {"sec": rec["sec"], "cold_sec": rec["cold_sec"]}
+        return json.loads(proc.stdout.strip().splitlines()[-1])["sec"]
+
+    out: dict[str, dict] = {}
+    for d in sf_dirs:
+        sf = d.rstrip("/").rsplit("sf", 1)[-1]
+        cold = one(d)
+        warm = one(d)
+        out[sf] = {"sec": warm, "cold_sec": cold}
         print(
-            f"# {name} sf{sf} (isolated): {rec['sec']}s "
-            f"(cold {rec['cold_sec']}s)",
+            f"# {name} sf{sf} (isolated): {warm}s (cold {cold}s)",
             file=sys.stderr, flush=True,
         )
     return out
@@ -127,6 +139,14 @@ def main() -> None:
             "SCALING_HISTORY gets nothing",
             file=sys.stderr, flush=True,
         )
+    # isolated probes run BEFORE the curve's own session exists: a
+    # subprocess probing beside this tool's live 48g parent JVM measured
+    # pagerank sf1 at 24 s warm / 117 s cold vs 11 s truly alone —
+    # heap/page-cache contention re-introduces exactly the smear the
+    # isolated mode exists to remove
+    isolated_results = {
+        name: _isolated_times(name, sf_dirs) for name in ISOLATED_PROBES
+    }
     spark = get_spark(
         app_name="scaling_curve",
         master=f"local[{cpus}]",
@@ -212,7 +232,7 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in PROBES:
         if name in ISOLATED_PROBES:
-            iso = _isolated_times(name, sf_dirs)
+            iso = isolated_results[name]
             times = {sf: v["sec"] for sf, v in iso.items()}
             sfs = list(times)
             out[name] = {
