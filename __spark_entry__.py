@@ -1279,6 +1279,118 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("column", "method")
 
 
+#: daily_distinct_hll knobs: per-column precision so BOTH estimator
+#: branches are live PER GROUP at the driver's sf0.01 — user_id/day
+#: (~150 distinct) into p=8's 256 registers stays on the linear-
+#: counting branch; event_id/day (~330) into p=4's 16 registers
+#: crosses raw > 2.5m into the harmonic branch.
+_HLL_BY = (("user_id", 8), ("event_id", 4))
+
+
+def q_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct counts via grouped deterministic HLL
+    (cardinality.hll_distinct_by) vs the exact answer: one row per
+    (event_date, column) with the estimate, exact count, and relative
+    error. The 100 TB form of the reference's daily
+    COUNT(DISTINCT user_id) KPI (`/root/reference/dags/
+    retail_pipeline.py:36-45`, served exactly by
+    q_daily_revenue_summary): the exact form's shuffle carries every
+    distinct (day, value) pair, the grouped sketch's carries ≤ 2^p
+    register rows per day (map-side combined) — and unlike Spark's
+    builtin approx_count_distinct, DuckDB replays every per-day
+    register and both estimator branches bit-exactly."""
+    from airflow_retail_etl_spark.operators import cardinality
+
+    ev = adapters.staging_events(spark, sf_dir)
+    frames = []
+    for c, p in _HLL_BY:
+        est = cardinality.hll_distinct_by(ev, ["event_date"], c, p=p)
+        exact = (
+            ev.filter(F.col(c).isNotNull())
+            .groupBy("event_date")
+            .agg(F.count_distinct(c).alias("exact_distinct"))
+        )
+        frames.append(
+            est.join(exact, "event_date").select(
+                "event_date",
+                F.lit(c).alias("column"),
+                F.lit(p).cast("int").alias("p"),
+                "estimate",
+                F.col("exact_distinct").cast("long").alias(
+                    "exact_distinct"
+                ),
+                F.round(
+                    (F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    6,
+                ).alias("rel_err"),
+            )
+        )
+    return frames[0].unionByName(frames[1]).orderBy(
+        "event_date", "column"
+    )
+
+
+#: heavy_hitters knobs (shared by the Spark plan and the oracle so the
+#: two cannot drift): a deliberately TIGHT sketch — the ~916 distinct
+#: bigrams at sf0.01 hash into width=256 columns (depth 4, 1024 cells,
+#: 8 KB), so counter collisions are REAL (cms_est > n_exact for some
+#: keys) while the min-of-depth overestimate guarantee still prunes
+#: losslessly; threshold 40 keeps the top ~6% of bigrams at sf0.01
+#: (54 rows) and the whole settled hot set at sf0.1.
+_HH_WIDTH = 256
+_HH_DEPTH = 4
+_HH_THRESHOLD = 40
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent bigrams via count-min-sketch pruning
+    (operators.frequency): every token bigram whose exact corpus count
+    ≥ 40, with the sketch's estimate as an audit column. The 100 TB
+    frequent-item instrument: the sketch build is a bounded-key
+    aggregation (≤ depth·width cells shuffle regardless of corpus
+    size), the probe is a map-side projection against the broadcast
+    8 KB counter array, and the only key-grain shuffle carries just the
+    occurrences of candidate keys — CMS only ever OVERcounts, so the
+    est ≥ threshold prefilter is provably lossless and the output is
+    exact. Deterministic md5/Kirsch–Mitzenmacher positions (the same
+    hash family as bloom_decontam / cardinality_sketch), so DuckDB
+    replays every counter and every estimate bit-for-bit — including
+    the collision-inflated ones (see _HH_WIDTH). Tokenization matches
+    the lm/dedup normalization (_NORM_TEXT)."""
+    from airflow_retail_etl_spark.functions.partitioning import spread
+    from airflow_retail_etl_spark.operators import frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    # spread BEFORE the lambda-heavy bigram projection and the per-
+    # occurrence double-md5: single-row-group testdata parquet cannot
+    # parallelize past one task without an exchange (round-7 trap)
+    arrs = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("id"), norm.alias("__t"))
+        .filter(F.length("__t") > 0)
+        .transform(lambda d: spread(d, "id"))
+        .select(F.split("__t", " ").alias("arr"))
+    )
+    bigrams = arrs.select(
+        F.explode(
+            F.zip_with(
+                F.slice("arr", 1, F.size("arr") - 1),
+                F.slice("arr", 2, F.size("arr") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("value")
+    )
+    return frequency.heavy_hitters(
+        bigrams,
+        "value",
+        threshold=_HH_THRESHOLD,
+        width=_HH_WIDTH,
+        depth=_HH_DEPTH,
+    )
+
+
 def q_source_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained epoching plan (mixing.source_repeat_plan): split
     a 75k-token training budget across sources as uniformly as possible
@@ -4295,9 +4407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 10 for the round-9 machinery: edit_neardup (PassJoin
     character-edit near-dup), nation_profit_ps (real-partsupp TPC-H Q9),
     snapshot_diff (id-grain corpus snapshot verdicts), plus the NEW
-    round-10 family cardinality_sketch (KMV + deterministic HLL
+    round-10 families cardinality_sketch (KMV + deterministic HLL
     distinct-count sketches; ks_drift rotates out after two green
-    driver verifications) — and
+    driver verifications) and heavy_hitters (count-min-sketch
+    sketch-prune → exact-verify frequent items; stratified_sample
+    rotates out, its hash-membership machinery in-window via
+    decontam_excise + corpus_shuffle) — and
     tests/test_entry_contract.py enforces per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
@@ -4381,6 +4496,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the prefix, its profile-module machinery staying repped
         # in-window by table_profile + snapshot_diff
         "cardinality_sketch": q_cardinality_sketch,
+        # heavy_hitters reps the round-10 count-min-sketch frequency
+        # family (sketch-prune → exact-verify; the same md5/km-hash
+        # position replication as bloom_decontam, now as COUNTERS);
+        # stratified_sample rotates just past the prefix — its
+        # md5-threshold membership machinery stays in-window via
+        # decontam_excise's hash_sample eval slice and corpus_shuffle's
+        # shuffle_u draw
+        "heavy_hitters": q_heavy_hitters,
         # global_quantiles reps the round-8 rank-arithmetic exact-quantile
         # machinery (range repartition + broadcast offsets, no
         # approx buffers) in the window
@@ -4412,7 +4535,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-batch face of incremental dedup (the foreachBatch sink's
         # per-batch logic, replayed): its own family representative
         "streaming_admission": q_streaming_admission,
-        "stratified_sample": q_stratified_sample,
         # corpus_shuffle reps the round-8 reproducible-draw family in the
         # window (epoch-seeded global shuffle positions via the
         # DISTRIBUTED prefix sum, consumed as a pure filter); its
@@ -4476,6 +4598,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
+        # rotated out in round 10 for heavy_hitters: the md5-threshold
+        # hash-membership machinery runs in-window inside
+        # decontam_excise (hash_sample) and corpus_shuffle (shuffle_u)
+        "stratified_sample": q_stratified_sample,
+        # grouped face of the in-window cardinality_sketch register
+        # machinery (per-key HLL fold — the 100 TB daily
+        # COUNT DISTINCT)
+        "daily_distinct_hll": q_daily_distinct_hll,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
@@ -5441,6 +5571,74 @@ def _cardinality_sql_one(col: str, k: int, p: int) -> str:
            ROUND((s.estimate - CAST(ex.exact_distinct AS DOUBLE))
                  / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
     FROM (SELECT * FROM hll UNION ALL SELECT * FROM kmv) s, ex
+    """
+
+
+def _hll_by_sql_one(col: str, p: int) -> str:
+    """DuckDB twin of one column's per-day sketch in
+    q_daily_distinct_hll: the _cardinality_sql_one HLL register fold
+    with event_date added to both GROUP BYs, identical Python-computed
+    double literals in the estimator expressions."""
+    from airflow_retail_etl_spark.operators.cardinality import _hll_alpha
+
+    m = 1 << p
+    rest_bits = 64 - p
+    rmax = rest_bits + 1
+    two_rest = 1 << rest_bits
+    amm = repr(_hll_alpha(m) * m * m)
+    two_rmax_d = repr(float(1 << rmax))
+    m_d = repr(float(m))
+    h = (
+        "CAST(('0x' || substr(md5(CAST(v AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS event_date, {col} AS v FROM events
+        WHERE {col} IS NOT NULL
+    ), hv AS (
+        SELECT event_date, {h} AS h FROM ev
+    ), regs AS (
+        SELECT event_date, CAST(h // {two_rest} AS INTEGER) AS reg,
+               MAX(CASE WHEN CAST(h % {two_rest} AS BIGINT) = 0
+                        THEN {rmax}
+                        ELSE {rest_bits + 1}
+                             - length(bin(CAST(h % {two_rest} AS BIGINT)))
+                   END) AS mx
+        FROM hv GROUP BY 1, 2
+    ), hagg AS (
+        SELECT event_date, COUNT(*) AS hits,
+               SUM(CAST((CAST(1 AS BIGINT) << ({rmax} - mx))
+                        AS HUGEINT)) AS s_hit
+        FROM regs GROUP BY 1
+    ), hstate AS (
+        SELECT event_date, hits,
+               COALESCE(s_hit, 0) + CAST({m} - hits AS HUGEINT)
+                   * CAST({1 << rmax} AS HUGEINT) AS s_scaled,
+               {m} - hits AS v_zero
+        FROM hagg
+    ), hraw AS (
+        SELECT *,
+               ROUND(({amm} * {two_rmax_d}) / CAST(s_scaled AS DOUBLE), 6)
+                   AS raw_estimate
+        FROM hstate
+    ), hll AS (
+        SELECT event_date,
+               ROUND(CASE WHEN raw_estimate <= {repr(2.5 * m)}
+                          AND v_zero > 0
+                     THEN {m_d} * ln({m_d} / CAST(v_zero AS DOUBLE))
+                     ELSE raw_estimate END, 6) AS estimate
+        FROM hraw
+    ), ex AS (
+        SELECT event_date,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_distinct
+        FROM ev GROUP BY 1
+    )
+    SELECT h.event_date, '{col}' AS "column",
+           CAST({p} AS INTEGER) AS p, h.estimate, ex.exact_distinct,
+           ROUND((h.estimate - CAST(ex.exact_distinct AS DOUBLE))
+                 / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+    FROM hll h JOIN ex USING (event_date)
     """
 
 
@@ -6700,6 +6898,52 @@ def oracle_sql() -> dict[str, str]:
         # family; both estimator branches share repr'd double literals
         # with the Spark plan (operators/cardinality.py)
         "cardinality_sketch": _cardinality_sql(_CARD_K, _CARD_P),
+        # per-day HLL register folds, one per (column, precision) pair
+        "daily_distinct_hll": " UNION ALL ".join(
+            f"SELECT * FROM ({_hll_by_sql_one(c, p)})" for c, p in _HLL_BY
+        )
+        + ' ORDER BY event_date, "column"',
+        # count-min sketch replayed cell by cell: every key's depth
+        # km-hash positions, the exact cell counts they accumulate
+        # (collisions included), and the min-of-depth estimate — the
+        # inner join in `est` is safe because a key's own occurrences
+        # guarantee each of its (j, pos) cells exists
+        "heavy_hitters": f"""
+        WITH docs AS (
+            SELECT {_NORM_TEXT} AS t FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), arrs AS (
+            SELECT string_split(t, ' ') AS arr FROM docs
+        ), occ AS (
+            SELECT unnest(list_transform(
+                       range(1, len(arr)),
+                       i -> arr[i] || ' ' || arr[i + 1]
+                   )) AS value
+            FROM arrs
+        ), keys AS (
+            SELECT value, COUNT(*) AS n_exact,
+                   {xhash.duck_md5_u64('value', 1)} AS u1,
+                   {xhash.duck_md5_u64('value', 2)} AS u2
+            FROM occ GROUP BY value
+        ), pos AS (
+            SELECT value, n_exact, j.i AS j,
+                   CAST({xhash.duck_km_hash('u1', 'u2', 'j.i')}
+                        % {_HH_WIDTH} AS INTEGER) AS pos
+            FROM keys CROSS JOIN range({_HH_DEPTH}) j(i)
+        ), cells AS (
+            SELECT j, pos, SUM(n_exact) AS c FROM pos GROUP BY j, pos
+        ), est AS (
+            SELECT p.value, p.n_exact, MIN(c.c) AS cms_est
+            FROM pos p JOIN cells c ON c.j = p.j AND c.pos = p.pos
+            GROUP BY p.value, p.n_exact
+        )
+        SELECT value,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(cms_est AS BIGINT) AS cms_est
+        FROM est
+        WHERE n_exact >= {_HH_THRESHOLD}
+        ORDER BY n_exact DESC, value
+        """,
         # KMV pools → union sketch → Jaccard/union/intersection
         # estimators, plus the exact-set audit columns
         "corpus_overlap_kmv": _corpus_overlap_sql(_OVERLAP_K, _OVERLAP_MIN_CHARS),

@@ -203,6 +203,96 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def _hll_estimate(
+    df: DataFrame, col: str, *, p: int, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """The shared HLL register fold, optionally per group: ``keys`` +
+    (n_registers_hit, v_zero, s_scaled, raw_estimate, estimate).
+
+    Grouped shape: one (keys, reg) aggregation whose shuffle carries at
+    most ``|keys| · 2^p`` rows per map partition after combine — the
+    scale substitute for a per-key exact COUNT DISTINCT, whose shuffle
+    carries every (key, value) pair. A key appears iff it has ≥ 1
+    non-null value. All math is identical to the global fold (see
+    :func:`hll_distinct`); grouping only adds the keys to the two
+    aggregations."""
+    m = 1 << p
+    rest_bits = 64 - p
+    rmax = rest_bits + 1
+    two_rest = F.lit(str(1 << rest_bits)).cast("decimal(20,0)")
+    u = _u64(F.col(col))
+    rest = (u % two_rest).cast("bigint")
+    reg = ((u - (u % two_rest)) / two_rest).cast("int")
+    rank = F.when(
+        rest == 0, F.lit(rmax)
+    ).otherwise(F.lit(rest_bits + 1) - F.length(F.bin(rest)))
+    regs = (
+        df.select(*keys, reg.alias("reg"), rank.alias("rank"))
+        .filter(F.col("reg").isNotNull())
+        .groupBy(*keys, "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - mx)")
+    agg = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        F.sum(term.cast("decimal(38,0)")).alias("s_hit"),
+    )
+    two_rmax_dec = F.lit(str(1 << rmax)).cast("decimal(38,0)")
+    s_scaled = F.coalesce(
+        F.col("s_hit"), F.lit(0).cast("decimal(38,0)")
+    ) + (F.lit(m) - F.col("hits")).cast("decimal(38,0)") * two_rmax_dec
+    alpha = _hll_alpha(m)
+    raw = (
+        F.lit(alpha * m * m)
+        * F.lit(float(1 << rmax))
+        / F.col("s_scaled").cast("double")
+    )
+    v = (F.lit(m) - F.col("hits")).cast("long")
+    small = (F.col("raw_estimate") <= F.lit(2.5 * m)) & (F.col("v_zero") > 0)
+    lin = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("v_zero").cast("double")
+    )
+    return (
+        agg.select(
+            *keys,
+            F.col("hits").alias("n_registers_hit"),
+            v.alias("v_zero"),
+            s_scaled.alias("s_scaled"),
+        )
+        .withColumn("raw_estimate", F.round(raw, 6))
+        .select(
+            *keys,
+            "n_registers_hit",
+            "v_zero",
+            "s_scaled",
+            "raw_estimate",
+            F.round(
+                F.when(small, lin).otherwise(F.col("raw_estimate")), 6
+            ).alias("estimate"),
+        )
+    )
+
+
+def hll_distinct_by(
+    df: DataFrame, keys: list[str], col: str, *, p: int = 11
+) -> DataFrame:
+    """Per-group deterministic HLL: one row per distinct ``keys`` tuple
+    (with ≥ 1 non-null ``col``) carrying the same register-fold columns
+    as :func:`hll_distinct`.
+
+    The 100 TB substitute for GROUP BY keys → COUNT(DISTINCT col): the
+    exact form's shuffle carries every distinct (keys, value) pair,
+    this one's carries ≤ 2^p register rows per key (map-side combined)
+    — and unlike Spark's builtin ``approx_count_distinct`` it is
+    engine-replicable, so an oracle certifies every per-group estimate.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty; use hll_distinct")
+    if not 4 <= p <= 11:
+        raise ValueError(f"p must be in [4, 11], got {p}")
+    return _hll_estimate(df, col, p=p, keys=tuple(keys))
+
+
 def hll_distinct(df: DataFrame, col: str, *, p: int = 11) -> DataFrame:
     """Deterministic HyperLogLog: one row
     (method, p, m, n_registers_hit, v_zero, s_scaled, raw_estimate,
@@ -227,65 +317,16 @@ def hll_distinct(df: DataFrame, col: str, *, p: int = 11) -> DataFrame:
     """
     if not 4 <= p <= 11:
         raise ValueError(f"p must be in [4, 11], got {p}")
-    m = 1 << p
-    rest_bits = 64 - p
-    rmax = rest_bits + 1
-    two_rest = F.lit(str(1 << rest_bits)).cast("decimal(20,0)")
-    u = _u64(F.col(col))
-    rest = (u % two_rest).cast("bigint")
-    reg = ((u - (u % two_rest)) / two_rest).cast("int")
-    rank = F.when(
-        rest == 0, F.lit(rmax)
-    ).otherwise(F.lit(rest_bits + 1) - F.length(F.bin(rest)))
-    regs = (
-        df.select(reg.alias("reg"), rank.alias("rank"))
-        .filter(F.col("reg").isNotNull())
-        .groupBy("reg")
-        .agg(F.max("rank").alias("mx"))
-    )
-    # exact scaled harmonic sum: hit registers contribute 2^(R-M), the
-    # (m - hits) absent registers contribute 2^R each. SQL-form
-    # shiftleft: the DataFrame API's numBits is a Python int only.
-    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - mx)")
-    agg = regs.agg(
-        F.count(F.lit(1)).cast("long").alias("hits"),
-        F.sum(term.cast("decimal(38,0)")).alias("s_hit"),
-    )
-    two_rmax_dec = F.lit(str(1 << rmax)).cast("decimal(38,0)")
-    s_scaled = F.coalesce(
-        F.col("s_hit"), F.lit(0).cast("decimal(38,0)")
-    ) + (F.lit(m) - F.col("hits")).cast("decimal(38,0)") * two_rmax_dec
-    alpha = _hll_alpha(m)
-    raw = (
-        F.lit(alpha * m * m)
-        * F.lit(float(1 << rmax))
-        / F.col("s_scaled").cast("double")
-    )
-    v = (F.lit(m) - F.col("hits")).cast("long")
-    small = (F.col("raw_estimate") <= F.lit(2.5 * m)) & (F.col("v_zero") > 0)
-    lin = F.lit(float(m)) * F.log(
-        F.lit(float(m)) / F.col("v_zero").cast("double")
-    )
-    return (
-        agg.select(
-            F.lit("hll").alias("method"),
-            F.lit(p).cast("int").alias("p"),
-            F.lit(m).cast("int").alias("m"),
-            F.col("hits").alias("n_registers_hit"),
-            v.alias("v_zero"),
-            s_scaled.alias("s_scaled"),
-        )
-        .withColumn("raw_estimate", F.round(raw, 6))
-        .select(
-            "method",
-            "p",
-            "m",
-            "n_registers_hit",
-            "v_zero",
-            "s_scaled",
-            "raw_estimate",
-            F.round(
-                F.when(small, lin).otherwise(F.col("raw_estimate")), 6
-            ).alias("estimate"),
-        )
+    # the register/rank projection and the exact scaled harmonic sum
+    # (hit registers contribute 2^(R-M), absent ones 2^R) live in the
+    # shared fold — the global sketch is the keys=() case
+    return _hll_estimate(df, col, p=p).select(
+        F.lit("hll").alias("method"),
+        F.lit(p).cast("int").alias("p"),
+        F.lit(1 << p).cast("int").alias("m"),
+        "n_registers_hit",
+        "v_zero",
+        "s_scaled",
+        "raw_estimate",
+        "estimate",
     )

@@ -1,0 +1,194 @@
+"""Cross-engine-replicable count-min sketch + sketch-pruned heavy hitters.
+
+Extension surface beyond the reference (which counts frequencies exactly
+in Postgres GROUP BYs — `/root/reference/dags/retail_pipeline.py:36-45`
+is the same count-per-key shape): at 100 TB the frequent-item question
+("which tokens / n-grams / URLs appear ≥ T times?") cannot start with a
+full key-grain shuffle — token grain is orders of magnitude larger than
+the heavy tail it is asked about. The classic answer is the count-min
+sketch (Cormode & Muthukrishnan 2005): a depth×width counter matrix
+updated at d hashed positions per occurrence, estimating any key's count
+as the MIN of its d counters — always an OVERestimate (collisions only
+add), never an underestimate, so a sketch-side threshold prunes with
+ZERO false negatives and the exact verification runs only on survivors.
+
+Like the rest of this sketch family (`operators/cardinality.py` KMV/HLL,
+`functions/bloom.py`), the sketch is deterministic and engine-portable:
+positions come from Kirsch–Mitzenmacher double hashing over the two md5
+halves (`functions/xhash`), counters are exact integers from one
+map-side-combined aggregation, so the SAME sketch — every counter,
+every estimate — is reproducible bit-for-bit in Spark and DuckDB,
+across partitionings and reruns. The estimates carry the standard CMS
+guarantee: true ≤ est ≤ true + εN with prob 1-δ at width=⌈e/ε⌉,
+depth=⌈ln 1/δ⌉.
+
+Scale shape:
+- build: one linear projection (d positions per occurrence — no
+  distinct, no key shuffle), one aggregation whose key space is bounded
+  by depth·width (map-side combine ⇒ the shuffle carries ≤ depth·width
+  rows per map partition regardless of input size), one dense-array
+  fold identical to the Bloom word fold.
+- probe: the one-row counter array broadcasts as DATA (32 KB at the
+  defaults — never plan literals, the round-9 trap); each partition
+  probes locally with a pure projection. The probed side never shuffles.
+- heavy hitters: occurrences → map-side probe → filter est ≥ T →
+  exact count. The only key-grain shuffle carries occurrences of
+  candidate keys (Σ counts of keys whose est ≥ T) instead of the whole
+  corpus — the sketch-prune-then-exact-verify pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.functions import xhash
+
+
+def _positions(col: Column, depth: int, width: int) -> list[Column]:
+    """The d Kirsch–Mitzenmacher counter positions of a value, as INTs in
+    [0, width). Exact DECIMAL arithmetic until the final mod (the same
+    derivation as functions/bloom._positions, over column positions
+    instead of bit positions)."""
+    u1 = xhash.md5_u64(col, 1)
+    u2 = xhash.md5_u64(col, 2)
+    return [
+        (xhash.km_hash(u1, u2, j) % F.lit(width)).cast("int")
+        for j in range(depth)
+    ]
+
+
+def cms_build(
+    values: DataFrame,
+    col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """One-row DataFrame (counters: array<long>, width, depth) holding
+    the count-min sketch of ``values[col]`` occurrences (nulls ignored).
+
+    ``counters`` is row-major: row j's counter for position p sits at
+    index j·width + p (1-based ``element_at`` offset applied at probe
+    time). Dense by construction — absent cells filled with 0 via a
+    ``range(depth·width)`` left join, then one ordered collect_list fold
+    (depth·width rows, driver-safe at any input size).
+
+    The sketch is LINEAR: cms(A ⊎ B) = cms(A) + cms(B) element-wise, so
+    shards build independently and merge with one ``zip_with(+)``
+    (test-pinned). NULL never increments — the estimate of a NULL key is
+    undefined, matching the Bloom probe's null verdict.
+    """
+    n_cells = depth * width
+    v = values.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    pos = v.select(
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(j * width) + p).cast("long")
+                    for j, p in enumerate(
+                        _positions(F.col("v"), depth, width)
+                    )
+                ]
+            )
+        ).alias("idx")
+    )
+    cells = pos.groupBy("idx").agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        values.sparkSession.range(n_cells)
+        .select(F.col("id").alias("idx"))
+        .join(cells, "idx", "left")
+        .select("idx", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))),
+            lambda s: s["c"],
+        ).alias("counters")
+    ).select(
+        "counters",
+        F.lit(width).cast("int").alias("width"),
+        F.lit(depth).cast("int").alias("depth"),
+    )
+
+
+def cms_probe(
+    df: DataFrame,
+    col: str,
+    cms: DataFrame,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """``df`` plus a long ``est_col``: the CMS count estimate of the
+    row's ``col`` value (min over the d row counters; NULL for NULL
+    keys). ``width``/``depth`` must match the build (they ride the
+    sketch row too; literals here keep the probe a pure projection).
+    The one-row sketch cross-joins broadcast — each partition probes
+    locally, the probed side never shuffles."""
+    probed = df.crossJoin(
+        F.broadcast(cms.select(F.col("counters").alias("__cms_counters")))
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("__cms_counters"),
+                (F.lit(j * width + 1) + p).cast("int"),
+            )
+            for j, p in enumerate(
+                _positions(F.col(col).cast("string"), depth, width)
+            )
+        ]
+    )
+    return probed.withColumn(
+        est_col,
+        F.when(F.col(col).isNotNull(), est).cast("long"),
+    ).drop("__cms_counters")
+
+
+def heavy_hitters(
+    occurrences: DataFrame,
+    col: str,
+    *,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Exact heavy hitters via sketch pruning: every value of ``col``
+    whose EXACT occurrence count ≥ ``threshold``, as
+    (value, n_exact, cms_est), ordered by (n_exact DESC, value).
+
+    Two passes over the occurrence stream, neither key-grain:
+    1. build the CMS (bounded-key aggregation);
+    2. probe each occurrence map-side and keep rows with
+       est ≥ threshold — LOSSLESS, because est ≥ true for every key, so
+       every occurrence of a truly-heavy key survives (and all-or-none
+       per key: the estimate is a function of the value alone).
+    The exact count then shuffles only surviving occurrences; a final
+    ``n_exact ≥ threshold`` filter drops the sketch's false positives.
+    Output is therefore EXACT (sketch-independent), with ``cms_est``
+    reported per value as the sketch's audit column (est ≥ n_exact
+    always; equality iff the key's d counters are collision-free).
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    cms = cms_build(occurrences, col, width=width, depth=depth)
+    survivors = cms_probe(
+        occurrences.select(F.col(col).cast("string").alias("value")),
+        "value",
+        cms,
+        width=width,
+        depth=depth,
+    ).filter(F.col("cms_est") >= threshold)
+    return (
+        survivors.groupBy("value")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.min("cms_est").alias("cms_est"),
+        )
+        .filter(F.col("n_exact") >= threshold)
+        .orderBy(F.col("n_exact").desc(), F.col("value"))
+    )

@@ -105,3 +105,46 @@ def test_kmv_overlap_exact_when_union_fits_and_estimates_otherwise(spark):
     assert tuple(e1) == tuple(e2)                  # deterministic
     assert abs(e1.union_est - 4500) / 4500 < 0.2   # ~3σ at k=256
     assert abs(e1.jaccard_est - 1 / 3) < 0.1
+
+
+def test_hll_distinct_by_matches_per_group_global(spark):
+    """The grouped fold is definitionally the global fold per key:
+    every register, integer, and rounded estimate matches running
+    hll_distinct on each group alone."""
+    df = spark.createDataFrame(
+        [(g, v % (50 * (g + 1))) for g in range(3) for v in range(400)],
+        ["g", "v"],
+    ).repartition(7)
+    by = {
+        r.g: r
+        for r in cardinality.hll_distinct_by(df, ["g"], "v", p=5).collect()
+    }
+    assert set(by) == {0, 1, 2}
+    for g in range(3):
+        solo = cardinality.hll_distinct(
+            df.filter(F.col("g") == g), "v", p=5
+        ).first()
+        got = by[g]
+        assert got.s_scaled == solo.s_scaled
+        assert got.n_registers_hit == solo.n_registers_hit
+        assert got.v_zero == solo.v_zero
+        assert got.raw_estimate == solo.raw_estimate
+        assert got.estimate == solo.estimate
+
+
+def test_hll_distinct_by_null_only_groups_absent(spark):
+    """A key whose column is entirely NULL produces no row (matches the
+    oracle's WHERE col IS NOT NULL grain)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None)], ["g", "v"]
+    )
+    rows = cardinality.hll_distinct_by(df, ["g"], "v", p=4).collect()
+    assert [r.g for r in rows] == ["a"]
+
+
+def test_hll_distinct_by_validation(spark):
+    df = spark.createDataFrame([("a", 1)], ["g", "v"])
+    with pytest.raises(ValueError, match="keys"):
+        cardinality.hll_distinct_by(df, [], "v", p=5)
+    with pytest.raises(ValueError, match="p must be"):
+        cardinality.hll_distinct_by(df, ["g"], "v", p=12)

@@ -1,0 +1,99 @@
+"""Count-min sketch + heavy hitters (operators/frequency.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.operators import frequency
+
+#: a tight sketch over a 3-letter alphabet so collisions are guaranteed
+W, D = 8, 3
+
+
+def _occ(spark, counts: dict[str, int], parts: int | None = None):
+    rows = [(v,) for v, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, ["v"])
+    return df.repartition(parts) if parts else df
+
+
+COUNTS = {"a": 7, "b": 5, "c": 3, "d": 2, "e": 1, "f": 1}
+
+
+def test_cms_never_underestimates(spark):
+    """The CMS guarantee: est ≥ true count for EVERY key (collisions
+    only add), at a width small enough that collisions must happen."""
+    occ = _occ(spark, COUNTS)
+    cms = frequency.cms_build(occ, "v", width=W, depth=D)
+    probed = frequency.cms_probe(
+        occ.distinct(), "v", cms, width=W, depth=D
+    ).collect()
+    assert len(probed) == len(COUNTS)
+    for r in probed:
+        assert r.cms_est >= COUNTS[r.v]
+    # total mass conservation: each CMS row sums to N occurrences
+    counters = cms.first().counters
+    n = sum(COUNTS.values())
+    for j in range(D):
+        assert sum(counters[j * W : (j + 1) * W]) == n
+
+
+def test_cms_partitioning_invariant(spark):
+    """md5 positions + integer counters ⇒ the sketch is bit-identical
+    under any partitioning."""
+    a = frequency.cms_build(_occ(spark, COUNTS), "v", width=W, depth=D)
+    b = frequency.cms_build(
+        _occ(spark, COUNTS, parts=7), "v", width=W, depth=D
+    )
+    assert a.first().counters == b.first().counters
+
+
+def test_cms_linearity(spark):
+    """cms(A ⊎ B) == cms(A) + cms(B) element-wise — shards build
+    independently and merge with one zip_with(+)."""
+    left = {"a": 3, "b": 1, "x": 4}
+    right = {"a": 4, "b": 4, "c": 3, "d": 2, "e": 1, "f": 1, "x": 1}
+    both = {k: left.get(k, 0) + right.get(k, 0) for k in {*left, *right}}
+    ca = frequency.cms_build(_occ(spark, left), "v", width=W, depth=D)
+    cb = frequency.cms_build(_occ(spark, right), "v", width=W, depth=D)
+    cab = frequency.cms_build(_occ(spark, both), "v", width=W, depth=D)
+    merged = [
+        x + y
+        for x, y in zip(ca.first().counters, cb.first().counters)
+    ]
+    assert merged == cab.first().counters
+
+
+def test_cms_nulls_ignored(spark):
+    occ = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], ["v"]
+    )
+    cms = frequency.cms_build(occ, "v", width=W, depth=D)
+    counters = cms.first().counters
+    for j in range(D):
+        assert sum(counters[j * W : (j + 1) * W]) == 2
+    probed = frequency.cms_probe(occ, "v", cms, width=W, depth=D)
+    by_v = {r.v: r.cms_est for r in probed.collect()}
+    assert by_v[None] is None and by_v["a"] >= 2
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    """The sketch prefilter is lossless: output == the naive exact
+    groupBy-filter, even at a width where est > exact for some keys."""
+    occ = _occ(spark, COUNTS, parts=5)
+    got = frequency.heavy_hitters(
+        occ, "v", threshold=3, width=W, depth=D
+    ).collect()
+    naive = {v: n for v, n in COUNTS.items() if n >= 3}
+    assert {(r.value, r.n_exact) for r in got} == set(naive.items())
+    # ordered by (n_exact desc, value); audit column never underestimates
+    assert [r.value for r in got] == ["a", "b", "c"]
+    for r in got:
+        assert r.cms_est >= r.n_exact
+
+
+def test_heavy_hitters_threshold_validation(spark):
+    with pytest.raises(ValueError, match="threshold"):
+        frequency.heavy_hitters(
+            _occ(spark, COUNTS), "v", threshold=0, width=W, depth=D
+        )
