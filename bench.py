@@ -224,6 +224,12 @@ HEADLINE = (
     "keyword_divergence",
     "embedding_dim_stats",
     "global_quantiles",
+    # round 10: join-free KMV corpus overlap, CMS heavy hitters,
+    # grouped per-day HLL (tests/test_bench_guard.py pins HEADLINE ⊇
+    # queries() so additions can no longer silently skip the bench)
+    "corpus_overlap_kmv",
+    "heavy_hitters",
+    "daily_distinct_hll",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

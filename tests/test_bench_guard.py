@@ -165,3 +165,14 @@ def test_refused_record_shape_is_documented_in_main():
     assert "if contaminated is None:" in src
     idx_guard = src.index("if contaminated is None:")
     assert src.index("_append_history(record)") > idx_guard
+
+
+def test_headline_covers_every_registry_query():
+    """Full-registry bench coverage (round-7 rule, round-10 pin): every
+    queries() entry must appear in HEADLINE, or a new operator regresses
+    silently — three round-10 queries did exactly that before this pin."""
+    import __spark_entry__ as entry_mod
+
+    b = _bench()
+    missing = set(entry_mod.queries()) - set(b.HEADLINE)
+    assert not missing, f"registry queries absent from bench: {missing}"
