@@ -1331,6 +1331,88 @@ def q_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rolling_distinct_hll knobs: p=8 per-day register tables, 7-day
+#: inclusive windows (the first 6 days fold fewer source days — the
+#: ramp-up head is part of the contract and n_days reports it).
+_ROLL_P = 8
+_ROLL_WINDOW = 7
+
+
+def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGEABLE per-day HLL state
+    (cardinality.hll_registers → window merge → hll_fold): one row per
+    window end with the sketch estimate, the exact answer, and the
+    relative error. The classic impossible-exactly-at-scale query —
+    exact rolling COUNT DISTINCT re-touches every (day, user) pair once
+    per window it falls in — answered here from persisted sketch state:
+    the corpus is scanned ONCE into days × ≤ 2^p register rows, and
+    every window is a register-table merge (MAX(mx) per register — HLL
+    union is idempotent/associative), so the rolling pass is bounded by
+    calendar² × 2^p, independent of corpus size. Registers, merges, and
+    both estimator branches replay bit-exactly in DuckDB; the exact
+    audit column recomputes each window from raw events (affordable at
+    oracle scale, the thing the sketch exists to avoid at 100 TB)."""
+    from airflow_retail_etl_spark.operators import cardinality
+
+    ev = adapters.staging_events(spark, sf_dir)
+    regs = cardinality.hll_registers(
+        ev, ["event_date"], "user_id", p=_ROLL_P
+    )
+    days = regs.select("event_date").distinct()
+    lo = F.date_sub(F.col("d.event_date"), _ROLL_WINDOW - 1)
+    in_window = (F.col("r.event_date") <= F.col("d.event_date")) & (
+        F.col("r.event_date") >= lo
+    )
+    merged = (
+        days.alias("d")
+        .join(regs.alias("r"), in_window)
+        .groupBy(
+            F.col("d.event_date").alias("window_end"),
+            F.col("r.reg").alias("reg"),
+        )
+        .agg(F.max("r.mx").alias("mx"))
+    )
+    est = cardinality.hll_fold(merged, ["window_end"], p=_ROLL_P)
+    n_days = (
+        days.alias("d")
+        .join(
+            days.select(F.col("event_date").alias("src_date")).alias("r"),
+            (F.col("r.src_date") <= F.col("d.event_date"))
+            & (F.col("r.src_date") >= lo),
+        )
+        .groupBy(F.col("d.event_date").alias("window_end"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    )
+    exact = (
+        days.alias("d")
+        .join(
+            ev.select(
+                F.col("event_date").alias("src_date"), "user_id"
+            ).alias("e"),
+            (F.col("e.src_date") <= F.col("d.event_date"))
+            & (F.col("e.src_date") >= lo),
+        )
+        .groupBy(F.col("d.event_date").alias("window_end"))
+        .agg(F.count_distinct("e.user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(n_days, "window_end")
+        .join(exact, "window_end")
+        .select(
+            "window_end",
+            "n_days",
+            "estimate",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                (F.col("estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("window_end")
+    )
+
+
 #: heavy_hitters knobs (shared by the Spark plan and the oracle so the
 #: two cannot drift): a deliberately TIGHT sketch — the ~916 distinct
 #: bigrams at sf0.01 hash into width=256 columns (depth 4, 1024 cells,
@@ -4606,6 +4688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery (per-key HLL fold — the 100 TB daily
         # COUNT DISTINCT)
         "daily_distinct_hll": q_daily_distinct_hll,
+        # mergeable face of the same registers: persisted per-day state,
+        # window merges via MAX(mx) — rolling COUNT DISTINCT without
+        # rescanning the corpus
+        "rolling_distinct_hll": q_rolling_distinct_hll,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
@@ -5639,6 +5725,88 @@ def _hll_by_sql_one(col: str, p: int) -> str:
            ROUND((h.estimate - CAST(ex.exact_distinct AS DOUBLE))
                  / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
     FROM hll h JOIN ex USING (event_date)
+    """
+
+
+def _rolling_hll_sql(p: int, window: int) -> str:
+    """DuckDB twin of q_rolling_distinct_hll: the same per-day register
+    build, the same MAX(mx) window merge, the same fold literals."""
+    from airflow_retail_etl_spark.operators.cardinality import _hll_alpha
+
+    m = 1 << p
+    rest_bits = 64 - p
+    rmax = rest_bits + 1
+    two_rest = 1 << rest_bits
+    amm = repr(_hll_alpha(m) * m * m)
+    two_rmax_d = repr(float(1 << rmax))
+    m_d = repr(float(m))
+    back = window - 1
+    h = (
+        "CAST(('0x' || substr(md5(CAST(v AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS event_date, user_id AS v FROM events
+        WHERE user_id IS NOT NULL
+    ), hv AS (
+        SELECT event_date, {h} AS h FROM ev
+    ), regs AS (
+        SELECT event_date, CAST(h // {two_rest} AS INTEGER) AS reg,
+               MAX(CASE WHEN CAST(h % {two_rest} AS BIGINT) = 0
+                        THEN {rmax}
+                        ELSE {rest_bits + 1}
+                             - length(bin(CAST(h % {two_rest} AS BIGINT)))
+                   END) AS mx
+        FROM hv GROUP BY 1, 2
+    ), days AS (
+        SELECT DISTINCT event_date FROM regs
+    ), merged AS (
+        SELECT d.event_date AS window_end, r.reg, MAX(r.mx) AS mx
+        FROM days d JOIN regs r
+          ON r.event_date BETWEEN d.event_date - {back} AND d.event_date
+        GROUP BY 1, 2
+    ), hagg AS (
+        SELECT window_end, COUNT(*) AS hits,
+               SUM(CAST((CAST(1 AS BIGINT) << ({rmax} - mx))
+                        AS HUGEINT)) AS s_hit
+        FROM merged GROUP BY 1
+    ), hstate AS (
+        SELECT window_end, hits,
+               COALESCE(s_hit, 0) + CAST({m} - hits AS HUGEINT)
+                   * CAST({1 << rmax} AS HUGEINT) AS s_scaled,
+               {m} - hits AS v_zero
+        FROM hagg
+    ), hraw AS (
+        SELECT *,
+               ROUND(({amm} * {two_rmax_d}) / CAST(s_scaled AS DOUBLE), 6)
+                   AS raw_estimate
+        FROM hstate
+    ), hll AS (
+        SELECT window_end,
+               ROUND(CASE WHEN raw_estimate <= {repr(2.5 * m)}
+                          AND v_zero > 0
+                     THEN {m_d} * ln({m_d} / CAST(v_zero AS DOUBLE))
+                     ELSE raw_estimate END, 6) AS estimate
+        FROM hraw
+    ), nd AS (
+        SELECT d.event_date AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM days d JOIN days r
+          ON r.event_date BETWEEN d.event_date - {back} AND d.event_date
+        GROUP BY 1
+    ), ex AS (
+        SELECT d.event_date AS window_end,
+               CAST(COUNT(DISTINCT e.v) AS BIGINT) AS exact_distinct
+        FROM days d JOIN ev e
+          ON e.event_date BETWEEN d.event_date - {back} AND d.event_date
+        GROUP BY 1
+    )
+    SELECT h.window_end, nd.n_days, h.estimate, ex.exact_distinct,
+           ROUND((h.estimate - CAST(ex.exact_distinct AS DOUBLE))
+                 / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+    FROM hll h JOIN nd USING (window_end) JOIN ex USING (window_end)
+    ORDER BY window_end
     """
 
 
@@ -6898,6 +7066,9 @@ def oracle_sql() -> dict[str, str]:
         # family; both estimator branches share repr'd double literals
         # with the Spark plan (operators/cardinality.py)
         "cardinality_sketch": _cardinality_sql(_CARD_K, _CARD_P),
+        # per-day registers merged per 7-day window via MAX(mx), then
+        # the identical fold — the sketch-merge certificate
+        "rolling_distinct_hll": _rolling_hll_sql(_ROLL_P, _ROLL_WINDOW),
         # per-day HLL register folds, one per (column, precision) pair
         "daily_distinct_hll": " UNION ALL ".join(
             f"SELECT * FROM ({_hll_by_sql_one(c, p)})" for c, p in _HLL_BY

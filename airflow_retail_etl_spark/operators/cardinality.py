@@ -203,20 +203,17 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def _hll_estimate(
-    df: DataFrame, col: str, *, p: int, keys: tuple[str, ...] = ()
+def hll_registers(
+    df: DataFrame, keys: list[str] | tuple[str, ...], col: str, *, p: int
 ) -> DataFrame:
-    """The shared HLL register fold, optionally per group: ``keys`` +
-    (n_registers_hit, v_zero, s_scaled, raw_estimate, estimate).
+    """The MERGEABLE per-group HLL state: (``keys``…, reg, mx) — one row
+    per (group, hit register) holding the register's max rank.
 
-    Grouped shape: one (keys, reg) aggregation whose shuffle carries at
-    most ``|keys| · 2^p`` rows per map partition after combine — the
-    scale substitute for a per-key exact COUNT DISTINCT, whose shuffle
-    carries every (key, value) pair. A key appears iff it has ≥ 1
-    non-null value. All math is identical to the global fold (see
-    :func:`hll_distinct`); grouping only adds the keys to the two
-    aggregations."""
-    m = 1 << p
+    This is the sketch's persistence/merge grain: union of groups =
+    MAX(mx) per register (idempotent, associative, commutative), so
+    per-day register tables answer any date-range distinct by merging
+    ``days × ≤ 2^p`` rows — never rescanning the raw corpus. Feed the
+    merged table to :func:`hll_fold` for the estimate."""
     rest_bits = 64 - p
     rmax = rest_bits + 1
     two_rest = F.lit(str(1 << rest_bits)).cast("decimal(20,0)")
@@ -226,12 +223,25 @@ def _hll_estimate(
     rank = F.when(
         rest == 0, F.lit(rmax)
     ).otherwise(F.lit(rest_bits + 1) - F.length(F.bin(rest)))
-    regs = (
+    return (
         df.select(*keys, reg.alias("reg"), rank.alias("rank"))
         .filter(F.col("reg").isNotNull())
         .groupBy(*keys, "reg")
         .agg(F.max("rank").alias("mx"))
     )
+
+
+def hll_fold(
+    regs: DataFrame, keys: list[str] | tuple[str, ...], *, p: int
+) -> DataFrame:
+    """Fold a register table (``keys``…, reg, mx) — as produced by
+    :func:`hll_registers`, possibly merged across groups via MAX(mx) —
+    into per-group estimates: ``keys`` + (n_registers_hit, v_zero,
+    s_scaled, raw_estimate, estimate). Math identical to
+    :func:`hll_distinct` (exact scaled-integer harmonic sum in
+    DECIMAL(38,0), one rounded double per branch)."""
+    m = 1 << p
+    rmax = (64 - p) + 1
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - mx)")
     agg = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("hits"),
@@ -291,6 +301,14 @@ def hll_distinct_by(
     if not 4 <= p <= 11:
         raise ValueError(f"p must be in [4, 11], got {p}")
     return _hll_estimate(df, col, p=p, keys=tuple(keys))
+
+
+def _hll_estimate(
+    df: DataFrame, col: str, *, p: int, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """registers → fold, the one-shot composition (a key appears iff it
+    has ≥ 1 non-null value; keys=() is the global sketch)."""
+    return hll_fold(hll_registers(df, keys, col, p=p), keys, p=p)
 
 
 def hll_distinct(df: DataFrame, col: str, *, p: int = 11) -> DataFrame:

@@ -230,6 +230,7 @@ HEADLINE = (
     "corpus_overlap_kmv",
     "heavy_hitters",
     "daily_distinct_hll",
+    "rolling_distinct_hll",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

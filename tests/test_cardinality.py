@@ -148,3 +148,23 @@ def test_hll_distinct_by_validation(spark):
         cardinality.hll_distinct_by(df, [], "v", p=5)
     with pytest.raises(ValueError, match="p must be"):
         cardinality.hll_distinct_by(df, ["g"], "v", p=12)
+
+
+def test_hll_register_merge_is_exact_union(spark):
+    """MAX(mx) per register over two register tables == sketching the
+    concatenated input: fold-after-merge is bit-identical to the
+    one-shot sketch, every column."""
+    a = spark.range(0, 600).select(F.col("id").alias("v"))
+    b = spark.range(400, 900).select(F.col("id").alias("v"))
+    ra = cardinality.hll_registers(a, (), "v", p=6)
+    rb = cardinality.hll_registers(b, (), "v", p=6)
+    merged = (
+        ra.unionByName(rb).groupBy("reg").agg(F.max("mx").alias("mx"))
+    )
+    got = cardinality.hll_fold(merged, (), p=6).first()
+    want = cardinality.hll_distinct(a.unionByName(b), "v", p=6).first()
+    assert got.s_scaled == want.s_scaled
+    assert got.n_registers_hit == want.n_registers_hit
+    assert got.v_zero == want.v_zero
+    assert got.raw_estimate == want.raw_estimate
+    assert got.estimate == want.estimate
