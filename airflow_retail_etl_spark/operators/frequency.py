@@ -114,6 +114,34 @@ def cms_build(
     )
 
 
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS sketches of IDENTICAL (width, depth): element-wise
+    counter sum (the sketch is linear — cms(A ⊎ B) = cms(A) + cms(B)),
+    so shards/partitions/days build independently and combine without
+    revisiting data. One zip_with over two one-row frames."""
+    return (
+        a.select(
+            F.col("counters").alias("__a"), "width", "depth"
+        )
+        .join(
+            b.select(
+                F.col("counters").alias("__b"),
+                F.col("width").alias("__wb"),
+                F.col("depth").alias("__db"),
+            ),
+            (F.col("width") == F.col("__wb"))
+            & (F.col("depth") == F.col("__db")),
+        )
+        .select(
+            F.zip_with(
+                "__a", "__b", lambda x, y: x + y
+            ).alias("counters"),
+            "width",
+            "depth",
+        )
+    )
+
+
 def cms_probe(
     df: DataFrame,
     col: str,

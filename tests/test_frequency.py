@@ -62,6 +62,10 @@ def test_cms_linearity(spark):
         for x, y in zip(ca.first().counters, cb.first().counters)
     ]
     assert merged == cab.first().counters
+    # the API form of the same property
+    api = frequency.cms_merge(ca, cb).first()
+    assert api.counters == cab.first().counters
+    assert (api.width, api.depth) == (W, D)
 
 
 def test_cms_nulls_ignored(spark):
