@@ -176,3 +176,18 @@ def test_scd2_asof_plan_shape(spark, q, sf_dir):
     # exactly two parquet scans: events for snapshots + events for the
     # 1-row bound (no accidental re-reads)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+
+def test_heavy_hitters_prune_is_pre_aggregation(spark, q, sf_dir):
+    """The CMS est >= threshold prefilter must evaluate BEFORE the exact
+    groupBy — Catalyst pushes it into the broadcast cross-join condition
+    (map-side), so the key-grain shuffle carries only candidate
+    occurrences. If it ever migrates above the aggregate, the sketch buys
+    nothing at scale."""
+    df = q["heavy_hitters"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_line = next(l for l in opt.splitlines() if "Join Cross" in l)
+    assert ">= 40" in join_line, opt
+    # and the probe side never shuffles for the join: broadcast hint rides
+    # the one-row sketch
+    assert "rightHint=(strategy=broadcast)" in join_line
