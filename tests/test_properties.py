@@ -346,3 +346,31 @@ def test_edit_distance_pairs_complete_on_random_corpora(spark, texts, k):
         if _lev(norm[i], norm[j]) <= k
     )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=12),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cms_overestimate_guarantee_on_arbitrary_strings(spark, values):
+    """CMS est ≥ exact count for EVERY key, under arbitrary unicode
+    (marker chars, quotes, emoji, empties) and a width tiny enough that
+    collisions are the norm — the lossless-prune invariant
+    heavy_hitters() rests on."""
+    from collections import Counter
+
+    from airflow_retail_etl_spark.operators import frequency
+
+    exact = Counter(values)
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    cms = frequency.cms_build(df, "v", width=4, depth=2)
+    probed = frequency.cms_probe(
+        df.distinct(), "v", cms, width=4, depth=2
+    ).collect()
+    assert len(probed) == len(exact)
+    for r in probed:
+        assert r.cms_est >= exact[r.v], (r.v, r.cms_est, exact[r.v])
