@@ -39,6 +39,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -181,7 +183,8 @@ def heavy_hitters(
     occurrences: DataFrame,
     col: str,
     *,
-    threshold: int,
+    threshold: int | None = None,
+    threshold_frac: float | None = None,
     width: int = 1024,
     depth: int = 4,
 ) -> DataFrame:
@@ -200,7 +203,28 @@ def heavy_hitters(
     Output is therefore EXACT (sketch-independent), with ``cms_est``
     reported per value as the sketch's audit column (est ≥ n_exact
     always; equality iff the key's d counters are collision-free).
+
+    Pass EXACTLY ONE of ``threshold`` (absolute count) or
+    ``threshold_frac`` (fraction of total occurrences — the scale-safe
+    definition: an absolute cut saturates as the corpus grows, passing
+    ~every key and degrading the prune to a full key-grain shuffle; a
+    fractional cut stays selective at any size, measured at sf10 in
+    SCALING_HISTORY round 10). The fraction resolves to
+    ``max(1, ceil(frac · N))`` via one count — a driver-side SCALAR of
+    the same control-flow class as pagerank's node count, not a data
+    collect.
     """
+    if (threshold is None) == (threshold_frac is None):
+        raise ValueError(
+            "pass exactly one of threshold / threshold_frac"
+        )
+    if threshold_frac is not None:
+        if not 0.0 < threshold_frac <= 1.0:
+            raise ValueError(
+                f"threshold_frac must be in (0, 1], got {threshold_frac}"
+            )
+        n = occurrences.filter(F.col(col).isNotNull()).count()
+        threshold = max(1, math.ceil(threshold_frac * n))
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
     cms = cms_build(occurrences, col, width=width, depth=depth)

@@ -101,3 +101,30 @@ def test_heavy_hitters_threshold_validation(spark):
         frequency.heavy_hitters(
             _occ(spark, COUNTS), "v", threshold=0, width=W, depth=D
         )
+
+
+def test_heavy_hitters_fractional_threshold(spark):
+    """threshold_frac resolves to ceil(frac·N) — the scale-safe cut:
+    identical output to the equivalent absolute threshold."""
+    import math
+
+    occ = _occ(spark, COUNTS)
+    n = sum(COUNTS.values())  # 19
+    frac = 0.15               # ceil(0.15·19) = 3
+    via_frac = frequency.heavy_hitters(
+        occ, "v", threshold_frac=frac, width=W, depth=D
+    ).collect()
+    via_abs = frequency.heavy_hitters(
+        occ, "v", threshold=math.ceil(frac * n), width=W, depth=D
+    ).collect()
+    assert via_frac == via_abs and len(via_frac) == 3
+    with pytest.raises(ValueError, match="exactly one"):
+        frequency.heavy_hitters(occ, "v", width=W, depth=D)
+    with pytest.raises(ValueError, match="exactly one"):
+        frequency.heavy_hitters(
+            occ, "v", threshold=3, threshold_frac=0.1, width=W, depth=D
+        )
+    with pytest.raises(ValueError, match="threshold_frac"):
+        frequency.heavy_hitters(
+            occ, "v", threshold_frac=1.5, width=W, depth=D
+        )
