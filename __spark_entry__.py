@@ -1413,6 +1413,50 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count state, batch-replay form
+    (streaming.incremental.replay_sketch — the exact per-micro-batch
+    register merge fold_hll_batch runs, minus the parquet store): the
+    events stream arrives in four batches (event_id % 4 in order), each
+    folded into the persistent HLL register state via MAX per register.
+    HLL union is idempotent/associative, so the folded state is
+    BIT-IDENTICAL to the one-shot sketch of everything delivered — the
+    oracle computes exactly that one-shot (the hll-only
+    _cardinality_sql_one form), certifying stream ≡ batch cross-engine.
+    Same columns/precision as cardinality_sketch for comparability;
+    replay idempotence of the store-backed fold is test-pinned."""
+    from airflow_retail_etl_spark.streaming.incremental import (
+        replay_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    frames = []
+    for c in _CARD_COLS:
+        batches = [
+            events.filter(F.col("event_id") % 4 == i) for i in range(4)
+        ]
+        est = replay_sketch(batches, c, p=_CARD_P).select("estimate")
+        exact = events.agg(
+            F.count_distinct(c).alias("exact_distinct")
+        )
+        frames.append(
+            est.crossJoin(F.broadcast(exact)).select(
+                F.lit(c).alias("column"),
+                F.lit("hll").alias("method"),
+                "estimate",
+                F.col("exact_distinct").cast("long").alias(
+                    "exact_distinct"
+                ),
+                F.round(
+                    (F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    6,
+                ).alias("rel_err"),
+            )
+        )
+    return frames[0].unionByName(frames[1]).orderBy("column", "method")
+
+
 #: heavy_hitters knobs (shared by the Spark plan and the oracle so the
 #: two cannot drift): a deliberately TIGHT sketch — the ~916 distinct
 #: bigrams at sf0.01 hash into width=256 columns (depth 4, 1024 cells,
@@ -4692,6 +4736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window merges via MAX(mx) — rolling COUNT DISTINCT without
         # rescanning the corpus
         "rolling_distinct_hll": q_rolling_distinct_hll,
+        # streaming face of the same registers: per-micro-batch state
+        # folds, stream ≡ batch certified by the one-shot oracle
+        "streaming_sketch": q_streaming_sketch,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
@@ -5582,12 +5629,16 @@ from airflow_retail_etl_spark.sources.tables import partsupp_duck_cte
 _PS_CTE = "WITH ps AS (" + partsupp_duck_cte() + ")"
 
 
-def _cardinality_sql_one(col: str, k: int, p: int) -> str:
+def _cardinality_sql_one(
+    col: str, k: int, p: int, methods: tuple[str, ...] = ("kmv", "hll")
+) -> str:
     """DuckDB twin of one column's sketches in q_cardinality_sketch:
     same md5 hash family, same integer order statistics / scaled
     register sums, and the SAME Python-computed double literals (repr
     round-trip) in the estimator expressions, so every branch
-    replicates bit-exactly."""
+    replicates bit-exactly. ``methods`` subsets the output rows
+    (q_streaming_sketch certifies its batch-folded HLL state against
+    the hll-only form — HLL union makes fold-of-batches ≡ one-shot)."""
     from airflow_retail_etl_spark.operators.cardinality import _hll_alpha
 
     m = 1 << p
@@ -5656,7 +5707,7 @@ def _cardinality_sql_one(col: str, k: int, p: int) -> str:
     SELECT '{col}' AS "column", s.method, s.estimate, ex.exact_distinct,
            ROUND((s.estimate - CAST(ex.exact_distinct AS DOUBLE))
                  / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
-    FROM (SELECT * FROM hll UNION ALL SELECT * FROM kmv) s, ex
+    FROM ({" UNION ALL ".join(f"SELECT * FROM {m}" for m in methods)}) s, ex
     """
 
 
@@ -7069,6 +7120,13 @@ def oracle_sql() -> dict[str, str]:
         # per-day registers merged per 7-day window via MAX(mx), then
         # the identical fold — the sketch-merge certificate
         "rolling_distinct_hll": _rolling_hll_sql(_ROLL_P, _ROLL_WINDOW),
+        # the one-shot hll-only form IS the streaming fold's answer
+        # (HLL union: fold-of-batches ≡ one-shot)
+        "streaming_sketch": " UNION ALL ".join(
+            f"SELECT * FROM ({_cardinality_sql_one(c, _CARD_K, _CARD_P, methods=('hll',))})"
+            for c in _CARD_COLS
+        )
+        + ' ORDER BY "column", method',
         # per-day HLL register folds, one per (column, precision) pair
         "daily_distinct_hll": " UNION ALL ".join(
             f"SELECT * FROM ({_hll_by_sql_one(c, p)})" for c, p in _HLL_BY

@@ -346,3 +346,68 @@ def dedup_stream_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch state (round 10): per-batch HLL register folds
+# ---------------------------------------------------------------------------
+
+
+def fold_hll_batch(
+    batch: DataFrame, state_path: str, col: str, *, p: int = 11
+) -> None:
+    """Fold one micro-batch into a persisted HLL register store
+    (reg, mx) — streaming distinct-count state that never rescans
+    delivered data.
+
+    HLL union is MAX per register: idempotent, associative, and
+    commutative, so a REPLAYED batch (foreachBatch's at-least-once
+    window) cannot change any register — no batch-id bookkeeping is
+    needed, unlike the CMS counter sum (linear, NOT idempotent; stream
+    a CMS with per-batch-partition overwrite like admit_doc_batch and
+    fold partitions with operators.frequency.cms_merge instead). The
+    store is ≤ 2^p rows; the read-merge-overwrite cycle pays one eager
+    localCheckpoint to cut the read lineage (same contract as
+    fold_snapshot_batch). Estimates come from
+    cardinality.hll_fold(store) at any time."""
+    from airflow_retail_etl_spark.operators import cardinality
+
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    regs = cardinality.hll_registers(batch, (), col, p=p)
+    prior = _read_history(spark, state_path)
+    if prior is not None:
+        regs = (
+            regs.unionByName(prior.select("reg", "mx"))
+            .groupBy("reg")
+            .agg(F.max("mx").alias("mx"))
+        )
+    regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        state_path
+    )
+
+
+def replay_sketch(
+    batches: Sequence[DataFrame], col: str, *, p: int = 11
+) -> DataFrame:
+    """Replay ordered batches through the HLL state fold, entirely as
+    DataFrames — the batch face of fold_hll_batch (the parquet store
+    replaced by an accumulating register frame). Because the merge is
+    exactly HLL union, the folded estimate is BIT-IDENTICAL to the
+    one-shot sketch of the concatenated input — which is what the
+    oracle computes, certifying stream ≡ batch cross-engine. Returns
+    the hll_fold row of the final state."""
+    from airflow_retail_etl_spark.operators import cardinality
+
+    merged: DataFrame | None = None
+    for b in batches:
+        regs = cardinality.hll_registers(b, (), col, p=p)
+        merged = (
+            regs
+            if merged is None
+            else merged.unionByName(regs)
+            .groupBy("reg")
+            .agg(F.max("mx").alias("mx"))
+        )
+    return cardinality.hll_fold(merged, (), p=p)

@@ -231,6 +231,7 @@ HEADLINE = (
     "heavy_hitters",
     "daily_distinct_hll",
     "rolling_distinct_hll",
+    "streaming_sketch",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -79,3 +79,37 @@ def test_second_drain_continues_from_checkpoint(spark, tmp_path):
     assert Counter(map(tuple, got.select(*expected.columns).collect())) == Counter(
         map(tuple, expected.collect())
     )
+
+
+def test_fold_hll_batch_stream_equals_batch_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Per-batch register folds converge to the one-shot sketch (HLL
+    union), and refolding an already-delivered batch (foreachBatch's
+    at-least-once window) changes nothing — MAX per register is
+    idempotent, no batch-id bookkeeping needed."""
+    from airflow_retail_etl_spark.operators import cardinality
+    from airflow_retail_etl_spark.streaming.incremental import (
+        fold_hll_batch,
+    )
+
+    state = str(tmp_path / "hll_state")
+    full = spark.range(900).select(F.col("id").alias("v"))
+    batches = [
+        full.filter(F.col("v") % 3 == i) for i in range(3)
+    ]
+    for b in batches:
+        fold_hll_batch(b, state, "v", p=6)
+    fold_hll_batch(batches[1], state, "v", p=6)   # replay
+    folded = cardinality.hll_fold(
+        spark.read.parquet(state), (), p=6
+    ).first()
+    want = cardinality.hll_distinct(full, "v", p=6).first()
+    assert folded.s_scaled == want.s_scaled
+    assert folded.estimate == want.estimate
+    # empty batch is a no-op
+    fold_hll_batch(full.filter(F.lit(False)), state, "v", p=6)
+    again = cardinality.hll_fold(
+        spark.read.parquet(state), (), p=6
+    ).first()
+    assert again.estimate == want.estimate
