@@ -1331,6 +1331,58 @@ def q_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: heavy_hitters_by_lang knobs: per-LANGUAGE fractional cut (0.1% of the
+#: group's bigram mass, greatest(1, ceil(frac·N_g)) resolved in-engine
+#: on both sides) — a global absolute cut either drowns the small
+#: languages or floods the big one. Same tight width as heavy_hitters.
+_HHB_FRAC = 0.001
+_HHB_WIDTH = 256
+_HHB_DEPTH = 4
+
+
+def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language frequent bigrams via grouped-CMS pruning
+    (frequency.heavy_hitters_by): the per-domain boilerplate detector —
+    every (lang, bigram) at ≥ 0.1% of ITS language's bigram mass, with
+    the per-group threshold resolved in-engine (one bounded group-total
+    aggregation) and reported as an audit column. Scale shape: the
+    sparse cell table (|langs|·depth·width rows, map-side combined)
+    broadcasts into d map-side probe joins, so the occurrence stream
+    never shuffles before the prune; the grouped overestimate guarantee
+    keeps the prune lossless per group. DuckDB replays per-language
+    cells, thresholds, and every estimate bit-for-bit."""
+    from airflow_retail_etl_spark.functions.partitioning import spread
+    from airflow_retail_etl_spark.operators import frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    arrs = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("id"), "lang", norm.alias("__t"))
+        .filter(F.length("__t") > 0)
+        .transform(lambda d: spread(d, "id"))
+        .select("lang", F.split("__t", " ").alias("arr"))
+    )
+    bigrams = arrs.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("arr", 1, F.size("arr") - 1),
+                F.slice("arr", 2, F.size("arr") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("value"),
+    )
+    return frequency.heavy_hitters_by(
+        bigrams,
+        "value",
+        "lang",
+        threshold_frac=_HHB_FRAC,
+        width=_HHB_WIDTH,
+        depth=_HHB_DEPTH,
+    )
+
+
 #: rolling_distinct_hll knobs: p=8 per-day register tables, 7-day
 #: inclusive windows (the first 6 days fold fewer source days — the
 #: ramp-up head is part of the contract and n_days reports it).
@@ -4739,6 +4791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming face of the same registers: per-micro-batch state
         # folds, stream ≡ batch certified by the one-shot oracle
         "streaming_sketch": q_streaming_sketch,
+        # grouped face of the in-window heavy_hitters CMS machinery
+        # (per-language cells + in-engine fractional thresholds)
+        "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
@@ -7172,6 +7227,54 @@ def oracle_sql() -> dict[str, str]:
         FROM est
         WHERE n_exact >= {_HH_THRESHOLD}
         ORDER BY n_exact DESC, value
+        """,
+        # the grouped CMS replayed per language: per-group cells,
+        # in-engine fractional thresholds (greatest(1, ceil(frac·N_g)) —
+        # one double multiply of the same literal), min-of-depth
+        # estimates
+        "heavy_hitters_by_lang": f"""
+        WITH docs AS (
+            SELECT lang, {_NORM_TEXT} AS t FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), arrs AS (
+            SELECT lang, string_split(t, ' ') AS arr FROM docs
+        ), occ AS (
+            SELECT lang, unnest(list_transform(
+                       range(1, len(arr)),
+                       i -> arr[i] || ' ' || arr[i + 1]
+                   )) AS value
+            FROM arrs
+        ), tot AS (
+            SELECT lang,
+                   GREATEST(1, CAST(CEIL({repr(_HHB_FRAC)} * COUNT(*))
+                                    AS BIGINT)) AS threshold
+            FROM occ GROUP BY lang
+        ), keys AS (
+            SELECT lang, value, COUNT(*) AS n_exact,
+                   {xhash.duck_md5_u64('value', 1)} AS u1,
+                   {xhash.duck_md5_u64('value', 2)} AS u2
+            FROM occ GROUP BY lang, value
+        ), pos AS (
+            SELECT lang, value, n_exact, j.i AS j,
+                   CAST({xhash.duck_km_hash('u1', 'u2', 'j.i')}
+                        % {_HHB_WIDTH} AS INTEGER) AS pos
+            FROM keys CROSS JOIN range({_HHB_DEPTH}) j(i)
+        ), cells AS (
+            SELECT lang, j, pos, SUM(n_exact) AS c
+            FROM pos GROUP BY 1, 2, 3
+        ), est AS (
+            SELECT p.lang, p.value, p.n_exact, MIN(c.c) AS cms_est
+            FROM pos p JOIN cells c
+              ON c.lang = p.lang AND c.j = p.j AND c.pos = p.pos
+            GROUP BY 1, 2, 3
+        )
+        SELECT e.lang, e.value,
+               CAST(e.n_exact AS BIGINT) AS n_exact,
+               CAST(e.cms_est AS BIGINT) AS cms_est,
+               t.threshold
+        FROM est e JOIN tot t USING (lang)
+        WHERE e.n_exact >= t.threshold
+        ORDER BY lang, n_exact DESC, value
         """,
         # KMV pools → union sketch → Jaccard/union/intersection
         # estimators, plus the exact-set audit columns

@@ -244,3 +244,125 @@ def heavy_hitters(
         .filter(F.col("n_exact") >= threshold)
         .orderBy(F.col("n_exact").desc(), F.col("value"))
     )
+
+
+def cms_cells_by(
+    occurrences: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Sparse per-group CMS cells: (group_col, idx, c) with idx row-major
+    j·width+pos — the grouped sketch's state grain, bounded by
+    |groups| · depth · width rows after map-side combine (absent cells
+    are zero by omission; a probed key's own occurrences guarantee its
+    d cells exist, so inner probe joins never miss)."""
+    v = occurrences.select(
+        group_col, F.col(col).cast("string").alias("v")
+    ).filter(F.col("v").isNotNull())
+    pos = v.select(
+        group_col,
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(j * width) + p).cast("long")
+                    for j, p in enumerate(
+                        _positions(F.col("v"), depth, width)
+                    )
+                ]
+            )
+        ).alias("idx"),
+    )
+    return pos.groupBy(group_col, "idx").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def heavy_hitters_by(
+    occurrences: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    threshold: int | None = None,
+    threshold_frac: float | None = None,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Per-group exact heavy hitters via grouped-CMS pruning: every
+    (group, value) whose exact in-group count ≥ the group's threshold,
+    as (group_col, value, n_exact, cms_est, threshold), ordered by
+    (group, n_exact DESC, value). The per-domain boilerplate detector:
+    "which n-grams dominate WITHIN each language/source" — a global cut
+    either drowns small groups or floods large ones.
+
+    ``threshold_frac`` resolves PER GROUP to
+    ``greatest(1, ceil(frac · N_g))`` from one bounded group-total
+    aggregation (the scale-safe cut — see :func:`heavy_hitters`);
+    ``threshold`` applies one absolute count to every group. Exactly
+    one of the two.
+
+    Scale shape: the sparse cell table (|groups| · depth · width rows,
+    map-side combined) broadcasts into d map-side probe joins — the
+    occurrence stream never shuffles before the prune; the only
+    key-grain shuffle carries surviving occurrences, and the same
+    overestimate guarantee makes the prune lossless per group."""
+    if (threshold is None) == (threshold_frac is None):
+        raise ValueError(
+            "pass exactly one of threshold / threshold_frac"
+        )
+    cells = cms_cells_by(
+        occurrences, col, group_col, width=width, depth=depth
+    )
+    occ = occurrences.select(
+        group_col, F.col(col).cast("string").alias("value")
+    ).filter(F.col("value").isNotNull())
+    if threshold_frac is not None:
+        if not 0.0 < threshold_frac <= 1.0:
+            raise ValueError(
+                f"threshold_frac must be in (0, 1], got {threshold_frac}"
+            )
+        thr = occ.groupBy(group_col).agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.lit(threshold_frac) * F.count(F.lit(1))),
+            ).alias("__thr")
+        )
+    else:
+        if threshold < 1:
+            raise ValueError(f"threshold must be >= 1, got {threshold}")
+        thr = occ.select(group_col).distinct().select(
+            group_col, F.lit(threshold).cast("long").alias("__thr")
+        )
+    probed = occ.join(F.broadcast(thr), group_col)
+    cols = []
+    for j, p in enumerate(
+        _positions(F.col("value"), depth, width)
+    ):
+        cj = F.broadcast(
+            cells.select(
+                F.col(group_col).alias(f"__g{j}"),
+                F.col("idx").alias(f"__i{j}"),
+                F.col("c").alias(f"__c{j}"),
+            )
+        )
+        probed = probed.join(
+            cj,
+            (F.col(group_col) == F.col(f"__g{j}"))
+            & ((F.lit(j * width) + p).cast("long") == F.col(f"__i{j}")),
+        )
+        cols.append(f"__c{j}")
+    survivors = probed.withColumn(
+        "cms_est", F.least(*[F.col(c) for c in cols])
+    ).filter(F.col("cms_est") >= F.col("__thr"))
+    return (
+        survivors.groupBy(group_col, "value")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.min("cms_est").alias("cms_est"),
+            F.min("__thr").alias("threshold"),
+        )
+        .filter(F.col("n_exact") >= F.col("threshold"))
+        .orderBy(group_col, F.col("n_exact").desc(), "value")
+    )

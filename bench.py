@@ -232,6 +232,7 @@ HEADLINE = (
     "daily_distinct_hll",
     "rolling_distinct_hll",
     "streaming_sketch",
+    "heavy_hitters_by_lang",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -128,3 +128,65 @@ def test_heavy_hitters_fractional_threshold(spark):
         frequency.heavy_hitters(
             occ, "v", threshold_frac=1.5, width=W, depth=D
         )
+
+
+GROUPED = {
+    ("g1", "a"): 6, ("g1", "b"): 3, ("g1", "c"): 1,
+    ("g2", "a"): 2, ("g2", "d"): 1,
+}
+
+
+def _gocc(spark, counts, parts=None):
+    rows = [(g, v) for (g, v), n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    return df.repartition(parts) if parts else df
+
+
+def test_heavy_hitters_by_exact_vs_naive_absolute(spark):
+    """Grouped output == per-group naive groupBy-filter, at a width
+    where cross-key collisions happen WITHIN groups."""
+    got = frequency.heavy_hitters_by(
+        _gocc(spark, GROUPED, parts=5), "v", "g",
+        threshold=2, width=W, depth=D,
+    ).collect()
+    naive = {
+        (g, v): n for (g, v), n in GROUPED.items() if n >= 2
+    }
+    assert {(r.g, r.value, r.n_exact) for r in got} == {
+        (g, v, n) for (g, v), n in naive.items()
+    }
+    for r in got:
+        assert r.cms_est >= r.n_exact and r.threshold == 2
+    # ordering: group asc, count desc, value asc
+    assert [(r.g, r.value) for r in got] == [
+        ("g1", "a"), ("g1", "b"), ("g2", "a")
+    ]
+
+
+def test_heavy_hitters_by_fractional_is_per_group(spark):
+    """frac resolves against EACH group's mass: 30% of g1's 10
+    occurrences = 3, 30% of g2's 3 occurrences = 1 — 'c' fails in g1
+    (1 < 3) while 'd' passes in g2 (1 >= 1)."""
+    got = frequency.heavy_hitters_by(
+        _gocc(spark, GROUPED), "v", "g",
+        threshold_frac=0.3, width=W, depth=D,
+    ).collect()
+    by = {(r.g, r.value): (r.n_exact, r.threshold) for r in got}
+    assert by == {
+        ("g1", "a"): (6, 3), ("g1", "b"): (3, 3),
+        ("g2", "a"): (2, 1), ("g2", "d"): (1, 1),
+    }
+
+
+def test_heavy_hitters_by_validation(spark):
+    df = _gocc(spark, GROUPED)
+    with pytest.raises(ValueError, match="exactly one"):
+        frequency.heavy_hitters_by(df, "v", "g", width=W, depth=D)
+    with pytest.raises(ValueError, match="threshold_frac"):
+        frequency.heavy_hitters_by(
+            df, "v", "g", threshold_frac=0.0, width=W, depth=D
+        )
+    with pytest.raises(ValueError, match="threshold"):
+        frequency.heavy_hitters_by(
+            df, "v", "g", threshold=0, width=W, depth=D
+        )
