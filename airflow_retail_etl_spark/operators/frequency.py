@@ -312,9 +312,15 @@ def heavy_hitters_by(
         raise ValueError(
             "pass exactly one of threshold / threshold_frac"
         )
+    # materialize-before-broadcast (round-10 rule, graph.py): the cell
+    # table is BOUNDED (|groups|·depth·width rows) but DERIVED from the
+    # corpus-sized occurrence subtree — un-materialized, every one of
+    # the d broadcast builds below re-executes that subtree (d extra
+    # corpus scans). localCheckpoint stores the bounded rows
+    # executor-side and cuts the lineage once.
     cells = cms_cells_by(
         occurrences, col, group_col, width=width, depth=depth
-    )
+    ).localCheckpoint(eager=True)
     occ = occurrences.select(
         group_col, F.col(col).cast("string").alias("value")
     ).filter(F.col("value").isNotNull())
@@ -328,7 +334,8 @@ def heavy_hitters_by(
                 F.lit(1).cast("long"),
                 F.ceil(F.lit(threshold_frac) * F.count(F.lit(1))),
             ).alias("__thr")
-        )
+        ).localCheckpoint(eager=True)  # same rule: |groups| rows off a
+        # corpus-sized subtree, feeding a broadcast
     else:
         if threshold < 1:
             raise ValueError(f"threshold must be >= 1, got {threshold}")
