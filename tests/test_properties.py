@@ -374,3 +374,34 @@ def test_cms_overestimate_guarantee_on_arbitrary_strings(spark, values):
     assert len(probed) == len(exact)
     for r in probed:
         assert r.cms_est >= exact[r.v], (r.v, r.cms_est, exact[r.v])
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.text(min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_grouped_cms_prune_is_lossless_per_group(spark, pairs):
+    """heavy_hitters_by == the naive per-group exact filter, under
+    arbitrary unicode values and a width where collisions are the norm
+    — the grouped lossless-prune invariant."""
+    from collections import Counter
+
+    from airflow_retail_etl_spark.operators import frequency
+
+    exact = Counter(pairs)
+    df = spark.createDataFrame(pairs, "g string, v string")
+    got = {
+        (r.g, r.value): r.n_exact
+        for r in frequency.heavy_hitters_by(
+            df, "v", "g", threshold=2, width=4, depth=2
+        ).collect()
+    }
+    want = {gv: n for gv, n in exact.items() if n >= 2}
+    assert got == want
