@@ -289,6 +289,7 @@ def heavy_hitters_by(
     threshold_frac: float | None = None,
     width: int = 1024,
     depth: int = 4,
+    broadcast_cells: bool = True,
 ) -> DataFrame:
     """Per-group exact heavy hitters via grouped-CMS pruning: every
     (group, value) whose exact in-group count ≥ the group's threshold,
@@ -307,7 +308,16 @@ def heavy_hitters_by(
     map-side combined) broadcasts into d map-side probe joins — the
     occurrence stream never shuffles before the prune; the only
     key-grain shuffle carries surviving occurrences, and the same
-    overestimate guarantee makes the prune lossless per group."""
+    overestimate guarantee makes the prune lossless per group.
+
+    ``broadcast_cells`` sizes that design: the cell table is ~16 B ×
+    |groups|·depth·width (≈ 1 GB at 10k groups × the defaults) — fine
+    for language/source/tier grains, past executor broadcast budgets
+    for very fine grains (per-URL-host). Set False there: the probes
+    run as shuffle joins on (group, idx) — the occurrence stream
+    shuffles d times pre-prune, which only pays when the group grain is
+    too fine to broadcast AND the prune is selective; at that grain
+    also consider a coarser grouping or the global sketch per shard."""
     if (threshold is None) == (threshold_frac is None):
         raise ValueError(
             "pass exactly one of threshold / threshold_frac"
@@ -342,12 +352,15 @@ def heavy_hitters_by(
         thr = occ.select(group_col).distinct().select(
             group_col, F.lit(threshold).cast("long").alias("__thr")
         )
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_cells else df
+
     probed = occ.join(F.broadcast(thr), group_col)
     cols = []
     for j, p in enumerate(
         _positions(F.col("value"), depth, width)
     ):
-        cj = F.broadcast(
+        cj = _b(
             cells.select(
                 F.col(group_col).alias(f"__g{j}"),
                 F.col("idx").alias(f"__i{j}"),

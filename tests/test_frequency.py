@@ -178,6 +178,19 @@ def test_heavy_hitters_by_fractional_is_per_group(spark):
     }
 
 
+def test_heavy_hitters_by_shuffle_path_matches_broadcast(spark):
+    """broadcast_cells=False (the too-many-groups fallback) is the same
+    algorithm on shuffle joins — identical output."""
+    a = frequency.heavy_hitters_by(
+        _gocc(spark, GROUPED), "v", "g", threshold=2, width=W, depth=D
+    ).collect()
+    b = frequency.heavy_hitters_by(
+        _gocc(spark, GROUPED), "v", "g", threshold=2, width=W, depth=D,
+        broadcast_cells=False,
+    ).collect()
+    assert a == b
+
+
 def test_heavy_hitters_by_validation(spark):
     df = _gocc(spark, GROUPED)
     with pytest.raises(ValueError, match="exactly one"):
