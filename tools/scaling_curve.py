@@ -91,7 +91,14 @@ DEFAULT_SF_DIRS = (
 #: (accumulated localCheckpoint RDDs, GC debt — pagerank's sf1 ranged
 #: 13-50 s for identical plans): run each tier in a FRESH JVM via
 #: tools/isolated_probe.py; record the warm number, keep the cold one in
-#: the record for honesty (round-9 verdict item 3)
+#: the record for honesty (round-9 verdict item 3).
+#: DO NOT add codegen/spill-heavy one-shot queries here (span_excise,
+#: image_neardup): a fresh JVM measures them COLD — span_excise sf1 read
+#: 260-296 s isolated vs 59.5 s in-curve vs an unchanged bench number
+#: (round-10 record notes); their representative number is the in-curve
+#: one. Isolation suits only queries that self-warm across their own
+#: iterations (pagerank) or whose in-session number is provably
+#: session-state-contaminated.
 ISOLATED_PROBES = {"pagerank"}
 
 
