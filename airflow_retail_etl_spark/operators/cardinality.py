@@ -199,7 +199,20 @@ def kmv_overlap(
 
 
 def _hll_alpha(m: int) -> float:
-    """Flajolet's bias-correction constant for m ≥ 128 registers."""
+    """Flajolet's bias-correction constant α_m.
+
+    The HyperLogLog paper tabulates small-m values (α16=0.673,
+    α32=0.697, α64=0.709) and the 0.7213/(1+1.079/m) closed form for
+    m ≥ 128; applying the closed form at m=16 is a ~0.4% systematic bias
+    (round-10 advice). Cross-engine exactness is unaffected either way —
+    the oracle twins inject ``_hll_alpha(m)·m²`` as the same literal —
+    but the estimates should match the published algorithm."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
 
 

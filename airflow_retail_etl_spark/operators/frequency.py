@@ -351,7 +351,9 @@ def heavy_hitters_by(
             raise ValueError(f"threshold must be >= 1, got {threshold}")
         thr = occ.select(group_col).distinct().select(
             group_col, F.lit(threshold).cast("long").alias("__thr")
-        )
+        ).localCheckpoint(eager=True)  # same rule as the frac branch:
+        # |groups| rows off a corpus-sized subtree, feeding a broadcast —
+        # un-materialized, the broadcast build re-scans the corpus
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_cells else df
 

@@ -74,6 +74,7 @@ def semdedup_centroids(n_clusters: int = 16, dims: int = 64):
 def semdedup_train_centroids(
     vectors: DataFrame,
     *,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 16,
     fit_fraction: float | None = None,
@@ -84,8 +85,9 @@ def semdedup_train_centroids(
     """Train cluster centroids with sampled k-means, shape (n_clusters, dims).
 
     The 100 TB path: centroid quality converges with a few hundred
-    points per cluster, so the fit runs over a ``fit_fraction`` Bernoulli
-    sample — never the corpus. When the sample fits ``max_driver_rows``
+    points per cluster, so the fit runs over a ``fit_fraction``
+    content-hash sample (``similarity._fit_sample`` — layout-independent
+    by construction) — never the corpus. When the sample fits ``max_driver_rows``
     the Lloyd iterations run DRIVER-SIDE in numpy over the collected
     sample (model fitting on a sufficient statistic — the ridge_fit /
     pq_train_codebook / BPE-word-shapes class): one Spark job total,
@@ -95,16 +97,24 @@ def semdedup_train_centroids(
     semdedup's sf1 decade step). Above the bound it falls back to Spark
     ML KMeans, the genuinely-distributed fit.
 
-    Deterministic given (sampled multiset, seed) on the numpy path: the
-    collected rows are lexicographically sorted before seeded init, so
-    partition layout cannot perturb the result. Centers are sorted
+    Deterministic given (data, seed) on the numpy path: sample
+    membership is a content-hash predicate (not a layout-dependent
+    Bernoulli draw) and the collected rows are lexicographically sorted
+    before seeded init, so partition layout cannot perturb the result. Centers are sorted
     lexicographically on return on both paths (same contract as
     ``pq_train_codebook``)."""
     import numpy as np
 
-    v = vectors.select(F.col(vec_col).cast("array<double>").alias("fv"))
+    # layout-independent hash draw on the id (similarity._fit_sample):
+    # DataFrame.sample's Bernoulli draw depends on the partition layout,
+    # so the fit set — and trained recall — would vary with session state
     if fit_fraction is not None:
-        v = v.sample(fit_fraction, seed=seed)
+        from airflow_retail_etl_spark.operators.similarity import _fit_sample
+
+        vectors = _fit_sample(
+            vectors, F.col(id_col).cast("string"), fit_fraction, seed
+        )
+    v = vectors.select(F.col(vec_col).cast("array<double>").alias("fv"))
     # one bounded collect doubles as the size probe: below the bound,
     # limit(max+1) returns the whole sample (deterministic), above it
     # the overflow row just triggers the fallback

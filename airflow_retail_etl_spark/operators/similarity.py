@@ -295,6 +295,28 @@ def _ivf_corpus(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _fit_sample(df: DataFrame, key: Column, fraction: float, seed: int) -> DataFrame:
+    """Layout-independent fit sample: keep iff md5-u64(seed, key) < f·2^64.
+
+    ``DataFrame.sample(fraction, seed)`` is seed-deterministic only FOR A
+    FIXED PARTITION LAYOUT — in a shared session, AQE history / shuffle
+    conf / cache residue perturb the layout, the Bernoulli draw, and
+    therefore the trained codebook and its recall (round-10 in-suite
+    flake: recall 0.78 in-suite vs 0.94 isolated for the identical call).
+    A content-hash threshold draw (the ``operators.sampling`` machinery)
+    makes the fit set a pure per-row predicate of the DATA: membership
+    survives any repartitioning, caching, or session state by
+    construction, so in-suite and isolated fits are identical.
+    """
+    from airflow_retail_etl_spark.operators.sampling import (
+        _sample_u,
+        threshold_for,
+    )
+
+    thr = F.lit(str(threshold_for(fraction))).cast("decimal(21,0)")
+    return df.filter(_sample_u(key, str(seed)) < thr)
+
+
 def _lloyd_numpy(x, k: int, *, seed: int, max_iter: int):
     """Plain Lloyd iterations on an in-memory sample: seeded distinct-row
     init, argmin assignment (first-index tiebreak), mean update, empty
@@ -383,7 +405,11 @@ def _fit_coarse_cells(
     from pyspark.ml.clustering import KMeans
 
     fit_input = (
-        v if fit_fraction is None else v.sample(fit_fraction, seed=seed)
+        v
+        if fit_fraction is None
+        else _fit_sample(
+            v, F.col("neighbor_id").cast("string"), fit_fraction, seed
+        )
     )
     rows = fit_input.select("cv").limit(max_driver_rows + 1).collect()
     if len(rows) <= max_driver_rows:
@@ -465,8 +491,9 @@ def ivf_topk(
     cosine. Versus LSH: better candidate quality on clustered data (cells
     adapt to the distribution), at the cost of a training pass.
 
-    ``fit_fraction`` trains the quantizer on a seeded Bernoulli sample of
-    the corpus — THE 100 TB path: centroid quality converges with a few
+    ``fit_fraction`` trains the quantizer on a seeded content-hash sample
+    of the corpus (layout-independent — see ``_fit_sample``) — THE 100 TB
+    path: centroid quality converges with a few
     hundred points per cell, so training on ~10⁻⁵ of a huge corpus is
     statistically equivalent and removes the only full-data iterative pass.
     Assignment is unchanged either way: one broadcast of the centroid
@@ -588,6 +615,7 @@ def _pq_codebook(m: int, ksub: int, dsub: int):
 def pq_train_codebook(
     vectors: DataFrame,
     *,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
     ksub: int = 16,
@@ -596,6 +624,7 @@ def pq_train_codebook(
     seed: int = 7,
     init_mode: str = "random",
     max_iter: int = 8,
+    max_driver_rows: int = 500_000,
 ):
     """Train a PQ codebook: per-subspace k-means, shape (m, ksub, dsub).
 
@@ -608,21 +637,53 @@ def pq_train_codebook(
     per centroid, so the m training passes run over a ~10⁻⁵ sample, and
     the sample is cached once for all m fits — never the corpus).
 
-    Centers are sorted lexicographically before assembly so the returned
-    codebook is deterministic given (data, seed) regardless of KMeans'
-    internal center ordering. Feed the result to pq_encode / pq_topk /
-    ivf_pq_topk via their ``codebook`` argument. The seeded default
-    stays for the cross-engine oracle (a trained codebook is data-
-    dependent, so DuckDB could only replicate it by re-fitting).
+    Deterministic given (data, seed) on the driver path: the fit sample
+    is a content-hash draw on ``id_col`` (``_fit_sample`` — membership is
+    layout-independent by construction), and when it fits
+    ``max_driver_rows`` the per-subspace Lloyd iterations run driver-side
+    in numpy over lexicographically-sorted rows (``_lloyd_numpy``, the
+    ``_fit_coarse_cells`` / ``semdedup_train_centroids`` strategy): one
+    Spark job total instead of m Spark ML estimator fits, and — unlike
+    Spark ML KMeans, whose random init draws depend on the partition
+    layout — bit-identical codebooks under any repartitioning (pinned in
+    tests). Above the bound, Spark ML per subspace is the genuinely
+    distributed fallback (deterministic only per-layout there; at that
+    scale you persist the codebook as an artifact anyway).
+
+    Centers are sorted lexicographically before assembly on both paths.
+    Feed the result to pq_encode / pq_topk / ivf_pq_topk via their
+    ``codebook`` argument. The seeded default stays for the cross-engine
+    oracle (a trained codebook is data-dependent, so DuckDB could only
+    replicate it by re-fitting).
     """
     import numpy as np
+
+    dsub = dims // m
+    # layout-independent hash draw on the id (see _fit_sample) BEFORE the
+    # id is projected away — the trained codebook must be a pure function
+    # of (data, seed), not of the session's partition layout
+    if fit_fraction is not None:
+        vectors = _fit_sample(
+            vectors, F.col(id_col).cast("string"), fit_fraction, seed
+        )
+    v = vectors.select(as_double(F.col(vec_col)).alias("v"))
+    rows = v.limit(max_driver_rows + 1).collect()
+    if len(rows) <= max_driver_rows:
+        x = np.array([r["v"] for r in rows])
+        x = x[np.lexsort(x.T[::-1])]  # layout-independent row order
+        cb = np.empty((m, ksub, dsub))
+        for s in range(m):
+            cb[s] = _lloyd_numpy(
+                np.ascontiguousarray(x[:, s * dsub : (s + 1) * dsub]),
+                ksub,
+                seed=seed + s,
+                max_iter=max_iter,
+            )
+        return cb
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dsub = dims // m
-    v = vectors.select(as_double(F.col(vec_col)).alias("v"))
-    if fit_fraction is not None:
-        v = v.sample(fit_fraction, seed=seed)
     v = v.cache()  # one sample materialization shared by all m fits
     try:
         cb = np.empty((m, ksub, dsub))

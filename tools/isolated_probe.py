@@ -22,8 +22,11 @@ and re-trip heap growth on un-pretouched heaps, and a fresh JVM is the
 only state an operator can reproduce. tools/scaling_curve.py runs it
 twice per tier in separate processes (cold_sec / sec).
 
-Usage: python tools/isolated_probe.py <query> <sf_dir>
-Prints one JSON line: {"query", "sf_dir", "sec"}.
+Usage: python tools/isolated_probe.py <query> <sf_dir> [--twice]
+Prints one JSON line: {"query", "sf_dir", "sec"} — with ``--twice`` also
+{"sec_first", "sec_second", "cold_tax_ratio"}: the same plan executed a
+second time in the SAME JVM, separating cold-JIT/codegen cost from
+steady-state work (read sec_second as the warm floor).
 Run it standalone to re-probe any registry query that looks like a
 regression inside a long-lived session before believing the number.
 """
@@ -38,15 +41,56 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS",
+_REQUIRED_SUBMIT_ARGS = (
     "--driver-memory 48g --conf spark.driver.extraJavaOptions="
-    "-Xms48g\\ -XX:+AlwaysPreTouch pyspark-shell",
+    "-Xms48g\\ -XX:+AlwaysPreTouch"
 )
 
 
+def _ensure_pretouch_args() -> None:
+    """Guarantee the Xms=Xmx + AlwaysPreTouch probe flags (CLAUDE.md
+    invariant) even when the caller's environment already carries a
+    PYSPARK_SUBMIT_ARGS — a bare ``setdefault`` silently dropped them
+    there, reverting the probe to the bimodal lazy-heap-commit band the
+    flags exist to eliminate (round-10 advice)."""
+    cur = os.environ.get("PYSPARK_SUBMIT_ARGS")
+    if cur is None:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            _REQUIRED_SUBMIT_ARGS + " pyspark-shell"
+        )
+        return
+    if "AlwaysPreTouch" in cur:
+        return
+    if "extraJavaOptions" in cur or "--driver-memory" in cur:
+        # merging into caller-specified memory/JVM flags risks duplicate
+        # --conf clobbering; refuse loudly rather than probe mis-flagged
+        raise SystemExit(
+            "isolated_probe: PYSPARK_SUBMIT_ARGS sets driver memory/JVM "
+            "options WITHOUT -XX:+AlwaysPreTouch — probe timings would "
+            "land in the lazy-heap-commit noise band. Unset it or add "
+            "'-Xms<heap> -XX:+AlwaysPreTouch' yourself. Got: " + cur
+        )
+    print(
+        "isolated_probe: merging required pretouch flags into existing "
+        f"PYSPARK_SUBMIT_ARGS ({cur!r})",
+        file=sys.stderr,
+    )
+    suffix = ""
+    if cur.rstrip().endswith("pyspark-shell"):
+        cur = cur.rstrip()[: -len("pyspark-shell")].rstrip()
+        suffix = " pyspark-shell"
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        f"{cur} {_REQUIRED_SUBMIT_ARGS}{suffix}".strip()
+    )
+
+
+_ensure_pretouch_args()
+
+
 def main() -> None:
-    query, sf_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if a != "--twice"]
+    twice = "--twice" in sys.argv[1:]
+    query, sf_dir = args[0], args[1]
     import __spark_entry__ as entry_mod
     from airflow_retail_etl_spark.session import get_spark
 
@@ -67,16 +111,28 @@ def main() -> None:
     ).save()
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    print(
-        json.dumps(
-            {
-                "query": query,
-                "sf_dir": sf_dir,
-                "sec": round(time.time() - t0, 3),
-            }
-        ),
-        flush=True,
-    )
+    rec = {
+        "query": query,
+        "sf_dir": sf_dir,
+        "sec": round(time.time() - t0, 3),
+    }
+    if twice:
+        # --twice: quantify the cold-JIT/codegen tax of THIS plan shape
+        # at THIS sf — the small-sf warm-up above compiles the stages it
+        # reaches, but a different sf can take different (AQE) stage
+        # shapes, so first-vs-second inside one JVM isolates compile +
+        # first-touch cost from steady-state work (round-10 verdict 3b).
+        # Caveat from the module docstring stands: the second run sees
+        # residual state (checkpointed blocks, warmed allocator), so
+        # read sec_second as the warm FLOOR, not the reproducible number.
+        t1 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        rec["sec_first"] = rec["sec"]
+        rec["sec_second"] = round(time.time() - t1, 3)
+        rec["cold_tax_ratio"] = round(
+            rec["sec_first"] / max(rec["sec_second"], 1e-9), 3
+        )
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -115,6 +115,14 @@ def _isolated_times(name: str, sf_dirs: list[str]) -> dict[str, dict]:
              name, d],
             capture_output=True, text=True, timeout=1800,
         )
+        # a crashed/OOM'd probe leaves empty stdout — surface its stderr
+        # instead of dying on an opaque IndexError (round-10 advice)
+        if proc.returncode != 0 or not proc.stdout.strip():
+            raise RuntimeError(
+                f"isolated_probe {name} {d} failed "
+                f"(returncode={proc.returncode}); stderr tail:\n"
+                + proc.stderr[-2000:]
+            )
         return json.loads(proc.stdout.strip().splitlines()[-1])["sec"]
 
     out: dict[str, dict] = {}
