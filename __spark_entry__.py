@@ -4590,7 +4590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver verifications) and heavy_hitters (count-min-sketch
     sketch-prune → exact-verify frequent items; stratified_sample
     rotates out, its hash-membership machinery in-window via
-    decontam_excise + corpus_shuffle) — and
+    decontam_excise + corpus_shuffle) — and rotated in round 11 so the
+    round-10 sketch machinery's remaining faces get driver
+    verification: rolling_distinct_hll (mergeable per-day HLL register
+    tables — replaces cardinality_sketch, driver-green r10),
+    heavy_hitters_by_lang (grouped CMS cells + fractional thresholds —
+    replaces its global form heavy_hitters, driver-green r10), and
+    corpus_overlap_kmv (KMV set-overlap estimates — replaces
+    global_quantiles, driver-green r9+r10) — and
     tests/test_entry_contract.py enforces per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
@@ -4667,25 +4674,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_stats (functions.text stats, whose machinery quality_filter
         # and bpe_tokenize keep in-window) moves just past the prefix
         "table_profile": q_table_profile,
-        # cardinality_sketch reps the round-10 engine-replicable
-        # distinct-count sketch family (KMV order statistics +
-        # deterministic HLL registers) in the window; ks_drift — driver-
-        # verified green in rounds 9 AND 10's local runs — rotates just
-        # past the prefix, its profile-module machinery staying repped
-        # in-window by table_profile + snapshot_diff
-        "cardinality_sketch": q_cardinality_sketch,
-        # heavy_hitters reps the round-10 count-min-sketch frequency
-        # family (sketch-prune → exact-verify; the same md5/km-hash
-        # position replication as bloom_decontam, now as COUNTERS);
-        # stratified_sample rotates just past the prefix — its
-        # md5-threshold membership machinery stays in-window via
-        # decontam_excise's hash_sample eval slice and corpus_shuffle's
-        # shuffle_u draw
-        "heavy_hitters": q_heavy_hitters,
-        # global_quantiles reps the round-8 rank-arithmetic exact-quantile
-        # machinery (range repartition + broadcast offsets, no
-        # approx buffers) in the window
-        "global_quantiles": q_global_quantiles,
+        # rolling_distinct_hll (rotated in round 11) reps the
+        # distinct-count sketch family in the window with its MERGEABLE
+        # face — persisted per-day register tables, trailing-window
+        # distincts via MAX(mx) register merges, never rescanning the
+        # corpus (THE 100 TB property); cardinality_sketch — driver-
+        # verified green in round 10 — rotates just past the prefix, its
+        # one-shot KMV face staying in-window via corpus_overlap_kmv
+        "rolling_distinct_hll": q_rolling_distinct_hll,
+        # heavy_hitters_by_lang (rotated in round 11) reps the
+        # count-min-sketch frequency family in the window with the
+        # GROUPED form — per-language cell tables, in-engine fractional
+        # thresholds, materialize-before-broadcast probes — strictly more
+        # machinery than the global heavy_hitters (driver-green r10),
+        # which rotates just past the prefix under the identical
+        # sketch-prune → exact-verify oracle
+        "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
+        # corpus_overlap_kmv (rotated in round 11) reps the KMV
+        # order-statistics face of the sketch family (join-free
+        # set-overlap estimates + exact audit); global_quantiles —
+        # driver-green in rounds 9 AND 10 — rotates just past the
+        # prefix, its rank-arithmetic prefix-sum machinery staying
+        # in-window via corpus_budget (global_cumsum) and
+        # corpus_shuffle's shuffle positions
+        "corpus_overlap_kmv": q_corpus_overlap,
         # snapshot_diff (rotated in round 10) reps the round-9 id-grain
         # corpus maintenance face of the profile module (full-outer
         # fingerprint join → ADDED/REMOVED/CHANGED/UNCHANGED verdicts)
@@ -4780,20 +4792,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-membership machinery runs in-window inside
         # decontam_excise (hash_sample) and corpus_shuffle (shuffle_u)
         "stratified_sample": q_stratified_sample,
-        # grouped face of the in-window cardinality_sketch register
-        # machinery (per-key HLL fold — the 100 TB daily
-        # COUNT DISTINCT)
+        # one-shot KMV + HLL composite (driver-green r10; rotated just
+        # past the prefix in round 11 — the register machinery stays
+        # in-window via rolling_distinct_hll, the KMV order statistics
+        # via corpus_overlap_kmv)
+        "cardinality_sketch": q_cardinality_sketch,
+        # grouped face of the same register machinery (per-key HLL fold
+        # — the 100 TB daily COUNT DISTINCT)
         "daily_distinct_hll": q_daily_distinct_hll,
-        # mergeable face of the same registers: persisted per-day state,
-        # window merges via MAX(mx) — rolling COUNT DISTINCT without
-        # rescanning the corpus
-        "rolling_distinct_hll": q_rolling_distinct_hll,
         # streaming face of the same registers: per-micro-batch state
         # folds, stream ≡ batch certified by the one-shot oracle
         "streaming_sketch": q_streaming_sketch,
-        # grouped face of the in-window heavy_hitters CMS machinery
-        # (per-language cells + in-engine fractional thresholds)
-        "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
+        # global CMS heavy hitters (driver-green r10; rotated just past
+        # the prefix in round 11 for its strictly-more-machinery grouped
+        # form heavy_hitters_by_lang)
+        "heavy_hitters": q_heavy_hitters,
+        # rank-arithmetic exact quantiles (driver-green r9 AND r10;
+        # rotated just past the prefix in round 11 — prefix-sum
+        # machinery in-window via corpus_budget + corpus_shuffle)
+        "global_quantiles": q_global_quantiles,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
@@ -4864,9 +4881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
         "set_ops": q_set_ops,
-        # join-free KMV set-overlap estimates + exact audit (sketch
-        # machinery repped in-prefix by cardinality_sketch)
-        "corpus_overlap_kmv": q_corpus_overlap,
+        # (corpus_overlap_kmv rotated INTO the verified prefix in
+        # round 11)
         "quality_report": q_quality_report,
         "cumulative_daily_revenue": q_cumulative_daily_revenue,
         "unigram_score": q_unigram_score,
