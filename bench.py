@@ -605,13 +605,17 @@ def main() -> None:
     # dim from 12,717 distinct products; sf0.1 has 20k parts (~1.6× rows).
     # Rebuild the IDENTICAL plan on exactly 12,717 products so the ratio
     # compares equal-sized inputs instead of excusing the gap in prose.
-    t0 = time.time()
-    _dim_product_refsize(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    same_size = {
-        "dim_product": round((time.time() - t0) / BASELINE_ANCHORS_SEC["dim_product"], 3)
-    }
+    same_size = {}
+    for name, plan in (
+        ("dim_product", _dim_product_refsize),
+        ("staging_clean", _staging_refsize),
+        ("fact_rollup", _fact_rollup_refsize),
+    ):
+        t0 = time.time()
+        plan(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        same_size[name] = round(
+            (time.time() - t0) / BASELINE_ANCHORS_SEC[name], 3
+        )
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -634,8 +638,12 @@ def main() -> None:
             "reference anchors are log-derived at the reference's "
             "own data size (BASELINE.md); sf0.1 runs more rows "
             "through Spark for every anchor — baseline_ratio_"
-            "same_size rebuilds dim_product from exactly the "
-            "reference's 12,717 products"
+            "same_size reruns the IDENTICAL plans at reference "
+            "size: dim_product on exactly 12,717 products, "
+            "staging_clean and fact_rollup on a 16,159-row "
+            "event_id prefix (the reference's day-grain ingest; "
+            "its fact rollup ran over that day-grain staging "
+            "table)"
         ),
     }
     record["round"] = rnd
@@ -852,6 +860,39 @@ def _append_history(record: dict) -> tuple[dict, dict]:
     return regressions, vs_prev_round
 
 
+def _staging_refsize(spark, sf_dir):
+    """q_staging_clean's exact plan on exactly the reference's 16,159
+    ingested rows (a deterministic event_id prefix; the predicate pushes
+    to the parquet scan, so the engine reads reference-sized input) —
+    the same-size BASELINE anchor for the S3-CSV→staging ingest."""
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark import adapters
+
+    return adapters.staging_events(spark, sf_dir).filter(
+        F.col("event_id") < 16_159
+    )
+
+
+def _fact_rollup_refsize(spark, sf_dir):
+    """q_fact_rollup's exact plan over a reference-sized staging input
+    (the same 16,159-row event_id prefix as _staging_refsize — the
+    reference rolled up its day-grain staging table)."""
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark import adapters
+    from airflow_retail_etl_spark.operators import star
+
+    import __spark_entry__ as entry_mod
+
+    return star.fact_rollup(
+        adapters.staging_events(spark, sf_dir).filter(
+            F.col("event_id") < 16_159
+        ),
+        purchase_value=entry_mod.PURCHASE,
+    )
+
+
 def _dim_product_refsize(spark, sf_dir):
     """q_dim_product's exact plan on exactly 12,717 products (the
     reference's product-dim cardinality) — the same-size BASELINE anchor."""
@@ -862,7 +903,7 @@ def _dim_product_refsize(spark, sf_dir):
     from airflow_retail_etl_spark.operators import star
 
     src = adapters.product_dim_source(spark, sf_dir).filter(
-        F.col("product_id") <= 12_717
+        F.col("product_id") < 12_717
     )
     dim = star.dedup_keep_first(
         src.select("product_id", "brand", "category_code", "price").filter(

@@ -113,3 +113,51 @@ def test_fold_hll_batch_stream_equals_batch_and_replay_idempotent(
         spark.read.parquet(state), (), p=6
     ).first()
     assert again.estimate == want.estimate
+
+
+def test_fold_hll_state_is_delivery_schedule_invariant(spark, tmp_path):
+    """END-TO-END commutativity through the PERSISTED state path
+    (round-10 verdict item 7): register MAX-merge is commutative and
+    idempotent, so any delivery schedule that eventually covers every
+    batch — reordered, with arbitrary duplicate re-deliveries
+    interleaved (foreachBatch's at-least-once window) — must land the
+    parquet store on the exact one-shot sketch state. Hypothesis draws
+    the schedule: a permutation of the batches with duplicate
+    deliveries both before and after their originals."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from airflow_retail_etl_spark.operators import cardinality
+    from airflow_retail_etl_spark.streaming.incremental import (
+        fold_hll_batch,
+    )
+
+    full = spark.range(400).select(
+        (F.col("id") * 37 % 1000).alias("v")
+    ).localCheckpoint(eager=True)
+    batches = [full.filter(F.col("v") % 3 == i) for i in range(3)]
+    want = cardinality.hll_distinct(full, "v", p=6).first()
+    case = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.permutations([0, 1, 2]),
+        st.lists(st.sampled_from([0, 1, 2]), max_size=3),
+        st.lists(st.sampled_from([0, 1, 2]), max_size=3),
+    )
+    def prop(perm, dup_before, dup_after):
+        case[0] += 1
+        state = str(tmp_path / f"hll_state_{case[0]}")
+        for i in [*dup_before, *perm, *dup_after]:
+            fold_hll_batch(batches[i], state, "v", p=6)
+        folded = cardinality.hll_fold(
+            spark.read.parquet(state), (), p=6
+        ).first()
+        assert folded.s_scaled == want.s_scaled
+        assert folded.estimate == want.estimate
+
+    prop()
