@@ -1182,6 +1182,7 @@ def shared_span_pairs(
     max_doc_freq: int | None = None,
     hash_family: str = "xxhash64",
     unsafe_large_cap: bool = False,
+    materialize_anchors: bool = False,
 ) -> DataFrame:
     """EXACT cross-document shared-substring spans (the plagiarism
     "diagonal method") — winnowing's exactness upgrade: not just WHICH
@@ -1235,7 +1236,7 @@ def shared_span_pairs(
         )
     anchors = _span_anchors(
         df, text_col, id_col, k=k, hash_family=hash_family,
-        max_doc_freq=max_doc_freq,
+        max_doc_freq=max_doc_freq, materialize=materialize_anchors,
     )
     a, b = anchors.alias("a"), anchors.alias("b")
     matches = a.join(
@@ -1271,10 +1272,26 @@ def _span_anchors(
     k: int,
     hash_family: str,
     max_doc_freq: int | None,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id, pos, h): the hash of every positional char k-gram of the
     normalized text, materialized behind a spread exchange (the
-    HOF-lambda trap: see _with_shingles), optionally doc-freq capped."""
+    HOF-lambda trap: see _with_shingles), optionally doc-freq capped.
+
+    ``materialize`` localCheckpoints the raw anchor frame before reuse.
+    The capped plan does re-execute the per-char hashing scan FOUR
+    times (each self-join side plus each side's df-cap aggregation —
+    the broadcast semi blocks exchange reuse; PLANS.md span_excise
+    audit), but the recompute is CHEAPER than pinning: measured at sf1
+    in fresh pretouched JVMs (round 11), capped xxhash64 runs 19.2 s
+    cold / 15.6 s warm WITHOUT materialization vs 21.6-68.7 s WITH it,
+    and the uncapped md5 form regressed 128 s -> 238 s — the anchor
+    scan is ~2 s of the total, while an eager 19M-row checkpoint adds
+    a hard pre-AQE barrier plus never-freed RDD blocks that degrade
+    every later job in the session (348 s second run). Default False;
+    set True only where the hash scan (not the join) dominates — e.g.
+    very long documents with tiny match volume — and the caller
+    manages session lifetime."""
     hash_gram = _gram_hasher(hash_family)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -1289,6 +1306,8 @@ def _span_anchors(
             )
         ).alias("pos0", "h"),
     ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    if materialize:
+        anchors = anchors.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         rare = (
             anchors.groupBy("h")
@@ -1321,7 +1340,7 @@ def span_cap_dropped(
     """
     anchors = _span_anchors(
         df, text_col, id_col, k=k, hash_family=hash_family,
-        max_doc_freq=None,
+        max_doc_freq=None, materialize=False,
     )
     hot = (
         anchors.groupBy("h")
@@ -1374,6 +1393,7 @@ def shared_span_pairs_cross(
     max_doc_freq: int | None = None,
     hash_family: str = "xxhash64",
     unsafe_large_cap: bool = False,
+    materialize_anchors: bool = False,
 ) -> DataFrame:
     """EXACT shared-substring spans BETWEEN two corpora (no self-pairs):
     every maximal substring ≥ ``min_len`` chars that a ``left`` document
@@ -1402,11 +1422,11 @@ def shared_span_pairs_cross(
         )
     la = _span_anchors(
         left, text_col, id_col, k=k, hash_family=hash_family,
-        max_doc_freq=max_doc_freq,
+        max_doc_freq=max_doc_freq, materialize=materialize_anchors,
     )
     ra = _span_anchors(
         right, text_col, id_col, k=k, hash_family=hash_family,
-        max_doc_freq=None,
+        max_doc_freq=None, materialize=False,  # single consumer
     )
     matches = la.alias("a").join(
         ra.alias("b"), F.col("a.h") == F.col("b.h")

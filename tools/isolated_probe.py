@@ -23,10 +23,17 @@ only state an operator can reproduce. tools/scaling_curve.py runs it
 twice per tier in separate processes (cold_sec / sec).
 
 Usage: python tools/isolated_probe.py <query> <sf_dir> [--twice]
-Prints one JSON line: {"query", "sf_dir", "sec"} — with ``--twice`` also
-{"sec_first", "sec_second", "cold_tax_ratio"}: the same plan executed a
-second time in the SAME JVM, separating cold-JIT/codegen cost from
-steady-state work (read sec_second as the warm floor).
+                                      [--registry-form]
+Prints one JSON line: {"query", "sf_dir", "form", "sec"} — with
+``--twice`` also {"sec_first", "sec_second", "cold_tax_ratio"}: the same
+plan executed a second time in the SAME JVM, separating cold-JIT/codegen
+cost from steady-state work (read sec_second as the warm floor).
+
+The probe times the PRODUCTION form (bench._production_sketches
+override) when one exists, matching what the scaling curve times;
+``--registry-form`` opts back into the md5/oracle registry form. Round
+10's "span_excise isolated-cold 260-296 s vs 59.5 s in-curve" was mostly
+THIS form gap (md5 + uncapped vs xxhash64 + cap), not a cold-JIT tax.
 Run it standalone to re-probe any registry query that looks like a
 regression inside a long-lived session before believing the number.
 """
@@ -88,8 +95,9 @@ _ensure_pretouch_args()
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--twice"]
-    twice = "--twice" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    twice = "--twice" in flags
     query, sf_dir = args[0], args[1]
     import __spark_entry__ as entry_mod
     from airflow_retail_etl_spark.session import get_spark
@@ -104,7 +112,24 @@ def main() -> None:
         "spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024)
     )
     spark.sparkContext.setLogLevel("ERROR")
-    fn = entry_mod.queries()[query]
+    # probe the PRODUCTION form by default — the same override set the
+    # scaling curve times — so isolated numbers are comparable to curve
+    # numbers. Round 10 recorded span_excise sf1 "isolated-cold
+    # 260-296 s vs 59.5 s in-curve" as a cold-JIT tax; most of that gap
+    # was FORM conflation: the probe ran the registry oracle form (md5
+    # anchor hashing, uncapped doc frequency) against the curve's
+    # xxhash64 + max_doc_freq=200 production form. --registry-form
+    # opts back into the oracle form when that is what needs re-timing.
+    queries = dict(entry_mod.queries())
+    form = "registry"
+    if "--registry-form" not in flags:
+        from bench import _production_sketches
+
+        prod = _production_sketches()
+        if query in prod:
+            queries[query] = prod[query]
+            form = "production"
+    fn = queries[query]
     # JIT warm-up at the smallest sf (same protocol as the curve)
     fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
         "overwrite"
@@ -114,6 +139,7 @@ def main() -> None:
     rec = {
         "query": query,
         "sf_dir": sf_dir,
+        "form": form,
         "sec": round(time.time() - t0, 3),
     }
     if twice:

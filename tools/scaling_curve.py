@@ -92,14 +92,30 @@ DEFAULT_SF_DIRS = (
 #: 13-50 s for identical plans): run each tier in a FRESH JVM via
 #: tools/isolated_probe.py; record the warm number, keep the cold one in
 #: the record for honesty (round-9 verdict item 3).
-#: DO NOT add codegen/spill-heavy one-shot queries here (span_excise,
-#: image_neardup): a fresh JVM measures them COLD — span_excise sf1 read
-#: 260-296 s isolated vs 59.5 s in-curve vs an unchanged bench number
-#: (round-10 record notes); their representative number is the in-curve
-#: one. Isolation suits only queries that self-warm across their own
-#: iterations (pagerank) or whose in-session number is provably
-#: session-state-contaminated.
-ISOLATED_PROBES = {"pagerank"}
+#: span_excise joined in round 11: its round-10 exclusion rested on
+#: "isolated-cold 260-296 s vs 59.5 s in-curve", which turned out to be
+#: FORM conflation — the probe then ran the registry md5/uncapped oracle
+#: form while the curve ran production xxhash64+cap200. The probe now
+#: defaults to production forms (isolated_probe --registry-form opts
+#: out), and production span_excise measures 19.2 s cold / 15.6 s warm
+#: at sf1 in fresh pretouched JVMs vs 59.5 s in-curve — the in-curve
+#: number was the session-aged one. Do NOT add image_neardup: its
+#: production override lives in this file (not bench), so the probe
+#: subprocess cannot see it and would time the registry form.
+ISOLATED_PROBES = {"pagerank", "span_excise"}
+
+#: probes that get one UNTIMED execution per tier before the timed run:
+#: one-time setup work (index build, model fit) that production pays once
+#: per corpus, not once per assignment pass, stays out of the window
+PRE_RUN = {"ivf_pq", "semdedup"}
+PRE_RUN_NOTES = {
+    "ivf_pq": "persisted-index build excluded (one-time ingest work)",
+    "semdedup": (
+        "centroid fit excluded from the timed window (trained once per "
+        "tier in the pre-run, memoized; production trains once, assigns "
+        "daily — the timed number is assignment + capped pair scan)"
+    ),
+}
 
 
 def _isolated_times(name: str, sf_dirs: list[str]) -> dict[str, dict]:
@@ -173,6 +189,15 @@ def main() -> None:
 
     queries = {**entry_mod.queries(), **_production_sketches()}
 
+    # fit/assignment split (round-10 verdict item 4): production trains
+    # centroids ONCE and assigns per batch/day, so the curve must time
+    # the OPERATOR (assignment + capped pair scan), not the probe's
+    # ∝-corpus re-fit — in-curve semdedup read 3.94× per decade with the
+    # Lloyd fit inside the window vs ~1.1× isolated without it. The fit
+    # runs in the pre-timing pass (PRE_RUN below) and is memoized per
+    # tier here.
+    _semdedup_fit: dict[str, tuple] = {}
+
     def semdedup_prod(spark_, sf_dir):
         # production configuration: trained centroids scale the cluster
         # count with the corpus (the registry form pins 16 seeded-literal
@@ -183,11 +208,14 @@ def main() -> None:
         from airflow_retail_etl_spark.sources.tables import load_table
 
         emb = load_table(spark_, sf_dir, "embeddings")
-        n = emb.count()
-        n_clusters = max(16, n // 125)  # ~125 vectors/cluster
-        cents = sd.semdedup_train_centroids(
-            emb, n_clusters=n_clusters, fit_fraction=0.2, max_iter=4
-        )
+        if sf_dir not in _semdedup_fit:
+            n = emb.count()
+            n_clusters = max(16, n // 125)  # ~125 vectors/cluster
+            cents = sd.semdedup_train_centroids(
+                emb, n_clusters=n_clusters, fit_fraction=0.2, max_iter=4
+            )
+            _semdedup_fit[sf_dir] = (n_clusters, cents)
+        n_clusters, cents = _semdedup_fit[sf_dir]
         return sd.semdedup(
             emb, centroids=cents, n_clusters=n_clusters,
             max_cluster_size=2_000,
@@ -271,9 +299,12 @@ def main() -> None:
         times = {}
         for d in sf_dirs:
             sf = d.rstrip("/").rsplit("sf", 1)[-1]
-            if name == "ivf_pq":
-                # production ivf_pq queries a PERSISTED index; trigger the
-                # one-time build (ingest-side work) before timing the probe
+            if name in PRE_RUN:
+                # one untimed execution per tier first: ivf_pq builds its
+                # persisted index (one-time ingest-side work), semdedup
+                # trains + memoizes its centroids (production trains
+                # once, assigns daily) — the timed run then measures the
+                # OPERATOR, not the probe's setup
                 queries[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
@@ -292,6 +323,8 @@ def main() -> None:
             for i in range(len(sfs) - 1)
         }
         out[name] = {"sec": times, "step_ratio": ratios}
+        if name in PRE_RUN_NOTES:
+            out[name]["note"] = PRE_RUN_NOTES[name]
     record = {"metric": "scaling_curve", "cpus": int(cpus), "probes": out}
     # durable ledger, same contract as BENCH_HISTORY (round 8): every run
     # appends, so curve drift is diffable round-over-round. Single-shot
