@@ -1115,6 +1115,22 @@ def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
 
 
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (selection.grouped_quantiles): p25/p50/
+    p90 of event value per event_type, type-7 interpolation — the
+    grouped face of global_quantiles' rank arithmetic (round 11). No
+    per-group value buffer: one (group, value)-grain count aggregation,
+    a per-group cumulative window over value-grain rows, and a
+    broadcast target-rank join. Oracle replays the identical rank
+    arithmetic with PARTITION BY."""
+    from airflow_retail_etl_spark.operators.selection import (
+        grouped_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_quantiles(ev, "event_type", "value", [0.25, 0.5, 0.9])
+
+
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column health audit (similarity.embedding_dim_stats):
     per-dimension n/mean/variance/min/max over the embeddings table —
@@ -1956,6 +1972,39 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (round 11): hash-split on the
+    near-dup CLUSTER id, not the document id. Splitting documents
+    independently lets near-duplicates straddle splits — the classic
+    silent eval leak (the val set "generalizes" to paraphrases of its
+    own training shards). Here q_dup_clusters' machinery (exact jaccard
+    pairs → connected components) canonicalizes every near-dup family
+    to one cluster_id, and sampling.hash_split assigns the 90/5/5 draw
+    on THAT key, so all versions of a passage land in one split by
+    construction (pinned in tests). Scale: the split itself is a pure
+    projection riding the dedup output every curation pipeline already
+    computes. Oracle: the dup_clusters recursive-CTE closure + the
+    identical md5 CASE on cluster_id."""
+    from airflow_retail_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", kind="token", n=3, min_jaccard=0.5
+    )
+    cc = dedup.connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    assigned = cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    return sampling.hash_split(
+        assigned,
+        "cluster_id",
+        [("train", 0.9), ("val", 0.95)],
+        default="test",
+    ).orderBy("doc_id")
 
 
 #: fixed merge list for the graded BPE application (training itself is
@@ -4811,6 +4860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated just past the prefix in round 11 — prefix-sum
         # machinery in-window via corpus_budget + corpus_shuffle)
         "global_quantiles": q_global_quantiles,
+        # round 11: grouped face of the same rank arithmetic — exact
+        # per-group quantiles without per-group value buffers
+        "grouped_quantiles": q_grouped_quantiles,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
@@ -4899,6 +4951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "dup_clusters": q_dup_clusters,
+        # round 11: 90/5/5 hash split keyed on the dup-CLUSTER id —
+        # near-duplicates cannot straddle train/val/test
+        "leakage_safe_split": q_leakage_safe_split,
         # detection-only face of the exact-span family (span_excise holds
         # the in-prefix slot with the full detect+excise composition)
         "shared_spans": q_shared_spans,
@@ -7069,6 +7124,55 @@ def oracle_sql() -> dict[str, str]:
         FROM lo_v JOIN hi_v ON lo_v.q = hi_v.q
         ORDER BY lo_v.q
         """,
+        # same per-group rank arithmetic: value-grain counts, per-group
+        # cumulative window, bracketing order statistics at
+        # h = q*(n-1)+1, identical fixed-order interpolation
+        "grouped_quantiles": """
+        WITH c AS (
+            SELECT event_type AS g, value AS v,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT g, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) - cnt AS cum_prev,
+                   SUM(cnt) OVER (PARTITION BY g) AS n
+            FROM c
+        ), q AS (
+            SELECT unnest([0.25, 0.5, 0.9]) AS q
+        ), pos AS (
+            SELECT gn.g, gn.n, q.q,
+                   q.q * CAST(gn.n - 1 AS DOUBLE) + 1.0 AS h
+            FROM q, (SELECT DISTINCT g, n FROM cum) gn
+        ), pp AS (
+            SELECT g, n, q, h,
+                   CAST(FLOOR(h) AS BIGINT) AS lo,
+                   CAST(CEIL(h) AS BIGINT) AS hi,
+                   h - CAST(CAST(FLOOR(h) AS BIGINT) AS DOUBLE) AS d
+            FROM pos
+        ), lo_v AS (
+            SELECT pp.g, pp.q, pp.n, pp.d, cum.v AS lv
+            FROM pp JOIN cum
+              ON cum.g = pp.g
+             AND cum.cum_prev < pp.lo AND pp.lo <= cum.cum
+        ), hi_v AS (
+            SELECT pp.g, pp.q, cum.v AS hv
+            FROM pp JOIN cum
+              ON cum.g = pp.g
+             AND cum.cum_prev < pp.hi AND pp.hi <= cum.cum
+        )
+        SELECT lo_v.g AS event_type, lo_v.q AS q,
+               ROUND(CAST(lv AS DOUBLE)
+                     + d * (CAST(hv AS DOUBLE) - CAST(lv AS DOUBLE)), 6)
+                   AS quantile,
+               CAST(lo_v.n AS BIGINT) AS n
+        FROM lo_v JOIN hi_v ON lo_v.g = hi_v.g AND lo_v.q = hi_v.q
+        ORDER BY event_type, q
+        """,
         # 6dp-rounded components DECIMAL-accumulated exactly; final
         # mean/variance divisions in DOUBLE — identical to
         # similarity.embedding_dim_stats
@@ -7821,6 +7925,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                    AS cluster_size
         FROM cc
+        """,
+        # same closure as dup_clusters, then the q_split_assign md5 CASE
+        # applied to the CLUSTER id — the leakage-safe key
+        "leakage_safe_split": _JACCARD_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + f"""
+        , edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.5
+            UNION ALL
+            SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+        ), reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ), cc AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN {xhash.duck_md5_u64("CAST(cluster_id AS VARCHAR)")}
+                         < CAST('{_thr(0.9)}' AS HUGEINT) THEN 'train'
+                    WHEN {xhash.duck_md5_u64("CAST(cluster_id AS VARCHAR)")}
+                         < CAST('{_thr(0.95)}' AS HUGEINT) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cc ORDER BY doc_id
         """,
         # greedy BPE merges as boundary-marked string replaces: each token
         # is wrapped •tok•, words joined by ‖ so merges cannot cross word

@@ -61,6 +61,41 @@ def hash_sample(
     return df.filter(_sample_u(F.col(key_col).cast("string"), seed) < thr)
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    boundaries: list[tuple[str, float]],
+    *,
+    default: str,
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic categorical split on the md5 draw of ``key_col``:
+    label_i iff u < boundary_i·2^64 (ascending cumulative upper bounds),
+    else ``default`` — the train/val/test assignment as a pure per-row
+    predicate (same membership under any layout, rerun, or engine; a
+    document never migrates between splits when the corpus grows).
+
+    Split on the right KEY for the leakage model: hashing doc_id splits
+    DOCUMENTS independently, so near-duplicates straddle splits and eval
+    leaks training text; hashing a dup-CLUSTER id (connected components
+    over near-dup pairs) keeps every version of a passage in one split
+    (the `leakage_safe_split` registry query). Hashing user_id keeps a
+    user's sessions together — pick the entity whose leakage matters.
+    """
+    fracs = [b for _, b in boundaries]
+    if fracs != sorted(fracs) or not all(0.0 < b <= 1.0 for b in fracs):
+        raise ValueError(
+            f"boundaries must be ascending fractions in (0, 1]: {boundaries}"
+        )
+    u = _sample_u(F.col(key_col).cast("string"), seed)
+    split: Column = F.lit(default)
+    for label, frac in reversed(boundaries):
+        thr = F.lit(str(threshold_for(frac))).cast("decimal(21,0)")
+        split = F.when(u < thr, F.lit(label)).otherwise(split)
+    return df.withColumn(out_col, split)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

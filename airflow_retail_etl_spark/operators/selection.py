@@ -91,6 +91,110 @@ def budget_select(
     return cum.filter(F.col(cum_col) <= F.lit(budget))
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+) -> DataFrame:
+    """EXACT per-group interpolated quantiles — the grouped face of
+    :func:`global_quantiles`, same type-7 definition (h = q·(n−1)+1,
+    (1−d)·lo + d·hi in fixed-order double arithmetic, 6dp), without
+    per-group value buffers (Spark's ``percentile`` holds every value
+    of a group in one aggregation buffer — fine for tiny groups, fatal
+    for a per-source quantile over a 100 TB corpus slice).
+
+    Plan: one (group, value)-grain count aggregation, one per-group
+    cumulative window over the VALUE-GRAIN rows (state is the group's
+    distinct-value count, not its row count), and a broadcast join of
+    the (|groups|·|qs|)-row target-rank table picking each q's two
+    bracketing order statistics. NULL values excluded; NULL groups
+    excluded (they are absent keys, not a quantile population). Returns
+    (``group_col``, q, quantile, n) ordered by (group, q).
+
+    Scale note: the cumulative window partitions by group over
+    value-grain rows — heavy-tailed value domains per group stay
+    bounded by |distinct values|; for one monster group, slice it and
+    use :func:`global_quantiles` (range repartition) instead.
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    counts = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    cum = (
+        counts.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+        .withColumn("n", F.sum("c").over(w_all).cast("long"))
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # rename the group key immediately so the targets⋈cum joins below
+    # are never ambiguous self-references
+    targets = (
+        cum.select(F.col("g").alias("tg"), F.col("n").alias("tn"))
+        .distinct()
+        .crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "h",
+            F.col("q") * (F.col("tn") - 1).cast("double") + F.lit(1.0),
+        )
+        .withColumn("lo", F.floor("h").cast("long"))
+        .withColumn("hi", F.ceil("h").cast("long"))
+        .withColumn("d", F.col("h") - F.col("lo").cast("double"))
+    )
+    lo_v = cum.join(
+        F.broadcast(targets),
+        (F.col("g") == F.col("tg"))
+        & (F.col("cum_prev") < F.col("lo"))
+        & (F.col("lo") <= F.col("cum")),
+    ).select(
+        "g", "q", F.col("tn").alias("n"), "d", F.col("v").alias("lv")
+    )
+    hi_v = cum.join(
+        F.broadcast(
+            targets.select(
+                F.col("tg").alias("tg2"), F.col("q").alias("q2"), "hi"
+            )
+        ),
+        (F.col("g") == F.col("tg2"))
+        & (F.col("cum_prev") < F.col("hi"))
+        & (F.col("hi") <= F.col("cum")),
+    ).select(F.col("g").alias("g2"), "q2", F.col("v").alias("hv"))
+    return (
+        lo_v.join(
+            hi_v,
+            (F.col("g") == F.col("g2")) & (F.col("q") == F.col("q2")),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "q",
+            F.round(
+                F.col("lv").cast("double")
+                + F.col("d")
+                * (
+                    F.col("hv").cast("double")
+                    - F.col("lv").cast("double")
+                ),
+                6,
+            ).alias("quantile"),
+            "n",
+        )
+        .orderBy(group_col, "q")
+    )
+
+
 def global_quantiles(
     df: DataFrame,
     value_col: str,

@@ -233,6 +233,10 @@ HEADLINE = (
     "rolling_distinct_hll",
     "streaming_sketch",
     "heavy_hitters_by_lang",
+    # round 11: grouped exact quantiles (rank arithmetic per group),
+    # dup-cluster-keyed train/val/test split (near-dups can't straddle)
+    "grouped_quantiles",
+    "leakage_safe_split",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -279,3 +279,76 @@ def test_curriculum_order_bands_and_within_band_shuffle(spark, sf_dir):
     assert {r.doc_id: r.position for r in rows2} != {
         r.doc_id: r.position for r in rows
     }
+
+
+def test_hash_split_boundaries_and_determinism(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    out = hash_split(
+        df, "k", [("train", 0.9), ("val", 0.95)], default="test"
+    )
+    frac = {
+        r.split: r.c
+        for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(frac) == {"train", "val", "test"}
+    assert 0.85 < frac["train"] / 2000 < 0.95
+    # layout-invariant membership
+    again = hash_split(
+        df.repartition(7), "k", [("train", 0.9), ("val", 0.95)],
+        default="test",
+    )
+    assert {(r.k, r.split) for r in again.collect()} == {
+        (r.k, r.split) for r in out.collect()
+    }
+    with pytest.raises(ValueError):
+        hash_split(df, "k", [("a", 0.9), ("b", 0.5)], default="c")
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """The reason the split keys on cluster_id: every near-dup cluster
+    must land whole in ONE split, and on this corpus a doc_id-keyed
+    split demonstrably WOULD straddle at least one multi-doc cluster."""
+    import __spark_entry__ as entry
+
+    out = entry.q_leakage_safe_split(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    multi = [
+        c for c in by_cluster
+        if sum(1 for r in out if r.cluster_id == c) > 1
+    ]
+    assert multi, "corpus has no multi-doc clusters; test is vacuous"
+    # counterfactual: the doc-keyed draw splits at least one cluster
+    from airflow_retail_etl_spark.operators.sampling import hash_split
+
+    doc_keyed = {
+        r.doc_id: r.split
+        for r in hash_split(
+            spark.createDataFrame(
+                [(r.doc_id, r.cluster_id) for r in out],
+                ["doc_id", "cluster_id"],
+            ),
+            "doc_id",
+            [("train", 0.9), ("val", 0.95)],
+            default="test",
+        ).collect()
+    }
+    cluster_members: dict = {}
+    for r in out:
+        cluster_members.setdefault(r.cluster_id, []).append(r.doc_id)
+    straddled = [
+        c
+        for c, ms in cluster_members.items()
+        if len(ms) > 1 and len({doc_keyed[m] for m in ms}) > 1
+    ]
+    assert straddled, (
+        "doc-keyed split did not straddle any cluster here — pick a "
+        "corpus/seed where the leak is observable"
+    )

@@ -115,3 +115,51 @@ def test_global_quantiles_matches_buffering_percentile(spark, sf_dir):
     assert again == got
     with pytest.raises(ValueError):
         global_quantiles(ev, "value", [1.5])
+
+
+def test_grouped_quantiles_matches_percentile_per_group(spark, sf_dir):
+    """The grouped rank-arithmetic path must equal Spark's buffering
+    percentile per group (same type-7 definition), and be layout-
+    invariant."""
+    import pytest
+
+    from airflow_retail_etl_spark.operators.selection import (
+        grouped_quantiles,
+    )
+    from airflow_retail_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.9]
+    got = {
+        (r.event_type, r.q): (r.quantile, r.n)
+        for r in grouped_quantiles(ev, "event_type", "value", qs).collect()
+    }
+    ref_rows = (
+        ev.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.round(
+                    F.percentile(F.col("value"), F.lit(q)), 6
+                ).alias(str(q))
+                for q in qs
+            ],
+        )
+        .collect()
+    )
+    assert got and len(got) == len(ref_rows) * len(qs)
+    for row in ref_rows:
+        for q in qs:
+            assert got[(row.event_type, q)] == (row[str(q)], row.n)
+    again = {
+        (r.event_type, r.q): (r.quantile, r.n)
+        for r in grouped_quantiles(
+            ev.repartition(11), "event_type", "value", qs
+        ).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError):
+        grouped_quantiles(ev, "event_type", "value", [-0.1])
