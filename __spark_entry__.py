@@ -1585,6 +1585,59 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency state, batch-replay form
+    (streaming.incremental.replay_cms — the per-micro-batch CMS cell
+    fold fold_cms_batch runs, minus the batch_id-partitioned parquet
+    store): the bigram occurrence stream arrives in three batches
+    (md5 doc buckets), each batch's sparse cells merged into the
+    persistent state by COUNTER SUM. CMS is linear, so the merged
+    sketch is BIT-IDENTICAL to the one-shot build of everything
+    delivered — the heavy-hitter output (estimates included) must equal
+    q_heavy_hitters exactly, and the oracle IS that one-shot SQL,
+    certifying stream ≡ batch cross-engine. Replay safety of the
+    store-backed fold (per-batch dynamic partition overwrite — the
+    linear sketch's answer to at-least-once delivery, where HLL's
+    idempotent MAX needs none) is test-pinned."""
+    from airflow_retail_etl_spark.functions.partitioning import spread
+    from airflow_retail_etl_spark.operators import frequency
+    from airflow_retail_etl_spark.operators.sampling import _sample_u
+    from airflow_retail_etl_spark.streaming.incremental import replay_cms
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    arrs = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("id"), norm.alias("__t"))
+        .filter(F.length("__t") > 0)
+        .transform(lambda d: spread(d, "id"))
+        .select("id", F.split("__t", " ").alias("arr"))
+    )
+    bigrams = arrs.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice("arr", 1, F.size("arr") - 1),
+                F.slice("arr", 2, F.size("arr") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("value"),
+    )
+    bucket = _sample_u(F.col("id").cast("string"), "shh") % F.lit(3)
+    batches = [bigrams.filter(bucket == i) for i in range(3)]
+    state = replay_cms(
+        batches, "value", width=_HH_WIDTH, depth=_HH_DEPTH
+    )
+    return frequency.heavy_hitters(
+        bigrams.select("value"),
+        "value",
+        threshold=_HH_THRESHOLD,
+        width=_HH_WIDTH,
+        depth=_HH_DEPTH,
+        cms=state,
+    )
+
+
 def q_source_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained epoching plan (mixing.source_repeat_plan): split
     a 75k-token training budget across sources as uniformly as possible
@@ -4852,6 +4905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming face of the same registers: per-micro-batch state
         # folds, stream ≡ batch certified by the one-shot oracle
         "streaming_sketch": q_streaming_sketch,
+        # round 11: the counter twin — per-micro-batch CMS cell folds
+        # (linear sum merge, replay-safe via per-batch partition
+        # overwrite); stream ≡ batch certified by the one-shot oracle
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         # global CMS heavy hitters (driver-green r10; rotated just past
         # the prefix in round 11 for its strictly-more-machinery grouped
         # form heavy_hitters_by_lang)
@@ -6265,7 +6322,7 @@ _KNN_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "staging_clean": _STAGING_CTE + "SELECT * FROM staging",
         "fact_rollup": _STAGING_CTE
         + f"""
@@ -9691,3 +9748,8 @@ def oracle_sql() -> dict[str, str]:
         FROM cc ORDER BY doc_id
         """,
     }
+    # stream ≡ batch: the replayed CMS cell fold is bit-identical to the
+    # one-shot sketch (linear counter sums), so the streaming query's
+    # oracle IS the one-shot heavy-hitters SQL
+    d["streaming_heavy_hitters"] = d["heavy_hitters"]
+    return d

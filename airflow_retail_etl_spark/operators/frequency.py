@@ -81,7 +81,26 @@ def cms_build(
     (test-pinned). NULL never increments — the estimate of a NULL key is
     undefined, matching the Bloom probe's null verdict.
     """
-    n_cells = depth * width
+    cells = cms_cells(values, col, width=width, depth=depth)
+    return cms_from_cells(
+        values.sparkSession, cells, width=width, depth=depth
+    )
+
+
+def cms_cells(
+    values: DataFrame,
+    col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Sparse CMS cells of ``values[col]`` occurrences: (idx, c) with
+    row-major idx = j·width + pos — the sketch's MERGE/PERSISTENCE
+    grain (absent cells are zero by omission). Because the sketch is
+    linear, cell frames from any sharding of the data (days, batches,
+    shards) combine by summing c per idx — never revisiting the data;
+    :func:`cms_from_cells` densifies any such union into the probe
+    form. This is the ungrouped twin of :func:`cms_cells_by`."""
     v = values.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
     )
@@ -97,11 +116,27 @@ def cms_build(
             )
         ).alias("idx")
     )
-    cells = pos.groupBy("idx").agg(F.count(F.lit(1)).alias("c"))
+    return pos.groupBy("idx").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_from_cells(
+    spark,
+    cells: DataFrame,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Densify sparse (idx, c) cells — possibly a UNION of several
+    shards'/batches' cell frames — into the one-row
+    (counters, width, depth) probe form. Sums per idx first (linear
+    merge), fills absent cells with 0 via a range join, then one
+    ordered collect_list fold (depth·width rows, driver-safe)."""
+    n_cells = depth * width
+    summed = cells.groupBy("idx").agg(F.sum("c").cast("long").alias("c"))
     dense = (
-        values.sparkSession.range(n_cells)
+        spark.range(n_cells)
         .select(F.col("id").alias("idx"))
-        .join(cells, "idx", "left")
+        .join(summed, "idx", "left")
         .select("idx", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
     )
     return dense.agg(
@@ -187,6 +222,7 @@ def heavy_hitters(
     threshold_frac: float | None = None,
     width: int = 1024,
     depth: int = 4,
+    cms: DataFrame | None = None,
 ) -> DataFrame:
     """Exact heavy hitters via sketch pruning: every value of ``col``
     whose EXACT occurrence count ≥ ``threshold``, as
@@ -227,7 +263,12 @@ def heavy_hitters(
         threshold = max(1, math.ceil(threshold_frac * n))
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
-    cms = cms_build(occurrences, col, width=width, depth=depth)
+    if cms is None:
+        cms = cms_build(occurrences, col, width=width, depth=depth)
+    # else: a prebuilt sketch of the SAME occurrence multiset (e.g. the
+    # streaming fold_cms_batch state summed across batch partitions —
+    # bit-identical to the one-shot build because counter sums are exact
+    # integers under any grouping); width/depth must match its build
     survivors = cms_probe(
         occurrences.select(F.col(col).cast("string").alias("value")),
         "value",

@@ -411,3 +411,66 @@ def replay_sketch(
             .agg(F.max("mx").alias("mx"))
         )
     return cardinality.hll_fold(merged, (), p=p)
+
+
+def fold_cms_batch(
+    batch: DataFrame,
+    state_path: str,
+    col: str,
+    *,
+    batch_id: int,
+    width: int = 1024,
+    depth: int = 4,
+) -> None:
+    """Fold one micro-batch into a persisted CMS cell store — streaming
+    FREQUENCY state (the counter twin of :func:`fold_hll_batch`'s
+    distinct-count registers).
+
+    CMS counters are LINEAR (sums), so a replayed batch folded into one
+    accumulated store would double-count — the opposite failure mode of
+    HLL's idempotent MAX. Replay safety therefore comes from the
+    admit_doc_batch contract instead: each batch's SPARSE cells
+    (operators.frequency.cms_cells, ≤ depth·width rows) land under
+    their own ``batch_id=`` partition with dynamic partition OVERWRITE,
+    so an at-least-once redelivery rewrites its own partition with
+    identical cells (a no-op) rather than appending. Estimates at any
+    time: read the store and densify — summing cells ACROSS batch
+    partitions is exactly the linear merge, bit-identical to the
+    one-shot sketch of everything delivered
+    (``frequency.cms_from_cells(spark.read.parquet(state_path))``).
+    State is ≤ n_batches · depth·width rows; compact by summing old
+    partitions into one when batch count grows past reading comfort.
+    """
+    from airflow_retail_etl_spark.operators import frequency
+
+    cells = frequency.cms_cells(batch, col, width=width, depth=depth)
+    (
+        cells.withColumn("batch_id", F.lit(int(batch_id)))
+        .repartition(1)  # ≤ depth·width rows — one file per partition
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(state_path)
+    )
+
+
+def replay_cms(
+    batches: Sequence[DataFrame], col: str, *, width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Replay ordered batches through the CMS cell fold entirely as
+    DataFrames — the batch face of :func:`fold_cms_batch` (the
+    partitioned parquet store replaced by a union of per-batch cell
+    frames). Because counter sums are exact integers under any
+    grouping, the merged sketch is BIT-IDENTICAL to the one-shot
+    ``cms_build`` of the concatenated input — which is what the oracle
+    computes, certifying stream ≡ batch cross-engine. Returns the
+    one-row (counters, width, depth) probe form."""
+    from airflow_retail_etl_spark.operators import frequency
+
+    spark = batches[0].sparkSession
+    cells: DataFrame | None = None
+    for b in batches:
+        c = frequency.cms_cells(b, col, width=width, depth=depth)
+        cells = c if cells is None else cells.unionByName(c)
+    return frequency.cms_from_cells(spark, cells, width=width, depth=depth)

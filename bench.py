@@ -237,6 +237,8 @@ HEADLINE = (
     # dup-cluster-keyed train/val/test split (near-dups can't straddle)
     "grouped_quantiles",
     "leakage_safe_split",
+    # round 11: streaming CMS cell fold (stream ≡ batch heavy hitters)
+    "streaming_heavy_hitters",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

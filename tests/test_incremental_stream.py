@@ -161,3 +161,56 @@ def test_fold_hll_state_is_delivery_schedule_invariant(spark, tmp_path):
         assert folded.estimate == want.estimate
 
     prop()
+
+
+def test_fold_cms_batch_overwrite_makes_replay_idempotent(spark, tmp_path):
+    """CMS counters are linear (a naive re-fold WOULD double-count), so
+    replay safety comes from per-batch dynamic partition overwrite:
+    re-delivering a batch rewrites its own batch_id partition with
+    identical cells, and the summed state stays bit-identical to the
+    one-shot sketch of everything delivered."""
+    from airflow_retail_etl_spark.operators import frequency
+    from airflow_retail_etl_spark.streaming.incremental import (
+        fold_cms_batch,
+    )
+
+    state = str(tmp_path / "cms_state")
+    full = spark.range(900).select(
+        (F.col("id") % 37).cast("string").alias("v"),
+        (F.col("id") % 3).alias("b"),
+    )
+    batches = [full.filter(F.col("b") == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        fold_cms_batch(b, state, "v", batch_id=i, width=64, depth=4)
+    want = frequency.cms_build(full, "v", width=64, depth=4).first()
+
+    def folded():
+        return frequency.cms_from_cells(
+            spark,
+            spark.read.parquet(state).select("idx", "c"),
+            width=64, depth=4,
+        ).first()
+
+    got = folded()
+    assert got.counters == want.counters
+    # at-least-once redelivery of batch 1: state unchanged
+    fold_cms_batch(batches[1], state, "v", batch_id=1, width=64, depth=4)
+    assert folded().counters == want.counters
+    # and probing the folded state gives exact-per-key estimates equal
+    # to the one-shot probe
+    one = frequency.cms_probe(
+        full.select("v").distinct(), "v",
+        frequency.cms_build(full, "v", width=64, depth=4),
+        width=64, depth=4,
+    )
+    two = frequency.cms_probe(
+        full.select("v").distinct(), "v",
+        frequency.cms_from_cells(
+            spark, spark.read.parquet(state).select("idx", "c"),
+            width=64, depth=4,
+        ),
+        width=64, depth=4,
+    )
+    assert {(r.v, r.cms_est) for r in one.collect()} == {
+        (r.v, r.cms_est) for r in two.collect()
+    }
