@@ -1585,6 +1585,42 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rolling heavy-hitter window shape: 7-day trailing windows, 1% of
+#: window occurrence mass, a deliberately narrow sketch (256×4) so
+#: collision-inflated estimates are live in the oracle check
+_RHH_WIDTH = 256
+_RHH_DEPTH = 4
+_RHH_FRAC = 0.01
+_RHH_DAYS = 7
+
+
+def q_rolling_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling heavy hitters from per-day CMS cells
+    (frequency.rolling_heavy_hitters): the users dominating each 7-day
+    trailing window's event volume (≥ 1% of window occurrences), exact,
+    with the sketch estimate as the audit column — the CMS twin of
+    rolling_distinct_hll's register windows. The corpus is scanned ONCE
+    into day-grain sparse cells; every window sketch is a
+    calendar²-bounded cell sum; the probe explodes occurrences into
+    their ≤ 7 windows map-side against the broadcast window cells, and
+    only candidate (window, user) occurrences shuffle for the exact
+    verify. DuckDB replays per-day cells, window sums, thresholds, and
+    every collision-inflated estimate bit-for-bit."""
+    from airflow_retail_etl_spark.operators import frequency
+
+    ev = load_table(spark, sf_dir, "events")
+    occ = ev.select(F.to_date("ts").alias("day"), "user_id")
+    return frequency.rolling_heavy_hitters(
+        occ,
+        "user_id",
+        "day",
+        window_days=_RHH_DAYS,
+        threshold_frac=_RHH_FRAC,
+        width=_RHH_WIDTH,
+        depth=_RHH_DEPTH,
+    )
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming frequency state, batch-replay form
     (streaming.incremental.replay_cms — the per-micro-batch CMS cell
@@ -4909,6 +4945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (linear sum merge, replay-safe via per-batch partition
         # overwrite); stream ≡ batch certified by the one-shot oracle
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        # round 11: rolling face — per-day CMS cells, window sums,
+        # exact verify on candidates (the rolling_distinct_hll twin)
+        "rolling_heavy_hitters": q_rolling_heavy_hitters,
         # global CMS heavy hitters (driver-green r10; rotated just past
         # the prefix in round 11 for its strictly-more-machinery grouped
         # form heavy_hitters_by_lang)
@@ -9748,6 +9787,61 @@ def oracle_sql() -> dict[str, str]:
         FROM cc ORDER BY doc_id
         """,
     }
+    d["rolling_heavy_hitters"] = f"""
+        WITH e AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(user_id AS VARCHAR) AS value
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), dtot AS (
+            SELECT day, COUNT(*) AS dn FROM e GROUP BY 1
+        ), m AS (
+            SELECT d.day AS wd, e2.day AS day, e2.dn
+            FROM dtot d JOIN dtot e2
+              ON e2.day BETWEEN d.day - {_RHH_DAYS - 1} AND d.day
+        ), thr AS (
+            SELECT wd,
+                   GREATEST(CAST(1 AS BIGINT),
+                            CAST(CEIL({repr(_RHH_FRAC)} * SUM(dn))
+                                 AS BIGINT)) AS threshold
+            FROM m GROUP BY 1
+        ), dkeys AS (
+            SELECT day, value, COUNT(*) AS n,
+                   {xhash.duck_md5_u64('value', 1)} AS u1,
+                   {xhash.duck_md5_u64('value', 2)} AS u2
+            FROM e GROUP BY day, value
+        ), pos AS (
+            SELECT day, j.i AS j,
+                   CAST({xhash.duck_km_hash('u1', 'u2', 'j.i')}
+                        % {_RHH_WIDTH} AS INTEGER) AS pos,
+                   n
+            FROM dkeys CROSS JOIN range({_RHH_DEPTH}) j(i)
+        ), dcells AS (
+            SELECT day, j, pos, SUM(n) AS c FROM pos GROUP BY 1, 2, 3
+        ), wcells AS (
+            SELECT m.wd, dc.j, dc.pos, SUM(dc.c) AS c
+            FROM m JOIN dcells dc ON dc.day = m.day GROUP BY 1, 2, 3
+        ), wkeys AS (
+            SELECT m.wd, k.value, SUM(k.n) AS n_exact
+            FROM m JOIN dkeys k ON k.day = m.day GROUP BY 1, 2
+        ), wpos AS (
+            SELECT wd, value, n_exact, j.i AS j,
+                   CAST({xhash.duck_km_hash(xhash.duck_md5_u64('value', 1), xhash.duck_md5_u64('value', 2), 'j.i')}
+                        % {_RHH_WIDTH} AS INTEGER) AS pos
+            FROM wkeys CROSS JOIN range({_RHH_DEPTH}) j(i)
+        ), est AS (
+            SELECT wp.wd, wp.value, wp.n_exact, MIN(wc.c) AS cms_est
+            FROM wpos wp JOIN wcells wc
+              ON wc.wd = wp.wd AND wc.j = wp.j AND wc.pos = wp.pos
+            GROUP BY 1, 2, 3
+        )
+        SELECT est.wd AS window_end, est.value,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               t.threshold
+        FROM est JOIN thr t ON t.wd = est.wd
+        WHERE n_exact >= t.threshold
+        ORDER BY window_end, n_exact DESC, value
+        """
     # stream ≡ batch: the replayed CMS cell fold is bit-identical to the
     # one-shot sketch (linear counter sums), so the streaming query's
     # oracle IS the one-shot heavy-hitters SQL

@@ -429,3 +429,109 @@ def heavy_hitters_by(
         .filter(F.col("n_exact") >= F.col("threshold"))
         .orderBy(group_col, F.col("n_exact").desc(), "value")
     )
+
+
+def rolling_heavy_hitters(
+    occurrences: DataFrame,
+    col: str,
+    day_col: str,
+    *,
+    window_days: int = 7,
+    threshold_frac: float,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Per-trailing-window exact heavy hitters from PER-DAY CMS cells —
+    the rolling face of the sketch family (the CMS twin of
+    ``cardinality.hll_registers``' rolling distinct): every value whose
+    exact count inside [day − window_days + 1, day] is ≥
+    greatest(1, ceil(frac · window occurrences)), one row per
+    (window_end, value).
+
+    Why per-day cells: the corpus is scanned ONCE into day-grain sparse
+    cells (≤ days · depth · width rows — the sketch's persistence
+    grain); every window's sketch is then a calendar²-bounded cell SUM
+    (the linear merge), never a rescan. The probe side explodes each
+    occurrence into the ≤ ``window_days`` windows containing its day —
+    a projection against the broadcast window-cell table — and only
+    surviving (window, value) occurrences shuffle for the exact count,
+    so the per-window key-grain work is candidates, not corpus. The
+    overestimate guarantee holds per window (sums of day cells only
+    add), keeping the prune lossless.
+
+    Returns (window_end, value, n_exact, cms_est, threshold) ordered by
+    (window_end, n_exact DESC, value); windows exist for every day
+    PRESENT in the data (leading windows are partial, like any
+    trailing-window metric).
+    """
+    if not 0.0 < threshold_frac <= 1.0:
+        raise ValueError(
+            f"threshold_frac must be in (0, 1], got {threshold_frac}"
+        )
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    occ = occurrences.select(
+        F.col(day_col).alias("day"),
+        F.col(col).cast("string").alias("value"),
+    ).filter(F.col("value").isNotNull() & F.col("day").isNotNull())
+    # day-grain state, materialized before the broadcasts it feeds
+    # (bounded rows off a corpus-sized subtree — the round-10 rule)
+    cells = cms_cells_by(
+        occ, "value", "day", width=width, depth=depth
+    ).localCheckpoint(eager=True)
+    totals = (
+        occ.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("__dn"))
+        .localCheckpoint(eager=True)
+    )
+    days = totals.select(F.col("day").alias("wd"))
+    span = F.date_sub(F.col("wd"), window_days - 1)
+    mapping = days.join(
+        totals.select(F.col("day").alias("__d"), "__dn"),
+        (F.col("__d") >= span) & (F.col("__d") <= F.col("wd")),
+    )
+    thr = mapping.groupBy("wd").agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(threshold_frac) * F.sum("__dn")),
+        ).alias("__thr")
+    )
+    wcells = (
+        mapping.select("wd", F.col("__d").alias("day"))
+        .join(cells, "day")
+        .groupBy("wd", "idx")
+        .agg(F.sum("c").alias("c"))
+    )
+    wocc = occ.join(
+        F.broadcast(mapping.select("wd", F.col("__d").alias("day"))),
+        "day",
+    ).select("wd", "value")
+    probed = wocc.join(F.broadcast(thr), "wd")
+    colnames = []
+    for j, p in enumerate(_positions(F.col("value"), depth, width)):
+        cj = F.broadcast(
+            wcells.select(
+                F.col("wd").alias(f"__w{j}"),
+                F.col("idx").alias(f"__i{j}"),
+                F.col("c").alias(f"__c{j}"),
+            )
+        )
+        probed = probed.join(
+            cj,
+            (F.col("wd") == F.col(f"__w{j}"))
+            & ((F.lit(j * width) + p).cast("long") == F.col(f"__i{j}")),
+        )
+        colnames.append(f"__c{j}")
+    survivors = probed.withColumn(
+        "cms_est", F.least(*[F.col(c) for c in colnames])
+    ).filter(F.col("cms_est") >= F.col("__thr"))
+    return (
+        survivors.groupBy(F.col("wd").alias("window_end"), "value")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.min("cms_est").alias("cms_est"),
+            F.min("__thr").alias("threshold"),
+        )
+        .filter(F.col("n_exact") >= F.col("threshold"))
+        .orderBy("window_end", F.col("n_exact").desc(), "value")
+    )

@@ -237,8 +237,10 @@ HEADLINE = (
     # dup-cluster-keyed train/val/test split (near-dups can't straddle)
     "grouped_quantiles",
     "leakage_safe_split",
-    # round 11: streaming CMS cell fold (stream ≡ batch heavy hitters)
+    # round 11: streaming CMS cell fold (stream ≡ batch heavy hitters),
+    # rolling per-day-cell heavy hitters (the rolling_distinct_hll twin)
     "streaming_heavy_hitters",
+    "rolling_heavy_hitters",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

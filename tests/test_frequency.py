@@ -203,3 +203,61 @@ def test_heavy_hitters_by_validation(spark):
         frequency.heavy_hitters_by(
             df, "v", "g", threshold=0, width=W, depth=D
         )
+
+
+def test_rolling_heavy_hitters_matches_naive_windows(spark):
+    """Per-day-cell window sums + sketch prune must reproduce the naive
+    exact trailing-window computation — including partial leading
+    windows and per-window fractional thresholds — with est ≥ exact for
+    every reported row (the overestimate guarantee survives the window
+    merge)."""
+    import datetime as dt
+    from collections import Counter
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    # user "hot" fires every day; "warm" every other day; 20 one-off
+    # users per day force sketch collisions at W=8
+    for i in range(10):
+        day = d0 + dt.timedelta(days=i)
+        rows.append((day, "hot"))
+        rows.append((day, "hot"))
+        if i % 2 == 0:
+            rows.append((day, "warm"))
+        rows += [(day, f"u{i}_{j}") for j in range(20)]
+    df = spark.createDataFrame(rows, ["day", "user"])
+    out = frequency.rolling_heavy_hitters(
+        df, "user", "day", window_days=3, threshold_frac=0.05,
+        width=W, depth=D,
+    ).collect()
+    # naive expectation
+    days = sorted({r[0] for r in rows})
+    want = {}
+    for wd in days:
+        lo = wd - dt.timedelta(days=2)
+        win = [u for (d, u) in rows if lo <= d <= wd]
+        thr = max(1, -(-len(win) * 5 // 100))  # ceil(0.05 * n)
+        for u, n in Counter(win).items():
+            if n >= thr:
+                want[(wd, u)] = (n, thr)
+    got = {(r.window_end, r.value): (r.n_exact, r.threshold) for r in out}
+    assert got == want
+    assert all(r.cms_est >= r.n_exact for r in out)
+    # layout-invariance of the full report
+    again = frequency.rolling_heavy_hitters(
+        df.repartition(7), "user", "day", window_days=3,
+        threshold_frac=0.05, width=W, depth=D,
+    ).collect()
+    assert {(r.window_end, r.value): (r.n_exact, r.cms_est, r.threshold)
+            for r in again} == {
+        (r.window_end, r.value): (r.n_exact, r.cms_est, r.threshold)
+        for r in out
+    }
+    with pytest.raises(ValueError):
+        frequency.rolling_heavy_hitters(
+            df, "user", "day", window_days=0, threshold_frac=0.05
+        )
+    with pytest.raises(ValueError):
+        frequency.rolling_heavy_hitters(
+            df, "user", "day", threshold_frac=0.0
+        )
