@@ -470,10 +470,18 @@ def rolling_heavy_hitters(
         )
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
     occ = occurrences.select(
         F.col(day_col).alias("day"),
         F.col(col).cast("string").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("day").isNotNull())
+    # spread BEFORE the per-occurrence double-md5 probe projections:
+    # a single-row-group parquet source cannot parallelize past one
+    # task without an exchange, and the window explode multiplies the
+    # hash work ×window_days (the round-7 AQE/input-split trap —
+    # measured 13.4 s -> ~3 s at sf0.1)
+    occ = spread(occ, "value")
     # day-grain state, materialized before the broadcasts it feeds
     # (bounded rows off a corpus-sized subtree — the round-10 rule)
     cells = cms_cells_by(
