@@ -265,10 +265,24 @@ def heavy_hitters(
         raise ValueError(f"threshold must be >= 1, got {threshold}")
     if cms is None:
         cms = cms_build(occurrences, col, width=width, depth=depth)
-    # else: a prebuilt sketch of the SAME occurrence multiset (e.g. the
-    # streaming fold_cms_batch state summed across batch partitions —
-    # bit-identical to the one-shot build because counter sums are exact
-    # integers under any grouping); width/depth must match its build
+    else:
+        # a prebuilt sketch of the SAME occurrence multiset (e.g. the
+        # streaming fold_cms_batch state summed across batch partitions —
+        # bit-identical to the one-shot build because counter sums are
+        # exact integers under any grouping). Its geometry MUST match the
+        # probe's: mismatched width/depth reads the wrong counter cells,
+        # silently voiding the lossless-prune guarantee (est ≥ true) —
+        # check the sketch row's own width/depth columns (round-11
+        # advice). Materialize the one-row sketch first so the check and
+        # the probe's broadcast share one execution of its build subtree
+        # (the round-10 materialize-before-broadcast rule).
+        cms = cms.localCheckpoint(eager=True)
+        geom = cms.select("width", "depth").first()
+        if (geom["width"], geom["depth"]) != (width, depth):
+            raise ValueError(
+                f"prebuilt cms geometry {geom['width']}x{geom['depth']} "
+                f"does not match probe width={width} depth={depth}"
+            )
     survivors = cms_probe(
         occurrences.select(F.col(col).cast("string").alias("value")),
         "value",

@@ -84,9 +84,15 @@ def hash_split(
     user's sessions together — pick the entity whose leakage matters.
     """
     fracs = [b for _, b in boundaries]
-    if fracs != sorted(fracs) or not all(0.0 < b <= 1.0 for b in fracs):
+    # STRICTLY ascending: a tied boundary makes the later label's
+    # interval empty — every row below the tie takes the first label and
+    # the second is silently unreachable (round-11 advice)
+    if any(a >= b for a, b in zip(fracs, fracs[1:])) or not all(
+        0.0 < b <= 1.0 for b in fracs
+    ):
         raise ValueError(
-            f"boundaries must be ascending fractions in (0, 1]: {boundaries}"
+            "boundaries must be STRICTLY ascending fractions in (0, 1] "
+            f"(ties make a label unreachable): {boundaries}"
         )
     u = _sample_u(F.col(key_col).cast("string"), seed)
     split: Column = F.lit(default)

@@ -99,7 +99,10 @@ def grouped_quantiles(
 ) -> DataFrame:
     """EXACT per-group interpolated quantiles — the grouped face of
     :func:`global_quantiles`, same type-7 definition (h = q·(n−1)+1,
-    (1−d)·lo + d·hi in fixed-order double arithmetic, 6dp), without
+    interpolated as ``lo + d·(hi−lo)`` — the EXACT fixed-order IEEE
+    expression both this code and the DuckDB oracle run; the textbook
+    (1−d)·lo + d·hi form differs at the last ulp, so a refactor to it
+    would break oracle exactness — 6dp rounded), without
     per-group value buffers (Spark's ``percentile`` holds every value
     of a group in one aggregation buffer — fine for tiny groups, fatal
     for a per-source quantile over a 100 TB corpus slice).
@@ -214,9 +217,10 @@ def global_quantiles(
     (``global_cumsum``), then each requested q finds its two bracketing
     order statistics h = q·(n−1)+1 via a BROADCAST join of the (|qs|-row)
     position table against the cumulative table — one pass, no sort of
-    the data, no per-group buffers. Interpolation (1−d)·lo + d·hi runs in
-    fixed-order double arithmetic, rounded 6dp. NULLs excluded. Returns
-    (q, quantile, n).
+    the data, no per-group buffers. Interpolation is the EXACT
+    fixed-order IEEE expression ``lo + d·(hi−lo)`` (the textbook
+    (1−d)·lo + d·hi differs at the last ulp and would break the oracle's
+    bit-exactness), rounded 6dp. NULLs excluded. Returns (q, quantile, n).
     """
     for q in qs:
         if not 0.0 <= q <= 1.0:

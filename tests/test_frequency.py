@@ -261,3 +261,22 @@ def test_rolling_heavy_hitters_matches_naive_windows(spark):
         frequency.rolling_heavy_hitters(
             df, "user", "day", threshold_frac=0.0
         )
+
+
+def test_heavy_hitters_rejects_mismatched_prebuilt_cms(spark):
+    # a prebuilt sketch with different geometry reads the wrong counter
+    # cells, voiding the lossless-prune guarantee — must error, not
+    # silently drop true heavy hitters (round-11 advice)
+    df = spark.createDataFrame(
+        [(f"v{i % 5}",) for i in range(100)], ["value"]
+    )
+    sk = frequency.cms_build(df, "value", width=64, depth=3)
+    with pytest.raises(ValueError, match="geometry"):
+        frequency.heavy_hitters(
+            df, "value", threshold=5, width=128, depth=3, cms=sk
+        )
+    # matching geometry passes through and stays exact
+    out = frequency.heavy_hitters(
+        df, "value", threshold=5, width=64, depth=3, cms=sk
+    ).collect()
+    assert {r.value for r in out} == {f"v{i}" for i in range(5)}

@@ -352,3 +352,22 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
         "doc-keyed split did not straddle any cluster here — pick a "
         "corpus/seed where the leak is observable"
     )
+
+
+def test_hash_split_rejects_tied_boundaries(spark):
+    # a tied boundary makes the later label's interval empty — the split
+    # silently loses a class (round-11 advice); require STRICT ascent
+    df = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    with pytest.raises(ValueError, match="STRICTLY ascending"):
+        sampling.hash_split(
+            df, "k", [("a", 0.5), ("b", 0.5)], default="c"
+        )
+    with pytest.raises(ValueError, match="STRICTLY ascending"):
+        sampling.hash_split(
+            df, "k", [("a", 0.6), ("b", 0.4)], default="c"
+        )
+    # strictly ascending still fine
+    out = sampling.hash_split(
+        df, "k", [("a", 0.4), ("b", 0.8)], default="c"
+    )
+    assert set(out.columns) == {"k", "split"}

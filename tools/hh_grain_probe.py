@@ -35,12 +35,12 @@ sys.path.insert(0, str(_ROOT))
 
 # probe JVMs run Xms=Xmx + AlwaysPreTouch (CLAUDE.md invariant: lazy heap
 # commit page-faults inside timed windows); 48g for the fine-grain
-# broadcast builds
-os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS",
-    "--driver-memory 48g --conf spark.driver.extraJavaOptions="
-    "-Xms48g\\ -XX:+AlwaysPreTouch pyspark-shell",
-)
+# broadcast builds. Shared guard — a bare setdefault silently dropped
+# the flags under a caller-set PYSPARK_SUBMIT_ARGS (round-11 advice).
+sys.path.insert(0, str(_ROOT / "tools"))
+from _probe_env import ensure_pretouch_args  # noqa: E402  (shared guard)
+
+ensure_pretouch_args("hh_grain_probe")
 
 DEFAULT_SF_DIRS = (
     "/root/testdata/sf0.1",
@@ -79,6 +79,11 @@ def _occurrences(spark, sf_dir: str, n_hosts: int):
 
 def main() -> None:
     sf_dirs = sys.argv[1:] or [d for d in DEFAULT_SF_DIRS if os.path.isdir(d)]
+    if not sf_dirs:
+        raise SystemExit(
+            "hh_grain_probe: no sf dirs — pass one or more parquet dirs "
+            f"on the command line (defaults {DEFAULT_SF_DIRS} are absent)"
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from bench import _contamination_reason, _release_bench_lock
 

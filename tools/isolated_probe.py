@@ -47,51 +47,11 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-_REQUIRED_SUBMIT_ARGS = (
-    "--driver-memory 48g --conf spark.driver.extraJavaOptions="
-    "-Xms48g\\ -XX:+AlwaysPreTouch"
-)
+from _probe_env import ensure_pretouch_args  # noqa: E402  (shared guard)
 
-
-def _ensure_pretouch_args() -> None:
-    """Guarantee the Xms=Xmx + AlwaysPreTouch probe flags (CLAUDE.md
-    invariant) even when the caller's environment already carries a
-    PYSPARK_SUBMIT_ARGS — a bare ``setdefault`` silently dropped them
-    there, reverting the probe to the bimodal lazy-heap-commit band the
-    flags exist to eliminate (round-10 advice)."""
-    cur = os.environ.get("PYSPARK_SUBMIT_ARGS")
-    if cur is None:
-        os.environ["PYSPARK_SUBMIT_ARGS"] = (
-            _REQUIRED_SUBMIT_ARGS + " pyspark-shell"
-        )
-        return
-    if "AlwaysPreTouch" in cur:
-        return
-    if "extraJavaOptions" in cur or "--driver-memory" in cur:
-        # merging into caller-specified memory/JVM flags risks duplicate
-        # --conf clobbering; refuse loudly rather than probe mis-flagged
-        raise SystemExit(
-            "isolated_probe: PYSPARK_SUBMIT_ARGS sets driver memory/JVM "
-            "options WITHOUT -XX:+AlwaysPreTouch — probe timings would "
-            "land in the lazy-heap-commit noise band. Unset it or add "
-            "'-Xms<heap> -XX:+AlwaysPreTouch' yourself. Got: " + cur
-        )
-    print(
-        "isolated_probe: merging required pretouch flags into existing "
-        f"PYSPARK_SUBMIT_ARGS ({cur!r})",
-        file=sys.stderr,
-    )
-    suffix = ""
-    if cur.rstrip().endswith("pyspark-shell"):
-        cur = cur.rstrip()[: -len("pyspark-shell")].rstrip()
-        suffix = " pyspark-shell"
-    os.environ["PYSPARK_SUBMIT_ARGS"] = (
-        f"{cur} {_REQUIRED_SUBMIT_ARGS}{suffix}".strip()
-    )
-
-
-_ensure_pretouch_args()
+ensure_pretouch_args("isolated_probe")
 
 
 def main() -> None:

@@ -47,11 +47,10 @@ sys.path.insert(0, str(_ROOT))
 # wobble (kernel page-zeroing inside timed windows — 31.5% system CPU
 # in slow runs; see tools/isolated_probe.py's docstring for the full
 # round-10 diagnosis). Pre-touching pays ~45 s once at startup, untimed.
-os.environ.setdefault(
-    "PYSPARK_SUBMIT_ARGS",
-    "--driver-memory 48g --conf spark.driver.extraJavaOptions="
-    "-Xms48g\\ -XX:+AlwaysPreTouch pyspark-shell",
-)
+sys.path.insert(0, str(_ROOT / "tools"))
+from _probe_env import ensure_pretouch_args  # noqa: E402  (shared guard)
+
+ensure_pretouch_args("scaling_curve")
 
 import __spark_entry__ as entry_mod
 from airflow_retail_etl_spark.session import get_spark
