@@ -474,3 +474,71 @@ def replay_cms(
         c = frequency.cms_cells(b, col, width=width, depth=depth)
         cells = c if cells is None else cells.unionByName(c)
     return frequency.cms_from_cells(spark, cells, width=width, depth=depth)
+
+
+def fold_qsketch_batch(
+    batch: DataFrame,
+    state_path: str,
+    value_col: str,
+    key_col: str,
+    *,
+    batch_id: int,
+    cap: int = 2048,
+) -> None:
+    """Fold one micro-batch into a persisted quantile-sketch state store
+    — streaming QUANTILE state (the third face: :func:`fold_hll_batch`
+    holds distinct-count registers, :func:`fold_cms_batch` frequency
+    counters, this one holds operators.qsketch level-sample rows).
+
+    Each batch's state (qsketch_state: ≤ ~cap rows, a pure function of
+    the batch) lands under its own ``batch_id=`` partition with dynamic
+    partition OVERWRITE, so an at-least-once redelivery rewrites its
+    own partition with identical rows — a no-op, like the CMS cells.
+    Estimates at any time: read the store, requantize to cap, read the
+    sample (``qsketch.sample_quantiles(qsketch.requantize(
+    spark.read.parquet(state_path).drop("batch_id"), (), cap=cap),
+    (), qs)``) — bit-identical to the one-shot sketch of everything
+    delivered, because merged-then-requantized states equal the
+    one-shot survivor set exactly (qsketch module docstring). State is
+    ≤ n_batches · cap rows; compact by requantizing old partitions into
+    one when batch count grows past reading comfort (the result is
+    again valid state: survivors at the merged threshold with
+    thr = lvl_used)."""
+    from airflow_retail_etl_spark.operators import qsketch
+
+    state = qsketch.qsketch_state(batch, (), value_col, key_col, cap=cap)
+    (
+        state.withColumn("batch_id", F.lit(int(batch_id)))
+        .repartition(1)  # ≤ ~cap rows — one file per partition
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(state_path)
+    )
+
+
+def replay_qsketch(
+    batches: Sequence[DataFrame],
+    value_col: str,
+    key_col: str,
+    qs: Sequence[float],
+    *,
+    cap: int = 2048,
+) -> DataFrame:
+    """Replay ordered batches through the quantile-sketch state fold
+    entirely as DataFrames — the batch face of
+    :func:`fold_qsketch_batch` (the partitioned parquet store replaced
+    by a union of per-batch state frames). Because merged states
+    re-thresholded to cap equal the one-shot sketch of the concatenated
+    input EXACTLY (qsketch module docstring), the folded estimates are
+    BIT-IDENTICAL to the one-shot form — which is what the oracle
+    computes, certifying stream ≡ batch cross-engine. Returns the
+    (q, lvl_used, n_kept, quantile) estimate rows."""
+    from airflow_retail_etl_spark.operators import qsketch
+
+    state: DataFrame | None = None
+    for b in batches:
+        s = qsketch.qsketch_state(b, (), value_col, key_col, cap=cap)
+        state = s if state is None else state.unionByName(s)
+    surv = qsketch.requantize(state, (), cap=cap)
+    return qsketch.sample_quantiles(surv, (), qs)
