@@ -1674,6 +1674,142 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantile-sketch knobs. rolling: 7-day windows over events.value at
+#: cap=512 (sf0.01 windows hold ~2300 rows → thresholds 2-3, the sketch
+#: ACTIVE in the driver check, rank error ~1/√cap ≈ 4%); one-shot:
+#: documents.n_chars at cap=128 (500 docs at sf0.01 → threshold 2);
+#: streaming: events.value one-shot-equivalent at cap=512.
+_RQ_CAP = 512
+_RQ_DAYS = 7
+_QSK_CAP = 128
+_QSK_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day value quantiles from MERGEABLE per-day level-sample
+    state (qsketch.rolling_quantiles) — the quantile third of the
+    rolling-sketch triptych (rolling_distinct_hll's HLL registers,
+    rolling_heavy_hitters' CMS cells, round 12). The corpus is scanned
+    ONCE into ≤ ~cap state rows per day (md5 level draw → adaptive
+    threshold); every trailing window is a state-union + re-threshold +
+    ≤cap-row sample read, bounded by calendar · window · cap — never
+    rescanning raw events. Because merged-then-requantized states equal
+    the one-shot sketch of the window EXACTLY (qsketch docstring,
+    test-pinned), the DuckDB oracle replays the ONE-SHOT form per
+    window and certifies the merge law cross-engine, bit-for-bit
+    (thresholds, survivor order statistics, fixed-order type-7
+    interpolation). Exact audit columns (n_exact, rank_frac, rank_err)
+    recompute each window's true size and the estimate's realized rank
+    error from raw rows — affordable at oracle scale, the thing the
+    sketch avoids at 100 TB."""
+    from airflow_retail_etl_spark.functions.partitioning import spread
+    from airflow_retail_etl_spark.operators import qsketch
+
+    ev = load_table(spark, sf_dir, "events")
+    # spread before the per-row md5 draw: single-row-group testdata
+    # parquet cannot parallelize past one task without an exchange
+    rows = ev.select(
+        F.to_date("ts").alias("day"), "event_id", "value"
+    ).transform(lambda d: spread(d, "event_id"))
+    return qsketch.rolling_quantiles(
+        rows,
+        "value",
+        "event_id",
+        "day",
+        list(_QSK_QS),
+        window_days=_RQ_DAYS,
+        cap=_RQ_CAP,
+    )
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot global quantile sketch over document lengths
+    (qsketch.sketch_quantiles) with the exact audit: estimates off the
+    ≤cap-row adaptive Bernoulli sample vs the corpus's true size and
+    the estimate's realized rank. The scale story vs global_quantiles'
+    exact rank arithmetic: the exact form's value-grain aggregation
+    still shuffles every distinct value; the sketch's only key-grain
+    state is ≤61 histogram rows and ≤cap survivors — and it PERSISTS
+    (qsketch_state is the mergeable grain rolling_quantiles windows
+    over). Oracle replays levels, threshold, sample order statistics,
+    interpolation, and audit bit-for-bit."""
+    from airflow_retail_etl_spark.functions.partitioning import spread
+    from airflow_retail_etl_spark.operators import qsketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "n_chars").transform(
+        lambda d: spread(d, "doc_id")
+    )
+    est = qsketch.sketch_quantiles(
+        rows, (), "n_chars", "doc_id", list(_QSK_QS), cap=_QSK_CAP
+    )
+    raw = rows.filter(
+        F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()
+    ).select(F.col("n_chars").cast("double").alias("rv"))
+    n_exact = raw.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    ranks = (
+        raw.crossJoin(F.broadcast(est.select("q", "quantile")))
+        .groupBy("q")
+        .agg(
+            F.sum(
+                F.when(F.col("rv") < F.col("quantile"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("rank_lo")
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(n_exact))
+        .join(F.broadcast(ranks), "q")
+        .select(
+            "q",
+            "lvl_used",
+            "n_kept",
+            "quantile",
+            "n_exact",
+            F.round(
+                F.col("rank_lo").cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rank_frac"),
+        )
+        .withColumn(
+            "rank_err", F.round(F.col("rank_frac") - F.col("q"), 6)
+        )
+        .orderBy("q")
+    )
+
+
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile state, batch-replay form
+    (streaming.incremental.replay_qsketch — the per-micro-batch state
+    fold fold_qsketch_batch runs, minus the batch_id-partitioned
+    parquet store): the event stream arrives in three batches (md5
+    event buckets), each batch's ≤cap-row level-sample state unioned
+    and re-thresholded. Because merged states requantized to cap equal
+    the one-shot sketch of everything delivered EXACTLY (the qsketch
+    merge law), the folded estimates are BIT-IDENTICAL to the one-shot
+    build — and the oracle IS that one-shot SQL, certifying stream ≡
+    batch cross-engine. Replay safety of the store-backed fold
+    (per-batch dynamic partition overwrite; state is a pure function of
+    the batch, so redelivery rewrites identical rows) is test-pinned."""
+    from airflow_retail_etl_spark.functions.partitioning import spread
+    from airflow_retail_etl_spark.operators.sampling import _sample_u
+    from airflow_retail_etl_spark.streaming.incremental import (
+        replay_qsketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_id", "value").transform(
+        lambda d: spread(d, "event_id")
+    )
+    bucket = _sample_u(F.col("event_id").cast("string"), "sq") % F.lit(3)
+    batches = [rows.filter(bucket == i) for i in range(3)]
+    return replay_qsketch(
+        batches, "value", "event_id", list(_QSK_QS), cap=_RQ_CAP
+    )
+
+
 def q_source_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained epoching plan (mixing.source_repeat_plan): split
     a 75k-token training budget across sources as uniformly as possible
@@ -4735,8 +4871,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     heavy_hitters_by_lang (grouped CMS cells + fractional thresholds —
     replaces its global form heavy_hitters, driver-green r10), and
     corpus_overlap_kmv (KMV set-overlap estimates — replaces
-    global_quantiles, driver-green r9+r10) — and
-    tests/test_entry_contract.py enforces per-module representation.
+    global_quantiles, driver-green r9+r10) — and rotated in round 12
+    for the round-11 machinery plus the NEW qsketch module (new modules
+    enter the prefix the round they land): rolling_quantiles (mergeable
+    quantile-sketch state — replaces rolling_distinct_hll, driver-green
+    r11, one rolling-sketch face always in-window),
+    rolling_heavy_hitters (rolling CMS cells — replaces its grouped
+    sibling heavy_hitters_by_lang, driver-green r11),
+    streaming_heavy_hitters (streaming CMS cell folds — replaces
+    embed_quantize, green many rounds), grouped_quantiles (grouped
+    exact rank arithmetic — replaces snapshot_diff, green r10+r11), and
+    leakage_safe_split (cluster-keyed split — replaces winnow_pairs,
+    green many rounds) — and tests/test_entry_contract.py enforces
+    per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -4812,22 +4959,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_stats (functions.text stats, whose machinery quality_filter
         # and bpe_tokenize keep in-window) moves just past the prefix
         "table_profile": q_table_profile,
-        # rolling_distinct_hll (rotated in round 11) reps the
-        # distinct-count sketch family in the window with its MERGEABLE
-        # face — persisted per-day register tables, trailing-window
-        # distincts via MAX(mx) register merges, never rescanning the
-        # corpus (THE 100 TB property); cardinality_sketch — driver-
-        # verified green in round 10 — rotates just past the prefix, its
-        # one-shot KMV face staying in-window via corpus_overlap_kmv
-        "rolling_distinct_hll": q_rolling_distinct_hll,
-        # heavy_hitters_by_lang (rotated in round 11) reps the
-        # count-min-sketch frequency family in the window with the
-        # GROUPED form — per-language cell tables, in-engine fractional
-        # thresholds, materialize-before-broadcast probes — strictly more
-        # machinery than the global heavy_hitters (driver-green r10),
-        # which rotates just past the prefix under the identical
-        # sketch-prune → exact-verify oracle
-        "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
+        # rolling_quantiles (NEW in round 12) reps the quantile-sketch
+        # module (operators/qsketch — the sketch family's third face:
+        # mergeable per-day md5 level-sample state, trailing-window
+        # requantize merges, type-7 estimates off ≤cap survivors, never
+        # rescanning the corpus) — new modules enter the prefix the
+        # round they land; rolling_distinct_hll (driver-green r11)
+        # rotates just past the prefix, the cardinality module staying
+        # in-window via corpus_overlap_kmv
+        "rolling_quantiles": q_rolling_quantiles,
+        # rolling_heavy_hitters (rotated in round 12 for external
+        # verification, per protocol) reps the count-min-sketch
+        # frequency family in the window with its ROLLING face — per-day
+        # sparse cells, calendar²-bounded window sums, probe-then-exact
+        # verify; heavy_hitters_by_lang (driver-green r11) rotates just
+        # past the prefix under the identical cell machinery
+        "rolling_heavy_hitters": q_rolling_heavy_hitters,
         # corpus_overlap_kmv (rotated in round 11) reps the KMV
         # order-statistics face of the sketch family (join-free
         # set-overlap estimates + exact audit); global_quantiles —
@@ -4836,15 +4983,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via corpus_budget (global_cumsum) and
         # corpus_shuffle's shuffle positions
         "corpus_overlap_kmv": q_corpus_overlap,
-        # snapshot_diff (rotated in round 10) reps the round-9 id-grain
-        # corpus maintenance face of the profile module (full-outer
-        # fingerprint join → ADDED/REMOVED/CHANGED/UNCHANGED verdicts)
-        "snapshot_diff": q_snapshot_diff,
+        # grouped_quantiles (rotated in round 12) reps the round-11
+        # grouped exact rank arithmetic — per-group value-grain
+        # cumulative windows + broadcast target-rank joins, no per-group
+        # value buffers; snapshot_diff (driver-green r10 AND r11)
+        # rotates just past the prefix, the profile module staying
+        # in-window via table_profile
+        "grouped_quantiles": q_grouped_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
         "mix_corpus": q_mix_corpus,
-        "embed_quantize": q_embed_quantize,
+        # streaming_heavy_hitters (rotated in round 12) reps the
+        # streaming CMS cell fold (fold_cms_batch's per-batch linear
+        # sums, replayed as DataFrames — stream ≡ batch certified by the
+        # one-shot oracle); embed_quantize (driver-green many rounds)
+        # rotates just past the prefix, its functions/vectors machinery
+        # staying in-window inside semdedup/ann_ivf/ivf_pq
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         # decontam_excise reps the decontam module in the window with the
         # span-grain excision (strictly more machinery than the binary
         # drop); decontaminate rotates just past the prefix in round 10
@@ -4888,7 +5044,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its cluster resolution
         "span_excise": q_span_excise,
         "dedup_resolve": q_dedup_resolve,
-        "winnow_pairs": q_winnow_pairs,
+        # leakage_safe_split (rotated in round 12) reps the round-11
+        # cluster-keyed train/val/test assignment (hash_split on dup-
+        # CLUSTER ids so near-duplicates never straddle splits — the
+        # eval-leakage fix, composing dedup clustering with the sampling
+        # md5 draw); winnow_pairs (driver-green many rounds) rotates
+        # just past the prefix — detection-only winnowing's fingerprint
+        # machinery stays in-window via span_excise's anchor grams and
+        # the banded families
+        "leakage_safe_split": q_leakage_safe_split,
         # the banded-MinHash machinery (signatures, band buckets, exact
         # verify) is repped in-window by incremental_dedup AND
         # streaming_admission, which run the identical engine
@@ -4932,22 +5096,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         # one-shot KMV + HLL composite (driver-green r10; rotated just
         # past the prefix in round 11 — the register machinery stays
-        # in-window via rolling_distinct_hll, the KMV order statistics
-        # via corpus_overlap_kmv)
+        # in-window via corpus_overlap_kmv's KMV order statistics and
+        # rolling_distinct_hll below)
         "cardinality_sketch": q_cardinality_sketch,
+        # mergeable per-day HLL register tables (driver-green r11;
+        # rotated just past the prefix in round 12 for the NEW
+        # quantile-sketch rolling face — one rolling-sketch face stays
+        # in-window at all times, now rolling_quantiles)
+        "rolling_distinct_hll": q_rolling_distinct_hll,
         # grouped face of the same register machinery (per-key HLL fold
         # — the 100 TB daily COUNT DISTINCT)
         "daily_distinct_hll": q_daily_distinct_hll,
         # streaming face of the same registers: per-micro-batch state
         # folds, stream ≡ batch certified by the one-shot oracle
         "streaming_sketch": q_streaming_sketch,
-        # round 11: the counter twin — per-micro-batch CMS cell folds
-        # (linear sum merge, replay-safe via per-batch partition
-        # overwrite); stream ≡ batch certified by the one-shot oracle
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        # round 11: rolling face — per-day CMS cells, window sums,
-        # exact verify on candidates (the rolling_distinct_hll twin)
-        "rolling_heavy_hitters": q_rolling_heavy_hitters,
+        # grouped CMS cells + fractional thresholds (driver-green r11;
+        # rotated just past the prefix in round 12 — the cell machinery
+        # stays in-window via rolling_heavy_hitters, the stream fold via
+        # streaming_heavy_hitters)
+        "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         # global CMS heavy hitters (driver-green r10; rotated just past
         # the prefix in round 11 for its strictly-more-machinery grouped
         # form heavy_hitters_by_lang)
@@ -4956,9 +5123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated just past the prefix in round 11 — prefix-sum
         # machinery in-window via corpus_budget + corpus_shuffle)
         "global_quantiles": q_global_quantiles,
-        # round 11: grouped face of the same rank arithmetic — exact
-        # per-group quantiles without per-group value buffers
-        "grouped_quantiles": q_grouped_quantiles,
+        # round 12: one-shot face of the qsketch module (adaptive
+        # Bernoulli level sample + exact rank audit; the mergeable state
+        # machinery is in-prefix via rolling_quantiles)
+        "quantile_sketch": q_quantile_sketch,
+        # round 12: streaming quantile state — per-micro-batch level-
+        # sample folds re-thresholded to cap; stream ≡ batch certified
+        # by the one-shot oracle (the qsketch merge law)
+        "streaming_quantiles": q_streaming_quantiles,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
@@ -5022,9 +5194,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chi-square token divergence: what changed between snapshots
         # (same drift family)
         "keyword_divergence": q_keyword_divergence,
-        # (snapshot_diff rotated INTO the verified prefix in round 10)
+        # id-grain snapshot verdicts (driver-green r10 AND r11; rotated
+        # just past the prefix in round 12 for grouped_quantiles — the
+        # profile module stays in-window via table_profile)
+        "snapshot_diff": q_snapshot_diff,
         # per-dimension embedding health audit (dead dims, scale drift)
         "embedding_dim_stats": q_embedding_dim_stats,
+        # int8 vector quantization report (driver-green many rounds;
+        # rotated just past the prefix in round 12 for
+        # streaming_heavy_hitters — the functions/vectors machinery
+        # stays in-window inside semdedup/ann_ivf/ivf_pq)
+        "embed_quantize": q_embed_quantize,
         "high_value_customers": q_high_value_customers,
         "top_events_per_user": q_top_events_per_user,
         "value_histogram": q_value_histogram,
@@ -5047,9 +5227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "dup_clusters": q_dup_clusters,
-        # round 11: 90/5/5 hash split keyed on the dup-CLUSTER id —
-        # near-duplicates cannot straddle train/val/test
-        "leakage_safe_split": q_leakage_safe_split,
+        # detection-only winnowing fingerprint pairs (driver-green many
+        # rounds; rotated just past the prefix in round 12 for
+        # leakage_safe_split — span_excise keeps the exact-span family's
+        # in-prefix slot)
+        "winnow_pairs": q_winnow_pairs,
         # detection-only face of the exact-span family (span_excise holds
         # the in-prefix slot with the full detect+excise composition)
         "shared_spans": q_shared_spans,
@@ -6080,6 +6262,219 @@ def _rolling_hll_sql(p: int, window: int) -> str:
                  / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
     FROM hll h JOIN nd USING (window_end) JOIN ex USING (window_end)
     ORDER BY window_end
+    """
+
+
+#: 2^60 — the qsketch level-bit space (operators/qsketch.LEVEL_BITS)
+_QSK_TWO60 = 1 << 60
+
+
+def _qsk_qt_values(qs) -> str:
+    """VALUES list of the quantile targets as exact DOUBLE literals
+    (repr round-trip — the shared-literal policy)."""
+    return ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+
+
+def _qsk_lvl_case(h: str = "h") -> str:
+    """DuckDB twin of qsketch.level_cols' level expression: leading
+    zeros of the low 60 bits (HLL's bin()-length idiom — the low bits
+    fit a positive signed BIGINT, no transcendentals)."""
+    rest = f"CAST({h} % {_QSK_TWO60} AS BIGINT)"
+    return (
+        f"CASE WHEN {rest} = 0 THEN 60 ELSE 60 - length(bin({rest})) END"
+    )
+
+
+def _qsk_core_sql(raw_select: str, cap: int, qs) -> str:
+    """Shared one-shot qsketch estimate pipeline over a ``raw`` CTE
+    providing (v DOUBLE, h HUGEINT): levels → adaptive threshold →
+    survivor sample → type-7 estimates — the exact expressions
+    qsketch_state/requantize/sample_quantiles run (fixed-order
+    ``lo + d·(hi−lo)``, 6dp). One-shot IS the merged form's answer (the
+    qsketch merge law), so this single SQL oracles the one-shot, the
+    streaming fold, and (per window) the rolling form."""
+    return f"""
+    WITH raw AS (
+        {raw_select}
+    ), lev AS (
+        SELECT v, h, {_qsk_lvl_case()} AS lvl FROM raw
+    ), hist AS (
+        SELECT lvl, COUNT(*) AS c FROM lev GROUP BY 1
+    ), cum AS (
+        SELECT lvl, SUM(c) OVER (ORDER BY lvl DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_ge
+        FROM hist
+    ), thr AS (
+        SELECT CAST(LEAST(COALESCE(
+                   MAX(CASE WHEN cum_ge > {cap} THEN lvl + 1 END), 0),
+                   60) AS INTEGER) AS lvl_used
+        FROM cum
+    ), surv AS (
+        SELECT t.lvl_used, l.v, l.h,
+               ROW_NUMBER() OVER (ORDER BY l.v, l.h) AS rn,
+               COUNT(*) OVER () AS m
+        FROM lev l, thr t WHERE l.lvl >= t.lvl_used
+    ), qt AS (
+        SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES {_qsk_qt_values(qs)}) AS qv(q)
+    ), targets AS (
+        SELECT DISTINCT s.lvl_used, s.m, qt.q,
+               qt.q * CAST(s.m - 1 AS DOUBLE) + 1.0 AS hpos
+        FROM surv s, qt
+    ), tpos AS (
+        SELECT lvl_used, m, q, hpos,
+               CAST(FLOOR(hpos) AS BIGINT) AS lo,
+               CAST(CEIL(hpos) AS BIGINT) AS hi
+        FROM targets
+    ), est AS (
+        SELECT t.q, t.lvl_used, CAST(t.m AS BIGINT) AS n_kept,
+               ROUND(sl.v + (t.hpos - CAST(t.lo AS DOUBLE))
+                     * (sh.v - sl.v), 6) AS quantile
+        FROM tpos t
+        JOIN surv sl ON sl.rn = t.lo
+        JOIN surv sh ON sh.rn = t.hi
+    )
+    """
+
+
+def _quantile_sketch_sql(cap: int, qs) -> str:
+    """DuckDB twin of q_quantile_sketch: one-shot sketch over document
+    lengths plus the exact rank audit."""
+    h = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    raw = (
+        f"SELECT CAST(n_chars AS DOUBLE) AS v, {h} AS h FROM documents "
+        "WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL"
+    )
+    return f"""{_qsk_core_sql(raw, cap, qs)}
+    , nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM raw)
+    , rk AS (
+        SELECT e.q, CAST(SUM(CASE WHEN r.v < e.quantile THEN 1 ELSE 0
+                                  END) AS BIGINT) AS rank_lo
+        FROM est e, raw r GROUP BY e.q
+    ), fr AS (
+        SELECT e.q, e.lvl_used, e.n_kept, e.quantile, nex.n_exact,
+               ROUND(CAST(rk.rank_lo AS DOUBLE)
+                     / CAST(nex.n_exact AS DOUBLE), 6) AS rank_frac
+        FROM est e, nex
+        JOIN rk ON rk.q = e.q
+    )
+    SELECT q, lvl_used, n_kept, quantile, n_exact, rank_frac,
+           ROUND(rank_frac - q, 6) AS rank_err
+    FROM fr ORDER BY q
+    """
+
+
+def _streaming_quantiles_sql(cap: int, qs) -> str:
+    """DuckDB twin of q_streaming_quantiles: the ONE-SHOT sketch of all
+    delivered events — matching the streamed fold bit-for-bit is the
+    stream ≡ batch certificate (qsketch merge law)."""
+    h = (
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    raw = (
+        f"SELECT CAST(value AS DOUBLE) AS v, {h} AS h FROM events "
+        "WHERE value IS NOT NULL AND event_id IS NOT NULL"
+    )
+    return f"""{_qsk_core_sql(raw, cap, qs)}
+    SELECT q, lvl_used, n_kept, quantile FROM est ORDER BY q
+    """
+
+
+def _rolling_quantiles_sql(cap: int, qs, window: int) -> str:
+    """DuckDB twin of q_rolling_quantiles: per-window ONE-SHOT sketches
+    (equal to Spark's merged per-day state by the qsketch merge law) —
+    same level case, threshold rule, (v, h) sample order, fixed-order
+    interpolation, and exact audits as the Spark plan."""
+    back = window - 1
+    h = (
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    return f"""
+    WITH raw AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(value AS DOUBLE) AS v,
+               {h} AS h
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ), lev AS (
+        SELECT day, v, h, {_qsk_lvl_case()} AS lvl FROM raw
+    ), days AS (
+        SELECT DISTINCT day FROM lev
+    ), wrows AS (
+        SELECT d.day AS window_end, l.v, l.h, l.lvl
+        FROM days d JOIN lev l
+          ON l.day BETWEEN d.day - {back} AND d.day
+    ), hist AS (
+        SELECT window_end, lvl, COUNT(*) AS c FROM wrows GROUP BY 1, 2
+    ), cum AS (
+        SELECT window_end, lvl,
+               SUM(c) OVER (PARTITION BY window_end ORDER BY lvl DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_ge
+        FROM hist
+    ), thr AS (
+        SELECT window_end,
+               CAST(LEAST(COALESCE(
+                   MAX(CASE WHEN cum_ge > {cap} THEN lvl + 1 END), 0),
+                   60) AS INTEGER) AS lvl_used
+        FROM cum GROUP BY 1
+    ), surv AS (
+        SELECT w.window_end, t.lvl_used, w.v, w.h,
+               ROW_NUMBER() OVER (PARTITION BY w.window_end
+                                  ORDER BY w.v, w.h) AS rn,
+               COUNT(*) OVER (PARTITION BY w.window_end) AS m
+        FROM wrows w JOIN thr t USING (window_end)
+        WHERE w.lvl >= t.lvl_used
+    ), qt AS (
+        SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES {_qsk_qt_values(qs)}) AS qv(q)
+    ), targets AS (
+        SELECT DISTINCT s.window_end, s.lvl_used, s.m, qt.q,
+               qt.q * CAST(s.m - 1 AS DOUBLE) + 1.0 AS hpos
+        FROM surv s, qt
+    ), tpos AS (
+        SELECT window_end, lvl_used, m, q, hpos,
+               CAST(FLOOR(hpos) AS BIGINT) AS lo,
+               CAST(CEIL(hpos) AS BIGINT) AS hi
+        FROM targets
+    ), est AS (
+        SELECT t.window_end, t.q, t.lvl_used,
+               CAST(t.m AS BIGINT) AS n_kept,
+               ROUND(sl.v + (t.hpos - CAST(t.lo AS DOUBLE))
+                     * (sh.v - sl.v), 6) AS quantile
+        FROM tpos t
+        JOIN surv sl ON sl.window_end = t.window_end AND sl.rn = t.lo
+        JOIN surv sh ON sh.window_end = t.window_end AND sh.rn = t.hi
+    ), nd AS (
+        SELECT d.day AS window_end, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM days d JOIN days r ON r.day BETWEEN d.day - {back} AND d.day
+        GROUP BY 1
+    ), nex AS (
+        SELECT window_end, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM wrows GROUP BY 1
+    ), rk AS (
+        SELECT e.window_end, e.q,
+               CAST(SUM(CASE WHEN w.v < e.quantile THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rank_lo
+        FROM est e JOIN wrows w USING (window_end)
+        GROUP BY 1, 2
+    ), fr AS (
+        SELECT e.window_end, e.q, nd.n_days, e.lvl_used, e.n_kept,
+               e.quantile, nex.n_exact,
+               ROUND(CAST(rk.rank_lo AS DOUBLE)
+                     / CAST(nex.n_exact AS DOUBLE), 6) AS rank_frac
+        FROM est e
+        JOIN nd USING (window_end)
+        JOIN nex USING (window_end)
+        JOIN rk ON rk.window_end = e.window_end AND rk.q = e.q
+    )
+    SELECT window_end, q, n_days, lvl_used, n_kept, quantile, n_exact,
+           rank_frac, ROUND(rank_frac - q, 6) AS rank_err
+    FROM fr ORDER BY window_end, q
     """
 
 
@@ -9846,4 +10241,13 @@ def oracle_sql() -> dict[str, str]:
     # one-shot sketch (linear counter sums), so the streaming query's
     # oracle IS the one-shot heavy-hitters SQL
     d["streaming_heavy_hitters"] = d["heavy_hitters"]
+    # qsketch family (round 12): the merge law (merged states
+    # requantized to cap ≡ one-shot sketch, qsketch docstring) lets
+    # every face oracle against the ONE-SHOT SQL form — per window for
+    # the rolling face, over all delivered rows for the streaming fold
+    d["rolling_quantiles"] = _rolling_quantiles_sql(
+        _RQ_CAP, _QSK_QS, _RQ_DAYS
+    )
+    d["quantile_sketch"] = _quantile_sketch_sql(_QSK_CAP, _QSK_QS)
+    d["streaming_quantiles"] = _streaming_quantiles_sql(_RQ_CAP, _QSK_QS)
     return d

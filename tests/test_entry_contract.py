@@ -55,6 +55,23 @@ PREFIX_EXEMPT = {
         "there is no (spark, sf_dir) -> DataFrame oracle form; exactness + "
         "partition-pruning pinned by tests/test_ann_index.py"
     ),
+    "daily_ingest": (
+        "streaming file-source pipeline (readStream -> foreachBatch "
+        "sinks): live StreamingQuery surface with no (spark, sf_dir) -> "
+        "DataFrame oracle form; stream == batch parity pinned by "
+        "tests/test_streaming.py (the batch twins it drives ARE registry "
+        "queries)"
+    ),
+    "joins": (
+        "stream-stream/stream-static join surface (watermarked "
+        "StreamingQuery sinks); semantics pinned by "
+        "tests/test_stream_joins.py against batch-join twins"
+    ),
+    "stateful": (
+        "applyInPandasWithState custom stateful operators (live streaming "
+        "state, no oracle form); semantics pinned by "
+        "tests/test_stateful_streaming.py + tests/test_stream_attribution.py"
+    ),
 }
 
 #: aliases under which a module appears in __spark_entry__ sources
@@ -63,14 +80,20 @@ MODULE_ALIASES = {"semdedup": ["semdedup_ops"]}
 
 def test_every_operator_module_represented_in_verified_prefix():
     """The driver verifies only the first VERIFIED_PREFIX queries; every
-    operator module must keep >=1 representative inside that window (the
-    queries() ordering policy), so no operator family ships a round with
-    zero driver-side verification."""
+    operator/streaming module must keep >=1 representative inside that
+    window (the queries() ordering policy), so no operator family ships
+    a round with zero driver-side verification. This is also the
+    new-module rule: a module that gains its first registry query can
+    only pass this test by entering the prefix IN THE SAME ROUND it
+    lands (rounds 10-12 precedent: cardinality, frequency, qsketch),
+    which bounds driver verification lag for new machinery at zero
+    rounds and rotation lag for new faces of existing modules at one."""
     import inspect
     import pkgutil
     import re
 
     import airflow_retail_etl_spark.operators as ops
+    import airflow_retail_etl_spark.streaming as streaming
 
     q = entry.queries()
     names = list(q)
@@ -86,14 +109,20 @@ def test_every_operator_module_represented_in_verified_prefix():
 
     sources = {name: inspect.getsource(fn) for name, fn in q.items()}
     missing, exempt_but_covered = [], []
-    for m in pkgutil.iter_modules(ops.__path__):
-        hits = {n for n, src in sources.items() if uses(src, m.name)}
-        if m.name in PREFIX_EXEMPT:
+    modules = [
+        m.name
+        for pkg in (ops, streaming)
+        for m in pkgutil.iter_modules(pkg.__path__)
+    ]
+    for name in modules:
+        m_name = name  # keep loop var naming uniform below
+        hits = {n for n, src in sources.items() if uses(src, m_name)}
+        if m_name in PREFIX_EXEMPT:
             if hits:
-                exempt_but_covered.append((m.name, sorted(hits)[:3]))
+                exempt_but_covered.append((m_name, sorted(hits)[:3]))
             continue
         if not hits & prefix:
-            missing.append((m.name, sorted(hits)[:3]))
+            missing.append((m_name, sorted(hits)[:3]))
     assert not missing, (
         f"operator modules with no query in the driver's "
         f"{VERIFIED_PREFIX}-entry verified prefix: {missing}"
