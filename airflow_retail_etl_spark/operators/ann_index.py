@@ -95,7 +95,20 @@ def build_ann_index(
         codebook=cb,
         keep=("cell",),
     )
-    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    # one file per cell partition (repartition on the partition column —
+    # the same layout compact_ann_index restores): without it the encode
+    # write lands shuffle_partitions files PER CELL (~500 small files at
+    # sf0.1), which taxes every query's listing/footer reads and made the
+    # build's coalescing luck visible in per-query plan time (round 12).
+    # Cells big enough to want multi-file parallelism get it back from
+    # maxPartitionBytes input splits; appends still land per-batch files
+    # (compact_ann_index folds those).
+    (
+        enc.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
     centers_df.write.mode("overwrite").parquet(f"{path}/centroids")
     spark = vectors.sparkSession
     cb_rows = [
@@ -109,27 +122,35 @@ def build_ann_index(
 
 
 def _fs_signature(spark: SparkSession, dirpath: str) -> tuple:
-    """(path, length, mtime) of every FILE under ``dirpath``,
-    RECURSIVELY (one Hadoop listFiles sweep) — the cache key that
-    detects index rebuilds and appends. Recursion matters (round-8
-    advice): a top-level listStatus saw only directory entries whose
-    mtimes can miss two appends landing within the filesystem's mtime
-    granularity — and object stores have no real directory mtimes at
-    all. The recursive file inventory (names + byte lengths) perturbs
-    on any append regardless of timestamp resolution."""
+    """RECURSIVE (total_bytes, file_count, dir_count) of ``dirpath`` —
+    one Hadoop ``getContentSummary`` RPC — the cache key that detects
+    index rebuilds, appends, deletes, and compactions.
+
+    Recursion matters (round-8 advice): a top-level listStatus saw only
+    directory entries whose mtimes can miss two appends landing within
+    the filesystem's mtime granularity — and object stores have no real
+    directory mtimes at all. Until round 12 this was a full per-file
+    (path, length, mtime) inventory via ``listFiles``, which costs ~4
+    py4j round-trips PER FILE on the driver: ~2.1 s per query against a
+    497-file sf0.1 index — THE dominant cost of ``ann_index_topk``'s
+    plan construction and the root cause of ivf_pq's session-bimodal
+    bench readings (the file count, hence the listing cost, varied with
+    how the build's write coalesced). The content summary is one remote
+    call regardless of file count and still perturbs on every mutation
+    this module can perform: build/compact rewrite lengths and counts,
+    append/delete add files (mtime freezes are irrelevant — the
+    signature never reads mtimes). The only theoretical gap — a rewrite
+    leaving total bytes AND file count identical — cannot be SILENT:
+    parquet writers always generate fresh UUID file names, so a stale
+    cached DataFrame would point at deleted files and fail loudly at
+    its next action, never return stale rows."""
     sc = spark.sparkContext
     p = sc._jvm.org.apache.hadoop.fs.Path(dirpath)
     fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
     if not fs.exists(p):  # optional dirs (tombstones) sign as empty
         return ()
-    out = []
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        st = it.next()
-        out.append(
-            (st.getPath().toString(), st.getLen(), st.getModificationTime())
-        )
-    return tuple(sorted(out))
+    cs = fs.getContentSummary(p)
+    return (cs.getLength(), cs.getFileCount(), cs.getDirectoryCount())
 
 
 #: ((app_id, path) → (codebook+centroid signature, codebook ndarray,
