@@ -1746,7 +1746,9 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = rows.filter(
         F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()
     ).select(F.col("n_chars").cast("double").alias("rv"))
-    n_exact = raw.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    # one audit pass: each q group sees every raw row after the
+    # broadcast cross join, so its row count IS n_exact (the fused-audit
+    # shape rolling_quantiles uses)
     ranks = (
         raw.crossJoin(F.broadcast(est.select("q", "quantile")))
         .groupBy("q")
@@ -1755,12 +1757,12 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("rv") < F.col("quantile"), 1).otherwise(0)
             )
             .cast("long")
-            .alias("rank_lo")
+            .alias("rank_lo"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
         )
     )
     return (
-        est.crossJoin(F.broadcast(n_exact))
-        .join(F.broadcast(ranks), "q")
+        est.join(F.broadcast(ranks), "q")
         .select(
             "q",
             "lvl_used",
