@@ -1525,6 +1525,130 @@ def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames[0].unionByName(frames[1]).orderBy("column", "method")
 
 
+#: sample-sketch knobs (shared by the Spark plans and the oracles):
+#: rolling_sample folds per-day bottom-16 user states over 7-day
+#: trailing windows (~2300 distinct users per sf0.01 window → sampled
+#: regime); doc_mass_by_lang keeps 32+1 priorities per language
+#: (~100 docs/lang at sf0.01 → sampled regime, exact below);
+#: streaming_sample folds four event batches into one bottom-64 store
+#: (events hold 150 distinct users at sf0.01 -> sampled regime).
+_RSAMP_K = 16
+_RSAMP_WINDOW = 7
+_MASS_K = 32
+_SSAMP_K = 64
+
+
+def q_rolling_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day uniform user sample from MERGEABLE per-day
+    bottom-k state (sampling.rolling_sample — the fourth sketch face:
+    HLL registers count distincts, CMS cells count frequencies, qsketch
+    level-samples answer quantiles, and these order-statistic states
+    answer "show me k uniform members of any window" — plus a KMV
+    distinct-count estimate the k-th hash carries for free). The corpus
+    is scanned ONCE into days × ≤ k state rows; every window is a
+    state-union + re-rank bounded by calendar · window_days · k,
+    independent of corpus size, and EXACTLY equal to the one-shot
+    bottom-k of the window (the merge is an idempotent order
+    statistic). The exact_distinct audit recomputes each window from
+    raw rows — affordable at oracle scale, the thing the state exists
+    to avoid at 100 TB. Hashes, ranks and thresholds are exact md5
+    integers; the estimate is ONE double division rounded to 6 dp —
+    everything replays bit-exactly in DuckDB."""
+    from airflow_retail_etl_spark.operators import sampling
+
+    ev = adapters.staging_events(spark, sf_dir)
+    out = sampling.rolling_sample(
+        ev, "event_date", "user_id", k=_RSAMP_K, window_days=_RSAMP_WINDOW
+    )
+    return out.select(
+        "window_end",
+        "n_days",
+        "rk",
+        "v",
+        "n_kept",
+        # string form: 20-digit order statistics overflow both engines'
+        # 64-bit pandas paths (same contract as corpus_overlap_kmv)
+        F.col("threshold").cast("string").alias("threshold"),
+        "estimate",
+        "exact_distinct",
+        "rel_err",
+    ).orderBy("window_end", "rk")
+
+
+def q_doc_mass_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus mass estimated from a priority sample
+    (sampling.weighted_sample_state + priority_mass — Duffield–Lund–
+    Thorup subset-sum estimation): each language keeps only its k+1
+    highest-priority docs (priority = weight/u on the md5 draw), and
+    total char mass is estimated as Σ max(w, τ) with τ the (k+1)-th
+    priority — unbiased for ANY subset, from a kilobyte state. The
+    100 TB instrument for "how many tokens does slice X hold" without
+    scanning slice X; groups that fit inside k are EXACT (τ = 0). The
+    exact_mass audit recomputes each language from raw rows (integer
+    sum — exact), rel_err is the realized estimator error. Priorities
+    are IEEE-exact double expressions on exact integer inputs, estimate
+    terms are rounded to 6 dp then DECIMAL-accumulated — the oracle
+    replays sample membership, τ, and every estimate bit-for-bit."""
+    from airflow_retail_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = sampling.weighted_sample_state(
+        docs, ["lang"], "doc_id", "n_chars", k=_MASS_K
+    )
+    est = sampling.priority_mass(st, ["lang"], k=_MASS_K)
+    exact = (
+        docs.filter(F.col("doc_id").isNotNull() & (F.col("n_chars") > 0))
+        .groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("exact_mass"))
+    )
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "n_sample",
+            "tau",
+            "est_mass",
+            "exact_mass",
+            F.round(
+                (F.col("est_mass") - F.col("exact_mass"))
+                / F.col("exact_mass"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming uniform-sample state, batch-replay form
+    (streaming.incremental.replay_sample — the exact per-micro-batch
+    bottom-k merge fold_sample_batch runs, minus the parquet store):
+    the events stream arrives in four batches (event_id % 4 in order),
+    each folded into the persistent sample state. The bottom-k merge is
+    an idempotent order statistic (like HLL's MAX, unlike CMS's linear
+    SUM), so the folded state is BIT-IDENTICAL to the one-shot bottom-k
+    of everything delivered — the oracle computes exactly that
+    one-shot, certifying stream ≡ batch cross-engine. Same columns as
+    sample_read everywhere; replay idempotence of the store-backed fold
+    is test-pinned (tests/test_sample_sketch.py)."""
+    from airflow_retail_etl_spark.streaming.incremental import (
+        replay_sample,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batches = [
+        events.filter(F.col("event_id") % 4 == i) for i in range(4)
+    ]
+    out = replay_sample(batches, "user_id", k=_SSAMP_K)
+    return out.select(
+        "rk",
+        "v",
+        "n_kept",
+        F.col("threshold").cast("string").alias("threshold"),
+        "estimate",
+    ).orderBy("rk")
+
+
 #: heavy_hitters knobs (shared by the Spark plan and the oracle so the
 #: two cannot drift): a deliberately TIGHT sketch — the ~916 distinct
 #: bigrams at sf0.01 hash into width=256 columns (depth 4, 1024 cells,
@@ -4884,7 +5008,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embed_quantize, green many rounds), grouped_quantiles (grouped
     exact rank arithmetic — replaces snapshot_diff, green r10+r11), and
     leakage_safe_split (cluster-keyed split — replaces winnow_pairs,
-    green many rounds) — and tests/test_entry_contract.py enforces
+    green many rounds); plus the NEW round-12 sample-sketch face (the
+    fourth face: mergeable bottom-k / priority states in
+    operators/sampling): rolling_sample (replaces bloom_decontam,
+    driver-green r10+r11) and doc_mass_by_lang (replaces edit_neardup,
+    driver-green r10+r11), with streaming_sample just past the prefix
+    to rotate in next round — and tests/test_entry_contract.py enforces
     per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
@@ -5007,12 +5136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-grain excision (strictly more machinery than the binary
         # drop); decontaminate rotates just past the prefix in round 10
         "decontam_excise": q_decontam_excise,
-        # bloom_decontam (rotated in round 10) reps the NEW deterministic
-        # Bloom-prefilter scale path (functions/bloom + the km-hash
-        # position replication oracle); eval_leak_report — green in the
-        # r9 driver run — rotates just past the prefix, the decontam
-        # module staying doubly repped in-window
-        "bloom_decontam": q_bloom_decontam,
+        # rolling_sample (NEW in round 12) reps the mergeable-SAMPLE
+        # sketch face (operators/sampling bottom-k states — the fourth
+        # face beside HLL registers, CMS cells, and qsketch level
+        # samples: per-day order-statistic states, idempotent window
+        # merges, free KMV estimates); bloom_decontam (driver-green r10
+        # AND r11) rotates just past the prefix — the decontam module
+        # stays repped in-window via decontam_excise, and the Bloom FP
+        # set remains cross-engine-verified by its oracle every round
+        "rolling_sample": q_rolling_sample,
         # bm25_search reps the retrieval module in the window; the lm
         # module keeps tfidf_keywords in-prefix, and unigram_score (same
         # token/model machinery, LM-scoring face) moves just past it
@@ -5030,14 +5162,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
-        # edit_neardup (rotated in round 10) reps the round-9 ordered
-        # character-edit near-dup semantics (PassJoin pigeonhole blocking
-        # + bounded levenshtein verify; the all-pairs oracle certifies
-        # blocking completeness); dedup_exact rotates just past the
-        # prefix — its content-hash keep-first machinery stays in-window
-        # via dedup_resolve's canonical keep and the star D3 row_number
-        # dedup in staging/dim queries
-        "edit_neardup": q_edit_neardup,
+        # doc_mass_by_lang (NEW in round 12) reps the weighted half of
+        # the sample-sketch face: Duffield–Lund–Thorup priority states
+        # (k+1 highest w/u priorities per group) + the Σ max(w, τ)
+        # subset-mass estimator with exact audit; edit_neardup
+        # (driver-green r10 AND r11) rotates just past the prefix — the
+        # dedup module stays multiply repped in-window (incremental_dedup,
+        # span_excise, dedup_resolve) and the PassJoin blocking oracle
+        # still runs every round
+        "doc_mass_by_lang": q_doc_mass_by_lang,
         # span_excise reps the exact-span family (anchor join + diagonal
         # islands + interval-merge excision) in the window — winnow_pairs
         # reps detection-only sketching, not excision; neardup_jaccard
@@ -5089,6 +5222,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily_revenue_summary), decontaminate (binary-drop face of the
         # in-window decontam_excise), dedup_exact (content-hash keep-first
         # ⊂ dedup_resolve canonical keep + star D3 dedup)
+        # rotated out in round 12 for the sample-sketch face (both
+        # driver-green r10 AND r11; see inline notes at rolling_sample
+        # and doc_mass_by_lang): bloom_decontam, edit_neardup
+        "bloom_decontam": q_bloom_decontam,
+        "edit_neardup": q_edit_neardup,
+        # streaming_sample: the stream ≡ batch certificate of the NEW
+        # sample face (fold_sample_batch's idempotent bottom-k merge,
+        # replayed as DataFrames against the one-shot oracle) — lands
+        # past the prefix this round and rotates in next round per the
+        # one-round-lag protocol, its sampling/incremental machinery
+        # already in-window via rolling_sample + streaming_admission
+        "streaming_sample": q_streaming_sample,
         "pricing_summary": q_pricing_summary,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
@@ -6757,6 +6902,169 @@ _KNN_SQL = (
 )
 
 
+def _rolling_sample_sql(k: int, window: int) -> str:
+    """DuckDB twin of q_rolling_sample: the same per-day bottom-k
+    states, the same trailing-window merge (re-rank over the pooled
+    state rows — by the order-statistic law this equals the one-shot
+    bottom-k, which is what certifies the merge cross-engine), and the
+    same KMV estimator literals as _cardinality_sql_one."""
+    back = window - 1
+    km1_d = repr(float(k - 1))
+    two64_d = repr(float(2**64))
+    h = "CAST(('0x' || substr(md5(v),1,16))::UBIGINT AS HUGEINT)"
+    return f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL
+    ), dk AS (
+        SELECT DISTINCT event_date, v FROM ev
+    ), hv AS (
+        SELECT event_date, v, {h} AS h FROM dk
+    ), st AS (
+        SELECT event_date, h, v FROM (
+            SELECT event_date, h, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_date
+                                      ORDER BY h ASC, v ASC) AS rk
+            FROM hv)
+        WHERE rk <= {k}
+    ), days AS (
+        SELECT DISTINCT event_date FROM st
+    ), win AS (
+        SELECT DISTINCT d.event_date AS window_end, s.h, s.v
+        FROM days d JOIN st s
+          ON s.event_date BETWEEN d.event_date - {back} AND d.event_date
+    ), ranked AS (
+        SELECT window_end, h, v,
+               ROW_NUMBER() OVER (PARTITION BY window_end
+                                  ORDER BY h ASC, v ASC) AS rk
+        FROM win
+    ), samp AS (
+        SELECT * FROM ranked WHERE rk <= {k}
+    ), ga AS (
+        SELECT window_end, COUNT(*) AS n_kept, MAX(h) AS kth
+        FROM samp GROUP BY 1
+    ), stats AS (
+        SELECT window_end, CAST(n_kept AS BIGINT) AS n_kept,
+               CASE WHEN n_kept >= {k} THEN kth END AS threshold
+        FROM ga
+    ), est AS (
+        SELECT window_end, n_kept, threshold,
+               ROUND(CASE WHEN threshold IS NOT NULL
+                     THEN ({km1_d} * {two64_d}) / CAST(threshold AS DOUBLE)
+                     ELSE CAST(n_kept AS DOUBLE) END, 6) AS estimate
+        FROM stats
+    ), nd AS (
+        SELECT d.event_date AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM days d JOIN days r
+          ON r.event_date BETWEEN d.event_date - {back} AND d.event_date
+        GROUP BY 1
+    ), ex AS (
+        SELECT d.event_date AS window_end,
+               CAST(COUNT(DISTINCT e.v) AS BIGINT) AS exact_distinct
+        FROM days d JOIN ev e
+          ON e.event_date BETWEEN d.event_date - {back} AND d.event_date
+        GROUP BY 1
+    )
+    SELECT p.window_end, nd.n_days, CAST(p.rk AS INTEGER) AS rk, p.v,
+           s.n_kept, CAST(s.threshold AS VARCHAR) AS threshold,
+           s.estimate, ex.exact_distinct,
+           ROUND((s.estimate - CAST(ex.exact_distinct AS DOUBLE))
+                 / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+    FROM samp p JOIN est s USING (window_end)
+    JOIN nd USING (window_end) JOIN ex USING (window_end)
+    ORDER BY window_end, rk
+    """
+
+
+def _doc_mass_sql(k: int) -> str:
+    """DuckDB twin of q_doc_mass_by_lang: the same IEEE-exact priority
+    expression w·2^64/(h + 0.5) on the md5 draw, the same (k+1)-th
+    order-statistic τ, and the same round-6-then-DECIMAL(38,6) estimate
+    accumulation."""
+    two64_d = repr(float(2**64))
+    h = "CAST(('0x' || substr(md5(v),1,16))::UBIGINT AS HUGEINT)"
+    return f"""
+    WITH docs AS (
+        SELECT DISTINCT lang, CAST(doc_id AS VARCHAR) AS v,
+               CAST(n_chars AS DOUBLE) AS w
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars > 0
+    ), pri AS (
+        SELECT lang, v, w,
+               (w * {two64_d}) / (CAST({h} AS DOUBLE) + 0.5) AS pri
+        FROM docs
+    ), ranked AS (
+        SELECT lang, pri, v, w,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY pri DESC, v ASC) AS rk
+        FROM pri
+    ), tau AS (
+        SELECT lang, pri AS tau0 FROM ranked WHERE rk = {k + 1}
+    ), est AS (
+        SELECT r.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_sample,
+               ROUND(MAX(COALESCE(t.tau0, 0.0)), 6) AS tau,
+               CAST(SUM(CAST(ROUND(GREATEST(r.w, COALESCE(t.tau0, 0.0)),
+                                   6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS est_mass
+        FROM ranked r LEFT JOIN tau t USING (lang)
+        WHERE r.rk <= {k}
+        GROUP BY 1
+    ), ex AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS exact_mass
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars > 0
+        GROUP BY 1
+    )
+    SELECT e.lang, e.n_sample, e.tau, e.est_mass, ex.exact_mass,
+           ROUND((e.est_mass - CAST(ex.exact_mass AS DOUBLE))
+                 / CAST(ex.exact_mass AS DOUBLE), 6) AS rel_err
+    FROM est e JOIN ex USING (lang)
+    ORDER BY lang
+    """
+
+
+def _streaming_sample_sql(k: int) -> str:
+    """DuckDB twin of q_streaming_sample: the ONE-SHOT bottom-k over
+    everything delivered — equality with the Spark side's four-batch
+    fold is exactly the stream ≡ batch certificate (the bottom-k merge
+    is an idempotent order statistic)."""
+    km1_d = repr(float(k - 1))
+    two64_d = repr(float(2**64))
+    h = "CAST(('0x' || substr(md5(v),1,16))::UBIGINT AS HUGEINT)"
+    return f"""
+    WITH dk AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+        WHERE user_id IS NOT NULL
+    ), hv AS (
+        SELECT v, {h} AS h FROM dk
+    ), ranked AS (
+        SELECT h, v,
+               ROW_NUMBER() OVER (ORDER BY h ASC, v ASC) AS rk
+        FROM hv
+    ), samp AS (
+        SELECT * FROM ranked WHERE rk <= {k}
+    ), ga AS (
+        SELECT COUNT(*) AS n_kept, MAX(h) AS kth FROM samp
+    ), stats AS (
+        SELECT CAST(n_kept AS BIGINT) AS n_kept,
+               CASE WHEN n_kept >= {k} THEN kth END AS threshold
+        FROM ga
+    ), est AS (
+        SELECT n_kept, threshold,
+               ROUND(CASE WHEN threshold IS NOT NULL
+                     THEN ({km1_d} * {two64_d}) / CAST(threshold AS DOUBLE)
+                     ELSE CAST(n_kept AS DOUBLE) END, 6) AS estimate
+        FROM stats
+    )
+    SELECT CAST(p.rk AS INTEGER) AS rk, p.v, e.n_kept,
+           CAST(e.threshold AS VARCHAR) AS threshold, e.estimate
+    FROM samp p, est e ORDER BY rk
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "staging_clean": _STAGING_CTE + "SELECT * FROM staging",
@@ -7788,6 +8096,9 @@ def oracle_sql() -> dict[str, str]:
         # per-day registers merged per 7-day window via MAX(mx), then
         # the identical fold — the sketch-merge certificate
         "rolling_distinct_hll": _rolling_hll_sql(_ROLL_P, _ROLL_WINDOW),
+        "rolling_sample": _rolling_sample_sql(_RSAMP_K, _RSAMP_WINDOW),
+        "doc_mass_by_lang": _doc_mass_sql(_MASS_K),
+        "streaming_sample": _streaming_sample_sql(_SSAMP_K),
         # the one-shot hll-only form IS the streaming fold's answer
         # (HLL union: fold-of-batches ≡ one-shot)
         "streaming_sketch": " UNION ALL ".join(

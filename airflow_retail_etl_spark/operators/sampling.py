@@ -384,3 +384,400 @@ def curriculum_order(
         out.drop("__one", "__u")
         .withColumn("position", F.col("position").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sample sketches — the fourth face of the sketch family
+# ---------------------------------------------------------------------------
+# Distinct counts have HLL registers (operators/cardinality.py),
+# frequencies have CMS cells (operators/frequency.py), quantiles have
+# level-sample states (operators/qsketch.py) — and until round 12
+# SAMPLES only had one-shot forms (sample_exact_k, weighted_sample_k)
+# that rescan the corpus per question. These functions give samples the
+# same treatment: per-group STATE rows that are kilobytes, merge by a
+# pure order statistic (idempotent, associative, commutative — replay-
+# and layout-proof like HLL's MAX, unlike CMS's linear SUM), and answer
+# any union of groups (trailing windows, multi-day spans, streamed
+# batches) without revisiting raw data.
+#
+# Uniform face: bottom-k by the md5 draw (the KMV construction) — the
+# k kept keys are a uniform without-replacement sample of the group's
+# distinct keys, and the k-th hash doubles as a KMV distinct-count
+# estimator for free.
+# Weighted face: priority sampling (Duffield–Lund–Thorup, "Priority
+# sampling for estimation of arbitrary subset sums", JACM 2007) — keep
+# the k+1 highest priorities w/u; any subset's weight mass is estimated
+# unbiasedly by Σ max(w_i, τ) over sampled subset members, τ = the
+# (k+1)-th priority.
+#
+# Numeric policy: hashes and ranks are exact integers; the weighted
+# face's priority is ONE double multiply + divide of exactly-converted
+# inputs (IEEE-exact, so bit-identical cross-engine — same discipline
+# as weighted_sample_k's +0.5 draw), and every estimate is rounded to
+# 6 dp before anything consumes or accumulates it.
+
+
+def _sample_group(
+    df: DataFrame, keys: list[str] | tuple[str, ...]
+) -> tuple[DataFrame, list[str]]:
+    """Uniform grouped/global handling: empty ``keys`` gets a constant
+    group column (dropped by callers on output)."""
+    if keys:
+        return df, list(keys)
+    return df.withColumn("__all", F.lit(0)), ["__all"]
+
+
+def sample_state(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    key_col: str,
+    *,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """MERGEABLE per-group uniform-sample state: (``keys``…, h, v) —
+    the k smallest md5 draws over the group's DISTINCT key values.
+
+    This is the persistence/merge grain: union of groups = bottom-k of
+    the pooled states (:func:`sample_fold`), which equals the one-shot
+    state of the concatenated input EXACTLY — every key in the union's
+    bottom-k is, a fortiori, in its own group's bottom-k, so per-day
+    state tables answer any date range without rescanning raw data.
+    The merge is an order statistic: idempotent (re-folding a state is
+    a no-op), associative, commutative.
+
+    Scale shape: one md5 projection, one distinct on (group, hash) —
+    uniform keys, no skew — then the trim: the GLOBAL form (empty
+    ``keys``) plans as TakeOrderedAndProject (per-partition heads merged
+    on the driver — never a single-task window over the corpus, the
+    same shape as cardinality.kmv_distinct); the grouped form is one
+    group-keyed window (at 100 TB share its exchange with downstream
+    per-group work, the sample_exact_k note). State is ≤ k rows per
+    group — kilobytes.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = (
+        df.select(
+            *keys, F.col(key_col).cast("string").alias("v")
+        )
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .withColumn("h", _sample_u(F.col("v"), seed))
+    )
+    return _bottom_k(rows, keys, k)
+
+
+def _bottom_k(
+    rows: DataFrame, keys: list[str] | tuple[str, ...], k: int
+) -> DataFrame:
+    """Trim (``keys``…, h, v) rows to the k smallest (h, v) per group:
+    global = orderBy+limit (TakeOrderedAndProject — distributed top-k,
+    no single-task window), grouped = one window on the group key."""
+    if not keys:
+        return (
+            rows.orderBy(F.col("h").asc(), F.col("v").asc())
+            .limit(k)
+            .select("h", "v")
+        )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    return (
+        rows.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+        .select(*keys, "h", "v")
+    )
+
+
+def sample_fold(
+    states: DataFrame, keys: list[str] | tuple[str, ...], *, k: int
+) -> DataFrame:
+    """Merge sample states (``keys``…, h, v) — possibly unioned across
+    source groups and relabeled (e.g. per-day states stamped with their
+    window end) — back to bottom-k per group. Duplicate keys from
+    overlapping source states collapse via DISTINCT (h is a pure
+    function of v, so (h, v) pairs are identical wherever they came
+    from); the result is valid state again, and equals the one-shot
+    state of the concatenated inputs exactly."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return _bottom_k(
+        states.select(*keys, "h", "v").distinct(), keys, k
+    )
+
+
+def sample_read(
+    state: DataFrame, keys: list[str] | tuple[str, ...], *, k: int
+) -> DataFrame:
+    """Read a (possibly merged) state as the final sample: one row per
+    (``keys``…, rk, v) with rk ∈ [1, k] by (h, v), plus the KMV
+    distinct-count columns the bottom-k carries for free — n_kept,
+    threshold (k-th hash when the sketch is full, else NULL), and
+    estimate = (k-1)·2^64/threshold (exact = n_kept when not full):
+    the same estimator as cardinality.kmv_distinct, ONE double division
+    of exact integers rounded to 6 dp."""
+    base, gkeys = _sample_group(sample_fold(state, keys, k=k), keys)
+    w = Window.partitionBy(*gkeys).orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    ranked = base.withColumn("rk", F.row_number().over(w))
+    gagg = ranked.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("kth"),
+    )
+    est_full = (
+        F.lit(float(k - 1)) * F.lit(float(TWO64))
+        / F.col("threshold").cast("double")
+    )
+    stats = gagg.select(
+        *gkeys,
+        "n_kept",
+        F.when(F.col("n_kept") >= k, F.col("kth"))
+        .otherwise(F.lit(None))
+        .cast("decimal(20,0)")
+        .alias("threshold"),
+    ).select(
+        *gkeys,
+        "n_kept",
+        "threshold",
+        F.round(
+            F.when(F.col("threshold").isNotNull(), est_full).otherwise(
+                F.col("n_kept").cast("double")
+            ),
+            6,
+        ).alias("estimate"),
+    )
+    out = ranked.join(stats, gkeys).select(
+        *gkeys,
+        F.col("rk").cast("int").alias("rk"),
+        "v",
+        "n_kept",
+        "threshold",
+        "estimate",
+    )
+    return out.drop("__all") if not keys else out
+
+
+def rolling_sample(
+    df: DataFrame,
+    date_col: str,
+    key_col: str,
+    *,
+    k: int,
+    window_days: int,
+    seed: str = "",
+) -> DataFrame:
+    """Trailing-window uniform sample from MERGEABLE per-day state —
+    the sample twin of cardinality's rolling HLL registers, frequency's
+    rolling CMS cells, and qsketch's rolling level samples: the corpus
+    is scanned ONCE into per-day bottom-k states (≤ k rows each), and
+    every window is a state-union + re-rank, bounded by
+    calendar · window_days · k — independent of corpus size. Because
+    the bottom-k merge is exact, each window's sample IS the one-shot
+    bottom-k of that window's distinct keys (test-pinned).
+
+    Returns one row per (window_end, rk): (window_end, n_days, rk, v,
+    n_kept, threshold, estimate, exact_distinct, rel_err), ordered by
+    (window_end, rk). ``estimate`` is the free KMV distinct-count read
+    of the window's sample; ``exact_distinct`` recomputes each window
+    from raw rows (affordable at oracle scale, the thing the state
+    exists to avoid at 100 TB) and ``rel_err`` is the realized relative
+    error. Calendar-head windows fold fewer days — n_days reports it,
+    same contract as rolling_distinct_hll."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    state = sample_state(df, [date_col], key_col, k=k, seed=seed)
+    days = state.select(date_col).distinct()
+    back = window_days - 1
+    lo = F.date_sub(F.col(f"d.{date_col}"), back)
+    in_window = (F.col(f"s.{date_col}") <= F.col(f"d.{date_col}")) & (
+        F.col(f"s.{date_col}") >= lo
+    )
+    merged = (
+        days.alias("d")
+        .join(state.alias("s"), in_window)
+        .select(
+            F.col(f"d.{date_col}").alias("window_end"), "s.h", "s.v"
+        )
+    )
+    sampled = sample_read(merged, ["window_end"], k=k)
+    n_days = (
+        days.alias("d")
+        .join(
+            days.select(F.col(date_col).alias("src_date")).alias("r"),
+            (F.col("r.src_date") <= F.col(f"d.{date_col}"))
+            & (F.col("r.src_date") >= lo),
+        )
+        .groupBy(F.col(f"d.{date_col}").alias("window_end"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    )
+    raw = df.select(
+        F.col(date_col).alias("src_date"),
+        F.col(key_col).cast("string").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    exact = (
+        days.alias("d")
+        .join(
+            raw.alias("e"),
+            (F.col("e.src_date") <= F.col(f"d.{date_col}"))
+            & (F.col("e.src_date") >= lo),
+        )
+        .groupBy(F.col(f"d.{date_col}").alias("window_end"))
+        .agg(F.count_distinct("e.v").cast("long").alias("exact_distinct"))
+    )
+    return (
+        sampled.join(F.broadcast(n_days), "window_end")
+        .join(F.broadcast(exact), "window_end")
+        .select(
+            "window_end",
+            "n_days",
+            "rk",
+            "v",
+            "n_kept",
+            "threshold",
+            "estimate",
+            "exact_distinct",
+            F.round(
+                (F.col("estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("window_end", "rk")
+    )
+
+
+def _priority(w: Column, h: Column) -> Column:
+    """Duffield–Lund–Thorup priority w/u as ONE IEEE-exact double
+    expression: u = (h + 0.5)/2^64 ∈ (0,1) (the +0.5 edge trick shared
+    with weighted_sample_k), so pri = w·2^64/(h + 0.5). DECIMAL→double
+    conversion is nearest-double and ×,÷ are IEEE-specified, so the
+    value is bit-identical in Spark and DuckDB — orderable without the
+    rounding step transcendental keys need."""
+    return (w.cast("double") * F.lit(float(TWO64))) / (
+        h.cast("double") + F.lit(0.5)
+    )
+
+
+def weighted_sample_state(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    key_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """MERGEABLE per-group PRIORITY-sample state (Duffield–Lund–Thorup):
+    (``keys``…, pri, v, w) — the k+1 HIGHEST priorities w/u over the
+    group's distinct keys (the +1 row carries the estimator threshold).
+
+    Union of groups = top-(k+1) of the pooled states
+    (:func:`weighted_sample_fold`) — an order statistic like the
+    uniform face's bottom-k: idempotent, associative, commutative, and
+    exactly equal to the one-shot state of the concatenated input.
+    Rows with NULL or non-positive weight are never selected; duplicate
+    keys must carry equal weights (state merge dedups on (v, w) — keys
+    re-observed with a DIFFERENT weight are distinct population units).
+
+    Scale shape: one md5 projection + one distinct on (group, key,
+    weight), one group-keyed window trim to k+1 rows. State is ≤ k+1
+    rows per group.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = (
+        df.select(
+            *keys,
+            F.col(key_col).cast("string").alias("v"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .filter(F.col("v").isNotNull() & (F.col("w") > 0))
+        .distinct()
+        .withColumn("pri", _priority(F.col("w"), _sample_u(F.col("v"), seed)))
+    )
+    return _top_k_priority(rows, keys, k + 1)
+
+
+def _top_k_priority(
+    rows: DataFrame, keys: list[str] | tuple[str, ...], n: int
+) -> DataFrame:
+    """Trim (``keys``…, pri, v, w) rows to the n highest (pri, -v) per
+    group: global = orderBy+limit (TakeOrderedAndProject), grouped =
+    one window — the priority dual of :func:`_bottom_k`."""
+    if not keys:
+        return (
+            rows.orderBy(F.col("pri").desc(), F.col("v").asc())
+            .limit(n)
+            .select("pri", "v", "w")
+        )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("pri").desc(), F.col("v").asc()
+    )
+    return (
+        rows.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+        .select(*keys, "pri", "v", "w")
+    )
+
+
+def weighted_sample_fold(
+    states: DataFrame, keys: list[str] | tuple[str, ...], *, k: int
+) -> DataFrame:
+    """Merge priority-sample states (``keys``…, pri, v, w) back to
+    top-(k+1) per group; the exact dual of :func:`sample_fold` (pri is
+    a pure function of (v, w), so overlapping states dedup losslessly
+    on DISTINCT)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return _top_k_priority(
+        states.select(*keys, "pri", "v", "w").distinct(), keys, k + 1
+    )
+
+
+def priority_mass(
+    state: DataFrame, keys: list[str] | tuple[str, ...], *, k: int
+) -> DataFrame:
+    """Weight-mass estimate from a (possibly merged) priority-sample
+    state: one row per group — (``keys``…, n_sample, tau, est_mass).
+
+    The DLT estimator: with τ = the (k+1)-th priority (0 when the group
+    fits inside k — the estimate is then EXACT), every sampled row
+    (the top k) estimates its population weight as max(w, τ), and the
+    group's total mass is Σ max(w_i, τ) — unbiased for any group, and
+    for arbitrary subset sums when filtered before the aggregation.
+    Per the numeric policy each term is rounded to 6 dp BEFORE the
+    DECIMAL(38,6) accumulation (the public type stays double, like
+    money_sum), so the sum is partition-order-invariant and replays
+    bit-exactly in the oracle."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base, gkeys = _sample_group(
+        weighted_sample_fold(state, keys, k=k), keys
+    )
+    w = Window.partitionBy(*gkeys).orderBy(
+        F.col("pri").desc(), F.col("v").asc()
+    )
+    ranked = base.withColumn("__rk", F.row_number().over(w))
+    tau = (
+        ranked.filter(F.col("__rk") == k + 1)
+        .select(*gkeys, F.col("pri").alias("tau"))
+    )
+    est_term = F.round(
+        F.greatest(F.col("w"), F.col("tau")), 6
+    ).cast("decimal(38,6)")
+    out = (
+        ranked.filter(F.col("__rk") <= k)
+        .join(tau, gkeys, "left")
+        .withColumn("tau", F.coalesce(F.col("tau"), F.lit(0.0)))
+        .groupBy(*gkeys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            F.round(F.max("tau"), 6).alias("tau"),
+            F.sum(est_term).cast("double").alias("est_mass"),
+        )
+    )
+    return out.drop("__all") if not keys else out

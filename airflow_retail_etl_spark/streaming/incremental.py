@@ -542,3 +542,64 @@ def replay_qsketch(
         state = s if state is None else state.unionByName(s)
     surv = qsketch.requantize(state, (), cap=cap)
     return qsketch.sample_quantiles(surv, (), qs)
+
+
+def fold_sample_batch(
+    batch: DataFrame, state_path: str, col: str, *, k: int,
+    seed: str = "",
+) -> None:
+    """Fold one micro-batch into a persisted uniform-sample store
+    (h, v) — streaming SAMPLE state (the fourth face:
+    :func:`fold_hll_batch` holds distinct-count registers,
+    :func:`fold_cms_batch` frequency counters, :func:`fold_qsketch_batch`
+    quantile level-samples, this one holds operators.sampling bottom-k
+    sample rows).
+
+    The bottom-k merge is an order statistic — idempotent, associative,
+    commutative — so like the HLL registers (and unlike the CMS
+    counters) a REPLAYED batch cannot change the state: no batch-id
+    bookkeeping. The store is ≤ k rows; the read-merge-overwrite cycle
+    pays one eager localCheckpoint to cut the read lineage (same
+    contract as fold_hll_batch). Read the sample at any time via
+    ``sampling.sample_read(spark.read.parquet(state_path), (), k=k)``
+    — bit-identical to the one-shot bottom-k of everything delivered.
+    """
+    from airflow_retail_etl_spark.operators import sampling
+
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    state = sampling.sample_state(batch, (), col, k=k, seed=seed)
+    prior = _read_history(spark, state_path)
+    if prior is not None:
+        state = sampling.sample_fold(
+            state.unionByName(prior.select("h", "v")), (), k=k
+        )
+    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        state_path
+    )
+
+
+def replay_sample(
+    batches: Sequence[DataFrame], col: str, *, k: int, seed: str = "",
+) -> DataFrame:
+    """Replay ordered batches through the sample-state fold entirely as
+    DataFrames — the batch face of :func:`fold_sample_batch` (the
+    parquet store replaced by an accumulating state frame). Because the
+    bottom-k merge equals the one-shot bottom-k of the concatenated
+    input EXACTLY (operators.sampling.sample_state docstring), the
+    folded sample is BIT-IDENTICAL to the one-shot form — which is what
+    the oracle computes, certifying stream ≡ batch cross-engine.
+    Returns the sample_read rows (rk, v, n_kept, threshold, estimate)
+    of the final state."""
+    from airflow_retail_etl_spark.operators import sampling
+
+    state: DataFrame | None = None
+    for b in batches:
+        s = sampling.sample_state(b, (), col, k=k, seed=seed)
+        state = (
+            s
+            if state is None
+            else sampling.sample_fold(state.unionByName(s), (), k=k)
+        )
+    return sampling.sample_read(state, (), k=k)

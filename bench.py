@@ -247,6 +247,12 @@ HEADLINE = (
     "rolling_quantiles",
     "quantile_sketch",
     "streaming_quantiles",
+    # round 12: mergeable sample sketches (the fourth face) — rolling
+    # bottom-k uniform sample, DLT priority-sample mass estimates,
+    # streaming bottom-k fold (stream ≡ batch)
+    "rolling_sample",
+    "doc_mass_by_lang",
+    "streaming_sample",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
