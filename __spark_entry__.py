@@ -1481,6 +1481,127 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: incremental-mart knobs: p=8 distinct-user registers (same precision
+#: the rolling HLL faces use); rolling face reuses _ROLL_WINDOW.
+_MART_P = 8
+
+
+def q_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand lifetime KPIs read ENTIRELY from mergeable mart state
+    (operators.mart_state — the sketch-state architecture generalized to
+    exact relational aggregates): the star-joined events are scanned
+    ONCE into per-(brand, day) additive KPI cells (exact DECIMAL cent
+    sums + conditional counts — linear merge, the CMS analog) plus
+    per-(brand, day) HLL user registers (idempotent MAX merge), and the
+    mart is a fold of that state — kpi_read — never a raw rescan. This
+    is the incremental answer to the reference's recompute-from-scratch
+    marts (retail_pipeline.py:34-88): a day's refresh overwrites one
+    day's state rows (O(delta), replace-day law test-pinned), and
+    lifetime/range/window reads all fold calendar-bounded state. The
+    oracle computes the one-shot aggregate plus the identical register
+    math — exact equality certifies the fold law cross-engine; the
+    exact-distinct audit column reports the estimator's error."""
+    from airflow_retail_etl_spark.operators import cardinality, mart_state
+
+    ev = adapters.staging_events(spark, sf_dir)
+    dim = adapters.product_dim_source(spark, sf_dir).select(
+        "product_id", "brand"
+    )
+    joined = ev.join(F.broadcast(dim), "product_id")
+    cells = mart_state.kpi_cells(
+        joined,
+        ["brand"],
+        view_value=VIEW,
+        cart_value=CART,
+        purchase_value=PURCHASE,
+    )
+    regs = cardinality.hll_registers(
+        joined, ["brand", "event_date"], "user_id", p=_MART_P
+    )
+    mart = mart_state.kpi_read(cells, regs, ["brand"], p=_MART_P)
+    exact = joined.groupBy("brand").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        mart.join(exact, "brand")
+        .select(
+            "brand",
+            "views",
+            "carts",
+            "purchases",
+            "revenue",
+            "n_events",
+            "unique_users_est",
+            "cart_rate",
+            "purchase_rate",
+            "exact_users",
+            F.round(
+                (F.col("unique_users_est") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_rolling_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day KPI dashboard (views/carts/purchases/revenue/
+    distinct users/funnel rates per window end) computed PURELY from
+    per-day mart state (mart_state.rolling_kpis): additive cells sum
+    linearly per window, HLL registers MAX-merge — both joins are
+    calendar²-bounded, so the rolling pass never re-touches raw events
+    (the thing an exact rolling dashboard cannot avoid at 100 TB).
+    Estimator accuracy for the identical register windows is audited by
+    rolling_distinct_hll; this face is the pure state read. The oracle
+    replays cells, window sums, register merges, and fold literals."""
+    from airflow_retail_etl_spark.operators import cardinality, mart_state
+
+    ev = adapters.staging_events(spark, sf_dir)
+    cells = mart_state.kpi_cells(
+        ev, [], view_value=VIEW, cart_value=CART, purchase_value=PURCHASE
+    )
+    regs = cardinality.hll_registers(
+        ev, ["event_date"], "user_id", p=_MART_P
+    )
+    return mart_state.rolling_kpis(
+        cells, regs, window_days=_ROLL_WINDOW, p=_MART_P
+    ).orderBy("window_end")
+
+
+def q_streaming_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mart state, batch-replay form
+    (streaming.incremental.replay_kpi — the exact per-micro-batch
+    additive-cell fold fold_kpi_batch runs, minus the parquet store):
+    the events stream arrives in four batches (event_id % 4 in order),
+    each reduced to per-day KPI cells and folded by SUM. Cent sums and
+    counts are exact under any grouping, so the folded mart is
+    BIT-IDENTICAL to the one-shot daily aggregate of everything
+    delivered — the oracle computes exactly that one-shot, certifying
+    stream ≡ batch cross-engine (the linear-state twin of
+    streaming_sketch's idempotent registers); store-backed redelivery
+    idempotence is test-pinned."""
+    from airflow_retail_etl_spark.streaming.incremental import replay_kpi
+
+    ev = adapters.staging_events(spark, sf_dir)
+    batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    folded = replay_kpi(
+        batches,
+        [],
+        view_value=VIEW,
+        cart_value=CART,
+        purchase_value=PURCHASE,
+    )
+    return folded.select(
+        "event_date",
+        "views",
+        "carts",
+        "purchases",
+        F.col("revenue_cents").cast("double").alias("revenue"),
+        "n_events",
+    ).orderBy("event_date")
+
+
 def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct-count state, batch-replay form
     (streaming.incremental.replay_sketch — the exact per-micro-batch
@@ -5013,8 +5134,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators/sampling): rolling_sample (replaces bloom_decontam,
     driver-green r10+r11) and doc_mass_by_lang (replaces edit_neardup,
     driver-green r10+r11), with streaming_sample just past the prefix
-    to rotate in next round — and tests/test_entry_contract.py enforces
-    per-module representation.
+    to rotate in next round; plus the NEW round-12 mart_state module
+    (the sketch-state architecture generalized to exact relational
+    KPIs): incremental_mart (replaces corpus_shuffle, driver-green
+    r8-r11), with rolling_mart / streaming_mart just past the prefix —
+    and tests/test_entry_contract.py enforces per-module
+    representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5153,12 +5278,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-batch face of incremental dedup (the foreachBatch sink's
         # per-batch logic, replayed): its own family representative
         "streaming_admission": q_streaming_admission,
-        # corpus_shuffle reps the round-8 reproducible-draw family in the
-        # window (epoch-seeded global shuffle positions via the
-        # DISTRIBUTED prefix sum, consumed as a pure filter); its
-        # epoch_slice / curriculum_order siblings run the identical
-        # machinery just past the prefix
-        "corpus_shuffle": q_corpus_shuffle,
+        # incremental_mart (NEW module in round 12 — new modules enter
+        # the prefix the round they land) reps operators/mart_state: the
+        # sketch-state architecture generalized to exact relational KPIs
+        # (per-(brand, day) additive DECIMAL cells with a linear fold +
+        # HLL user registers with an idempotent merge; mart reads fold
+        # state, never rescan raw events — the incremental answer to the
+        # reference's recompute-from-scratch marts). corpus_shuffle
+        # (driver-green r8 through r11) rotates just past the prefix —
+        # its reproducible-draw machinery stays in-window via
+        # decontam_excise (hash_sample), leakage_safe_split (hash_split
+        # on the same md5 draw), and corpus_budget's global_cumsum
+        "incremental_mart": q_incremental_mart,
         "pack_sequences": q_pack_sequences,
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
@@ -5234,6 +5365,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-round-lag protocol, its sampling/incremental machinery
         # already in-window via rolling_sample + streaming_admission
         "streaming_sample": q_streaming_sample,
+        # the mart-state faces past the prefix (incremental_mart holds
+        # the module's in-window slot): rolling_mart is the pure
+        # state-read trailing dashboard (additive window sums + register
+        # merges), streaming_mart the stream ≡ batch certificate of the
+        # linear cell fold (fold_kpi_batch replayed as DataFrames) —
+        # both rotate in per the one-round-lag protocol
+        "rolling_mart": q_rolling_mart,
+        "streaming_mart": q_streaming_mart,
+        # corpus_shuffle rotated out in round 12 for incremental_mart
+        # (driver-green r8-r11; reproducible-draw machinery in-window
+        # via decontam_excise + leakage_safe_split + corpus_budget)
+        "corpus_shuffle": q_corpus_shuffle,
         "pricing_summary": q_pricing_summary,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
@@ -6410,6 +6553,180 @@ def _rolling_hll_sql(p: int, window: int) -> str:
     FROM hll h JOIN nd USING (window_end) JOIN ex USING (window_end)
     ORDER BY window_end
     """
+
+
+def _hll_est_tail_sql(p: int, key: str) -> str:
+    """The register-fold→estimate CTE tail shared by the mart-state
+    oracles: consumes a ``regs`` CTE of ({key}, reg, mx) rows and emits
+    ``hll`` AS ({key}, estimate) — the same fold literals
+    _cardinality/_rolling_hll_sql inject (alpha·m², 2^rmax, both
+    estimator branches, one 6-dp round per branch)."""
+    from airflow_retail_etl_spark.operators.cardinality import _hll_alpha
+
+    m = 1 << p
+    rmax = (64 - p) + 1
+    amm = repr(_hll_alpha(m) * m * m)
+    two_rmax_d = repr(float(1 << rmax))
+    m_d = repr(float(m))
+    return f"""
+    hagg AS (
+        SELECT {key}, COUNT(*) AS hits,
+               SUM(CAST((CAST(1 AS BIGINT) << ({rmax} - mx))
+                        AS HUGEINT)) AS s_hit
+        FROM regs GROUP BY 1
+    ), hstate AS (
+        SELECT {key}, hits,
+               COALESCE(s_hit, 0) + CAST({m} - hits AS HUGEINT)
+                   * CAST({1 << rmax} AS HUGEINT) AS s_scaled,
+               {m} - hits AS v_zero
+        FROM hagg
+    ), hraw AS (
+        SELECT *,
+               ROUND(({amm} * {two_rmax_d}) / CAST(s_scaled AS DOUBLE), 6)
+                   AS raw_estimate
+        FROM hstate
+    ), hll AS (
+        SELECT {key},
+               ROUND(CASE WHEN raw_estimate <= {repr(2.5 * m)}
+                          AND v_zero > 0
+                     THEN {m_d} * ln({m_d} / CAST(v_zero AS DOUBLE))
+                     ELSE raw_estimate END, 6) AS estimate
+        FROM hraw
+    )"""
+
+
+def _hll_reg_expr_sql(p: int, h: str = "h") -> tuple[str, str]:
+    """(reg, mx) expressions over a HUGEINT hash column — the register
+    build _rolling_hll_sql uses, factored for the mart-state oracles."""
+    rest_bits = 64 - p
+    rmax = rest_bits + 1
+    two_rest = 1 << rest_bits
+    reg = f"CAST({h} // {two_rest} AS INTEGER)"
+    mx = (
+        f"MAX(CASE WHEN CAST({h} % {two_rest} AS BIGINT) = 0"
+        f" THEN {rmax}"
+        f" ELSE {rest_bits + 1}"
+        f" - length(bin(CAST({h} % {two_rest} AS BIGINT)))"
+        f" END)"
+    )
+    return reg, mx
+
+
+#: the additive-cell SELECT items shared by the mart-state oracles
+def _kpi_add_sql() -> str:
+    return f"""
+           CAST(COUNT(*) FILTER (WHERE event_type = '{VIEW}') AS BIGINT)
+               AS views,
+           CAST(COUNT(*) FILTER (WHERE event_type = '{CART}') AS BIGINT)
+               AS carts,
+           CAST(COUNT(*) FILTER (WHERE event_type = '{PURCHASE}')
+               AS BIGINT) AS purchases"""
+
+
+def _incremental_mart_sql(p: int) -> str:
+    """DuckDB twin of q_incremental_mart: the one-shot per-brand
+    aggregate (≡ the cell fold — cent sums/counts are exact under any
+    grouping) plus the identical per-brand register math."""
+    h = (
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    reg, mx = _hll_reg_expr_sql(p)
+    return (
+        _STAGING_CTE
+        + f"""
+    , joined AS (
+        SELECT s.event_date, s.event_type, s.price, s.user_id,
+               p.p_brand AS brand
+        FROM staging s JOIN part p ON s.product_id = p.p_partkey
+    ), addagg AS (
+        SELECT brand,{_kpi_add_sql()},
+               {_money('price', f"event_type = '{PURCHASE}'")} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM joined GROUP BY 1
+    ), hv AS (
+        SELECT brand, {h} AS h FROM joined WHERE user_id IS NOT NULL
+    ), regs AS (
+        SELECT brand, {reg} AS reg, {mx} AS mx
+        FROM hv GROUP BY 1, 2
+    ), {_hll_est_tail_sql(p, 'brand')}
+    , ex AS (
+        SELECT brand,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM joined GROUP BY 1
+    )
+    SELECT a.brand, a.views, a.carts, a.purchases, a.revenue, a.n_events,
+           h.estimate AS unique_users_est,
+           ROUND(CAST(a.carts AS DOUBLE) / NULLIF(a.views, 0), 6)
+               AS cart_rate,
+           ROUND(CAST(a.purchases AS DOUBLE) / NULLIF(a.views, 0), 6)
+               AS purchase_rate,
+           ex.exact_users,
+           ROUND((h.estimate - CAST(ex.exact_users AS DOUBLE))
+                 / CAST(ex.exact_users AS DOUBLE), 6) AS rel_err
+    FROM addagg a JOIN hll h USING (brand) JOIN ex USING (brand)
+    ORDER BY brand
+    """
+    )
+
+
+def _rolling_mart_sql(p: int, window: int) -> str:
+    """DuckDB twin of q_rolling_mart: per-day additive cells + per-day
+    registers, the same calendar-bounded window sums / MAX merges, the
+    same fold literals and rate rounding."""
+    back = window - 1
+    h = (
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,16))"
+        "::UBIGINT AS HUGEINT)"
+    )
+    reg, mx = _hll_reg_expr_sql(p)
+    cent = "CAST(ROUND(price, 2) AS DECIMAL(18,2))"
+    return (
+        _STAGING_CTE
+        + f"""
+    , cells AS (
+        SELECT event_date,{_kpi_add_sql()},
+               SUM(CASE WHEN event_type = '{PURCHASE}' THEN {cent}
+                        ELSE CAST(0 AS DECIMAL(18,2)) END)
+                   AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM staging GROUP BY 1
+    ), days AS (
+        SELECT DISTINCT event_date FROM cells
+    ), win_add AS (
+        SELECT d.event_date AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(s.views) AS BIGINT) AS views,
+               CAST(SUM(s.carts) AS BIGINT) AS carts,
+               CAST(SUM(s.purchases) AS BIGINT) AS purchases,
+               CAST(SUM(s.revenue_cents) AS DOUBLE) AS revenue,
+               CAST(SUM(s.n_events) AS BIGINT) AS n_events
+        FROM days d JOIN cells s
+          ON s.event_date BETWEEN d.event_date - {back} AND d.event_date
+        GROUP BY 1
+    ), hv AS (
+        SELECT event_date, {h} AS h FROM staging
+        WHERE user_id IS NOT NULL
+    ), dregs AS (
+        SELECT event_date, {reg} AS reg, {mx} AS mx
+        FROM hv GROUP BY 1, 2
+    ), regs AS (
+        SELECT d.event_date AS window_end, r.reg, MAX(r.mx) AS mx
+        FROM days d JOIN dregs r
+          ON r.event_date BETWEEN d.event_date - {back} AND d.event_date
+        GROUP BY 1, 2
+    ), {_hll_est_tail_sql(p, 'window_end')}
+    SELECT w.window_end, w.n_days, w.views, w.carts, w.purchases,
+           w.revenue, w.n_events,
+           h.estimate AS unique_users_est,
+           ROUND(CAST(w.carts AS DOUBLE) / NULLIF(w.views, 0), 6)
+               AS cart_rate,
+           ROUND(CAST(w.purchases AS DOUBLE) / NULLIF(w.views, 0), 6)
+               AS purchase_rate
+    FROM win_add w JOIN hll h ON h.window_end = w.window_end
+    ORDER BY w.window_end
+    """
+    )
 
 
 #: 2^60 — the qsketch level-bit space (operators/qsketch.LEVEL_BITS)
@@ -8096,6 +8413,19 @@ def oracle_sql() -> dict[str, str]:
         # per-day registers merged per 7-day window via MAX(mx), then
         # the identical fold — the sketch-merge certificate
         "rolling_distinct_hll": _rolling_hll_sql(_ROLL_P, _ROLL_WINDOW),
+        "incremental_mart": _incremental_mart_sql(_MART_P),
+        "rolling_mart": _rolling_mart_sql(_MART_P, _ROLL_WINDOW),
+        # the one-shot daily aggregate — what the linear cell fold must
+        # equal bit-for-bit (stream ≡ batch certificate)
+        "streaming_mart": _STAGING_CTE
+        + f"""
+        SELECT event_date,{_kpi_add_sql()},
+               {_money('price', f"event_type = '{PURCHASE}'")} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM staging
+        GROUP BY 1
+        ORDER BY 1
+        """,
         "rolling_sample": _rolling_sample_sql(_RSAMP_K, _RSAMP_WINDOW),
         "doc_mass_by_lang": _doc_mass_sql(_MASS_K),
         "streaming_sample": _streaming_sample_sql(_SSAMP_K),

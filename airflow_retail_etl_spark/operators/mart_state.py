@@ -1,0 +1,245 @@
+"""Incrementally maintainable KPI mart state — the marts' answer to
+``pipeline.build_dims_incremental``.
+
+The reference recomputes every mart from scratch per run: a full pandas
+scan of the warehouse feeding ``to_sql(if_exists="replace")`` /
+``pq.write_table`` (reference ``dags/retail_pipeline.py:34-88``). That is
+O(corpus) per refresh. The dimensions got an incremental maintenance path
+in round 8 (``pipeline.build_dims_incremental`` — SCD-2 folds of daily
+snapshots); this module gives the KPI MARTS one, by generalizing the
+sketch-state architecture (``cardinality.hll_registers`` /
+``frequency.cms_cells`` / ``qsketch.qsketch_state`` /
+``sampling.sample_state``) to EXACT relational aggregates:
+
+- **additive KPI cells** (:func:`kpi_cells`): one row per
+  (grain keys…, day) holding exact DECIMAL cent sums and conditional
+  counts. The merge law is linear (SUM) — the CMS-counter analog, so
+  cells from disjoint slices fold to exactly the one-shot aggregate
+  under ANY grouping (integer cent arithmetic is associative and
+  partition-order-free; see ``functions.columns.money_sum``).
+- **distinct-user state**: per (grain keys…, day) HLL registers from
+  ``cardinality.hll_registers`` — idempotent MAX merge, exactly the
+  state ``rolling_distinct_hll`` persists.
+
+A day's refresh overwrites that day's cells — O(delta), via the same
+dynamic-partition-overwrite idempotence as ``io.write_partitioned`` —
+and every read (lifetime totals, arbitrary date ranges, trailing
+windows) is a fold of calendar-bounded state rows: the raw event corpus
+is scanned ONCE per day, never per mart refresh and never per window.
+
+100 TB posture: cells are |grain × days| rows (brands × days — thousands,
+not billions); the only event-scale work is the per-day cell build, a
+single map-side-combined aggregation on (keys, day). Window reads cost
+calendar² × |grain| row touches — independent of corpus size. The
+DECIMAL(18,2) cent state caps at ~10^16 cents per cell; ANSI mode makes
+a breach an explicit overflow error, never a silent wrap (widen the
+state type if a single grain cell can exceed it).
+
+Streaming twin: ``streaming.incremental.fold_kpi_batch`` (additive cells
+are linear, so per-batch dynamic partition OVERWRITE gives replay
+idempotence — the CMS pattern, not HLL's MAX); the distinct-user half
+streams via the existing ``fold_hll_batch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark.functions.columns import (
+    conditional_count,
+    safe_ratio,
+)
+
+#: the additive (linear-merge) state columns, in state-schema order
+KPI_ADDITIVE = ("views", "carts", "purchases", "revenue_cents", "n_events")
+
+#: fixed persistence type for the cent sums (see module docstring)
+_CENT = "decimal(18,2)"
+
+
+def kpi_cells(
+    events: DataFrame,
+    keys: Sequence[str],
+    *,
+    date_col: str = "event_date",
+    type_col: str = "event_type",
+    revenue_col: str = "price",
+    view_value: str = "view",
+    cart_value: str = "cart",
+    purchase_value: str = "purchase",
+) -> DataFrame:
+    """Build the per-(keys…, day) additive KPI state.
+
+    One map-side-combined aggregation over the day's events; the output
+    is the mart's persistence/merge grain. Revenue follows the money
+    policy (round to cents per row, accumulate in DECIMAL — exact, so
+    the fold law below is exact too).
+    """
+    t = F.col(type_col)
+    cent = F.when(
+        t == purchase_value,
+        F.round(F.col(revenue_col), 2).cast(_CENT),
+    ).otherwise(F.lit(0).cast(_CENT))
+    return events.groupBy(*keys, date_col).agg(
+        conditional_count(t == view_value).cast("long").alias("views"),
+        conditional_count(t == cart_value).cast("long").alias("carts"),
+        conditional_count(t == purchase_value)
+        .cast("long")
+        .alias("purchases"),
+        F.sum(cent).cast(_CENT).alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def kpi_fold(cells: DataFrame, group_keys: Sequence[str]) -> DataFrame:
+    """Merge KPI cells to ``group_keys`` grain — the linear fold.
+
+    Because every state column is an exact integer/DECIMAL sum, folding
+    per-day cells (or per-batch cells, or cells merged in any order) is
+    bit-identical to the one-shot aggregate of the underlying events:
+    SUM is associative/commutative and cent arithmetic is exact. This is
+    what makes the state MERGEABLE: lifetime reads, range reads, and
+    trailing windows are all this one function over different slices.
+    """
+    aggs = [
+        F.sum(c).cast(_CENT if c == "revenue_cents" else "long").alias(c)
+        for c in KPI_ADDITIVE
+    ]
+    if group_keys:
+        return cells.groupBy(*group_keys).agg(*aggs)
+    return cells.agg(*aggs)
+
+
+def refresh_day(
+    cells: DataFrame, day_cells: DataFrame, *, date_col: str = "event_date"
+) -> DataFrame:
+    """Replace the days present in ``day_cells`` inside ``cells`` — the
+    O(delta) incremental refresh law (the DataFrame face of writing the
+    day's cell partition with dynamic partition overwrite). Re-running a
+    day is idempotent: the day's state is a pure function of the day's
+    events, so the replacement rewrites identical rows."""
+    days = day_cells.select(date_col).distinct()
+    kept = cells.join(F.broadcast(days), date_col, "left_anti")
+    return kept.unionByName(day_cells)
+
+
+def kpi_read(
+    cells: DataFrame,
+    regs: DataFrame,
+    keys: Sequence[str],
+    *,
+    p: int,
+    rate_dp: int = 6,
+) -> DataFrame:
+    """Read the mart at ``keys`` grain from state alone: fold the
+    additive cells, MAX-merge the HLL registers, estimate distinct
+    users, and derive the funnel rates — no raw-event scan.
+
+    ``regs`` is a ``cardinality.hll_registers`` table whose keys are a
+    superset of ``keys`` (typically keys + the day column); the merge
+    law (MAX per register) collapses the extra grain. Rates are rounded
+    BEFORE publication (transcendental/ratio policy: one division on
+    exact integer inputs, then round — engine- and layout-stable).
+    """
+    from airflow_retail_etl_spark.operators import cardinality
+
+    add = kpi_fold(cells, keys)
+    merged = regs.groupBy(*keys, "reg").agg(F.max("mx").alias("mx"))
+    est = cardinality.hll_fold(merged, list(keys), p=p).select(
+        *keys, F.col("estimate").alias("unique_users_est")
+    )
+    joined = add.join(est, list(keys)) if keys else add.crossJoin(
+        F.broadcast(est)
+    )
+    return joined.select(
+        *keys,
+        "views",
+        "carts",
+        "purchases",
+        F.col("revenue_cents").cast("double").alias("revenue"),
+        "n_events",
+        "unique_users_est",
+        F.round(
+            safe_ratio(F.col("carts").cast("double"), F.col("views")),
+            rate_dp,
+        ).alias("cart_rate"),
+        F.round(
+            safe_ratio(F.col("purchases").cast("double"), F.col("views")),
+            rate_dp,
+        ).alias("purchase_rate"),
+    )
+
+
+def rolling_kpis(
+    cells: DataFrame,
+    regs: DataFrame,
+    *,
+    window_days: int,
+    p: int,
+    date_col: str = "event_date",
+    rate_dp: int = 6,
+) -> DataFrame:
+    """Trailing ``window_days``-day KPI windows, one row per window end,
+    computed ENTIRELY from per-day state: additive cells join ≤
+    window_days predecessor days and SUM (linear merge); registers
+    MAX-merge per window (idempotent). Both joins are calendar-bounded —
+    |days|² × state-grain row touches, independent of corpus size. The
+    first window_days-1 windows fold fewer days (ramp-up head, reported
+    via n_days). ``cells``/``regs`` must be at (day,) grain (keys=[])."""
+    from airflow_retail_etl_spark.operators import cardinality
+
+    days = cells.select(date_col).distinct()
+    lo = F.date_sub(F.col(f"d.{date_col}"), window_days - 1)
+    in_win = (F.col(f"s.{date_col}") <= F.col(f"d.{date_col}")) & (
+        F.col(f"s.{date_col}") >= lo
+    )
+    win_add = (
+        days.alias("d")
+        .join(cells.alias("s"), in_win)
+        .groupBy(F.col(f"d.{date_col}").alias("window_end"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            *[
+                F.sum(f"s.{c}")
+                .cast(_CENT if c == "revenue_cents" else "long")
+                .alias(c)
+                for c in KPI_ADDITIVE
+            ],
+        )
+    )
+    reg_in_win = (F.col(f"r.{date_col}") <= F.col(f"d.{date_col}")) & (
+        F.col(f"r.{date_col}") >= lo
+    )
+    win_regs = (
+        days.alias("d")
+        .join(regs.alias("r"), reg_in_win)
+        .groupBy(
+            F.col(f"d.{date_col}").alias("window_end"),
+            F.col("r.reg").alias("reg"),
+        )
+        .agg(F.max("r.mx").alias("mx"))
+    )
+    est = cardinality.hll_fold(win_regs, ["window_end"], p=p).select(
+        "window_end", F.col("estimate").alias("unique_users_est")
+    )
+    return win_add.join(est, "window_end").select(
+        "window_end",
+        "n_days",
+        "views",
+        "carts",
+        "purchases",
+        F.col("revenue_cents").cast("double").alias("revenue"),
+        "n_events",
+        "unique_users_est",
+        F.round(
+            safe_ratio(F.col("carts").cast("double"), F.col("views")),
+            rate_dp,
+        ).alias("cart_rate"),
+        F.round(
+            safe_ratio(F.col("purchases").cast("double"), F.col("views")),
+            rate_dp,
+        ).alias("purchase_rate"),
+    )

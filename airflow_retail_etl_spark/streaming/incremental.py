@@ -603,3 +603,92 @@ def replay_sample(
             else sampling.sample_fold(state.unionByName(s), (), k=k)
         )
     return sampling.sample_read(state, (), k=k)
+
+
+def fold_kpi_batch(
+    batch: DataFrame,
+    state_path: str,
+    keys: Sequence[str],
+    *,
+    batch_id: int,
+    date_col: str = "event_date",
+    type_col: str = "event_type",
+    revenue_col: str = "price",
+    view_value: str = "view",
+    cart_value: str = "cart",
+    purchase_value: str = "purchase",
+) -> None:
+    """Fold one micro-batch into a persisted additive-KPI cell store —
+    streaming MART state (operators.mart_state generalizes the sketch
+    stores to exact relational aggregates; this is its streaming face).
+
+    KPI cells are LINEAR (exact DECIMAL cent sums + counts), so — like
+    the CMS counters and unlike HLL's idempotent MAX — a replayed batch
+    folded into one accumulated store would double-count. Replay safety
+    is therefore the :func:`fold_cms_batch` pattern: each batch's cells
+    land under their own ``batch_id=`` partition with dynamic partition
+    OVERWRITE, so an at-least-once redelivery rewrites identical rows
+    (cells are a pure function of the batch). Read the mart at any time
+    by folding the store across batch partitions
+    (``mart_state.kpi_fold(spark.read.parquet(state_path), keys)``) —
+    bit-identical to the one-shot aggregate of everything delivered.
+    The distinct-user half streams via :func:`fold_hll_batch`, whose
+    registers ``mart_state.kpi_read`` joins at read time.
+    """
+    from airflow_retail_etl_spark.operators import mart_state
+
+    cells = mart_state.kpi_cells(
+        batch,
+        list(keys),
+        date_col=date_col,
+        type_col=type_col,
+        revenue_col=revenue_col,
+        view_value=view_value,
+        cart_value=cart_value,
+        purchase_value=purchase_value,
+    )
+    (
+        cells.withColumn("batch_id", F.lit(int(batch_id)))
+        .repartition(1)  # grain × days-per-batch rows — one file
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(state_path)
+    )
+
+
+def replay_kpi(
+    batches: Sequence[DataFrame],
+    keys: Sequence[str],
+    *,
+    date_col: str = "event_date",
+    type_col: str = "event_type",
+    revenue_col: str = "price",
+    view_value: str = "view",
+    cart_value: str = "cart",
+    purchase_value: str = "purchase",
+) -> DataFrame:
+    """Replay ordered batches through the KPI cell fold entirely as
+    DataFrames — the batch face of :func:`fold_kpi_batch` (the
+    partitioned parquet store replaced by a union of per-batch cell
+    frames). Because cent sums and counts are exact under any grouping,
+    the folded mart is BIT-IDENTICAL to the one-shot aggregate of the
+    concatenated input — which is what the oracle computes, certifying
+    stream ≡ batch cross-engine. Returns cells folded to
+    ``keys + [date_col]`` grain (the mart's state grain)."""
+    from airflow_retail_etl_spark.operators import mart_state
+
+    cells: DataFrame | None = None
+    for b in batches:
+        c = mart_state.kpi_cells(
+            b,
+            list(keys),
+            date_col=date_col,
+            type_col=type_col,
+            revenue_col=revenue_col,
+            view_value=view_value,
+            cart_value=cart_value,
+            purchase_value=purchase_value,
+        )
+        cells = c if cells is None else cells.unionByName(c)
+    return mart_state.kpi_fold(cells, [*keys, date_col])

@@ -253,6 +253,12 @@ HEADLINE = (
     "rolling_sample",
     "doc_mass_by_lang",
     "streaming_sample",
+    # round 12: mergeable mart state (operators/mart_state — the sketch
+    # architecture generalized to exact relational KPIs): lifetime fold,
+    # rolling dashboard read, streaming cell fold (stream ≡ batch)
+    "incremental_mart",
+    "rolling_mart",
+    "streaming_mart",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -1,0 +1,199 @@
+"""Incrementally maintainable KPI mart state (operators/mart_state.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_retail_etl_spark import adapters
+from airflow_retail_etl_spark.operators import cardinality, mart_state
+from airflow_retail_etl_spark.streaming.incremental import (
+    fold_kpi_batch,
+    replay_kpi,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return adapters.staging_events(spark, SF)
+
+
+def _rows(df, *keys):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t[: len(keys) or 1]),
+    )
+
+
+def test_fold_of_daily_cells_equals_one_shot(spark):
+    """The linear fold law: per-day cells summed to brand grain must be
+    BIT-identical to aggregating the raw events at brand grain directly
+    (cent sums and counts are exact under any grouping)."""
+    ev = _events(spark).withColumn(
+        "brand", F.expr("CAST(user_id % 5 AS STRING)")
+    )
+    cells = mart_state.kpi_cells(ev, ["brand"])
+    folded = mart_state.kpi_fold(cells, ["brand"])
+    one_shot = mart_state.kpi_cells(
+        ev.withColumn("event_date", F.lit(None).cast("date")), ["brand"]
+    ).drop("event_date")
+    assert _rows(folded, "brand") == _rows(
+        one_shot.select(*folded.columns), "brand"
+    )
+
+
+def test_fold_is_split_and_layout_invariant(spark):
+    """Cells built from any disjoint split of the events, unioned and
+    folded, equal the one-split fold; repartitioning the input changes
+    nothing (md5-free exact arithmetic)."""
+    ev = _events(spark)
+    cells_all = mart_state.kpi_cells(ev, [])
+    a = mart_state.kpi_cells(ev.filter(F.col("event_id") % 2 == 0), [])
+    b = mart_state.kpi_cells(ev.filter(F.col("event_id") % 2 == 1), [])
+    refolded = mart_state.kpi_fold(a.unionByName(b), ["event_date"])
+    base = mart_state.kpi_fold(cells_all, ["event_date"])
+    assert _rows(refolded, "event_date") == _rows(
+        base.select(*refolded.columns), "event_date"
+    )
+    relaid = mart_state.kpi_cells(ev.repartition(13), [])
+    assert _rows(
+        mart_state.kpi_fold(relaid, ["event_date"]), "event_date"
+    ) == _rows(base.select(*refolded.columns), "event_date")
+
+
+def test_refresh_day_law(spark):
+    """State through day d-1 plus day d's fresh cells == state through
+    day d; re-refreshing an already-present day is idempotent (the
+    O(delta) maintenance law)."""
+    ev = _events(spark)
+    days = sorted(
+        r[0] for r in ev.select("event_date").distinct().collect()
+    )
+    last = days[-1]
+    full = mart_state.kpi_cells(ev, [])
+    head = mart_state.kpi_cells(
+        ev.filter(F.col("event_date") < F.lit(last)), []
+    )
+    day = mart_state.kpi_cells(
+        ev.filter(F.col("event_date") == F.lit(last)), []
+    )
+    refreshed = mart_state.refresh_day(head, day)
+    assert _rows(refreshed, "event_date") == _rows(full, "event_date")
+    again = mart_state.refresh_day(refreshed, day)
+    assert _rows(again, "event_date") == _rows(full, "event_date")
+
+
+def test_read_matches_exact_mart(spark):
+    """kpi_read's additive columns at date grain equal the exact
+    aggregate computed straight from events, and the funnel rates are
+    the rounded exact ratios."""
+    ev = _events(spark)
+    cells = mart_state.kpi_cells(ev, [])
+    regs = cardinality.hll_registers(ev, ["event_date"], "user_id", p=8)
+    read = mart_state.kpi_read(cells, regs, ["event_date"], p=8)
+    exact = ev.groupBy("event_date").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchases"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("price"), 2).cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    j = read.join(
+        exact.select(
+            "event_date",
+            F.col("views").alias("x_views"),
+            F.col("purchases").alias("x_purchases"),
+            F.col("revenue").alias("x_revenue"),
+            "exact_users",
+        ),
+        "event_date",
+    ).collect()
+    assert j
+    for r in j:
+        assert r["views"] == r["x_views"]
+        assert r["purchases"] == r["x_purchases"]
+        assert r["revenue"] == r["x_revenue"]
+        # p=8 ⇒ σ ≈ 1.04/√256 ≈ 6.5%; 4σ bound
+        assert abs(r["unique_users_est"] - r["exact_users"]) <= max(
+            0.26 * r["exact_users"], 3
+        )
+        if r["views"]:
+            assert r["cart_rate"] == round(r["carts"] / r["views"], 6)
+
+
+def test_rolling_windows_equal_brute_force(spark):
+    """rolling_kpis' additive window sums equal recomputing each
+    trailing window straight from the raw events."""
+    ev = _events(spark)
+    cells = mart_state.kpi_cells(ev, [])
+    regs = cardinality.hll_registers(ev, ["event_date"], "user_id", p=8)
+    roll = {
+        r["window_end"]: r
+        for r in mart_state.rolling_kpis(
+            cells, regs, window_days=7, p=8
+        ).collect()
+    }
+    days = sorted(roll)[::7]  # ramp-up head, steady state, tail
+    for d in days:
+        win = ev.filter(
+            (F.col("event_date") <= F.lit(d))
+            & (F.col("event_date") >= F.date_sub(F.lit(d), 6))
+        )
+        brute = win.agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("purchases"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        ).first()
+        assert roll[d]["purchases"] == brute["purchases"]
+        assert roll[d]["n_events"] == brute["n_events"]
+
+
+def test_streaming_fold_store_redelivery_noop(spark, tmp_path):
+    """fold_kpi_batch under at-least-once delivery: re-folding an
+    already-delivered batch rewrites its own batch_id partition with
+    identical cells — the folded mart is unchanged (the CMS overwrite
+    pattern for linear state)."""
+    ev = _events(spark)
+    store = str(tmp_path / "kpi_state")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        fold_kpi_batch(b, store, [], batch_id=i)
+    once = _rows(
+        mart_state.kpi_fold(
+            spark.read.parquet(store).drop("batch_id"), ["event_date"]
+        ),
+        "event_date",
+    )
+    fold_kpi_batch(batches[1], store, [], batch_id=1)  # redelivery
+    twice = _rows(
+        mart_state.kpi_fold(
+            spark.read.parquet(store).drop("batch_id"), ["event_date"]
+        ),
+        "event_date",
+    )
+    assert once == twice
+    # and the store equals the batch-face replay
+    replayed = _rows(replay_kpi(batches, []), "event_date")
+    assert once == replayed
+
+
+def test_replay_equals_one_shot(spark):
+    """The stream ≡ batch certificate in-engine: replay_kpi over any
+    batching equals the one-shot cells of the whole corpus."""
+    ev = _events(spark)
+    one = _rows(mart_state.kpi_cells(ev, []), "event_date")
+    batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    assert _rows(replay_kpi(batches, []), "event_date") == one
