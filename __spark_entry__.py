@@ -1602,6 +1602,66 @@ def q_streaming_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_date")
 
 
+#: the events-table row contract shared by the dq_* queries and their
+#: oracles (the reference's implicit dropna/fillna contract made
+#: explicit — retail_pipeline_assets.py:41-47). Each predicate is ONE
+#: SQL string parsed by BOTH engines (F.expr on the Spark side, inlined
+#: in the DuckDB twin) — the shared-literal policy applied to rules.
+def _dq_rules_sql() -> list[tuple[str, str]]:
+    return [
+        (
+            "event_type_known",
+            f"event_type IN ('{VIEW}', '{CART}', '{PURCHASE}')",
+        ),
+        ("has_props", "props IS NOT NULL"),
+        ("has_ts", "ts IS NOT NULL"),
+        ("nonneg_value", "value IS NULL OR value >= 0"),
+        ("user_id_present", "user_id IS NOT NULL"),
+    ]
+
+
+def _dq_rules():
+    from airflow_retail_etl_spark.operators import expectations as dq
+
+    return [dq.expect(n, p) for n, p in _dq_rules_sql()]
+
+
+def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality quarantine
+    (operators.expectations.split_quarantine): every raw event is
+    annotated with the SORTED names of the row contracts it violates —
+    a pure whole-stage-codegen projection, zero shuffles, zero Python —
+    and violating rows route to a self-describing quarantine table
+    instead of silently vanishing (the reference drops them with a
+    blanket dropna, retail_pipeline_assets.py:41-47; our staging path
+    imputes FILL_DEFAULTS — this face is the audit trail for both).
+    Returns the quarantined rows; the oracle rebuilds the identical
+    sorted comma-joined violation strings."""
+    from airflow_retail_etl_spark.operators import expectations as dq
+
+    ev = load_table(spark, sf_dir, "events")
+    _clean, bad = dq.split_quarantine(ev, _dq_rules())
+    return bad.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col(dq.VIOLATIONS_COL).alias("violations"),
+    ).orderBy("event_id")
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule data-quality audit in ONE aggregation-only scan
+    (operators.expectations.expectation_report): a conditional SUM per
+    rule plus an any-rule total, unpivoted to (rule, violations, rows,
+    violation_rate) — rule count never adds scans or shuffles. Rates
+    are one exact-integer division rounded before publication."""
+    from airflow_retail_etl_spark.operators import expectations as dq
+
+    ev = load_table(spark, sf_dir, "events")
+    return dq.expectation_report(ev, _dq_rules()).orderBy("rule")
+
+
 def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct-count state, batch-replay form
     (streaming.incremental.replay_sketch — the exact per-micro-batch
@@ -5137,9 +5197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to rotate in next round; plus the NEW round-12 mart_state module
     (the sketch-state architecture generalized to exact relational
     KPIs): incremental_mart (replaces corpus_shuffle, driver-green
-    r8-r11), with rolling_mart / streaming_mart just past the prefix —
-    and tests/test_entry_contract.py enforces per-module
-    representation.
+    r8-r11), with rolling_mart / streaming_mart just past the prefix;
+    plus the NEW round-12 expectations module (declarative row
+    contracts + quarantine + single-scan audit): dq_quarantine
+    (replaces sessionize, driver-green r5-r11), with dq_report just
+    past the prefix — and tests/test_entry_contract.py enforces
+    per-module representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5203,7 +5266,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- dim maintenance / temporal / streaming-batch parity ----------
         "dim_upsert": q_dim_upsert,
         "scd2_user_status": q_scd2_user_status,
-        "sessionize": q_sessionize,
+        # dq_quarantine (NEW module in round 12 — new modules enter the
+        # prefix the round they land) reps operators/expectations:
+        # declarative row contracts annotated as a pure codegen
+        # projection, quarantine routing, single-scan per-rule audit
+        # (the reference's silent dropna made explicit and auditable).
+        # sessionize (driver-green r5-r11) rotates just past the prefix
+        # — its gap-window machinery stays in-window via
+        # scd2_user_status's ordered windows and asof_join's temporal
+        # ordering (session_window_stats runs the same lag/gap logic
+        # past the prefix every round)
+        "dq_quarantine": q_dq_quarantine,
         "salted_agg": q_salted_agg,
         # -- corpus / LLM-pipeline surface --------------------------------
         # repetition reps the repetition-metrics module in the window;
@@ -5373,6 +5446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both rotate in per the one-round-lag protocol
         "rolling_mart": q_rolling_mart,
         "streaming_mart": q_streaming_mart,
+        # dq_report: the single-scan per-rule audit face of the NEW
+        # expectations module (dq_quarantine holds the in-window slot);
+        # sessionize rotated out in round 12 for dq_quarantine
+        # (driver-green r5-r11; gap-window machinery in-window via
+        # scd2_user_status + asof_join)
+        "dq_report": q_dq_report,
+        "sessionize": q_sessionize,
         # corpus_shuffle rotated out in round 12 for incremental_mart
         # (driver-green r8-r11; reproducible-draw machinery in-window
         # via decontam_excise + leakage_safe_split + corpus_budget)
@@ -6621,6 +6701,49 @@ def _kpi_add_sql() -> str:
                AS carts,
            CAST(COUNT(*) FILTER (WHERE event_type = '{PURCHASE}')
                AS BIGINT) AS purchases"""
+
+
+def _dq_violations_expr() -> str:
+    """DuckDB twin of expectations.apply_expectations' annotation: the
+    same per-rule CASE tags, NULL-compacted, sorted, comma-joined."""
+    cases = ", ".join(
+        f"CASE WHEN NOT COALESCE(({pred}), FALSE) THEN '{name}' END"
+        for name, pred in _dq_rules_sql()
+    )
+    return (
+        f"array_to_string(list_sort(list_filter([{cases}],"
+        f" x -> x IS NOT NULL)), ',')"
+    )
+
+
+def _dq_report_sql() -> str:
+    """DuckDB twin of q_dq_report: one conditional-SUM row, unpivoted."""
+    rules = _dq_rules_sql()
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN NOT COALESCE(({pred}), FALSE)"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, pred in rules
+    )
+    all_pass = " AND ".join(
+        f"COALESCE(({pred}), FALSE)" for _, pred in rules
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT '{name}' AS rule, {name} AS violations, n FROM one"
+        for name in [*[n for n, _ in rules], "_total"]
+    )
+    return f"""
+    WITH one AS (
+        SELECT {sums},
+               CAST(SUM(CASE WHEN NOT ({all_pass}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS _total,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+    )
+    SELECT rule, violations, n AS "rows",
+           ROUND(CAST(violations AS DOUBLE) / n, 6) AS violation_rate
+    FROM ({unions})
+    ORDER BY rule
+    """
 
 
 def _incremental_mart_sql(p: int) -> str:
@@ -8414,6 +8537,15 @@ def oracle_sql() -> dict[str, str]:
         # the identical fold — the sketch-merge certificate
         "rolling_distinct_hll": _rolling_hll_sql(_ROLL_P, _ROLL_WINDOW),
         "incremental_mart": _incremental_mart_sql(_MART_P),
+        "dq_quarantine": f"""
+        WITH ann AS (
+            SELECT event_id, user_id, event_type, value,
+                   {_dq_violations_expr()} AS violations
+            FROM events
+        )
+        SELECT * FROM ann WHERE violations <> '' ORDER BY event_id
+        """,
+        "dq_report": _dq_report_sql(),
         "rolling_mart": _rolling_mart_sql(_MART_P, _ROLL_WINDOW),
         # the one-shot daily aggregate — what the linear cell fold must
         # equal bit-for-bit (stream ≡ batch certificate)

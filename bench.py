@@ -259,6 +259,10 @@ HEADLINE = (
     "incremental_mart",
     "rolling_mart",
     "streaming_mart",
+    # round 12: declarative data-quality expectations — quarantine
+    # routing + single-scan per-rule audit (operators/expectations)
+    "dq_quarantine",
+    "dq_report",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
