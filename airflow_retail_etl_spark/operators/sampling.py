@@ -468,26 +468,65 @@ def sample_state(
     return _bottom_k(rows, keys, k)
 
 
+#: fan-out of the grouped-trim pre-phase (below): per-group parallelism
+#: becomes |groups|·shards instead of |groups|, and the final per-group
+#: sort sees ≤ shards·k survivors instead of the whole group
+_TRIM_SHARDS = 32
+
+
+def _two_phase_grouped_trim(
+    rows: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    n: int,
+    order,
+    out_cols: list[str],
+) -> DataFrame:
+    """Per-group top/bottom-n as TWO windows — the order-statistic
+    analog of map-side combine. A single per-group window caps
+    parallelism at |groups| and sorts every group row in one task (at a
+    coarse grain — 5 languages over a corpus — that is one core per
+    language regardless of cluster size). Phase 1 trims to n per
+    (group, content shard) — shard = md5 bucket of the value, layout-
+    independent — so the corpus-sized sort runs on |groups|·shards
+    tasks; phase 2 trims the ≤ shards·n survivors per group. The true
+    per-group top-n is a subset of every shard-union, and the order
+    (strict total order per group: the hash/priority ties only on
+    identical (v, w), which the upstream DISTINCT removed), so the
+    result is IDENTICAL to the one-window form — test-pinned."""
+    shard = F.pmod(xhash.md5_u64(F.col("v")), F.lit(_TRIM_SHARDS)).cast(
+        "int"
+    )
+    w1 = Window.partitionBy(*keys, "__shard").orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        rows.withColumn("__shard", shard)
+        .withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= n)
+        .withColumn("__rk2", F.row_number().over(w2))
+        .filter(F.col("__rk2") <= n)
+        .select(*keys, *out_cols)
+    )
+
+
 def _bottom_k(
     rows: DataFrame, keys: list[str] | tuple[str, ...], k: int
 ) -> DataFrame:
     """Trim (``keys``…, h, v) rows to the k smallest (h, v) per group:
     global = orderBy+limit (TakeOrderedAndProject — distributed top-k,
-    no single-task window), grouped = one window on the group key."""
+    no single-task window), grouped = the two-phase sharded trim (per-
+    group parallelism no longer capped at |groups|)."""
     if not keys:
         return (
             rows.orderBy(F.col("h").asc(), F.col("v").asc())
             .limit(k)
             .select("h", "v")
         )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col("h").asc(), F.col("v").asc()
-    )
-    return (
-        rows.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-        .select(*keys, "h", "v")
+    return _two_phase_grouped_trim(
+        rows,
+        keys,
+        k,
+        [F.col("h").asc(), F.col("v").asc()],
+        ["h", "v"],
     )
 
 
@@ -706,21 +745,20 @@ def _top_k_priority(
 ) -> DataFrame:
     """Trim (``keys``…, pri, v, w) rows to the n highest (pri, -v) per
     group: global = orderBy+limit (TakeOrderedAndProject), grouped =
-    one window — the priority dual of :func:`_bottom_k`."""
+    the two-phase sharded trim — the priority dual of
+    :func:`_bottom_k`."""
     if not keys:
         return (
             rows.orderBy(F.col("pri").desc(), F.col("v").asc())
             .limit(n)
             .select("pri", "v", "w")
         )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col("pri").desc(), F.col("v").asc()
-    )
-    return (
-        rows.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n)
-        .drop("__rk")
-        .select(*keys, "pri", "v", "w")
+    return _two_phase_grouped_trim(
+        rows,
+        keys,
+        n,
+        [F.col("pri").desc(), F.col("v").asc()],
+        ["pri", "v", "w"],
     )
 
 

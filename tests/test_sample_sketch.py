@@ -248,3 +248,59 @@ def test_replay_sample_equals_one_shot(spark, days_df):
         .collect()
     )
     assert got == one
+
+
+def test_two_phase_grouped_trim_equals_single_window(spark):
+    """The round-12 scale fix (per-group parallelism no longer capped at
+    |groups|): the sharded two-phase trim must return EXACTLY the rows a
+    single per-group window would — for both the bottom-k hash order and
+    the priority order, at k above and below the shard fan-out."""
+    from pyspark.sql import Window
+
+    from airflow_retail_etl_spark.operators import sampling as s
+
+    rows = (
+        spark.range(5000)
+        .select(
+            (F.col("id") % 7).cast("string").alias("g"),
+            F.col("id").cast("string").alias("v"),
+            (F.col("id") % 97 + 1).cast("double").alias("w"),
+        )
+        .withColumn("h", s._sample_u(F.col("v"), ""))
+        .withColumn("pri", s._priority(F.col("w"), s._sample_u(F.col("v"), "")))
+    )
+    for n in (3, 64):
+        got = sorted(
+            tuple(r)
+            for r in s._bottom_k(
+                rows.select("g", "h", "v"), ["g"], n
+            ).collect()
+        )
+        w = Window.partitionBy("g").orderBy(
+            F.col("h").asc(), F.col("v").asc()
+        )
+        want = sorted(
+            tuple(r)
+            for r in rows.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n)
+            .select("g", "h", "v")
+            .collect()
+        )
+        assert got == want, f"bottom_k mismatch at n={n}"
+        got_p = sorted(
+            tuple(r)
+            for r in s._top_k_priority(
+                rows.select("g", "pri", "v", "w"), ["g"], n
+            ).collect()
+        )
+        wp = Window.partitionBy("g").orderBy(
+            F.col("pri").desc(), F.col("v").asc()
+        )
+        want_p = sorted(
+            tuple(r)
+            for r in rows.withColumn("rk", F.row_number().over(wp))
+            .filter(F.col("rk") <= n)
+            .select("g", "pri", "v", "w")
+            .collect()
+        )
+        assert got_p == want_p, f"top_k_priority mismatch at n={n}"
