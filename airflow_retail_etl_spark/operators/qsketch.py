@@ -347,7 +347,13 @@ def rolling_quantiles(
     n_days reports it, same contract as rolling_distinct_hll."""
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
-    state = qsketch_state(df, [date_col], value_col, key_col, cap=cap)
+    # materialize the calendar-bounded state (≤ days · ~cap rows) before
+    # the window joins: `days` and `merged` both consume it, and
+    # un-materialized each branch re-runs the corpus-sized sketch build
+    # (the r10 materialize rule — same fix as mart_state.rolling_kpis)
+    state = qsketch_state(
+        df, [date_col], value_col, key_col, cap=cap
+    ).localCheckpoint(eager=True)
     days = state.select(date_col).distinct()
     back = window_days - 1
     lo = F.date_sub(F.col(f"d.{date_col}"), back)

@@ -627,7 +627,13 @@ def rolling_sample(
     same contract as rolling_distinct_hll."""
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
-    state = sample_state(df, [date_col], key_col, k=k, seed=seed)
+    # materialize the calendar-bounded state (≤ days · k rows) before
+    # the window joins: `days` and `merged` both consume it, and
+    # un-materialized each branch re-runs the corpus-sized state build
+    # (the r10 materialize rule — same fix as mart_state.rolling_kpis)
+    state = sample_state(
+        df, [date_col], key_col, k=k, seed=seed
+    ).localCheckpoint(eager=True)
     days = state.select(date_col).distinct()
     back = window_days - 1
     lo = F.date_sub(F.col(f"d.{date_col}"), back)
