@@ -1423,13 +1423,15 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_retail_etl_spark.operators import cardinality
 
     ev = adapters.staging_events(spark, sf_dir)
-    # materialize the calendar-bounded register table (≤ days · 2^p
-    # rows) before the window joins — `days` and `merged` both consume
-    # it, and un-materialized each branch re-runs the corpus scan (the
-    # r10 materialize rule, same fix as mart_state.rolling_kpis)
+    # NOT materialized, by measurement (round 12): unlike
+    # rolling_mart's two-table state, this single register subtree gets
+    # Catalyst exchange reuse across the days/merged branches, and an
+    # eager localCheckpoint here only ADDS a blocking job — A/B
+    # isolated probes read warm 2.13 s vs 4.20 s at sf1 (SCALE.md
+    # "materialize is a measured decision, not a reflex")
     regs = cardinality.hll_registers(
         ev, ["event_date"], "user_id", p=_ROLL_P
-    ).localCheckpoint(eager=True)
+    )
     days = regs.select("event_date").distinct()
     lo = F.date_sub(F.col("d.event_date"), _ROLL_WINDOW - 1)
     in_window = (F.col("r.event_date") <= F.col("d.event_date")) & (
