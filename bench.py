@@ -532,7 +532,24 @@ def _drop_persistent_blocks(spark) -> None:
     unpersisting every still-tracked RDD between timings makes each
     number independent of its predecessors' leftovers. Runs OUTSIDE the
     timed window; non-blocking unpersist; best-effort (a JVM refusing
-    the call must not kill the bench)."""
+    the call must not kill the bench).
+
+    Deliberately does NOT force a JVM GC (round 12, measured both
+    ways). The recurring multimodal_decode flag was root-caused to GC
+    DEBT — a controlled aging experiment (47 HEADLINE queries into a
+    session) read the Arrow-decode query at 1.40 s warm vs 0.94 s
+    fresh, and ONE ``System.gc()`` immediately restored 0.74 s, the
+    fresh-JVM floor. But forcing GC inside the bench trades that
+    artifact for a worse one: the STW full collection's class
+    unloading / code-cache flush causes re-JIT inside the NEXT timed
+    window — the per-query-GC run read ~4% slower overall with the
+    canary itself inflated 1.33× (session_suspect), and a
+    periodic-every-16 cadence landed a GC directly before decode's own
+    window (still 1.8 s). Conclusion: in-bench long-session readings of
+    allocation-heavy queries carry GC debt BY DESIGN; the isolated
+    probe (fresh pretouched JVM) is the authoritative per-query number,
+    and the ledger's canary + isolated_recheck annotations are the
+    adjudication mechanism (SCALE.md multimodal_decode closure)."""
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for jrdd in list(jmap.values().toArray()):
