@@ -1575,6 +1575,28 @@ def q_rolling_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_end")
 
 
+def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day price volatility (mean/variance/stddev of
+    purchase prices per window end) from MERGEABLE per-day moment state
+    (mart_state.moment_cells → rolling_moments): the univariate-
+    statistics member of the state family. Values round to cents then
+    accumulate in DECIMAL — every (n, Σx, Σx²) cell is an exact
+    integer-scaled sum, so window merges are exact and the statistics
+    are ONE fixed-order IEEE expression each over engine-identical
+    doubles (the brand_price_corr policy), rounded 6 dp. Windows touch
+    calendar² state rows, never raw events; the oracle replays cells,
+    window sums, and each double expression bit-for-bit."""
+    from airflow_retail_etl_spark.operators import mart_state
+
+    ev = adapters.staging_events(spark, sf_dir).filter(
+        F.col("event_type") == PURCHASE
+    )
+    cells = mart_state.moment_cells(ev, [], "price")
+    return mart_state.rolling_moments(
+        cells, window_days=_ROLL_WINDOW
+    ).orderBy("window_end")
+
+
 def q_streaming_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mart state, batch-replay form
     (streaming.incremental.replay_kpi — the exact per-micro-batch
@@ -5452,6 +5474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both rotate in per the one-round-lag protocol
         "rolling_mart": q_rolling_mart,
         "streaming_mart": q_streaming_mart,
+        # rolling_volatility: the univariate-statistics member of the
+        # mart-state family (exact DECIMAL (n, Σx, Σx²) cells, window
+        # merges, brand_price_corr's fixed-order double formulas)
+        "rolling_volatility": q_rolling_volatility,
         # dq_report: the single-scan per-rule audit face of the NEW
         # expectations module (dq_quarantine holds the in-window slot);
         # sessionize rotated out in round 12 for dq_quarantine
@@ -6750,6 +6776,47 @@ def _dq_report_sql() -> str:
     FROM ({unions})
     ORDER BY rule
     """
+
+
+def _rolling_volatility_sql(window: int) -> str:
+    """DuckDB twin of q_rolling_volatility: identical DECIMAL moment
+    cells, window sums, and fixed-order double statistics."""
+    back = window - 1
+    var = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    )
+    return (
+        _STAGING_CTE
+        + f"""
+    , px AS (
+        SELECT event_date, CAST(ROUND(price, 2) AS DECIMAL(18,2)) AS x
+        FROM staging
+        WHERE event_type = '{PURCHASE}' AND price IS NOT NULL
+    ), cells AS (
+        SELECT event_date, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx,
+               SUM(CAST(x * x AS DECIMAL(32,4))) AS sxx
+        FROM px GROUP BY 1
+    ), days AS (
+        SELECT DISTINCT event_date FROM cells
+    ), win AS (
+        SELECT d.event_date AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(s.n) AS BIGINT) AS n,
+               SUM(s.sx) AS sx, SUM(s.sxx) AS sxx
+        FROM days d JOIN cells s
+          ON s.event_date BETWEEN d.event_date - {back} AND d.event_date
+        GROUP BY 1
+    )
+    SELECT window_end, n_days, n,
+           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           ROUND({var}, 6) AS variance,
+           ROUND(sqrt({var}), 6) AS stddev
+    FROM win ORDER BY window_end
+    """
+    )
 
 
 def _incremental_mart_sql(p: int) -> str:
@@ -8553,6 +8620,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dq_report": _dq_report_sql(),
         "rolling_mart": _rolling_mart_sql(_MART_P, _ROLL_WINDOW),
+        "rolling_volatility": _rolling_volatility_sql(_ROLL_WINDOW),
         # the one-shot daily aggregate — what the linear cell fold must
         # equal bit-for-bit (stream ≡ batch certificate)
         "streaming_mart": _STAGING_CTE

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.functions.columns import (
@@ -256,4 +256,113 @@ def rolling_kpis(
             safe_ratio(F.col("purchases").cast("double"), F.col("views")),
             rate_dp,
         ).alias("purchase_rate"),
+    )
+
+
+def moment_cells(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    date_col: str = "event_date",
+    dp: int = 2,
+) -> DataFrame:
+    """Per-(keys…, day) MERGEABLE moment state: (n, sx, sxx) — the
+    univariate-statistics member of the state family (the mergeable
+    twin of brand_price_corr's one-shot moment sums). Values are
+    rounded to ``dp`` then accumulated in DECIMAL, so every cell is an
+    exact integer-scaled sum and the fold law is exact: cells merged in
+    any order/grouping equal the one-shot sums. Days with no qualifying
+    rows produce no cell (reads report coverage via n/n_days)."""
+    x = F.round(F.col(value_col), dp).cast(f"decimal(18,{dp})")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, date_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x).cast(f"decimal(28,{dp})").alias("sx"),
+            F.sum((x * x).cast(f"decimal(32,{2 * dp})"))
+            .cast(f"decimal(32,{2 * dp})")
+            .alias("sxx"),
+        )
+    )
+
+
+def _moment_stats(n: Column, sx: Column, sxx: Column) -> list[Column]:
+    """mean / population variance / stddev from exact sums — the
+    brand_price_corr policy: exact DECIMAL sums cast to double, ONE
+    fixed-order IEEE expression per statistic, rounded 6 dp before
+    publication (sqrt is correctly rounded — no libm drift)."""
+    nd = n.cast("double")
+    sxd = sx.cast("double")
+    sxxd = sxx.cast("double")
+    var = (nd * sxxd - sxd * sxd) / (nd * nd)
+    return [
+        F.round(sxd / nd, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+    ]
+
+
+def moment_read(
+    cells: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold moment cells to ``keys`` grain and derive the statistics —
+    no raw rescan."""
+    folded = (
+        cells.groupBy(*keys).agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sxx").alias("sxx"),
+        )
+        if keys
+        else cells.agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sxx").alias("sxx"),
+        )
+    )
+    return folded.select(
+        *keys,
+        "n",
+        *_moment_stats(F.col("n"), F.col("sx"), F.col("sxx")),
+    )
+
+
+def rolling_moments(
+    cells: DataFrame,
+    *,
+    window_days: int,
+    date_col: str = "event_date",
+    materialize: bool = True,
+) -> DataFrame:
+    """Trailing ``window_days``-day mean/variance/stddev per window end,
+    ENTIRELY from per-day moment state (calendar²-bounded window sums of
+    exact DECIMAL cells — the volatility dashboard that would otherwise
+    rescan raw rows once per window). Same ramp-up-head contract as the
+    sibling rolling faces (n_days reports coverage); ``materialize``
+    follows the measured rule (two branches consume the state)."""
+    if materialize:
+        cells = cells.localCheckpoint(eager=True)
+    days = cells.select(date_col).distinct()
+    lo = F.date_sub(F.col(f"d.{date_col}"), window_days - 1)
+    in_win = (F.col(f"s.{date_col}") <= F.col(f"d.{date_col}")) & (
+        F.col(f"s.{date_col}") >= lo
+    )
+    win = (
+        days.alias("d")
+        .join(cells.alias("s"), in_win)
+        .groupBy(F.col(f"d.{date_col}").alias("window_end"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("s.n").cast("long").alias("n"),
+            F.sum("s.sx").alias("sx"),
+            F.sum("s.sxx").alias("sxx"),
+        )
+    )
+    return win.select(
+        "window_end",
+        "n_days",
+        "n",
+        *_moment_stats(F.col("n"), F.col("sx"), F.col("sxx")),
     )

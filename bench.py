@@ -263,6 +263,8 @@ HEADLINE = (
     # routing + single-scan per-rule audit (operators/expectations)
     "dq_quarantine",
     "dq_report",
+    # round 12: mergeable moment state (rolling price volatility)
+    "rolling_volatility",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -197,3 +197,56 @@ def test_replay_equals_one_shot(spark):
     one = _rows(mart_state.kpi_cells(ev, []), "event_date")
     batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
     assert _rows(replay_kpi(batches, []), "event_date") == one
+
+
+def test_moment_cells_fold_equals_one_shot_and_brute(spark):
+    """Moment fold law + statistics: per-day cells folded equal the
+    one-shot sums, the statistics match a float brute force, and the
+    exact DECIMAL state is layout-invariant."""
+    import math
+
+    ev = _events(spark).filter(F.col("price").isNotNull())
+    cells = mart_state.moment_cells(ev, [], "price")
+    read = mart_state.moment_read(cells, []).first()
+    vals = [round(r[0], 2) for r in ev.select("price").collect()]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mean * mean
+    assert read.n == n
+    assert abs(read.mean - mean) < 1e-6
+    assert abs(read.variance - var) < 1e-4
+    assert abs(read.stddev - math.sqrt(max(var, 0.0))) < 1e-4
+    relaid = mart_state.moment_read(
+        mart_state.moment_cells(ev.repartition(13), [], "price"), []
+    ).first()
+    assert tuple(relaid) == tuple(read)
+
+
+def test_rolling_moments_equal_brute(spark):
+    """rolling_moments' window statistics equal recomputing each
+    trailing window straight from raw purchase prices."""
+    ev = _events(spark).filter(F.col("event_type") == "purchase")
+    cells = mart_state.moment_cells(ev, [], "price")
+    roll = {
+        r["window_end"]: r
+        for r in mart_state.rolling_moments(
+            cells, window_days=7
+        ).collect()
+    }
+    for d in sorted(roll)[::9]:
+        vals = [
+            round(r[0], 2)
+            for r in ev.filter(
+                (F.col("event_date") <= F.lit(d))
+                & (F.col("event_date") >= F.date_sub(F.lit(d), 6))
+                & F.col("price").isNotNull()
+            )
+            .select("price")
+            .collect()
+        ]
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum(v * v for v in vals) / n - mean * mean
+        assert roll[d]["n"] == n
+        assert abs(roll[d]["mean"] - mean) < 1e-6
+        assert abs(roll[d]["variance"] - var) < 1e-4
