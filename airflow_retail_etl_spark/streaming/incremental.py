@@ -692,3 +692,36 @@ def replay_kpi(
         )
         cells = c if cells is None else cells.unionByName(c)
     return mart_state.kpi_fold(cells, [*keys, date_col])
+
+
+def fold_moment_batch(
+    batch: DataFrame,
+    state_path: str,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    batch_id: int,
+    date_col: str = "event_date",
+    dp: int = 2,
+) -> None:
+    """Fold one micro-batch into a persisted moment-cell store — the
+    streaming face of ``mart_state.moment_cells`` (univariate
+    statistics from (n, Σx, Σx²) state). Moment sums are LINEAR, so
+    replay safety is the :func:`fold_cms_batch` / :func:`fold_kpi_batch`
+    pattern: per-``batch_id`` dynamic partition OVERWRITE (cells are a
+    pure function of the batch — redelivery rewrites identical rows).
+    Read statistics any time via ``mart_state.moment_read`` over the
+    store folded across batch partitions — exact, so stream ≡ batch."""
+    from airflow_retail_etl_spark.operators import mart_state
+
+    cells = mart_state.moment_cells(
+        batch, list(keys), value_col, date_col=date_col, dp=dp
+    )
+    (
+        cells.withColumn("batch_id", F.lit(int(batch_id)))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(state_path)
+    )

@@ -250,3 +250,32 @@ def test_rolling_moments_equal_brute(spark):
         assert roll[d]["n"] == n
         assert abs(roll[d]["mean"] - mean) < 1e-6
         assert abs(roll[d]["variance"] - var) < 1e-4
+
+
+def test_fold_moment_batch_redelivery_noop(spark, tmp_path):
+    """Streaming moment fold under at-least-once delivery: re-folding a
+    delivered batch rewrites its own partition with identical cells."""
+    from airflow_retail_etl_spark.streaming.incremental import (
+        fold_moment_batch,
+    )
+
+    ev = _events(spark).filter(F.col("event_type") == "purchase")
+    store = str(tmp_path / "moment_state")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        fold_moment_batch(b, store, [], "price", batch_id=i)
+    read = lambda: tuple(  # noqa: E731
+        mart_state.moment_read(
+            spark.read.parquet(store).drop("batch_id"), []
+        ).first()
+    )
+    once = read()
+    fold_moment_batch(batches[1], store, [], "price", batch_id=1)
+    assert read() == once
+    # stream == batch: folded store equals the one-shot statistics
+    one_shot = tuple(
+        mart_state.moment_read(
+            mart_state.moment_cells(ev, [], "price"), []
+        ).first()
+    )
+    assert once == one_shot
