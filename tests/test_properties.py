@@ -405,3 +405,54 @@ def test_grouped_cms_prune_is_lossless_per_group(spark, pairs):
     }
     want = {gv: n for gv, n in exact.items() if n >= 2}
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # day index
+            st.sampled_from(["view", "cart", "purchase", "other"]),
+            st.integers(-1000, 100000),             # price in cents
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 5),                              # number of splits
+)
+def test_kpi_cell_fold_law_on_random_events(spark, rows, n_splits):
+    """mart_state's linear fold law under random data and random
+    batching: cells built from ANY disjoint split of the events, union
+    folded, equal the one-shot grain aggregate — and the fold is
+    grouping-path independent (fold(day grain) ≡ direct total)."""
+    import datetime
+
+    from airflow_retail_etl_spark.operators import mart_state
+
+    data = [
+        (
+            i,
+            datetime.date(2024, 1, 1 + d),
+            t,
+            c / 100.0,
+        )
+        for i, (d, t, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, event_date date, event_type string, price double"
+    )
+    one_shot = mart_state.kpi_fold(mart_state.kpi_cells(df, []), [])
+    parts = [
+        mart_state.kpi_cells(df.filter(F.col("event_id") % n_splits == i), [])
+        for i in range(n_splits)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    refolded = mart_state.kpi_fold(u, [])
+    a, b = one_shot.first(), refolded.first()
+    assert tuple(a) == tuple(b)
+    exp_purch = sum(1 for d, t, c in rows if t == "purchase")
+    exp_rev = sum(c for d, t, c in rows if t == "purchase") / 100.0
+    assert a["purchases"] == exp_purch
+    assert float(a["revenue_cents"]) == exp_rev
