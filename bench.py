@@ -851,6 +851,18 @@ def _flag_regressions(
 #: plan-simple queries whose own history is long
 CANARY_CANDIDATES = ("fact_rollup", "dim_user", "staging_clean")
 
+#: Allocation-heavy zero-shuffle leaf queries whose in-bench readings
+#: carry JVM GC debt BY DESIGN (SCALE.md "multimodal_decode closure",
+#: round-13 extension): dozens of prior queries leave allocation debt
+#: that inflates the next Arrow/HOF-dense window, and the isolated
+#: pretouched-JVM probe is the authoritative number. When one of these
+#: is flagged with a clean canary, the flag gets `gc_debt_suspect` plus
+#: the exact probe command — run it, then annotate the ledger entry
+#: with `isolated_recheck` (as rounds 12-13 did for both members).
+#: Extend this set only after an isolated probe adjudicates a new
+#: member; it is a routing hint, not an excuse list.
+GC_DEBT_CLASS = frozenset({"multimodal_decode", "bpe_tokenize"})
+
 #: canary inflation bar: laxer than the 1.5× flag bar — a session-wide
 #: slowdown inflates everything a little, not one query a lot
 CANARY_SUSPECT_RATIO = 1.3
@@ -917,8 +929,17 @@ def _append_history(record: dict) -> tuple[dict, dict]:
             else "reproduced_canary_clean"
         )
         for regs in (regressions, vs_prev_round):
-            for d in regs.values():
+            for name, d in regs.items():
                 d["verdict"] = verdict
+                # GC-debt protocol (round 13): a clean-canary flag on an
+                # allocation-heavy zero-shuffle leaf is routed straight
+                # to the isolated probe instead of waiting for a judge.
+                if verdict == "reproduced_canary_clean" and name in GC_DEBT_CLASS:
+                    d["gc_debt_suspect"] = True
+                    d["adjudicate_with"] = (
+                        f"python tools/isolated_probe.py {name} "
+                        f"/root/testdata/sf{record['sf']} --twice"
+                    )
     with open(path, "a") as fh:
         fh.write(
             json.dumps(
