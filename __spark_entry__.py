@@ -1543,7 +1543,9 @@ def q_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
             F.round(
                 (F.col("unique_users_est") - F.col("exact_users"))
-                / F.col("exact_users"),
+                / F.nullif(
+                    F.col("exact_users").cast("double"), F.lit(0.0)
+                ),
                 6,
             ).alias("rel_err"),
         )
@@ -6852,15 +6854,17 @@ def _incremental_mart_sql(p: int) -> str:
         FROM joined GROUP BY 1
     )
     SELECT a.brand, a.views, a.carts, a.purchases, a.revenue, a.n_events,
-           h.estimate AS unique_users_est,
+           COALESCE(h.estimate, 0) AS unique_users_est,
            ROUND(CAST(a.carts AS DOUBLE) / NULLIF(a.views, 0), 6)
                AS cart_rate,
            ROUND(CAST(a.purchases AS DOUBLE) / NULLIF(a.views, 0), 6)
                AS purchase_rate,
            ex.exact_users,
-           ROUND((h.estimate - CAST(ex.exact_users AS DOUBLE))
-                 / CAST(ex.exact_users AS DOUBLE), 6) AS rel_err
-    FROM addagg a JOIN hll h USING (brand) JOIN ex USING (brand)
+           ROUND((COALESCE(h.estimate, 0)
+                  - CAST(ex.exact_users AS DOUBLE))
+                 / NULLIF(CAST(ex.exact_users AS DOUBLE), 0), 6)
+               AS rel_err
+    FROM addagg a LEFT JOIN hll h USING (brand) JOIN ex USING (brand)
     ORDER BY brand
     """
     )
@@ -6914,12 +6918,12 @@ def _rolling_mart_sql(p: int, window: int) -> str:
     ), {_hll_est_tail_sql(p, 'window_end')}
     SELECT w.window_end, w.n_days, w.views, w.carts, w.purchases,
            w.revenue, w.n_events,
-           h.estimate AS unique_users_est,
+           COALESCE(h.estimate, 0) AS unique_users_est,
            ROUND(CAST(w.carts AS DOUBLE) / NULLIF(w.views, 0), 6)
                AS cart_rate,
            ROUND(CAST(w.purchases AS DOUBLE) / NULLIF(w.views, 0), 6)
                AS purchase_rate
-    FROM win_add w JOIN hll h ON h.window_end = w.window_end
+    FROM win_add w LEFT JOIN hll h ON h.window_end = w.window_end
     ORDER BY w.window_end
     """
     )

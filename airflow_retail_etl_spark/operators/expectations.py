@@ -30,6 +30,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -38,6 +39,37 @@ from pyspark.sql import functions as F
 
 #: the annotation column added by apply_expectations
 VIOLATIONS_COL = "dq_violations"
+
+#: rule names double as SQL identifiers (aggregate aliases and stack()
+#: literals in expectation_report) — restrict them up front
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+#: report-internal column names a rule must not shadow
+_RESERVED_NAMES = frozenset({"_total", "_rows"})
+
+
+def _validate_rules(rules: Sequence["Expectation"], fn: str) -> None:
+    """Shared rule-list validation (round-12 advice): names are
+    interpolated unescaped into ``expectation_report``'s ``stack()``
+    string and used as aggregate aliases, so a non-identifier breaks
+    parsing and ``_total``/``_rows`` silently collide with the report's
+    internal columns. Fail fast with the offending name instead."""
+    if not rules:
+        raise ValueError(f"{fn}: empty rule list")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+    for n in names:
+        if not _NAME_RE.match(n):
+            raise ValueError(
+                f"{fn}: rule name {n!r} is not a valid identifier "
+                "(must match ^[A-Za-z_][A-Za-z0-9_]*$)"
+            )
+        if n in _RESERVED_NAMES:
+            raise ValueError(
+                f"{fn}: rule name {n!r} is reserved for report-internal "
+                "columns"
+            )
 
 
 @dataclass(frozen=True)
@@ -69,11 +101,7 @@ def apply_expectations(
     rules it violates (empty string = clean row). A pure projection:
     one array literal of conditional names, compacted and joined —
     whole-stage codegen, no shuffle, no Python."""
-    if not rules:
-        raise ValueError("apply_expectations: empty rule list")
-    names = [r.name for r in rules]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate expectation names: {names}")
+    _validate_rules(rules, "apply_expectations")
     tagged = F.array(
         *[F.when(~_passes(r), F.lit(r.name)) for r in rules]
     )
@@ -106,8 +134,7 @@ def expectation_report(
     rows, violation_rate) + a ``_total`` row counting rows that violate
     ANY rule. Rates are one exact-integer division rounded to
     ``rate_dp`` before publication (the ratio policy)."""
-    if not rules:
-        raise ValueError("expectation_report: empty rule list")
+    _validate_rules(rules, "expectation_report")
     aggs = [
         F.sum(F.when(~_passes(r), 1).otherwise(0))
         .cast("long")

@@ -151,7 +151,12 @@ def kpi_read(
     est = cardinality.hll_fold(merged, list(keys), p=p).select(
         *keys, F.col("estimate").alias("unique_users_est")
     )
-    joined = add.join(est, list(keys)) if keys else add.crossJoin(
+    # LEFT join (round-12 advice): a grain whose rows all carry NULL
+    # user_id has cells but no registers — an inner join would silently
+    # drop its views/revenue from the mart. Estimate defaults to 0.0
+    # (the HLL of an empty user set); the oracle twins mirror the LEFT
+    # JOIN + COALESCE so the contract stays cross-engine exact.
+    joined = add.join(est, list(keys), "left") if keys else add.crossJoin(
         F.broadcast(est)
     )
     return joined.select(
@@ -161,7 +166,9 @@ def kpi_read(
         "purchases",
         F.col("revenue_cents").cast("double").alias("revenue"),
         "n_events",
-        "unique_users_est",
+        F.coalesce("unique_users_est", F.lit(0.0)).alias(
+            "unique_users_est"
+        ),
         F.round(
             safe_ratio(F.col("carts").cast("double"), F.col("views")),
             rate_dp,
@@ -239,7 +246,9 @@ def rolling_kpis(
     est = cardinality.hll_fold(win_regs, ["window_end"], p=p).select(
         "window_end", F.col("estimate").alias("unique_users_est")
     )
-    return win_add.join(est, "window_end").select(
+    # LEFT join for the same reason as kpi_read: a window whose days
+    # carry no registers (all-NULL users) must keep its additive KPIs.
+    return win_add.join(est, "window_end", "left").select(
         "window_end",
         "n_days",
         "views",
@@ -247,7 +256,9 @@ def rolling_kpis(
         "purchases",
         F.col("revenue_cents").cast("double").alias("revenue"),
         "n_events",
-        "unique_users_est",
+        F.coalesce("unique_users_est", F.lit(0.0)).alias(
+            "unique_users_est"
+        ),
         F.round(
             safe_ratio(F.col("carts").cast("double"), F.col("views")),
             rate_dp,

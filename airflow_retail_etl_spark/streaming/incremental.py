@@ -34,6 +34,15 @@ from airflow_retail_etl_spark.operators.scd import (
 )
 
 
+def _require_batches(batches: Sequence[DataFrame], fn: str) -> None:
+    """Fail fast on an empty replay. Every ``replay_*`` helper folds
+    with a ``None``-seeded accumulator; zero batches would otherwise
+    surface as an ``AttributeError`` deep inside the state fold instead
+    of naming the actual mistake (round-12 advice)."""
+    if not batches:
+        raise ValueError(f"{fn}: empty batches — nothing to replay")
+
+
 def _read_history(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
@@ -266,6 +275,7 @@ def replay_admission(
     the gap widens with batch count).
     Returns the admitted union in arrival order.
     """
+    _require_batches(batches, "replay_admission")
     from airflow_retail_etl_spark.operators import dedup
 
     first = batches[0]
@@ -398,6 +408,7 @@ def replay_sketch(
     one-shot sketch of the concatenated input — which is what the
     oracle computes, certifying stream ≡ batch cross-engine. Returns
     the hll_fold row of the final state."""
+    _require_batches(batches, "replay_sketch")
     from airflow_retail_etl_spark.operators import cardinality
 
     merged: DataFrame | None = None
@@ -466,6 +477,7 @@ def replay_cms(
     ``cms_build`` of the concatenated input — which is what the oracle
     computes, certifying stream ≡ batch cross-engine. Returns the
     one-row (counters, width, depth) probe form."""
+    _require_batches(batches, "replay_cms")
     from airflow_retail_etl_spark.operators import frequency
 
     spark = batches[0].sparkSession
@@ -534,6 +546,7 @@ def replay_qsketch(
     BIT-IDENTICAL to the one-shot form — which is what the oracle
     computes, certifying stream ≡ batch cross-engine. Returns the
     (q, lvl_used, n_kept, quantile) estimate rows."""
+    _require_batches(batches, "replay_qsketch")
     from airflow_retail_etl_spark.operators import qsketch
 
     state: DataFrame | None = None
@@ -592,6 +605,7 @@ def replay_sample(
     the oracle computes, certifying stream ≡ batch cross-engine.
     Returns the sample_read rows (rk, v, n_kept, threshold, estimate)
     of the final state."""
+    _require_batches(batches, "replay_sample")
     from airflow_retail_etl_spark.operators import sampling
 
     state: DataFrame | None = None
@@ -676,6 +690,7 @@ def replay_kpi(
     concatenated input — which is what the oracle computes, certifying
     stream ≡ batch cross-engine. Returns cells folded to
     ``keys + [date_col]`` grain (the mart's state grain)."""
+    _require_batches(batches, "replay_kpi")
     from airflow_retail_etl_spark.operators import mart_state
 
     cells: DataFrame | None = None

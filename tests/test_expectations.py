@@ -107,3 +107,17 @@ def test_uniqueness_violations(spark):
         (3, 3),
         (3, 3),
     ]
+
+
+def test_rule_name_validation(spark):
+    """Rule names ride into stack() SQL and aggregate aliases unescaped
+    — non-identifiers and the report-internal names are rejected up
+    front (round-12 advice)."""
+    f = _frame(spark)
+    with pytest.raises(ValueError, match="not a valid identifier"):
+        dq.apply_expectations(f, [dq.expect("bad name", "1=1")])
+    with pytest.raises(ValueError, match="not a valid identifier"):
+        dq.expectation_report(f, [dq.expect("x'); drop", "1=1")])
+    for reserved in ("_total", "_rows"):
+        with pytest.raises(ValueError, match="reserved"):
+            dq.expectation_report(f, [dq.expect(reserved, "1=1")])
