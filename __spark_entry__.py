@@ -5231,8 +5231,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     plus the NEW round-12 expectations module (declarative row
     contracts + quarantine + single-scan audit): dq_quarantine
     (replaces sessionize, driver-green r5-r11), with dq_report just
-    past the prefix — and tests/test_entry_contract.py enforces
-    per-module representation.
+    past the prefix — and rotated in round 13 per the one-round-lag
+    protocol so every round-12 past-prefix face gets external
+    verification: streaming_sample (replaces corpus_overlap_kmv,
+    driver-green r11+r12 — the KMV estimates stay in-window via
+    sample_read), streaming_quantiles (replaces grouped_quantiles,
+    driver-green r10-r12), rolling_mart (replaces its sibling
+    incremental_mart, driver-green r12, identical cell/register
+    machinery), rolling_volatility (replaces leakage_safe_split,
+    driver-green many rounds), and dq_report (replaces
+    incremental_dedup, driver-green r8-r12 — the banded incremental
+    engine stays in-window via streaming_admission), leaving
+    streaming_mart as the round-13 past-prefix face to rotate in next
+    — and tests/test_entry_contract.py enforces per-module
+    representation.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5334,21 +5346,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verify; heavy_hitters_by_lang (driver-green r11) rotates just
         # past the prefix under the identical cell machinery
         "rolling_heavy_hitters": q_rolling_heavy_hitters,
-        # corpus_overlap_kmv (rotated in round 11) reps the KMV
-        # order-statistics face of the sketch family (join-free
-        # set-overlap estimates + exact audit); global_quantiles —
-        # driver-green in rounds 9 AND 10 — rotates just past the
-        # prefix, its rank-arithmetic prefix-sum machinery staying
-        # in-window via corpus_budget (global_cumsum) and
-        # corpus_shuffle's shuffle positions
-        "corpus_overlap_kmv": q_corpus_overlap,
-        # grouped_quantiles (rotated in round 12) reps the round-11
-        # grouped exact rank arithmetic — per-group value-grain
-        # cumulative windows + broadcast target-rank joins, no per-group
-        # value buffers; snapshot_diff (driver-green r10 AND r11)
-        # rotates just past the prefix, the profile module staying
-        # in-window via table_profile
-        "grouped_quantiles": q_grouped_quantiles,
+        # streaming_sample (rotated in round 13 per the one-round-lag
+        # protocol) is the stream ≡ batch certificate of the sample
+        # face: fold_sample_batch's idempotent bottom-k merge replayed
+        # as DataFrames against the one-shot oracle — and its
+        # sample_read carries the KMV distinct estimate, keeping the
+        # KMV order-statistics machinery in-window after
+        # corpus_overlap_kmv (driver-green r11 AND r12) rotates just
+        # past the prefix
+        "streaming_sample": q_streaming_sample,
+        # streaming_quantiles (rotated in round 13) is the stream ≡
+        # batch certificate of the qsketch face: per-micro-batch level-
+        # sample folds re-thresholded to cap, bit-identical to the
+        # one-shot sketch by the merge law; grouped_quantiles
+        # (driver-green r10-r12) rotates just past the prefix, its
+        # rank-arithmetic machinery staying in-window via corpus_budget
+        # (global_cumsum) and rolling_quantiles' target-rank joins
+        "streaming_quantiles": q_streaming_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
@@ -5377,22 +5391,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # module keeps tfidf_keywords in-prefix, and unigram_score (same
         # token/model machinery, LM-scoring face) moves just past it
         "bm25_search": q_bm25_search,
-        "incremental_dedup": q_incremental_dedup,
+        # dq_report (rotated in round 13): the single-scan per-rule
+        # audit face of the expectations module (conditional SUM per
+        # rule + constant-size unpivot — one aggregation-only pass);
+        # incremental_dedup (driver-green r8 through r12) rotates just
+        # past the prefix — the banded-MinHash incremental machinery
+        # stays in-window via streaming_admission, which replays the
+        # IDENTICAL incremental_lsh_dedup engine per batch
+        "dq_report": q_dq_report,
         # multi-batch face of incremental dedup (the foreachBatch sink's
         # per-batch logic, replayed): its own family representative
         "streaming_admission": q_streaming_admission,
-        # incremental_mart (NEW module in round 12 — new modules enter
-        # the prefix the round they land) reps operators/mart_state: the
-        # sketch-state architecture generalized to exact relational KPIs
-        # (per-(brand, day) additive DECIMAL cells with a linear fold +
-        # HLL user registers with an idempotent merge; mart reads fold
-        # state, never rescan raw events — the incremental answer to the
-        # reference's recompute-from-scratch marts). corpus_shuffle
-        # (driver-green r8 through r11) rotates just past the prefix —
-        # its reproducible-draw machinery stays in-window via
-        # decontam_excise (hash_sample), leakage_safe_split (hash_split
-        # on the same md5 draw), and corpus_budget's global_cumsum
-        "incremental_mart": q_incremental_mart,
+        # rolling_mart (rotated in round 13 per the one-round-lag
+        # protocol) reps operators/mart_state with the pure state-read
+        # trailing dashboard: per-day additive DECIMAL cells summed
+        # linearly per window + per-day HLL registers MAX-merged —
+        # calendar²-bounded joins, never a raw-event rescan (and its
+        # register fold keeps the cardinality module in-window);
+        # incremental_mart (driver-green r12) rotates just past the
+        # prefix under the identical cell/register machinery
+        "rolling_mart": q_rolling_mart,
         "pack_sequences": q_pack_sequences,
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
@@ -5413,20 +5431,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its cluster resolution
         "span_excise": q_span_excise,
         "dedup_resolve": q_dedup_resolve,
-        # leakage_safe_split (rotated in round 12) reps the round-11
-        # cluster-keyed train/val/test assignment (hash_split on dup-
-        # CLUSTER ids so near-duplicates never straddle splits — the
-        # eval-leakage fix, composing dedup clustering with the sampling
-        # md5 draw); winnow_pairs (driver-green many rounds) rotates
-        # just past the prefix — detection-only winnowing's fingerprint
-        # machinery stays in-window via span_excise's anchor grams and
-        # the banded families
-        "leakage_safe_split": q_leakage_safe_split,
+        # rolling_volatility (rotated in round 13): the univariate-
+        # statistics member of the mart-state family — exact DECIMAL
+        # (n, Σx, Σx²) moment cells, calendar-bounded window merges,
+        # brand_price_corr's fixed-order double formulas;
+        # leakage_safe_split (driver-green many rounds + r12) rotates
+        # just past the prefix — its cluster-keyed hash_split machinery
+        # stays in-window via decontam_excise (the same md5 draw) and
+        # dedup_resolve's cluster ids
+        "rolling_volatility": q_rolling_volatility,
         # the banded-MinHash machinery (signatures, band buckets, exact
-        # verify) is repped in-window by incremental_dedup AND
-        # streaming_admission, which run the identical engine
-        # incrementally; the one-shot minhash_lsh_pairs rotates just past
-        # the prefix
+        # verify) is repped in-window by streaming_admission, which runs
+        # the identical engine incrementally per batch; the one-shot
+        # minhash_lsh_pairs (and incremental_dedup, its single-shot
+        # incremental face) rotate just past the prefix
         # the SimHash pigeonhole-Hamming family is repped in-window by
         # image_neardup, which runs the IDENTICAL dedup.simhash_pairs
         # machinery over dHash signatures; the text-side simhash_pairs
@@ -5461,31 +5479,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and doc_mass_by_lang): bloom_decontam, edit_neardup
         "bloom_decontam": q_bloom_decontam,
         "edit_neardup": q_edit_neardup,
-        # streaming_sample: the stream ≡ batch certificate of the NEW
-        # sample face (fold_sample_batch's idempotent bottom-k merge,
-        # replayed as DataFrames against the one-shot oracle) — lands
-        # past the prefix this round and rotates in next round per the
-        # one-round-lag protocol, its sampling/incremental machinery
-        # already in-window via rolling_sample + streaming_admission
-        "streaming_sample": q_streaming_sample,
-        # the mart-state faces past the prefix (incremental_mart holds
-        # the module's in-window slot): rolling_mart is the pure
-        # state-read trailing dashboard (additive window sums + register
-        # merges), streaming_mart the stream ≡ batch certificate of the
-        # linear cell fold (fold_kpi_batch replayed as DataFrames) —
-        # both rotate in per the one-round-lag protocol
-        "rolling_mart": q_rolling_mart,
+        # streaming_mart: the stream ≡ batch certificate of the linear
+        # KPI cell fold (fold_kpi_batch replayed as DataFrames) —
+        # rolling_mart holds the mart-state in-window slot since round
+        # 13; this face rotates in next per the one-round-lag protocol
         "streaming_mart": q_streaming_mart,
-        # rolling_volatility: the univariate-statistics member of the
-        # mart-state family (exact DECIMAL (n, Σx, Σx²) cells, window
-        # merges, brand_price_corr's fixed-order double formulas)
-        "rolling_volatility": q_rolling_volatility,
-        # dq_report: the single-scan per-rule audit face of the NEW
-        # expectations module (dq_quarantine holds the in-window slot);
-        # sessionize rotated out in round 12 for dq_quarantine
-        # (driver-green r5-r11; gap-window machinery in-window via
-        # scd2_user_status + asof_join)
-        "dq_report": q_dq_report,
+        # rotated just past the prefix in round 13 (see inline notes at
+        # their replacements' slots — machinery stays in-window and the
+        # oracle still checks them every round):
+        # incremental_dedup (driver-green r8-r12; banded incremental
+        # engine in-window via streaming_admission)
+        "incremental_dedup": q_incremental_dedup,
+        # incremental_mart (driver-green r12; cell/register machinery
+        # in-window via rolling_mart)
+        "incremental_mart": q_incremental_mart,
+        # corpus_overlap_kmv (driver-green r11+r12; KMV order statistics
+        # in-window via streaming_sample's sample_read estimates)
+        "corpus_overlap_kmv": q_corpus_overlap,
+        # grouped_quantiles (driver-green r10-r12; rank arithmetic
+        # in-window via corpus_budget + rolling_quantiles)
+        "grouped_quantiles": q_grouped_quantiles,
+        # leakage_safe_split (driver-green many rounds; hash_split draw
+        # in-window via decontam_excise + dedup_resolve clusters)
+        "leakage_safe_split": q_leakage_safe_split,
         "sessionize": q_sessionize,
         # corpus_shuffle rotated out in round 12 for incremental_mart
         # (driver-green r8-r11; reproducible-draw machinery in-window
@@ -5529,12 +5545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_quantiles": q_global_quantiles,
         # round 12: one-shot face of the qsketch module (adaptive
         # Bernoulli level sample + exact rank audit; the mergeable state
-        # machinery is in-prefix via rolling_quantiles)
+        # machinery is in-prefix via rolling_quantiles, the streaming
+        # fold via streaming_quantiles since round 13)
         "quantile_sketch": q_quantile_sketch,
-        # round 12: streaming quantile state — per-micro-batch level-
-        # sample folds re-thresholded to cap; stream ≡ batch certified
-        # by the one-shot oracle (the qsketch merge law)
-        "streaming_quantiles": q_streaming_quantiles,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
