@@ -296,14 +296,27 @@ def _production_sketches():
         return dedup.simhash_pairs(dedup.simhash(docs, "text", "doc_id"))
 
     def ann_ivf_prod(spark, sf_dir):
-        # approximate config (the graded query probes ALL cells to be
-        # oracle-checkable; production probes a fraction)
+        # the SCALED configuration (round-13 verdict item 3): the graded
+        # query probes ALL of 16 cells to be oracle-checkable, which is
+        # brute force — pairs grow quadratically with a ∝-corpus query
+        # set (component probe: pair_sim 0.59 → 5.03 s across the
+        # sf0.1→1 decade on 100× the pairs; SCALE.md similarity
+        # section). Production follows SCALE.md's own rule — n_cells ≈
+        # √n so cell size stays ~√n — with the default n_probe=4 budget,
+        # making scanned/query ∝ √n·n_probe (the N^1.5 IVF law, ~3×
+        # per-query per decade) instead of ∝ n. Recall at this operating
+        # point is corpus-dependent: re-derive n_probe per corpus with
+        # ivf_recall_report (on the isotropic testdata the frontier is
+        # linear — recall ≈ scan fraction — so ANY partial probe trades
+        # recall proportionally; a real clustered corpus has a knee).
         from airflow_retail_etl_spark.operators import similarity
 
         emb = load_table(spark, sf_dir, "embeddings")
+        n_cells = max(16, int(round(emb.count() ** 0.5)))
         queries_df = emb.filter("vec_id % 50 = 0")
         return similarity.ivf_topk(
-            emb, queries_df, k=10, n_cells=16, n_probe=12, fit_fraction=0.5
+            emb, queries_df, k=10, n_cells=n_cells, n_probe=4,
+            fit_fraction=0.5,
         )
 
     def streaming_admission_prod(spark, sf_dir):
