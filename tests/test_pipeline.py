@@ -274,3 +274,85 @@ def test_build_dims_incremental_snapshots(spark, cfg):
     # accumulated (user, session) pairs across both days: day-1 {1,2,3}
     # plus day-2's new user 4 (user 1's pair is unchanged → no dup)
     assert users.count() == 4
+
+
+def test_snapshot_pointer_is_authoritative_and_falls_back(spark, cfg):
+    """O(1) previous-snapshot discovery (round-13): the merge base
+    comes from the _snapshot_dts.json pointer, not a partition scan;
+    with the pointer gone, the physical listing takes over and the next
+    write rebuilds the file. Pointer authority is proven by doctoring
+    it: omitting a physically-present snapshot must change the chosen
+    merge base — a directory listing would not notice."""
+    import json
+    import pathlib
+
+    from airflow_retail_etl_spark.pipeline import (
+        build_dims_incremental,
+        read_snapshot_dts,
+        write_snapshot_dts,
+    )
+
+    build_dims_incremental(spark, cfg, "2019-10-01")
+    build_dims_incremental(spark, cfg, "2019-10-02")
+    path = f"{cfg.warehouse_root}/dim_product_scd"
+    assert read_snapshot_dts(spark, path) == ["2019-10-01", "2019-10-02"]
+
+    # doctor the pointer (through the API — the local Hadoop FS keeps a
+    # .crc sidecar, so an out-of-band edit reads as corrupt, which is
+    # the FALLBACK path, tested below) to hide day 2: day 3 must merge
+    # against day 1 — pointer authority, no physical re-listing
+    write_snapshot_dts(spark, path, ["2019-10-01"])
+    build_dims_incremental(spark, cfg, "2019-10-03")
+    d3 = spark.read.parquet(path).filter(F.col("dt") == "2019-10-03")
+    # day-1 base has products {1, 2}; day-3 staging is empty (no raw
+    # csv for that date), so the merge equals day 1 — product 3 (added
+    # on the hidden day 2) must be ABSENT
+    assert {r["product_id"] for r in d3.collect()} == {1, 2}
+    # the write repaired the pointer with day 3 appended
+    assert read_snapshot_dts(spark, path) == ["2019-10-01", "2019-10-03"]
+
+    # fallback 1: an out-of-band edit fails the local-FS checksum and
+    # reads as corrupt → None (never a wrong list)
+    ptr = pathlib.Path(path) / "_snapshot_dts.json"
+    ptr.write_text(json.dumps({"dts": ["2019-10-01"]}))
+    assert read_snapshot_dts(spark, path) is None
+    # fallback 2: delete the pointer (and its checksum sidecar) → the
+    # physical listing finds ALL snapshots and day 4 merges against the
+    # true latest (day 3, built on the doctored day-1 base → {1, 2});
+    # the write rebuilds the pointer from the full listing
+    ptr.unlink()
+    crc = pathlib.Path(path) / "._snapshot_dts.json.crc"
+    if crc.exists():
+        crc.unlink()
+    assert read_snapshot_dts(spark, path) is None
+    build_dims_incremental(spark, cfg, "2019-10-04")
+    d4 = spark.read.parquet(path).filter(F.col("dt") == "2019-10-04")
+    assert {r["product_id"] for r in d4.collect()} == {1, 2}
+    assert read_snapshot_dts(spark, path) == [
+        "2019-10-01", "2019-10-02", "2019-10-03", "2019-10-04",
+    ]
+
+
+def test_compaction_updates_snapshot_pointer(spark, cfg, tmp_path):
+    """compact_dim_snapshots keeps the pointer consistent with its
+    physical partition drops."""
+    from airflow_retail_etl_spark.pipeline import (
+        build_dims_incremental,
+        compact_dim_snapshots,
+        read_snapshot_dts,
+    )
+
+    for d in ("2019-10-01", "2019-10-02"):
+        build_dims_incremental(spark, cfg, d)
+    res = compact_dim_snapshots(
+        spark, cfg, "dim_user_scd", ["user_id", "user_session"],
+        keep_last=1,
+    )
+    # fixture state is shared across tests — assert shape, not dates:
+    # exactly one (the newest) snapshot survives and the pointer
+    # mirrors the physical drops
+    assert len(res["kept"]) == 1
+    assert res["dropped"] and all(d < res["kept"][0] for d in res["dropped"])
+    assert read_snapshot_dts(
+        spark, f"{cfg.warehouse_root}/dim_user_scd"
+    ) == res["kept"]
