@@ -1632,6 +1632,34 @@ def q_streaming_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_date")
 
 
+def q_streaming_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming moment state, batch-replay form
+    (streaming.incremental.replay_moment — the per-micro-batch
+    (n, Σx, Σx²) cell fold fold_moment_batch runs, minus the parquet
+    store): purchase prices arrive in four batches (event_id % 4 in
+    order), each reduced to per-day DECIMAL moment cells and folded by
+    SUM. Moment sums are exact and linear, so the folded state is
+    BIT-IDENTICAL to the one-shot per-day aggregate of everything
+    delivered — the oracle computes exactly that one-shot and the
+    statistics (mean/variance/stddev as ONE fixed-order IEEE expression
+    each, 6 dp), certifying stream ≡ batch for the univariate-statistics
+    face (the moment twin of streaming_mart's KPI cells); store-backed
+    redelivery idempotence is test-pinned."""
+    from airflow_retail_etl_spark.operators import mart_state
+    from airflow_retail_etl_spark.streaming.incremental import (
+        replay_moment,
+    )
+
+    ev = adapters.staging_events(spark, sf_dir).filter(
+        F.col("event_type") == PURCHASE
+    )
+    batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    folded = replay_moment(batches, [], "price")
+    return mart_state.moment_read(folded, ["event_date"]).orderBy(
+        "event_date"
+    )
+
+
 #: the events-table row contract shared by the dq_* queries and their
 #: oracles (the reference's implicit dropna/fillna contract made
 #: explicit — retail_pipeline_assets.py:41-47). Each predicate is ONE
@@ -5484,6 +5512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling_mart holds the mart-state in-window slot since round
         # 13; this face rotates in next per the one-round-lag protocol
         "streaming_mart": q_streaming_mart,
+        # streaming_volatility (NEW in round 13): the moment-cell twin
+        # of streaming_mart — replay_moment completes the stream ≡
+        # batch replay set (every mergeable state face now has both a
+        # store fold and a DataFrame replay); rotates in next round
+        "streaming_volatility": q_streaming_volatility,
         # rotated just past the prefix in round 13 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -6830,6 +6863,38 @@ def _rolling_volatility_sql(window: int) -> str:
            ROUND({var}, 6) AS variance,
            ROUND(sqrt({var}), 6) AS stddev
     FROM win ORDER BY window_end
+    """
+    )
+
+
+def _streaming_volatility_sql() -> str:
+    """DuckDB twin of q_streaming_volatility: the one-shot per-day
+    moment statistics (≡ the four-batch cell fold — DECIMAL moment sums
+    are exact and linear under any grouping), same fixed-order double
+    expressions as the rolling face."""
+    var = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    )
+    return (
+        _STAGING_CTE
+        + f"""
+    , px AS (
+        SELECT event_date, CAST(ROUND(price, 2) AS DECIMAL(18,2)) AS x
+        FROM staging
+        WHERE event_type = '{PURCHASE}' AND price IS NOT NULL
+    ), cells AS (
+        SELECT event_date, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx,
+               SUM(CAST(x * x AS DECIMAL(32,4))) AS sxx
+        FROM px GROUP BY 1
+    )
+    SELECT event_date, n,
+           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           ROUND({var}, 6) AS variance,
+           ROUND(sqrt({var}), 6) AS stddev
+    FROM cells ORDER BY event_date
     """
     )
 
@@ -8638,6 +8703,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_report": _dq_report_sql(),
         "rolling_mart": _rolling_mart_sql(_MART_P, _ROLL_WINDOW),
         "rolling_volatility": _rolling_volatility_sql(_ROLL_WINDOW),
+        "streaming_volatility": _streaming_volatility_sql(),
         # the one-shot daily aggregate — what the linear cell fold must
         # equal bit-for-bit (stream ≡ batch certificate)
         "streaming_mart": _STAGING_CTE

@@ -315,6 +315,26 @@ def _moment_stats(n: Column, sx: Column, sxx: Column) -> list[Column]:
     ]
 
 
+def moment_fold(
+    cells: DataFrame, group_keys: Sequence[str], *, dp: int = 2
+) -> DataFrame:
+    """Merge moment cells to ``group_keys`` grain — the linear fold,
+    the :func:`kpi_fold` twin for (n, Σx, Σx²) state. Exact DECIMAL
+    sums make the fold bit-identical to the one-shot aggregate under
+    any grouping/order; results are cast back to the cell column types
+    so folds compose (re-folding folded cells is a no-op type-wise —
+    an overflow would be an explicit ANSI error, same posture as the
+    cent cells)."""
+    aggs = [
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast(f"decimal(28,{dp})").alias("sx"),
+        F.sum("sxx").cast(f"decimal(32,{2 * dp})").alias("sxx"),
+    ]
+    if group_keys:
+        return cells.groupBy(*group_keys).agg(*aggs)
+    return cells.agg(*aggs)
+
+
 def moment_read(
     cells: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -709,6 +709,36 @@ def replay_kpi(
     return mart_state.kpi_fold(cells, [*keys, date_col])
 
 
+def replay_moment(
+    batches: Sequence[DataFrame],
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    date_col: str = "event_date",
+    dp: int = 2,
+) -> DataFrame:
+    """Replay ordered batches through the moment-cell fold entirely as
+    DataFrames — the batch face of :func:`fold_moment_batch` (the
+    partitioned parquet store replaced by a union of per-batch cell
+    frames), completing the stream ≡ batch replay set: every mergeable
+    state face (HLL, CMS, qsketch, sample, KPI cells, moment cells) now
+    has both a store fold and a DataFrame replay. Moment sums are
+    LINEAR exact DECIMALs, so the folded state is BIT-IDENTICAL to the
+    one-shot per-day aggregate of everything delivered — which is what
+    the oracle computes. Returns cells folded to ``keys + [date_col]``
+    grain."""
+    _require_batches(batches, "replay_moment")
+    from airflow_retail_etl_spark.operators import mart_state
+
+    cells: DataFrame | None = None
+    for b in batches:
+        c = mart_state.moment_cells(
+            b, list(keys), value_col, date_col=date_col, dp=dp
+        )
+        cells = c if cells is None else cells.unionByName(c)
+    return mart_state.moment_fold(cells, [*keys, date_col], dp=dp)
+
+
 def fold_moment_batch(
     batch: DataFrame,
     state_path: str,

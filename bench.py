@@ -265,6 +265,9 @@ HEADLINE = (
     "dq_report",
     # round 12: mergeable moment state (rolling price volatility)
     "rolling_volatility",
+    # round 13: moment-cell stream ≡ batch replay (replay_moment) —
+    # every mergeable state face now has a streaming DataFrame twin
+    "streaming_volatility",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

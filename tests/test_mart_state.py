@@ -347,3 +347,21 @@ def test_replay_helpers_reject_empty_batches():
         ValueError, match="replay_admission: empty batches"
     ):
         inc.replay_admission([])
+
+
+def test_replay_moment_equals_one_shot(spark):
+    """replay_moment folded across 4 batches is bit-identical to the
+    one-shot per-day moment cells (linear exact DECIMAL sums)."""
+    from airflow_retail_etl_spark.streaming.incremental import (
+        replay_moment,
+    )
+
+    ev = _events(spark).filter(F.col("event_type") == "purchase")
+    batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    folded = replay_moment(batches, [], "price")
+    one_shot = mart_state.moment_cells(ev, [], "price")
+    assert _rows(folded) == _rows(one_shot)
+    with __import__("pytest").raises(
+        ValueError, match="replay_moment: empty batches"
+    ):
+        replay_moment([], [], "price")
