@@ -1148,6 +1148,28 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dim_stats(emb)
 
 
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular Gram + covariance of the embedding column
+    (similarity.embedding_gram) — the whitening/PCA sufficient
+    statistic (correlated dimensions break PQ subspace independence;
+    similarity.whiten_transform consumes exactly this output, its
+    cov≈identity property test-pinned). Components 6dp-round to exact
+    10⁶-scaled integers, products are exact 10¹²-scaled longs summed
+    losslessly in DECIMAL(38,0), and publication is two correctly-
+    rounded IEEE ops + one fixed-order covariance expression (6dp) —
+    engine-exact, partition-invariant. This registry face materializes
+    the n·d(d+1)/2 pair terms so DuckDB replays it bit-for-bit; the
+    production form (bench override) computes identical output as
+    per-Arrow-batch integer XᵀX partials folded in DECIMAL — equality
+    test-pinned."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_gram,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_gram(emb)
+
+
 def q_keyword_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level corpus comparison (lm.keyword_divergence): the 30
     tokens whose frequencies most distinguish sources src0-9 from
@@ -5650,6 +5672,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         # per-dimension embedding health audit (dead dims, scale drift)
         "embedding_dim_stats": q_embedding_dim_stats,
+        # embedding Gram/covariance sufficient statistic (NEW in round
+        # 13) — the whitening/PCA precursor; pair-join oracle face here,
+        # integer-matmul production twin equality-pinned in tests;
+        # rotates toward the prefix per the one-round-lag protocol
+        "embedding_gram": q_embedding_gram,
         # int8 vector quantization report (driver-green many rounds;
         # rotated just past the prefix in round 12 for
         # streaming_heavy_hitters — the functions/vectors machinery
@@ -8599,6 +8626,42 @@ def oracle_sql() -> dict[str, str]:
                min_val, max_val
         FROM s
         ORDER BY dim
+        """,
+        # 6dp components → exact 10⁶-scaled integers, exact DECIMAL(38,0)
+        # product sums, two IEEE ops + one fixed-order covariance —
+        # identical to similarity.embedding_gram
+        "embedding_gram": """
+        WITH base AS (
+            SELECT vec_id AS id,
+                   unnest(range(len(embedding))) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x_raw
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+        ), ex AS (
+            SELECT id, i,
+                   CAST(CAST(ROUND(x_raw, 6) AS DECIMAL(24,6)) * 1000000
+                        AS BIGINT) AS xl,
+                   CAST(ROUND(x_raw, 6) AS DECIMAL(24,6)) AS x
+            FROM base
+        ), g AS (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(a.xl * b.xl AS DECIMAL(38,0))) AS s_scaled
+            FROM ex a JOIN ex b ON a.id = b.id AND a.i <= b.i
+            GROUP BY 1, 2
+        ), ds AS (
+            SELECT i AS dim, SUM(x) AS sx FROM ex GROUP BY 1
+        )
+        SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
+               g.n,
+               CAST(s_scaled AS DOUBLE) / 1e12 AS sum_xy,
+               ROUND((CAST(g.n AS DOUBLE)
+                          * (CAST(s_scaled AS DOUBLE) / 1e12)
+                      - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE))
+                     / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)), 6)
+                   AS cov
+        FROM g JOIN ds si ON si.dim = g.i JOIN ds sj ON sj.dim = g.j
+        ORDER BY g.i, g.j
         """,
         # exact 2x2 chi-square at token grain: integer counts, fixed-order
         # double products, one division, 6dp-rounded rank — identical to

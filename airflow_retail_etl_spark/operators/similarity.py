@@ -1169,6 +1169,244 @@ def embedding_dim_stats(
     )
 
 
+def _dim_sums(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Exact per-dimension component sums (dim, n, sx DECIMAL) — the
+    shared sufficient statistic the Gram faces join for covariance.
+    Same 6dp-round → DECIMAL accumulation as embedding_dim_stats."""
+    return (
+        vectors.select(as_double(F.col(vec_col)).alias("__v"))
+        .select(F.posexplode("__v").alias("dim", "x_raw"))
+        .select(
+            "dim",
+            F.round("x_raw", 6).cast("decimal(24,6)").alias("x"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+        )
+    )
+
+
+#: component scaling for the Gram faces: 6dp-rounded components become
+#: exact 10⁶-scaled integers, so products are exact 10¹²-scaled longs
+#: and sums accumulate losslessly in decimal(38,0) — never decimal
+#: DIVISION (Spark reduces an over-precision division's scale to 6,
+#: which silently rounds; measured 4e-6 drift building this operator)
+_GRAM_SCALE = 10**6
+
+
+def _scaled_component_expr(vec_col: str):
+    """array<long>: each component 6dp-rounded (Spark HALF_UP — shared
+    with every DECIMAL face) and scaled by 10⁶ — exact."""
+    return F.transform(
+        as_double(F.col(vec_col)),
+        lambda v: (
+            F.round(v, 6).cast("decimal(24,6)")
+            * F.lit(_GRAM_SCALE).cast("decimal(7,0)")
+        ).cast("long"),
+    )
+
+
+def _gram_publish(
+    grams: DataFrame, dim_sums: DataFrame
+) -> DataFrame:
+    """Shared publication tail of both Gram faces: join the per-dim
+    sums and derive sum_xy and covariance off EXACT inputs (``grams``
+    is (i, j, n, s_scaled) with s_scaled the exact decimal(38,0) sum of
+    10¹²-scaled products). sum_xy is the scaled sum cast to double and
+    divided once by 10¹² (two correctly-rounded IEEE ops — engine-
+    equal); cov is ONE fixed-order expression, 6dp (the
+    embedding_dim_stats policy)."""
+    si = dim_sums.select(
+        F.col("dim").alias("i"), F.col("sx").alias("__sxi")
+    )
+    sj = dim_sums.select(
+        F.col("dim").alias("j"), F.col("sx").alias("__sxj")
+    )
+    nd = F.col("n").cast("double")
+    sxy = F.col("s_scaled").cast("double") / F.lit(float(10**12))
+    cov = (
+        nd * sxy
+        - F.col("__sxi").cast("double") * F.col("__sxj").cast("double")
+    ) / (nd * nd)
+    return (
+        grams.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            sxy.alias("sum_xy"),
+            F.round(cov, 6).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def embedding_gram(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangular Gram + covariance matrix of an embedding column
+    — the sufficient statistic for whitening/PCA of an embedding space
+    (what a pipeline computes BEFORE deciding the space is healthy
+    enough to index: correlated dimensions break PQ subspace
+    independence, and `whiten_transform` consumes exactly this output).
+
+    One row per dimension pair i ≤ j: (i, j, n, sum_xy, cov).
+    Exact and partition-invariant: components round to 6 dp → DECIMAL,
+    so Σxᵢxⱼ accumulates as exact integer-scaled sums (the money_sum
+    policy applied to component products — scale 12 holds every product
+    of two 6dp components exactly); covariance is one fixed-order
+    double expression off the exact sums, rounded 6 dp. This is the
+    ORACLE face: it materializes all n·d(d+1)/2 pair terms through a
+    per-row self-join, deliberately data-sized so DuckDB can replay it
+    bit-for-bit. The scale path with identical output is
+    :func:`embedding_gram_matmul` (equality test-pinned).
+    """
+    ex = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            _scaled_component_expr(vec_col).alias("__xs"),
+        )
+        .select("id", F.posexplode("__xs").alias("i", "xl"))
+    )
+    pairs = ex.alias("a").join(
+        ex.alias("b"),
+        (F.col("a.id") == F.col("b.id"))
+        & (F.col("a.i") <= F.col("b.i")),
+    )
+    grams = pairs.groupBy(
+        F.col("a.i").alias("i"), F.col("b.i").alias("j")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("a.xl") * F.col("b.xl")).cast("decimal(38,0)")
+        ).alias("s_scaled"),
+    )
+    return _gram_publish(grams, _dim_sums(vectors, id_col, vec_col))
+
+
+def embedding_gram_matmul(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production Gram — identical output to :func:`embedding_gram`
+    without materializing pair terms: each Arrow batch contributes one
+    integer XᵀX partial (numpy int64 matmul over 10⁶-scaled components
+    — the blessed vector-matmul Python case, like semdedup assignment),
+    and Spark DECIMAL-sums the d(d+1)/2 partials. Every partial is
+    EXACT: the 6dp round + 10⁶ scaling happens JVM-SIDE in DECIMAL
+    (Spark's HALF_UP — numpy's half-even rounding of binary doubles
+    would diverge at half-way points), scaled components are ≤10⁶ in
+    magnitude, products ≤10¹², and an Arrow batch (≤10k rows by
+    default) bounds a partial at 10¹⁶ ≪ 2⁶³, so the fold is
+    bit-identical to the oracle face's DECIMAL sums (test-pinned).
+    Shuffle traffic is batches·d(d+1)/2 partial rows — corpus-size-
+    independent per batch; at 100 TB this is the form that runs (the
+    pair face is the verifier)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("n_part", T.LongType()),
+            T.StructField("sxy_part", T.LongType()),
+        ]
+    )
+
+    def _partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xi = np.stack(pdf["__xs"].to_numpy()).astype(np.int64)
+            g = xi.T @ xi  # exact int64 partial (bound in docstring)
+            i_idx, j_idx = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": i_idx.astype("int32"),
+                    "j": j_idx.astype("int32"),
+                    "n_part": np.int64(len(xi)),
+                    "sxy_part": g[i_idx, j_idx],
+                }
+            )
+
+    partials = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(_scaled_component_expr(vec_col).alias("__xs"))
+        .mapInPandas(_partials, out_schema)
+    )
+    grams = partials.groupBy("i", "j").agg(
+        F.sum("n_part").cast("long").alias("n"),
+        # fold exact int64 partials losslessly in decimal(38,0)
+        F.sum(F.col("sxy_part").cast("decimal(38,0)")).alias(
+            "s_scaled"
+        ),
+    )
+    return _gram_publish(grams, _dim_sums(vectors, id_col, vec_col))
+
+
+def whiten_transform(
+    vectors: DataFrame,
+    gram: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """ZCA-whiten an embedding column from :func:`embedding_gram`
+    output: assemble the d×d covariance on the driver (d(d+1)/2 rows —
+    a bounded driver read of the ann_index codebook class, never data),
+    eigendecompose in numpy, and project every vector through the
+    broadcast W = U·diag(1/√(λ+eps))·Uᵀ with the Arrow matmul (the
+    blessed vector case). Output replaces ``vec_col`` with the whitened
+    array<double>. NOT an oracle face — eigendecomposition is iterative
+    LAPACK, so the guarantee is the test-pinned property (covariance of
+    the output ≈ identity), not cross-engine equality. Means come from
+    the same exact dim sums the Gram faces share."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rows = gram.select("i", "j", "n", "cov").collect()
+    d = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    lam, u = np.linalg.eigh(cov)
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
+    sums = _dim_sums(vectors, id_col, vec_col).collect()
+    mean = np.zeros(d)
+    for r in sums:
+        mean[r["dim"]] = float(r["sx"]) / n
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint resolver can't see the local pandas import
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _project(col):
+        x = np.stack(col.to_numpy()).astype(np.float64)
+        y = (x - mean) @ w.T
+        return pd.Series(list(y))
+
+    return vectors.filter(F.col(vec_col).isNotNull()).withColumn(
+        vec_col, _project(as_double(F.col(vec_col)))
+    )
+
+
 def ivf_recall_report(
     vectors: DataFrame,
     queries: DataFrame,

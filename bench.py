@@ -268,6 +268,10 @@ HEADLINE = (
     # round 13: moment-cell stream ≡ batch replay (replay_moment) —
     # every mergeable state face now has a streaming DataFrame twin
     "streaming_volatility",
+    # round 13: embedding Gram/covariance sufficient statistic (the
+    # whitening/PCA precursor); headline times the integer-matmul
+    # production form, the pair-join oracle face rides oracle_forms
+    "embedding_gram",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
@@ -466,7 +470,17 @@ def _production_sketches():
             F.max("span_len").alias("max_span_len"),
         )
 
+    def embedding_gram_prod(spark, sf_dir):
+        # identical output to the graded pair-join face, computed as
+        # per-Arrow-batch integer X^T X partials folded in DECIMAL
+        # (equality test-pinned) — no n·d² pair materialization
+        from airflow_retail_etl_spark.operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.embedding_gram_matmul(emb)
+
     return {
+        "embedding_gram": embedding_gram_prod,
         "minhash_lsh_pairs": minhash_prod,
         "simhash": simhash_prod,
         "simhash_pairs": simhash_pairs_prod,

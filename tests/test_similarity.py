@@ -369,3 +369,67 @@ def test_embedding_dim_stats_detects_dead_dims_and_is_exact(spark):
     assert {d: (v.mean, v.variance) for d, v in again.items()} == {
         d: (v.mean, v.variance) for d, v in got.items()
     }
+
+
+def test_embedding_gram_faces_identical_and_partition_invariant(spark):
+    """The pair-join oracle face and the integer-matmul production face
+    produce BIT-identical (i, j, n, sum_xy, cov) rows, and neither
+    depends on layout (exact scaled-integer sums)."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_gram,
+        embedding_gram_matmul,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pair = [tuple(r) for r in embedding_gram(emb).collect()]
+    matmul = [tuple(r) for r in embedding_gram_matmul(emb).collect()]
+    assert pair == matmul
+    assert len(pair) == 64 * 65 // 2
+    again = [
+        tuple(r)
+        for r in embedding_gram_matmul(emb.repartition(7)).collect()
+    ]
+    assert again == pair
+
+
+def test_embedding_gram_values_match_numpy(spark):
+    """cov agrees with numpy's population covariance of the 6dp-rounded
+    components (to the published 6dp)."""
+    import numpy as np
+
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_gram,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 0.5]),
+        (1, [0.25, -1.0, 0.125]),
+        (2, [-0.5, 0.75, 2.0]),
+        (3, [1.5, 0.0, -0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.i, r.j): r for r in embedding_gram(df).collect()}
+    x = np.array([v for _, v in rows])
+    cov = np.cov(x, rowvar=False, bias=True)
+    gram = x.T @ x
+    for (i, j), r in got.items():
+        assert r.n == 4
+        assert abs(r.sum_xy - gram[i, j]) < 1e-9
+        assert abs(r.cov - round(cov[i, j], 6)) <= 1e-6
+
+
+def test_whiten_transform_identity_covariance(spark):
+    """whiten_transform's output covariance is ≈ identity (the property
+    the operator exists for; not an oracle face — LAPACK eigh)."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_gram,
+        whiten_transform,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    white = whiten_transform(emb, embedding_gram(emb))
+    g = embedding_gram(white).collect()
+    offdiag = max(abs(r.cov) for r in g if r.i != r.j)
+    diag = [r.cov for r in g if r.i == r.j]
+    assert offdiag < 1e-3
+    assert all(abs(d - 1.0) < 1e-2 for d in diag)
