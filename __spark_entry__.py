@@ -708,6 +708,24 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "user_id").orderBy("event_id")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened multilingual mix (mixing.temperature_mix,
+    α=0.5 — the XLM-R-style q_s ∝ n_s^α rule that upweights small
+    languages): weights derive IN-ENGINE from per-language counts
+    (sqrt is correctly-rounded IEEE on exact integers; the share
+    division is one IEEE op on engine-identical doubles, 6dp-rounded
+    and captured exactly in DECIMAL), then the mix_corpus largest-
+    feasible integer keep rule applies — the binding language survives
+    whole, every other hash-thins by the cross-multiplied integer
+    comparison. The oracle replays the whole derivation bit-for-bit;
+    the corpus itself never shuffles."""
+    from airflow_retail_etl_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixing.temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition metrics (operators.repetition, Gopher rules).
 
@@ -5417,6 +5435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
         "mix_corpus": q_mix_corpus,
+        # temperature-flattened multilingual mix (NEW in round 13) —
+        # in-engine n^α weight derivation feeding mix_corpus's integer
+        # keep rule; rotates toward the prefix per the one-round-lag
+        # protocol (mixing module stays repped in-window by mix_corpus)
+        "temperature_mix": q_temperature_mix,
         # streaming_heavy_hitters (rotated in round 12) reps the
         # streaming CMS cell fold (fold_cms_batch's per-batch linear
         # sums, replayed as DataFrames — stream ≡ batch certified by the
@@ -8309,6 +8332,39 @@ def oracle_sql() -> dict[str, str]:
               < CAST(arg.p AS HUGEINT) * CAST(ws.wt AS HUGEINT)
                   * CAST('18446744073709551616' AS HUGEINT)
         ORDER BY event_id
+        """,
+        # in-engine sqrt(n) weights, 6dp share → exact DECIMAL integer
+        # scale, then the mix_corpus cross-multiplied keep rule —
+        # identical to mixing.temperature_mix(alpha=0.5)
+        "temperature_mix": f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+        ), w AS (
+            SELECT lang, n,
+                   CAST(ROUND(sqrt(CAST(n AS DOUBLE)), 6)
+                        AS DECIMAL(24,6)) AS w
+            FROM counts
+        ), tot AS (
+            SELECT SUM(w) AS s FROM w
+        ), qs AS (
+            SELECT lang, n,
+                   CAST(CAST(ROUND(CAST(w AS DOUBLE) / CAST(s AS DOUBLE),
+                                   6) AS DECIMAL(8,6))
+                        * CAST(1000000 AS DECIMAL(7,0))
+                        AS DECIMAL(10,0)) AS q
+            FROM w CROSS JOIN tot
+        ), arg AS (
+            SELECT n AS p, q AS qb FROM qs
+            ORDER BY CAST(n AS DOUBLE) / CAST(q AS DOUBLE) ASC, lang ASC
+            LIMIT 1
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN qs USING (lang) CROSS JOIN arg
+        WHERE {xhash.duck_md5_u64("CAST(doc_id AS VARCHAR)")}
+                  * CAST(qs.n AS HUGEINT) * CAST(arg.qb AS HUGEINT)
+              < CAST(arg.p AS HUGEINT) * CAST(qs.q AS HUGEINT)
+                  * CAST('18446744073709551616' AS HUGEINT)
+        ORDER BY doc_id
         """,
         # explode → (doc, gram) count → per-doc rollup, LEFT JOIN back so
         # gram-less docs keep NULL metrics (operators.repetition, n=2)

@@ -195,3 +195,89 @@ def source_repeat_plan(
         alloc.alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens"), 6).alias("repeat_factor"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-flattened corpus mix — the multilingual sampling rule
+    (q_s ∝ n_s^α, α<1 upweights small groups relative to their natural
+    share; XLM-R-style α-sampling) with weights derived IN-ENGINE from
+    the data, so the DuckDB oracle replays the whole derivation:
+
+    1. n_s = per-group counts (exact longs);
+    2. w_s = round(n_s^α, 6) → DECIMAL — for the default α=0.5 this is
+       ``sqrt`` (CORRECTLY ROUNDED IEEE on exact integer input, so
+       engine-identical before the round); any other α goes through
+       ``pow`` (libm — the transcendental policy applies: round to 6dp
+       BEFORE any use, never aggregate/compare raw);
+    3. q_s = round(w_s/Σw, 6), scaled to the integer Q_s = q_s·10⁶ (Σ
+       is an exact DECIMAL sum of 6dp values; the division is one IEEE
+       op on engine-identical doubles);
+    4. the mix_corpus largest-feasible rule with integer weights Q_s:
+       the binding group (min n_s/Q_s) survives whole, every other
+       group hash-thins by the cross-multiplied INTEGER comparison
+       u·n_s·Q_b < n_b·Q_s·2⁶⁴ — no float thresholds. Magnitudes stay
+       inside DECIMAL(38): u(<2⁶⁴)·n_s·Q_b ≲ 2e37 for n_s ≤ 10¹².
+
+    Scale shape is mix_corpus's: one |groups|-row aggregate broadcast,
+    then a pure per-row predicate — the corpus never shuffles.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    w_raw = (
+        F.sqrt(F.col("__n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .select(
+            group_col,
+            "__n",
+            F.round(w_raw, 6).cast("decimal(24,6)").alias("__w"),
+        )
+    )
+    tot = counts.agg(F.sum("__w").alias("__s"))
+    stats = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.col("__n").cast("decimal(20,0)").alias("__n"),
+            # round the share to 6dp, capture it EXACTLY as decimal(8,6),
+            # then scale to an integer in decimal arithmetic (a double
+            # multiply by 1e6 would reintroduce FP noise at the cast)
+            (
+                F.round(
+                    F.col("__w").cast("double") / F.col("__s").cast("double"),
+                    6,
+                ).cast("decimal(8,6)")
+                * F.lit(1_000_000).cast("decimal(7,0)")
+            )
+            .cast("decimal(10,0)")
+            .alias("__q"),
+        )
+    )
+    arg = (
+        stats.orderBy(
+            (F.col("__n").cast("double") / F.col("__q").cast("double")).asc(),
+            F.col(group_col).asc(),
+        )
+        .limit(1)
+        .select(F.col("__n").alias("__p"), F.col("__q").alias("__qb"))
+    )
+    joined = df.join(F.broadcast(stats), group_col).crossJoin(
+        F.broadcast(arg)
+    )
+    u = _sample_u(F.col(key_col).cast("string"), seed)
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    keep = (u * F.col("__n") * F.col("__qb")) < (
+        F.col("__p") * F.col("__q") * two64
+    )
+    return joined.filter(keep).drop("__n", "__q", "__p", "__qb")

@@ -272,6 +272,9 @@ HEADLINE = (
     # whitening/PCA precursor); headline times the integer-matmul
     # production form, the pair-join oracle face rides oracle_forms
     "embedding_gram",
+    # round 13: temperature-flattened multilingual mix (in-engine n^α
+    # weights feeding the integer keep rule)
+    "temperature_mix",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

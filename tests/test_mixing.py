@@ -89,3 +89,43 @@ def test_source_repeat_plan_waterfill_invariants(spark, sf_dir):
     tiny = source_repeat_plan(docs, "source", toks, 7, max_repeat=3).collect()
     assert sum(r.alloc_tokens for r in tiny) == 7
     assert all(r.alloc_tokens in (0, 1) for r in tiny)
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    """α=0.5 upweights small groups relative to their natural share:
+    the small group's kept FRACTION must exceed the large group's, the
+    binding group survives whole, and the mix is layout-invariant."""
+    import pytest
+
+    from airflow_retail_etl_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = temperature_mix(df, "g", "k", alpha=0.5)
+    kept = {g: c for g, c in out.groupBy("g").count().collect()}
+    # q_big ∝ √900 = 30, q_small ∝ √100 = 10 → targets 3:1 from a 9:1
+    # corpus: small is binding (kept whole), big thins to ~3× small
+    assert kept["small"] == 100
+    assert 250 <= kept["big"] <= 350
+    again = {
+        g: c
+        for g, c in temperature_mix(df.repartition(7), "g", "k", alpha=0.5)
+        .groupBy("g")
+        .count()
+        .collect()
+    }
+    assert again == kept
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "g", "k", alpha=0.0)
+
+
+def test_temperature_mix_alpha_one_is_natural_share(spark):
+    """α=1 keeps the natural distribution — every group's keep fraction
+    equals the binding ratio (here ≈1: all groups equally binding up to
+    the 6dp share rounding), so nearly everything survives."""
+    from airflow_retail_etl_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = temperature_mix(df, "g", "k", alpha=1.0)
+    assert out.count() >= 396  # 6dp rounding can shave a hair
