@@ -1700,6 +1700,26 @@ def q_streaming_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed daily revenue (mart_state.decayed_read,
+    λ=0.9 day-grain) — the trend-weighted member of the state family:
+    for every day D, Σ_{d≤D} revenue_d·λ^(D−d) from the SAME per-day
+    cells every other mart face folds. Engine-exact without
+    transcendentals: day-grain decay is applied only by repeated
+    multiplication inside one left-to-right Horner fold over the dense
+    calendar prefix (exact DECIMAL cents cast once to double, fixed
+    operation order — F.aggregate in Spark, list_reduce in DuckDB,
+    identical IEEE arithmetic), rounded 6 dp. The O(1) incremental
+    maintenance law (decayed(D+1) = decayed(D)·λ + S) is test-pinned."""
+    from airflow_retail_etl_spark.operators import mart_state
+
+    ev = adapters.staging_events(spark, sf_dir)
+    cells = mart_state.kpi_cells(
+        ev, [], view_value=VIEW, cart_value=CART, purchase_value=PURCHASE
+    )
+    return mart_state.decayed_read(cells, "revenue_cents", lam=0.9)
+
+
 #: the events-table row contract shared by the dq_* queries and their
 #: oracles (the reference's implicit dropna/fillna contract made
 #: explicit — retail_pipeline_assets.py:41-47). Each predicate is ONE
@@ -5562,6 +5582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch replay set (every mergeable state face now has both a
         # store fold and a DataFrame replay); rotates in next round
         "streaming_volatility": q_streaming_volatility,
+        # decayed_revenue (NEW in round 13): exponentially time-decayed
+        # reads from the same per-day cells — recency weighting by a
+        # fixed-order Horner fold (never pow); O(1) incremental law
+        # test-pinned; rotates in next round
+        "decayed_revenue": q_decayed_revenue,
         # rotated just past the prefix in round 13 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -6913,6 +6938,49 @@ def _rolling_volatility_sql(window: int) -> str:
            ROUND({var}, 6) AS variance,
            ROUND(sqrt({var}), 6) AS stddev
     FROM win ORDER BY window_end
+    """
+    )
+
+
+def _decayed_revenue_sql(lam: float) -> str:
+    """DuckDB twin of q_decayed_revenue: identical per-day DECIMAL cent
+    cells, dense calendar array, and the SAME left-to-right Horner fold
+    (list_reduce ≡ F.aggregate on identical doubles — λ applied only by
+    repeated multiplication, never pow)."""
+    lam_sql = f"CAST({float(lam)!r} AS DOUBLE)"
+    return (
+        _STAGING_CTE
+        + f"""
+    , cells AS (
+        SELECT event_date,
+               SUM(CASE WHEN event_type = '{PURCHASE}'
+                        THEN CAST(ROUND(price, 2) AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS s
+        FROM staging GROUP BY 1
+    ), b AS (
+        SELECT MIN(event_date) AS lo, MAX(event_date) AS hi FROM cells
+    ), cal AS (
+        SELECT b.lo,
+               CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM b
+    ), dense AS (
+        SELECT cal.lo, cal.d,
+               COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS s
+        FROM cal LEFT JOIN cells c ON c.event_date = cal.d
+    ), arr AS (
+        SELECT lo, list(s ORDER BY d) AS a FROM dense GROUP BY lo
+    )
+    SELECT c.event_date,
+           CAST(date_diff('day', arr.lo, c.event_date) + 1 AS BIGINT)
+               AS n_days,
+           ROUND(list_reduce(
+               [CAST(0.0 AS DOUBLE)]
+                   || (arr.a)[1:(date_diff('day', arr.lo, c.event_date)
+                                 + 1)],
+               (acc, x) -> acc * {lam_sql} + x), 6) AS decayed
+    FROM cells c CROSS JOIN arr
+    ORDER BY c.event_date
     """
     )
 
@@ -8823,6 +8891,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_mart": _rolling_mart_sql(_MART_P, _ROLL_WINDOW),
         "rolling_volatility": _rolling_volatility_sql(_ROLL_WINDOW),
         "streaming_volatility": _streaming_volatility_sql(),
+        "decayed_revenue": _decayed_revenue_sql(0.9),
         # the one-shot daily aggregate — what the linear cell fold must
         # equal bit-for-bit (stream ≡ batch certificate)
         "streaming_mart": _STAGING_CTE

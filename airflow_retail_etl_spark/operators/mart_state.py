@@ -397,3 +397,81 @@ def rolling_moments(
         "n",
         *_moment_stats(F.col("n"), F.col("sx"), F.col("sxx")),
     )
+
+
+def decayed_read(
+    cells: DataFrame,
+    value_col: str,
+    *,
+    lam: float,
+    date_col: str = "event_date",
+    dp: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed reads from per-day state — the
+    trend-weighted member of the state family: for every observed day D,
+    ``decayed = Σ_{d ≤ D} S_d · λ^(D−d)`` with day-grain decay (S_d is
+    the day's EXACT state cell; calendar gaps contribute 0), i.e. the
+    recency-weighted total a trend dashboard plots.
+
+    Engine-exact without transcendentals: day-grain decay means λ is
+    only ever applied by REPEATED MULTIPLICATION, so each day's value is
+    one left-to-right Horner fold ``acc ← acc·λ + S_d`` over the dense
+    calendar prefix — exact DECIMAL inputs cast once to double, a fixed
+    operation order, identical IEEE arithmetic in Spark
+    (``F.aggregate``) and DuckDB (``list_reduce``), rounded ``dp``
+    before publication. Never ``pow``: libm powers differ across
+    engines; a fold of multiplies cannot.
+
+    Mergeability/incrementality law (test-pinned): the read is O(1) to
+    maintain — ``decayed(D+g) = decayed(D)·λ^g + S_{D+g}`` with λ^g by
+    repeated multiplication — so a streaming job carries one double per
+    grain, never re-reading history. This batch face recomputes every
+    prefix from the calendar² state (|days|-sized array broadcast), the
+    same audit-vs-production split as the rolling faces.
+
+    ``cells`` must be at (day,) grain with an exact (DECIMAL/integer)
+    ``value_col``. Returns (date_col, n_days, decayed) for every
+    observed day, ordered.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    lam_lit = F.lit(float(lam))
+    series = cells.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__s"),
+    )
+    # dense calendar: one row per day in [min, max], gaps at 0.0, then
+    # ONE ordered array of daily values (bounded by the calendar, the
+    # rolling faces' state-size argument)
+    bounds = series.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("__d"), "__lo"
+    )
+    dense = (
+        cal.join(series, "__d", "left")
+        .select("__lo", "__d", F.coalesce("__s", F.lit(0.0)).alias("__s"))
+    )
+    arr = dense.groupBy("__lo").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__s"))),
+            lambda t: t["__s"],
+        ).alias("__arr")
+    )
+    obs = series.select(F.col("__d").alias(date_col))
+    idx = F.datediff(F.col(date_col), F.col("__lo")) + F.lit(1)
+    horner = F.aggregate(
+        F.slice(F.col("__arr"), F.lit(1), idx),
+        F.lit(0.0),
+        lambda acc, x: acc * lam_lit + x,
+    )
+    return (
+        obs.crossJoin(F.broadcast(arr))
+        .select(
+            date_col,
+            idx.cast("long").alias("n_days"),
+            F.round(horner, dp).alias("decayed"),
+        )
+        .orderBy(date_col)
+    )

@@ -275,6 +275,9 @@ HEADLINE = (
     # round 13: temperature-flattened multilingual mix (in-engine n^α
     # weights feeding the integer keep rule)
     "temperature_mix",
+    # round 13: exponentially decayed daily revenue from per-day cells
+    # (fixed-order Horner fold — the trend-weighted state read)
+    "decayed_revenue",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

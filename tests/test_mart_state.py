@@ -365,3 +365,39 @@ def test_replay_moment_equals_one_shot(spark):
         ValueError, match="replay_moment: empty batches"
     ):
         replay_moment([], [], "price")
+
+
+def test_decayed_read_incremental_law_and_gaps(spark):
+    """decayed_read equals the O(1) incremental recurrence
+    decayed(D) = decayed(D-1)·λ + S_D (with λ-only steps across
+    calendar gaps), and rejects degenerate λ."""
+    import datetime as dt
+
+    import pytest
+
+    rows = [
+        ("2024-01-01", "purchase", 100.0),
+        ("2024-01-02", "purchase", 50.0),
+        # gap on 01-03
+        ("2024-01-04", "purchase", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        [(d, t, p, "u") for d, t, p in rows],
+        "event_date string, event_type string, price double, user_id string",
+    ).withColumn("event_date", F.to_date("event_date"))
+    cells = mart_state.kpi_cells(ev, [])
+    out = {
+        str(r["event_date"]): r
+        for r in mart_state.decayed_read(
+            cells, "revenue_cents", lam=0.5
+        ).collect()
+    }
+    assert out["2024-01-01"]["decayed"] == 100.0
+    assert out["2024-01-02"]["decayed"] == 100.0 * 0.5 + 50.0
+    # gap day contributes 0: ((100·0.5+50)·0.5 + 0)·0.5 + 10
+    assert out["2024-01-04"]["decayed"] == round(
+        (100.0 * 0.5 + 50.0) * 0.5 * 0.5 + 10.0, 6
+    )
+    assert out["2024-01-04"]["n_days"] == 4
+    with pytest.raises(ValueError, match="lam"):
+        mart_state.decayed_read(cells, "revenue_cents", lam=1.0)
