@@ -1720,6 +1720,33 @@ def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mart_state.decayed_read(cells, "revenue_cents", lam=0.9)
 
 
+def q_trending_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand recency-weighted revenue (mart_state.decayed_now_by,
+    λ=0.9) — which brands are trending NOW: every brand's per-day cent
+    cells Horner-folded to the GLOBAL latest day, so a brand whose
+    sales are all old decays toward 0 while a recent seller ranks high
+    even with a smaller lifetime total. Same engine-exactness as
+    decayed_revenue (repeated multiplication only, fixed fold order,
+    per-group dense calendar arrays — |brands|·|days| state rows)."""
+    from airflow_retail_etl_spark.operators import mart_state
+
+    ev = adapters.staging_events(spark, sf_dir)
+    dim = adapters.product_dim_source(spark, sf_dir).select(
+        "product_id", "brand"
+    )
+    joined = ev.join(F.broadcast(dim), "product_id")
+    cells = mart_state.kpi_cells(
+        joined,
+        ["brand"],
+        view_value=VIEW,
+        cart_value=CART,
+        purchase_value=PURCHASE,
+    )
+    return mart_state.decayed_now_by(
+        cells, ["brand"], "revenue_cents", lam=0.9
+    )
+
+
 #: the events-table row contract shared by the dq_* queries and their
 #: oracles (the reference's implicit dropna/fillna contract made
 #: explicit — retail_pipeline_assets.py:41-47). Each predicate is ONE
@@ -5587,6 +5614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-order Horner fold (never pow); O(1) incremental law
         # test-pinned; rotates in next round
         "decayed_revenue": q_decayed_revenue,
+        # its grouped trending face: per-brand decayed revenue at the
+        # global latest day (comparable recency ranking)
+        "trending_brands": q_trending_brands,
         # rotated just past the prefix in round 13 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -6981,6 +7011,52 @@ def _decayed_revenue_sql(lam: float) -> str:
                (acc, x) -> acc * {lam_sql} + x), 6) AS decayed
     FROM cells c CROSS JOIN arr
     ORDER BY c.event_date
+    """
+    )
+
+
+def _trending_brands_sql(lam: float) -> str:
+    """DuckDB twin of q_trending_brands: per-brand cells, one dense
+    global calendar array per brand, the identical Horner fold."""
+    lam_sql = f"CAST({float(lam)!r} AS DOUBLE)"
+    return (
+        _STAGING_CTE
+        + f"""
+    , joined AS (
+        SELECT s.event_date, s.event_type, s.price, p.p_brand AS brand
+        FROM staging s JOIN part p ON s.product_id = p.p_partkey
+    ), cells AS (
+        SELECT brand, event_date,
+               SUM(CASE WHEN event_type = '{PURCHASE}'
+                        THEN CAST(ROUND(price, 2) AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS s
+        FROM joined GROUP BY 1, 2
+    ), b AS (
+        SELECT MIN(event_date) AS lo, MAX(event_date) AS hi FROM cells
+    ), cal AS (
+        SELECT b.lo, b.hi,
+               CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM b
+    ), g AS (
+        SELECT DISTINCT brand FROM cells
+    ), dense AS (
+        SELECT g.brand, cal.lo, cal.hi, cal.d,
+               COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS s
+        FROM g CROSS JOIN cal
+        LEFT JOIN cells c ON c.brand = g.brand AND c.event_date = cal.d
+    ), arr AS (
+        SELECT brand,
+               CAST(date_diff('day', MIN(lo), MIN(hi)) + 1 AS BIGINT)
+                   AS n_days,
+               list(s ORDER BY d) AS a
+        FROM dense GROUP BY brand
+    )
+    SELECT brand, n_days,
+           ROUND(list_reduce([CAST(0.0 AS DOUBLE)] || a,
+                             (acc, x) -> acc * {lam_sql} + x), 6)
+               AS decayed
+    FROM arr ORDER BY decayed DESC, brand ASC
     """
     )
 
@@ -8892,6 +8968,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_volatility": _rolling_volatility_sql(_ROLL_WINDOW),
         "streaming_volatility": _streaming_volatility_sql(),
         "decayed_revenue": _decayed_revenue_sql(0.9),
+        "trending_brands": _trending_brands_sql(0.9),
         # the one-shot daily aggregate — what the linear cell fold must
         # equal bit-for-bit (stream ≡ batch certificate)
         "streaming_mart": _STAGING_CTE

@@ -475,3 +475,71 @@ def decayed_read(
         )
         .orderBy(date_col)
     )
+
+
+def decayed_now_by(
+    cells: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    lam: float,
+    date_col: str = "event_date",
+    dp: int = 6,
+) -> DataFrame:
+    """Grouped :func:`decayed_read` evaluated AT the latest calendar day
+    — the trending dashboard: one row per group with its recency-
+    weighted total ``Σ_d S_{g,d}·λ^(hi−d)``, where hi is the GLOBAL max
+    day (so groups are comparable: a group with no recent activity
+    decays toward 0 instead of being read at its own stale day).
+
+    Same engine-exactness argument as decayed_read: per-group dense
+    calendar arrays (|groups|·|days| state rows — calendar²-bounded,
+    never corpus-sized) and ONE fixed-order Horner fold per group over
+    exact DECIMAL inputs. Returns (keys…, n_days, decayed).
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    lam_lit = F.lit(float(lam))
+    series = cells.select(
+        *keys,
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__s"),
+    )
+    bounds = series.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("__d"),
+        "__lo",
+        "__hi",
+    )
+    groups = series.select(*keys).distinct()
+    dense = (
+        groups.crossJoin(F.broadcast(cal))
+        .join(series, [*keys, "__d"], "left")
+        .select(
+            *keys,
+            "__lo",
+            "__hi",
+            "__d",
+            F.coalesce("__s", F.lit(0.0)).alias("__s"),
+        )
+    )
+    horner = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__s"))),
+            lambda t: t["__s"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc * lam_lit + x,
+    )
+    return (
+        dense.groupBy(*keys)
+        .agg(
+            (F.datediff(F.first("__hi"), F.first("__lo")) + F.lit(1))
+            .cast("long")
+            .alias("n_days"),
+            F.round(horner, dp).alias("decayed"),
+        )
+        .orderBy(F.col("decayed").desc(), *[F.col(k).asc() for k in keys])
+    )

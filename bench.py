@@ -276,8 +276,10 @@ HEADLINE = (
     # weights feeding the integer keep rule)
     "temperature_mix",
     # round 13: exponentially decayed daily revenue from per-day cells
-    # (fixed-order Horner fold — the trend-weighted state read)
+    # (fixed-order Horner fold — the trend-weighted state read) and its
+    # grouped trending face
     "decayed_revenue",
+    "trending_brands",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md
