@@ -1700,6 +1700,21 @@ def q_streaming_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust statistics (selection.robust_stats):
+    exact type-7 median, MAD (median of 6dp-rounded |x − median| — the
+    second rank pass runs on an engine-identical derived domain), and
+    the 10–90% trimmed mean (6dp DECIMAL accumulation, one division).
+    The heavy-tail-safe center/spread report a curation pipeline uses
+    where mean/stddev would follow the outliers; all passes are the
+    grouped_quantiles value-grain rank machinery. The oracle replays
+    all three passes."""
+    from airflow_retail_etl_spark.operators.selection import robust_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return robust_stats(ev, "event_type", "value", trim_q=0.1)
+
+
 def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed daily revenue (mart_state.decayed_read,
     λ=0.9 day-grain) — the trend-weighted member of the state family:
@@ -5617,6 +5632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its grouped trending face: per-brand decayed revenue at the
         # global latest day (comparable recency ranking)
         "trending_brands": q_trending_brands,
+        # robust center/spread from exact rank arithmetic (NEW in round
+        # 13): median / MAD / trimmed mean — three grouped_quantiles
+        # passes, heavy-tail-safe; rotates in next round
+        "robust_value_stats": q_robust_value_stats,
         # rotated just past the prefix in round 13 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -6970,6 +6989,96 @@ def _rolling_volatility_sql(window: int) -> str:
     FROM win ORDER BY window_end
     """
     )
+
+
+def _gq_block(tag: str, src: str, qs: list[float]) -> str:
+    """CTE chain computing exact type-7 grouped quantiles of a (g, v)
+    source CTE named ``src`` — the selection.grouped_quantiles rank
+    arithmetic, emitted under ``tag``-prefixed names; the result CTE
+    ``{tag}_q`` has (g, q, quantile, n). Composable: _robust_stats_sql
+    instantiates it three times (values, deviations, trim bounds)."""
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    return f"""
+    {tag}_c AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {src} GROUP BY 1, 2
+    ), {tag}_cum AS (
+        SELECT g, v, cnt,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) - cnt AS cum_prev,
+               SUM(cnt) OVER (PARTITION BY g) AS n
+        FROM {tag}_c
+    ), {tag}_pos AS (
+        SELECT gn.g, gn.n, q.q,
+               q.q * CAST(gn.n - 1 AS DOUBLE) + 1.0 AS h
+        FROM (SELECT unnest([{q_list}]) AS q) q,
+             (SELECT DISTINCT g, n FROM {tag}_cum) gn
+    ), {tag}_pp AS (
+        SELECT g, n, q, h,
+               CAST(FLOOR(h) AS BIGINT) AS lo,
+               CAST(CEIL(h) AS BIGINT) AS hi,
+               h - CAST(CAST(FLOOR(h) AS BIGINT) AS DOUBLE) AS d
+        FROM {tag}_pos
+    ), {tag}_lo AS (
+        SELECT pp.g, pp.q, pp.n, pp.d, cum.v AS lv
+        FROM {tag}_pp pp JOIN {tag}_cum cum
+          ON cum.g = pp.g
+         AND cum.cum_prev < pp.lo AND pp.lo <= cum.cum
+    ), {tag}_hi AS (
+        SELECT pp.g, pp.q, cum.v AS hv
+        FROM {tag}_pp pp JOIN {tag}_cum cum
+          ON cum.g = pp.g
+         AND cum.cum_prev < pp.hi AND pp.hi <= cum.cum
+    ), {tag}_q AS (
+        SELECT l.g, l.q, l.n,
+               ROUND(CAST(lv AS DOUBLE)
+                     + d * (CAST(hv AS DOUBLE) - CAST(lv AS DOUBLE)), 6)
+                   AS quantile
+        FROM {tag}_lo l JOIN {tag}_hi h ON l.g = h.g AND l.q = h.q
+    )"""
+
+
+def _robust_stats_sql(trim_q: float) -> str:
+    """DuckDB twin of q_robust_value_stats: three instantiations of the
+    grouped-quantile rank block (values → median, 6dp deviations → MAD,
+    trim bounds) plus the DECIMAL trimmed mean."""
+    lo_q, hi_q = float(trim_q), float(1.0 - trim_q)
+    return f"""
+    WITH src AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), {_gq_block("tb", "src", [lo_q, 0.5, hi_q])}
+    , meds AS (
+        SELECT g, MIN(CASE WHEN q = 0.5 THEN quantile END) AS median,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM tb_q GROUP BY g
+    ), devsrc AS (
+        SELECT s.g, ROUND(ABS(s.v - meds.median), 6) AS v
+        FROM src s JOIN meds USING (g)
+    ), {_gq_block("mad", "devsrc", [0.5])}
+    , bounds AS (
+        SELECT g,
+               MIN(CASE WHEN q = {lo_q!r} THEN quantile END) AS lo,
+               MAX(CASE WHEN q = {hi_q!r} THEN quantile END) AS hi
+        FROM tb_q GROUP BY g
+    ), trimmed AS (
+        SELECT s.g, CAST(COUNT(*) AS BIGINT) AS n_trimmed,
+               SUM(CAST(ROUND(s.v, 6) AS DECIMAL(24,6))) AS ts
+        FROM src s JOIN bounds USING (g)
+        WHERE s.v >= bounds.lo AND s.v <= bounds.hi
+        GROUP BY 1
+    )
+    SELECT meds.g AS event_type, CAST(meds.n AS BIGINT) AS n,
+           meds.median, mad_q.quantile AS mad,
+           COALESCE(trimmed.n_trimmed, 0) AS n_trimmed,
+           ROUND(CAST(ts AS DOUBLE) / CAST(trimmed.n_trimmed AS DOUBLE),
+                 6) AS trimmed_mean
+    FROM meds JOIN mad_q USING (g) LEFT JOIN trimmed USING (g)
+    ORDER BY event_type
+    """
 
 
 def _decayed_revenue_sql(lam: float) -> str:
@@ -8969,6 +9078,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_volatility": _streaming_volatility_sql(),
         "decayed_revenue": _decayed_revenue_sql(0.9),
         "trending_brands": _trending_brands_sql(0.9),
+        "robust_value_stats": _robust_stats_sql(0.1),
         # the one-shot daily aggregate — what the linear cell fold must
         # equal bit-for-bit (stream ≡ batch certificate)
         "streaming_mart": _STAGING_CTE

@@ -280,3 +280,108 @@ def global_quantiles(
         )
         .orderBy("q")
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    trim_q: float = 0.1,
+) -> DataFrame:
+    """Per-group ROBUST statistics — median, MAD (median absolute
+    deviation), and the trim_q-trimmed mean — entirely from the exact
+    rank arithmetic of :func:`grouped_quantiles` (no per-group value
+    buffers, no approximations):
+
+    - median = grouped_quantiles(…, [0.5]) — exact type-7;
+    - MAD = the exact median of |x − median| (deviations rounded 6dp
+      BEFORE re-ranking so the second rank pass runs on an engine-
+      identical value domain — the transcendental/ratio policy applied
+      to a derived column);
+    - trimmed mean = the mean of values inside [q_trim, q_(1−trim)] —
+      values 6dp-round → DECIMAL accumulate (exact, layout-free), one
+      double division, 6dp round.
+
+    Heavy-tailed pipelines use these instead of mean/stddev (a handful
+    of outlier documents should not move the center estimate); all
+    three passes are value-grain aggregations + broadcast joins, so
+    scale posture is grouped_quantiles' (state per group = its distinct
+    values, never its rows). Returns
+    (group, n, median, mad, n_trimmed, trimmed_mean), ordered."""
+    if not 0.0 < trim_q < 0.5:
+        raise ValueError(f"trim_q must be in (0, 0.5), got {trim_q}")
+    g, v = F.col(group_col), F.col(value_col)
+    base = df.filter(v.isNotNull() & g.isNotNull()).select(
+        group_col, v.cast("double").alias("__v")
+    )
+    # ONE rank pass computes the median AND both trim bounds (the
+    # value-grain cumulative window is the expensive part — don't run
+    # it twice over the same domain); the deviations need a second pass
+    # because their value domain only exists after the median does
+    qv = grouped_quantiles(
+        base, group_col, "__v", [trim_q, 0.5, 1.0 - trim_q]
+    )
+    wide = qv.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("q") == float(trim_q), F.col("quantile"))
+        ).alias("__lo"),
+        F.min(
+            F.when(F.col("q") == 0.5, F.col("quantile"))
+        ).alias("median"),
+        F.max(
+            F.when(F.col("q") == float(1.0 - trim_q), F.col("quantile"))
+        ).alias("__hi"),
+    )
+    meds = wide.select(group_col, "median", "n")
+    bounds = wide.select(group_col, "__lo", "__hi")
+    dev = base.join(F.broadcast(meds), group_col).select(
+        group_col,
+        F.round(F.abs(F.col("__v") - F.col("median")), 6).alias("__dev"),
+    )
+    mads = grouped_quantiles(dev, group_col, "__dev", [0.5]).select(
+        group_col, F.col("quantile").alias("mad")
+    )
+    trimmed = (
+        base.join(F.broadcast(bounds), group_col)
+        .filter(
+            (F.col("__v") >= F.col("__lo"))
+            & (F.col("__v") <= F.col("__hi"))
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trimmed"),
+            F.sum(
+                F.round(F.col("__v"), 6).cast("decimal(24,6)")
+            ).alias("__ts"),
+        )
+        .select(
+            group_col,
+            "n_trimmed",
+            F.round(
+                F.col("__ts").cast("double")
+                / F.col("n_trimmed").cast("double"),
+                6,
+            ).alias("trimmed_mean"),
+        )
+    )
+    # LEFT join: a small group can trim to EMPTY (both bounds fall
+    # strictly between its values — e.g. two values at trim_q=0.2); it
+    # must keep its median/MAD with n_trimmed=0 and a NULL trimmed
+    # mean, not vanish (the kpi_read registerless-grain lesson)
+    return (
+        meds.join(mads, group_col)
+        .join(trimmed, group_col, "left")
+        .select(
+            group_col,
+            "n",
+            "median",
+            "mad",
+            F.coalesce("n_trimmed", F.lit(0).cast("long")).alias(
+                "n_trimmed"
+            ),
+            "trimmed_mean",
+        )
+        .orderBy(group_col)
+    )

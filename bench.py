@@ -280,6 +280,9 @@ HEADLINE = (
     # grouped trending face
     "decayed_revenue",
     "trending_brands",
+    # round 13: robust center/spread (median/MAD/trimmed mean) from the
+    # exact grouped rank machinery
+    "robust_value_stats",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

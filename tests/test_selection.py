@@ -163,3 +163,32 @@ def test_grouped_quantiles_matches_percentile_per_group(spark, sf_dir):
     assert again == got
     with pytest.raises(ValueError):
         grouped_quantiles(ev, "event_type", "value", [-0.1])
+
+
+def test_robust_stats_small_frame(spark):
+    """median/MAD/trimmed mean agree with hand-computed values and the
+    operator rejects degenerate trims."""
+    import pytest
+
+    from airflow_retail_etl_spark.operators.selection import robust_stats
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # outlier pulls mean, not median
+    df = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", 7.0), ("b", 9.0)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in robust_stats(df, "g", "v", trim_q=0.2).collect()}
+    a = got["a"]
+    assert a["n"] == 5 and a["median"] == 3.0
+    # deviations |x-3| = [2,1,0,1,97] -> median 1
+    assert a["mad"] == 1.0
+    # type-7 q20/q80 of [1,2,3,4,100]: h=.2*4+1=1.8 -> 1.8; h=.8*4+1=4.2
+    # -> 4+0.2*96=23.2; kept [2,3,4] -> mean 3
+    assert a["n_trimmed"] == 3 and a["trimmed_mean"] == 3.0
+    # group b trims to EMPTY (bounds 7.4/8.6 exclude both values) —
+    # it must survive with n_trimmed=0 and a NULL trimmed mean
+    b = got["b"]
+    assert b["median"] == 8.0 and b["mad"] == 1.0
+    assert b["n_trimmed"] == 0 and b["trimmed_mean"] is None
+    with pytest.raises(ValueError, match="trim_q"):
+        robust_stats(df, "g", "v", trim_q=0.5)
