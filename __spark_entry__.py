@@ -1700,6 +1700,20 @@ def q_streaming_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis over the events user_id (skew.skew_report):
+    the top-10 heaviest keys with row share plus the global histogram
+    shape (distinct keys, max/avg per-key count, skew factor) — what an
+    operator reads before choosing plain shuffle vs salted_agg vs
+    broadcast. Exact integer counts, three rounded divisions; NULL
+    counts as a key (a real join-skew source), with NULLS FIRST spelled
+    out on both engines so the LIMIT boundary is deterministic."""
+    from airflow_retail_etl_spark.operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top=10)
+
+
 def q_robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust statistics (selection.robust_stats):
     exact type-7 median, MAD (median of 6dp-rounded |x − median| — the
@@ -5636,6 +5650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 13): median / MAD / trimmed mean — three grouped_quantiles
         # passes, heavy-tail-safe; rotates in next round
         "robust_value_stats": q_robust_value_stats,
+        # key-skew diagnosis (NEW in round 13): the operational report
+        # feeding the salted_agg decision; rotates in next round
+        "join_skew_report": q_join_skew_report,
         # rotated just past the prefix in round 13 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -9079,6 +9096,35 @@ def oracle_sql() -> dict[str, str]:
         "decayed_revenue": _decayed_revenue_sql(0.9),
         "trending_brands": _trending_brands_sql(0.9),
         "robust_value_stats": _robust_stats_sql(0.1),
+        # exact key histogram + rounded ratio columns — identical to
+        # skew.skew_report (NULLS FIRST on both engines)
+        "join_skew_report": """
+        WITH counts AS (
+            SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ), g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_n
+            FROM counts
+        ), g2 AS (
+            SELECT n_keys, n_rows, max_n,
+                   ROUND(CAST(n_rows AS DOUBLE)
+                         / CAST(n_keys AS DOUBLE), 6) AS avg_n
+            FROM g
+        ), t AS (
+            SELECT key, n FROM counts
+            ORDER BY n DESC, key ASC NULLS FIRST LIMIT 10
+        )
+        SELECT t.key, t.n,
+               ROUND(CAST(t.n AS DOUBLE) / CAST(g2.n_rows AS DOUBLE), 6)
+                   AS share,
+               g2.n_keys, g2.n_rows, g2.max_n, g2.avg_n,
+               ROUND(CAST(g2.max_n AS DOUBLE) / g2.avg_n, 6)
+                   AS skew_factor
+        FROM t CROSS JOIN g2
+        ORDER BY t.n DESC, t.key ASC NULLS FIRST
+        """,
         # the one-shot daily aggregate — what the linear cell fold must
         # equal bit-for-bit (stream ≡ batch certificate)
         "streaming_mart": _STAGING_CTE

@@ -110,3 +110,62 @@ def salted_join(
     )
     out = big_salted.join(small_salted, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, key_col: str, *, top: int = 10, dp: int = 6
+) -> DataFrame:
+    """Join/GROUP BY key-skew diagnosis — the report an operator reads
+    BEFORE choosing between a plain shuffle, :func:`salted_agg`, or a
+    broadcast: the ``top`` heaviest keys with their share of all rows,
+    each row annotated with the global histogram shape (distinct keys,
+    total rows, max/avg per-key count and their ratio — the skew
+    factor; a factor ≫ cores means one reducer owns the job's tail).
+
+    Exact integer counts; the only doubles are three single divisions
+    rounded ``dp`` (the ratio policy). Cost: one map-side-combined
+    count aggregation, a broadcast one-row global fold, and a
+    TakeOrderedAndProject for the top slice (distributed top-k — no
+    single-task window). NULL keys count as a key (NULL is a real skew
+    source in joins). Returns
+    (key, n, share, n_keys, n_rows, max_n, avg_n, skew_factor),
+    ordered by (n DESC, key ASC).
+    """
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    glob = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_keys").cast("double"),
+            dp,
+        ).alias("avg_n"),
+    )
+    # explicit NULLS FIRST: Spark's asc() default — spelled out because
+    # the DuckDB oracle must order identically for the LIMIT to pick
+    # the same boundary rows (DuckDB defaults to NULLS LAST)
+    top_keys = counts.orderBy(
+        F.col("n").desc(), F.col("key").asc_nulls_first()
+    ).limit(top)
+    return top_keys.crossJoin(F.broadcast(glob)).select(
+        "key",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("n_rows").cast("double"), dp
+        ).alias("share"),
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "avg_n",
+        F.round(
+            F.col("max_n").cast("double") / F.col("avg_n"), dp
+        ).alias("skew_factor"),
+    ).orderBy(F.col("n").desc(), F.col("key").asc_nulls_first())

@@ -283,6 +283,8 @@ HEADLINE = (
     # round 13: robust center/spread (median/MAD/trimmed mean) from the
     # exact grouped rank machinery
     "robust_value_stats",
+    # round 13: key-skew diagnosis feeding the salted_agg decision
+    "join_skew_report",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -58,3 +58,24 @@ def test_salted_join_rejects_small_side_preserving(events, spark, sf_dir):
     for how in ("right", "full", "full_outer", "rightouter"):
         with pytest.raises(ValueError):
             salted_join(events, part, "p_partkey", how=how)
+
+
+def test_skew_report_exact_shape(spark):
+    """Counts/ratios on a hand-built skewed frame, NULL counted as a
+    key, top bound respected, degenerate top rejected."""
+    import pytest
+
+    from airflow_retail_etl_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [(None,)] * 2 + [("cold",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top=3).collect()
+    assert [r["key"] for r in out] == ["hot", "warm", None]
+    top = out[0]
+    assert (top["n"], top["n_keys"], top["n_rows"], top["max_n"]) == (
+        6, 4, 12, 6,
+    )
+    assert top["avg_n"] == 3.0 and top["skew_factor"] == 2.0
+    assert top["share"] == 0.5
+    with pytest.raises(ValueError, match="top"):
+        skew_report(df, "k", top=0)
