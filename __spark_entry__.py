@@ -1700,6 +1700,23 @@ def q_streaming_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two event halves
+    (profile.psi_drift; event_id parity as the crawl-A/crawl-B
+    stand-in, the ks_drift pairing): reference-decile buckets from the
+    exact global rank pass, exact per-bucket counts, 6dp eps-floored
+    shares, and the model-monitoring score Σ(p−q)·ln(p/q) — the WHERE
+    of a drift that ks_drift only detects. The log runs on
+    engine-identical doubles and each term rounds 6dp before the
+    DECIMAL total (the lm.py transcendental policy)."""
+    from airflow_retail_etl_spark.operators.profile import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    return psi_drift(a, b, "value")
+
+
 def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnosis over the events user_id (skew.skew_report):
     the top-10 heaviest keys with row share plus the global histogram
@@ -5653,6 +5670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # key-skew diagnosis (NEW in round 13): the operational report
         # feeding the salted_agg decision; rotates in next round
         "join_skew_report": q_join_skew_report,
+        # PSI drift score (NEW in round 13): ks_drift's thresholdable
+        # companion — reference-decile buckets, eps-floored shares,
+        # (p−q)·ln(p/q) terms under the transcendental policy
+        "psi_drift": q_psi_drift,
         # rotated just past the prefix in round 13 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -9096,6 +9117,67 @@ def oracle_sql() -> dict[str, str]:
         "decayed_revenue": _decayed_revenue_sql(0.9),
         "trending_brands": _trending_brands_sql(0.9),
         "robust_value_stats": _robust_stats_sql(0.1),
+        # reference-decile buckets from the exact rank block, eps-floored
+        # 6dp shares, (p−q)·ln(p/q) terms rounded before the DECIMAL
+        # total — identical to profile.psi_drift
+        "psi_drift": f"""
+        WITH a AS (
+            SELECT CAST(value AS DOUBLE) AS v FROM events
+            WHERE value IS NOT NULL AND event_id % 2 = 0
+        ), bside AS (
+            SELECT CAST(value AS DOUBLE) AS v FROM events
+            WHERE value IS NOT NULL AND event_id % 2 = 1
+        ), ga AS (
+            SELECT 'x' AS g, v FROM a
+        ), {_gq_block("ed", "ga", [i / 10 for i in range(1, 10)])}
+        , edges AS (
+            SELECT list(quantile ORDER BY q) AS arr FROM ed_q
+        ), ca AS (
+            SELECT CAST(len(list_filter(edges.arr, e -> a.v > e))
+                        AS INTEGER) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_a
+            FROM a CROSS JOIN edges GROUP BY 1
+        ), cb AS (
+            SELECT CAST(len(list_filter(edges.arr, e -> bside.v > e))
+                        AS INTEGER) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_b
+            FROM bside CROSS JOIN edges GROUP BY 1
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER)
+                AS bucket
+        ), j AS (
+            SELECT spine.bucket,
+                   COALESCE(ca.n_a, 0) AS n_a,
+                   COALESCE(cb.n_b, 0) AS n_b
+            FROM spine LEFT JOIN ca USING (bucket)
+                       LEFT JOIN cb USING (bucket)
+        ), tot AS (
+            SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                   CAST(SUM(n_b) AS BIGINT) AS tb
+            FROM j
+        ), terms AS (
+            SELECT j.bucket, j.n_a, j.n_b,
+                   GREATEST(ROUND(CAST(j.n_a AS DOUBLE)
+                                  / CAST(tot.ta AS DOUBLE), 6),
+                            CAST(1e-06 AS DOUBLE)) AS pa,
+                   GREATEST(ROUND(CAST(j.n_b AS DOUBLE)
+                                  / CAST(tot.tb AS DOUBLE), 6),
+                            CAST(1e-06 AS DOUBLE)) AS pb
+            FROM j CROSS JOIN tot
+        ), t2 AS (
+            SELECT bucket, n_a, n_b,
+                   ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+                   ROUND((pa - pb) * ln(pa / pb), 6) AS term
+            FROM terms
+        ), total AS (
+            SELECT CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+                AS psi
+            FROM t2
+        )
+        SELECT bucket, n_a, n_b, p_a, p_b, term, total.psi
+        FROM t2 CROSS JOIN total
+        ORDER BY bucket
+        """,
         # exact key histogram + rounded ratio columns — identical to
         # skew.skew_report (NULLS FIRST on both engines)
         "join_skew_report": """

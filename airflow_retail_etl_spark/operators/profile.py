@@ -202,3 +202,109 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the industry drift score :func:`ks_drift` complements (KS
+    answers "did the shape move anywhere"; PSI weights WHERE the mass
+    moved and is what model-monitoring runbooks threshold at 0.1/0.25).
+
+    Buckets are the REFERENCE side's exact ``n_buckets``-quantile edges
+    (selection.global_quantiles — type-7, 6dp-rounded, so the edges are
+    engine-identical doubles derived IN-ENGINE, never injected
+    literals); each row's bucket is the count of edges strictly below
+    its value (one broadcast array projection — no per-row join). Per
+    bucket: exact counts, shares rounded 6dp, eps-floored (a zero
+    bucket would make the log ratio infinite — the standard smoothing),
+    ``term = round((p−q)·ln(p/q), 6)`` computed on engine-identical
+    inputs (the lm.py transcendental policy: identical doubles in, one
+    log, round before the DECIMAL sum). Returns one row per bucket
+    (bucket, n_a, n_b, p_a, p_b, term, psi) with ``psi`` the exact
+    DECIMAL sum of the rounded terms, ordered by bucket.
+
+    Scale: two value-grain aggregations + the reference-side quantile
+    rank pass; bucket assignment is a pure projection against a
+    broadcast ≤(n_buckets−1)-element array. NULLs excluded both sides.
+    """
+    from airflow_retail_etl_spark.operators.selection import (
+        global_quantiles,
+    )
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not 0.0 < eps < 0.01:
+        raise ValueError(f"eps must be in (0, 0.01), got {eps}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = (
+        global_quantiles(df_a, value_col, qs)
+        .agg(F.array_sort(F.collect_list("quantile")).alias("__edges"))
+    )
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = F.size(F.filter(F.col("__edges"), lambda e: v > e))
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    spine = edges.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_buckets - 1)))
+        ).alias("bucket")
+    )
+    joined = (
+        spine.join(bucketed(df_a, "n_a"), "bucket", "left")
+        .join(bucketed(df_b, "n_b"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0).cast("long")).alias("n_a"),
+            F.coalesce("n_b", F.lit(0).cast("long")).alias("n_b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_a").cast("long").alias("__ta"),
+        F.sum("n_b").cast("long").alias("__tb"),
+    )
+    eps_l = F.lit(float(eps))
+    p_a = F.greatest(
+        F.round(
+            F.col("n_a").cast("double") / F.col("__ta").cast("double"), 6
+        ),
+        eps_l,
+    )
+    p_b = F.greatest(
+        F.round(
+            F.col("n_b").cast("double") / F.col("__tb").cast("double"), 6
+        ),
+        eps_l,
+    )
+    terms = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("term"),
+    )
+    psi = terms.agg(
+        F.sum(F.col("term").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("psi")
+    )
+    return (
+        terms.crossJoin(F.broadcast(psi))
+        .select("bucket", "n_a", "n_b", "p_a", "p_b", "term", "psi")
+        .orderBy("bucket")
+    )

@@ -285,6 +285,8 @@ HEADLINE = (
     "robust_value_stats",
     # round 13: key-skew diagnosis feeding the salted_agg decision
     "join_skew_report",
+    # round 13: PSI drift score (ks_drift's thresholdable companion)
+    "psi_drift",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

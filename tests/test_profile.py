@@ -131,3 +131,30 @@ def test_snapshot_diff_no_concat_collision(spark):
     got = {r.id: r.status
            for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()}
     assert got == {1: "CHANGED", 2: "CHANGED"}
+
+
+def test_psi_drift_detects_shift(spark):
+    """PSI ≈ 0 for identically-distributed halves, large for a scale
+    shift; reference deciles give p_a = 0.1 per bucket; degenerate
+    params rejected."""
+    import pytest
+
+    from airflow_retail_etl_spark.operators.profile import psi_drift
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(2000)], "k long, v double"
+    )
+    a = df.filter(F.col("k") % 2 == 0)
+    b = df.filter(F.col("k") % 2 == 1)
+    same = psi_drift(a, b, "v").collect()
+    assert len(same) == 10
+    assert all(r["p_a"] == 0.1 for r in same)
+    assert same[0]["psi"] < 0.01
+    shifted = psi_drift(
+        a, b.withColumn("v", F.col("v") * 3.0), "v"
+    ).collect()
+    assert shifted[0]["psi"] > 0.25  # the standard "action" threshold
+    with pytest.raises(ValueError, match="n_buckets"):
+        psi_drift(a, b, "v", n_buckets=1)
+    with pytest.raises(ValueError, match="eps"):
+        psi_drift(a, b, "v", eps=0.5)
