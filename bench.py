@@ -905,8 +905,14 @@ CANARY_CANDIDATES = ("fact_rollup", "dim_user", "staging_clean")
 #: the exact probe command — run it, then annotate the ledger entry
 #: with `isolated_recheck` (as rounds 12-13 did for both members).
 #: Extend this set only after an isolated probe adjudicates a new
-#: member; it is a routing hint, not an excuse list.
-GC_DEBT_CLASS = frozenset({"multimodal_decode", "bpe_tokenize"})
+#: member; it is a routing hint, not an excuse list. image_neardup
+#: joined in round 13: flagged 3.75 s (canary clean) vs isolated-warm
+#: 2.32 s on an unchanged operator whose hot path is the same Arrow
+#: mapInPandas decode as multimodal_decode (historical sf0.1 band
+#: 2.0-4.4 s, SCALING_HISTORY image_neardup_recheck).
+GC_DEBT_CLASS = frozenset(
+    {"multimodal_decode", "bpe_tokenize", "image_neardup"}
+)
 
 #: canary inflation bar: laxer than the 1.5× flag bar — a session-wide
 #: slowdown inflates everything a little, not one query a lot
