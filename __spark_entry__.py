@@ -7133,7 +7133,7 @@ def _decayed_revenue_sql(lam: float) -> str:
                SUM(CASE WHEN event_type = '{PURCHASE}'
                         THEN CAST(ROUND(price, 2) AS DECIMAL(18,2))
                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS s
-        FROM staging GROUP BY 1
+        FROM staging WHERE event_date IS NOT NULL GROUP BY 1
     ), b AS (
         SELECT MIN(event_date) AS lo, MAX(event_date) AS hi FROM cells
     ), cal AS (
@@ -7177,7 +7177,7 @@ def _trending_brands_sql(lam: float) -> str:
                SUM(CASE WHEN event_type = '{PURCHASE}'
                         THEN CAST(ROUND(price, 2) AS DECIMAL(18,2))
                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS s
-        FROM joined GROUP BY 1, 2
+        FROM joined WHERE event_date IS NOT NULL GROUP BY 1, 2
     ), b AS (
         SELECT MIN(event_date) AS lo, MAX(event_date) AS hi FROM cells
     ), cal AS (
@@ -8639,10 +8639,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT SUM(w) AS s FROM w
         ), qs AS (
             SELECT lang, n,
-                   CAST(CAST(ROUND(CAST(w AS DOUBLE) / CAST(s AS DOUBLE),
-                                   6) AS DECIMAL(8,6))
-                        * CAST(1000000 AS DECIMAL(7,0))
-                        AS DECIMAL(10,0)) AS q
+                   GREATEST(
+                       CAST(CAST(ROUND(CAST(w AS DOUBLE)
+                                       / CAST(s AS DOUBLE), 6)
+                                 AS DECIMAL(8,6))
+                            * CAST(1000000 AS DECIMAL(7,0))
+                            AS DECIMAL(10,0)),
+                       CAST(1 AS DECIMAL(10,0))) AS q
             FROM w CROSS JOIN tot
         ), arg AS (
             SELECT n AS p, q AS qb FROM qs

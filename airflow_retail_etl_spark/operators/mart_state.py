@@ -436,7 +436,9 @@ def decayed_read(
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lam must be in (0, 1), got {lam}")
     lam_lit = F.lit(float(lam))
-    series = cells.select(
+    # NULL-date cells are excluded (a dateless cell has no position on
+    # the decay axis; left in, it would surface as a NULL output row)
+    series = cells.filter(F.col(date_col).isNotNull()).select(
         F.col(date_col).alias("__d"),
         F.col(value_col).cast("double").alias("__s"),
     )
@@ -500,7 +502,7 @@ def decayed_now_by(
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lam must be in (0, 1), got {lam}")
     lam_lit = F.lit(float(lam))
-    series = cells.select(
+    series = cells.filter(F.col(date_col).isNotNull()).select(
         *keys,
         F.col(date_col).alias("__d"),
         F.col(value_col).cast("double").alias("__s"),

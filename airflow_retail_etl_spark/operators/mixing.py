@@ -252,16 +252,22 @@ def temperature_mix(
             F.col("__n").cast("decimal(20,0)").alias("__n"),
             # round the share to 6dp, capture it EXACTLY as decimal(8,6),
             # then scale to an integer in decimal arithmetic (a double
-            # multiply by 1e6 would reintroduce FP noise at the cast)
-            (
-                F.round(
-                    F.col("__w").cast("double") / F.col("__s").cast("double"),
-                    6,
-                ).cast("decimal(8,6)")
-                * F.lit(1_000_000).cast("decimal(7,0)")
-            )
-            .cast("decimal(10,0)")
-            .alias("__q"),
+            # multiply by 1e6 would reintroduce FP noise at the cast).
+            # Floored at 1: a group whose share rounds below 10⁻⁶ (a
+            # 1-row language inside a ≳10¹²-row corpus) would otherwise
+            # get integer weight 0 and be dropped SILENTLY — the exact
+            # failure temperature flattening exists to prevent
+            F.greatest(
+                (
+                    F.round(
+                        F.col("__w").cast("double")
+                        / F.col("__s").cast("double"),
+                        6,
+                    ).cast("decimal(8,6)")
+                    * F.lit(1_000_000).cast("decimal(7,0)")
+                ).cast("decimal(10,0)"),
+                F.lit(1).cast("decimal(10,0)"),
+            ).alias("__q"),
         )
     )
     arg = (
