@@ -243,9 +243,15 @@ def psi_drift(
     if not 0.0 < eps < 0.01:
         raise ValueError(f"eps must be in (0, 0.01), got {eps}")
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # materialize the one-row edge array (the round-10 rule, measured
+    # here: it feeds THREE broadcast reuses — both sides' bucket
+    # assignments and the spine — and un-materialized each reuse
+    # re-executes the whole reference-side rank pass; PLANS.md read 364
+    # exchanges for this query before the checkpoints, 10 after)
     edges = (
         global_quantiles(df_a, value_col, qs)
         .agg(F.array_sort(F.collect_list("quantile")).alias("__edges"))
+        .localCheckpoint(eager=True)
     )
 
     def bucketed(df: DataFrame, name: str) -> DataFrame:
@@ -264,6 +270,8 @@ def psi_drift(
             F.sequence(F.lit(0), F.lit(int(n_buckets - 1)))
         ).alias("bucket")
     )
+    # joined is n_buckets rows but its lineage holds both corpus-sized
+    # bucket counts; it feeds the totals fold AND the terms projection
     joined = (
         spine.join(bucketed(df_a, "n_a"), "bucket", "left")
         .join(bucketed(df_b, "n_b"), "bucket", "left")
@@ -272,6 +280,7 @@ def psi_drift(
             F.coalesce("n_a", F.lit(0).cast("long")).alias("n_a"),
             F.coalesce("n_b", F.lit(0).cast("long")).alias("n_b"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = joined.agg(
         F.sum("n_a").cast("long").alias("__ta"),

@@ -322,6 +322,12 @@ def robust_stats(
     qv = grouped_quantiles(
         base, group_col, "__v", [trim_q, 0.5, 1.0 - trim_q]
     )
+    # |groups|-row frame whose lineage holds the whole rank pass; it
+    # feeds THREE reuses (meds -> deviations, meds -> output join,
+    # bounds -> trim filter) — materialize once (the round-10 rule,
+    # measured: PLANS.md read 79 exchanges for robust_value_stats
+    # before, and the warm wall-time halves)
+    qv = qv.localCheckpoint(eager=True)
     wide = qv.groupBy(group_col).agg(
         F.max("n").cast("long").alias("n"),
         F.min(
