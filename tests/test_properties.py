@@ -456,3 +456,80 @@ def test_kpi_cell_fold_law_on_random_events(spark, rows, n_splits):
     exp_rev = sum(c for d, t, c in rows if t == "purchase") / 100.0
     assert a["purchases"] == exp_purch
     assert float(a["revenue_cents"]) == exp_rev
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), cents), min_size=1, max_size=30
+    ),
+    st.integers(2, 4),
+)
+def test_moment_cell_fold_law_on_random_values(spark, rows, n_splits):
+    """moment_fold over ANY batch split equals the one-shot cells —
+    the linear fold law for (n, Σx, Σx²) state on arbitrary values."""
+    from airflow_retail_etl_spark.operators import mart_state
+
+    df = spark.createDataFrame(
+        [
+            (f"2024-01-{(d % 9) + 1:02d}", c / 100.0, i)
+            for i, (d, c) in enumerate(rows)
+        ],
+        "event_date string, price double, k long",
+    ).withColumn("event_date", F.to_date("event_date"))
+    one = mart_state.moment_cells(df, [], "price")
+    parts = [
+        mart_state.moment_cells(
+            df.filter(F.col("k") % n_splits == i), [], "price"
+        )
+        for i in range(n_splits)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    folded = mart_state.moment_fold(u, ["event_date"])
+    key = lambda r: str(r["event_date"])  # noqa: E731
+    assert sorted(map(tuple, folded.collect()), key=lambda t: str(t[0])) == \
+        sorted(map(tuple, one.collect()), key=lambda t: str(t[0]))
+
+
+@HEAVY
+@given(
+    st.lists(st.tuples(st.integers(0, 12), cents), min_size=1, max_size=25),
+    st.sampled_from([0.5, 0.9, 0.99]),
+)
+def test_decayed_read_equals_python_horner(spark, rows, lam):
+    """decayed_read on arbitrary per-day revenue equals a python Horner
+    fold over the dense calendar (gap days contribute 0)."""
+    import datetime as dt
+
+    from airflow_retail_etl_spark.operators import mart_state
+
+    df = spark.createDataFrame(
+        [
+            (f"2024-02-{(d % 13) + 1:02d}", "purchase", c / 100.0)
+            for d, c in rows
+        ],
+        "event_date string, event_type string, price double",
+    ).withColumn("event_date", F.to_date("event_date"))
+    cells = mart_state.kpi_cells(df, [])
+    got = {
+        str(r["event_date"]): r["decayed"]
+        for r in mart_state.decayed_read(
+            cells, "revenue_cents", lam=lam
+        ).collect()
+    }
+    per_day = {
+        str(r["event_date"]): float(r["revenue_cents"])
+        for r in cells.collect()
+    }
+    days = sorted(per_day)
+    lo = dt.date.fromisoformat(days[0])
+    hi = dt.date.fromisoformat(days[-1])
+    acc, cur = 0.0, lo
+    expect = {}
+    while cur <= hi:
+        acc = acc * lam + per_day.get(str(cur), 0.0)
+        expect[str(cur)] = round(acc, 6)
+        cur += dt.timedelta(days=1)
+    assert got == {d: expect[d] for d in got}
