@@ -5406,6 +5406,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_mart as the round-13 past-prefix face to rotate in next
     — and tests/test_entry_contract.py enforces per-module
     representation.
+    Round-13 NEW past-prefix faces awaiting their one-round-lag
+    rotation (all oracle-green locally, each a new face of an
+    in-window module): streaming_volatility (moment replay),
+    embedding_gram (Gram/whitening sufficient statistic),
+    temperature_mix (α-sampling), decayed_revenue + trending_brands
+    (decayed state reads), robust_value_stats (rank-exact
+    median/MAD/trimmed mean), join_skew_report (skew diagnosis),
+    psi_drift (drift score) — candidates to rotate into the prefix in
+    round 14 alongside streaming_mart, displacing multi-round-green
+    entries whose machinery stays represented.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
