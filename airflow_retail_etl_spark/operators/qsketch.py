@@ -314,7 +314,14 @@ def sketch_quantiles(
     already ≤ cap per group, so requantize is the identity here — kept
     in the path so one-shot and merged forms run THE SAME final
     operators, which is what makes them bit-comparable.)"""
+    # the state is ≤ cap rows per group BY CONSTRUCTION, but its lineage
+    # holds the corpus-sized level pass, and requantize + the estimate
+    # windows reuse it several times — materialize once (the r10 rule,
+    # A/B-measured: quantile_sketch 2.89 → 2.24 s warm at sf0.1; the
+    # query's fused exact-audit legs still scan raw and keep the rest;
+    # values bit-identical, oracle unchanged)
     state = qsketch_state(df, keys, value_col, key_col, cap=cap)
+    state = state.localCheckpoint(eager=True)
     return sample_quantiles(requantize(state, keys, cap=cap), keys, qs)
 
 

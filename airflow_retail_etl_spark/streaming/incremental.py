@@ -553,6 +553,11 @@ def replay_qsketch(
     for b in batches:
         s = qsketch.qsketch_state(b, (), value_col, key_col, cap=cap)
         state = s if state is None else state.unionByName(s)
+    # ≤ batches·cap rows whose lineage holds every batch's level pass;
+    # requantize + the estimate windows reuse it — materialize once
+    # (A/B-measured: streaming_quantiles 4.54 → 3.67 s warm at sf0.1;
+    # the query's oracle-grade audit legs keep the remainder)
+    state = state.localCheckpoint(eager=True)
     surv = qsketch.requantize(state, (), cap=cap)
     return qsketch.sample_quantiles(surv, (), qs)
 
