@@ -5406,16 +5406,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_mart as the round-13 past-prefix face to rotate in next
     — and tests/test_entry_contract.py enforces per-module
     representation.
-    Round-13 NEW past-prefix faces awaiting their one-round-lag
-    rotation (all oracle-green locally, each a new face of an
-    in-window module): streaming_volatility (moment replay),
-    embedding_gram (Gram/whitening sufficient statistic),
-    temperature_mix (α-sampling), decayed_revenue + trending_brands
-    (decayed state reads), robust_value_stats (rank-exact
-    median/MAD/trimmed mean), join_skew_report (skew diagnosis),
-    psi_drift (drift score) — candidates to rotate into the prefix in
-    round 14 alongside streaming_mart, displacing multi-round-green
-    entries whose machinery stays represented.
+    Round-14 rotation (completing the round-13 one-round-lag
+    promises): IN — streaming_mart (the fold_kpi_batch stream ≡ batch
+    certificate promised "next" in the r12/r13 notes),
+    streaming_volatility (moment replay), embedding_gram
+    (Gram/whitening sufficient statistic), decayed_revenue (Horner
+    decayed state reads; its grouped face trending_brands stays just
+    past the prefix), robust_value_stats (rank-exact median/MAD/
+    trimmed mean), join_skew_report (skew diagnosis), psi_drift (PSI
+    drift score) — and multimodal_decode slides back to entry 50 (it
+    had drifted to 51 when temperature_mix landed in r13). OUT —
+    eight multi-round-green entries whose machinery stays in-window
+    (see the inline notes at each replacement's slot):
+    customers_without_orders, revenue_rollup, salted_agg,
+    table_profile, mix_corpus, streaming_heavy_hitters,
+    rolling_sample, rolling_volatility.
+    Round-14 NEW past-prefix faces awaiting their one-round-lag
+    rotation: streaming_decayed (the decayed-state fold certificate —
+    the sixth and final mergeable-state face to gain a streaming
+    fold twin).
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5458,14 +5467,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the prefix — revenue_by_nation keeps the multi-join
         # revenue-rollup family represented
         "quality_classifier": q_quality_classifier,
-        "customers_without_orders": q_customers_without_orders,
         # corpus_budget reps the running-sum family in the window with the
         # DISTRIBUTED prefix sum (selection.global_cumsum — range
         # repartition + broadcast offsets) plus budgeted selection on top;
         # cumulative_daily_revenue (a 30-row ordered window over the same
         # money policy) moves just past the prefix
         "corpus_budget": q_corpus_budget,
-        "revenue_rollup": q_revenue_rollup,
+        # robust_value_stats (rotated in round 14 per the one-round-lag
+        # protocol) reps the selection module's rank-exact robust
+        # statistics face: median / MAD / trimmed mean from three
+        # grouped_quantiles passes — heavy-tail-safe center/spread the
+        # way a 100 TB profile job wants it; customers_without_orders
+        # (driver-green many rounds) and revenue_rollup (driver-green
+        # many rounds) rotate just past the prefix — anti-join machinery
+        # stays in-window via decontam_excise's excision anti-joins, and
+        # the grouping-sets reshape is oracle-checked every round via
+        # revenue_cube
+        "robust_value_stats": q_robust_value_stats,
         # ivf_pq supersedes ann_pq as the PQ-family window representative:
         # identical oracle (probe-all ≡ exhaustive ADC) plus the IVF cell
         # composition on top — strictly more machinery under the same check
@@ -5490,17 +5508,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordering (session_window_stats runs the same lag/gap logic
         # past the prefix every round)
         "dq_quarantine": q_dq_quarantine,
-        "salted_agg": q_salted_agg,
+        # join_skew_report (rotated in round 14) reps operators/skew
+        # with the DIAGNOSIS face: per-key frequency spectrum, top-key
+        # mass shares, and the skew verdict that feeds the salting
+        # decision — the operational report a 1000-executor job reads
+        # before picking a join strategy; salted_agg (driver-green many
+        # rounds) rotates just past the prefix under the identical skew
+        # module (its two-phase salted aggregation stays oracle-checked
+        # every round)
+        "join_skew_report": q_join_skew_report,
         # -- corpus / LLM-pipeline surface --------------------------------
         # repetition reps the repetition-metrics module in the window;
         # quality_report (an aggregate VIEW of the same gopher_flags that
         # doc_stats + quality_filter keep represented) moves past the
         # prefix
         "repetition": q_repetition,
-        # table_profile reps the profiling module (single-scan ANALYZE);
-        # doc_stats (functions.text stats, whose machinery quality_filter
-        # and bpe_tokenize keep in-window) moves just past the prefix
-        "table_profile": q_table_profile,
+        # psi_drift (rotated in round 14) reps the profiling module with
+        # its drift face: reference-decile buckets, eps-floored shares,
+        # (p−q)·ln(p/q) terms under the transcendental policy — the
+        # thresholdable companion to ks_drift; table_profile
+        # (driver-green r11-r13) rotates just past the prefix under the
+        # identical profile module (its single-scan ANALYZE stays
+        # oracle-checked every round)
+        "psi_drift": q_psi_drift,
         # rolling_quantiles (NEW in round 12) reps the quantile-sketch
         # module (operators/qsketch — the sketch family's third face:
         # mergeable per-day md5 level-sample state, trailing-window
@@ -5537,32 +5567,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "pii_redaction": q_pii_redaction,
         "quality_filter": q_quality_filter,
-        "mix_corpus": q_mix_corpus,
-        # temperature-flattened multilingual mix (NEW in round 13) —
-        # in-engine n^α weight derivation feeding mix_corpus's integer
-        # keep rule; rotates toward the prefix per the one-round-lag
-        # protocol (mixing module stays repped in-window by mix_corpus)
+        # temperature_mix reps the mixing module in the window since
+        # round 13: temperature-flattened multilingual mix — in-engine
+        # n^α weight derivation (1e-6 weight floor so tiny languages are
+        # never silently dropped) feeding the same integer keep rule;
+        # mix_corpus (driver-green many rounds) rotates just past the
+        # prefix in round 14 under the identical mixing machinery
         "temperature_mix": q_temperature_mix,
-        # streaming_heavy_hitters (rotated in round 12) reps the
-        # streaming CMS cell fold (fold_cms_batch's per-batch linear
-        # sums, replayed as DataFrames — stream ≡ batch certified by the
-        # one-shot oracle); embed_quantize (driver-green many rounds)
-        # rotates just past the prefix, its functions/vectors machinery
-        # staying in-window inside semdedup/ann_ivf/ivf_pq
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         # decontam_excise reps the decontam module in the window with the
         # span-grain excision (strictly more machinery than the binary
         # drop); decontaminate rotates just past the prefix in round 10
         "decontam_excise": q_decontam_excise,
-        # rolling_sample (NEW in round 12) reps the mergeable-SAMPLE
-        # sketch face (operators/sampling bottom-k states — the fourth
-        # face beside HLL registers, CMS cells, and qsketch level
-        # samples: per-day order-statistic states, idempotent window
-        # merges, free KMV estimates); bloom_decontam (driver-green r10
-        # AND r11) rotates just past the prefix — the decontam module
-        # stays repped in-window via decontam_excise, and the Bloom FP
-        # set remains cross-engine-verified by its oracle every round
-        "rolling_sample": q_rolling_sample,
         # bm25_search reps the retrieval module in the window; the lm
         # module keeps tfidf_keywords in-prefix, and unigram_score (same
         # token/model machinery, LM-scoring face) moves just past it
@@ -5587,6 +5602,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_mart (driver-green r12) rotates just past the
         # prefix under the identical cell/register machinery
         "rolling_mart": q_rolling_mart,
+        # streaming_mart (rotated in round 14 per the one-round-lag
+        # protocol, as promised in the r13 rotation notes): the stream ≡
+        # batch certificate of the linear KPI cell fold — fold_kpi_batch
+        # replayed as DataFrames, bit-identical to the one-shot mart by
+        # the additive-cell merge law; displaces no mart_state rep
+        # (rolling_mart stays in-window), instead taking the slot of the
+        # multi-round-green streaming_heavy_hitters, whose CMS cell
+        # machinery stays in-window via rolling_heavy_hitters and whose
+        # per-batch fold pattern is exactly what this face certifies
+        "streaming_mart": q_streaming_mart,
+        # decayed_revenue (rotated in round 14): exponentially
+        # time-decayed reads from the same per-day cells — recency
+        # weighting by a fixed-order Horner fold (never pow), O(1)
+        # incremental law test-pinned; rolling_sample (driver-green
+        # r12+r13) rotates just past the prefix — the sample-sketch
+        # bottom-k machinery stays in-window via doc_mass_by_lang's
+        # priority states and decontam_excise's md5 draws, and the
+        # streaming fold certificate via streaming_sample
+        "decayed_revenue": q_decayed_revenue,
         "pack_sequences": q_pack_sequences,
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
@@ -5607,15 +5641,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its cluster resolution
         "span_excise": q_span_excise,
         "dedup_resolve": q_dedup_resolve,
-        # rolling_volatility (rotated in round 13): the univariate-
-        # statistics member of the mart-state family — exact DECIMAL
-        # (n, Σx, Σx²) moment cells, calendar-bounded window merges,
-        # brand_price_corr's fixed-order double formulas;
-        # leakage_safe_split (driver-green many rounds + r12) rotates
-        # just past the prefix — its cluster-keyed hash_split machinery
-        # stays in-window via decontam_excise (the same md5 draw) and
-        # dedup_resolve's cluster ids
-        "rolling_volatility": q_rolling_volatility,
+        # streaming_volatility (rotated in round 14): the moment-cell
+        # twin of streaming_mart — replay_moment completes the stream ≡
+        # batch replay set (every mergeable state face now has both a
+        # store fold and a DataFrame replay, all driver-verified);
+        # rolling_volatility (driver-green r13) rotates just past the
+        # prefix under the IDENTICAL exact-DECIMAL (n, Σx, Σx²) moment
+        # cells and calendar-bounded merges — the same-module sibling
+        # precedent from r13's rolling_mart/incremental_mart swap
+        "streaming_volatility": q_streaming_volatility,
         # the banded-MinHash machinery (signatures, band buckets, exact
         # verify) is repped in-window by streaming_admission, which runs
         # the identical engine incrementally per batch; the one-shot
@@ -5634,6 +5668,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # neardup_cosine_lsh, both oracle-checked every round
         "semdedup": q_semdedup,
         "ann_ivf": q_ann_ivf,
+        # embedding_gram (rotated in round 14): the Gram/covariance
+        # sufficient statistic — whitening/PCA precursor computed as
+        # DECIMAL(38,0) integer sums (never decimal÷decimal; the r13
+        # 4e-6 drift lesson), pair-join oracle face here with the Arrow
+        # int-matmul production twin equality-pinned in tests; takes the
+        # slot of the multi-round-green mix_corpus (mixing machinery
+        # in-window via temperature_mix)
+        "embedding_gram": q_embedding_gram,
         # image_neardup reps the perceptual-media near-dup family (r7's
         # dHash → SimHash-Hamming pipeline through real decoded bytes) in
         # the window; neardup_cosine_lsh rotates just past the prefix —
@@ -5655,35 +5697,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and doc_mass_by_lang): bloom_decontam, edit_neardup
         "bloom_decontam": q_bloom_decontam,
         "edit_neardup": q_edit_neardup,
-        # streaming_mart: the stream ≡ batch certificate of the linear
-        # KPI cell fold (fold_kpi_batch replayed as DataFrames) —
-        # rolling_mart holds the mart-state in-window slot since round
-        # 13; this face rotates in next per the one-round-lag protocol
-        "streaming_mart": q_streaming_mart,
-        # streaming_volatility (NEW in round 13): the moment-cell twin
-        # of streaming_mart — replay_moment completes the stream ≡
-        # batch replay set (every mergeable state face now has both a
-        # store fold and a DataFrame replay); rotates in next round
-        "streaming_volatility": q_streaming_volatility,
-        # decayed_revenue (NEW in round 13): exponentially time-decayed
-        # reads from the same per-day cells — recency weighting by a
-        # fixed-order Horner fold (never pow); O(1) incremental law
-        # test-pinned; rotates in next round
-        "decayed_revenue": q_decayed_revenue,
-        # its grouped trending face: per-brand decayed revenue at the
-        # global latest day (comparable recency ranking)
+        # trending_brands: the grouped face of the in-window
+        # decayed_revenue — per-brand decayed revenue at the global
+        # latest day (comparable recency ranking) under the identical
+        # Horner-fold decay machinery
         "trending_brands": q_trending_brands,
-        # robust center/spread from exact rank arithmetic (NEW in round
-        # 13): median / MAD / trimmed mean — three grouped_quantiles
-        # passes, heavy-tail-safe; rotates in next round
-        "robust_value_stats": q_robust_value_stats,
-        # key-skew diagnosis (NEW in round 13): the operational report
-        # feeding the salted_agg decision; rotates in next round
-        "join_skew_report": q_join_skew_report,
-        # PSI drift score (NEW in round 13): ks_drift's thresholdable
-        # companion — reference-decile buckets, eps-floored shares,
-        # (p−q)·ln(p/q) terms under the transcendental policy
-        "psi_drift": q_psi_drift,
+        # rotated just past the prefix in round 14 (see inline notes at
+        # their replacements' slots — machinery stays in-window and the
+        # oracle still checks them every round):
+        # customers_without_orders (driver-green many rounds; anti-join
+        # machinery in-window via decontam_excise)
+        "customers_without_orders": q_customers_without_orders,
+        # revenue_rollup (driver-green many rounds; grouping-sets
+        # reshape oracle-checked via revenue_cube, relational rollup
+        # breadth in-window via revenue_by_nation + nation_profit_ps)
+        "revenue_rollup": q_revenue_rollup,
+        # salted_agg (driver-green many rounds; skew module in-window
+        # via join_skew_report — the report that feeds this operator)
+        "salted_agg": q_salted_agg,
+        # table_profile (driver-green r11-r13; profile module in-window
+        # via psi_drift)
+        "table_profile": q_table_profile,
+        # mix_corpus (driver-green many rounds; mixing module in-window
+        # via temperature_mix, which feeds this exact keep rule)
+        "mix_corpus": q_mix_corpus,
+        # streaming_heavy_hitters (driver-green r12+r13; CMS cells
+        # in-window via rolling_heavy_hitters, batch-fold certificates
+        # in-window via streaming_mart / streaming_volatility /
+        # streaming_sample / streaming_quantiles)
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        # rolling_sample (driver-green r12+r13; sample-sketch bottom-k
+        # machinery in-window via doc_mass_by_lang + streaming_sample)
+        "rolling_sample": q_rolling_sample,
+        # rolling_volatility (driver-green r13; moment cells in-window
+        # via streaming_volatility — same-module sibling swap)
+        "rolling_volatility": q_rolling_volatility,
         # rotated just past the prefix in round 13 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -5816,12 +5864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # profile module stays in-window via table_profile)
         "snapshot_diff": q_snapshot_diff,
         # per-dimension embedding health audit (dead dims, scale drift)
+        # (embedding_gram rotated INTO the verified prefix in round 14)
         "embedding_dim_stats": q_embedding_dim_stats,
-        # embedding Gram/covariance sufficient statistic (NEW in round
-        # 13) — the whitening/PCA precursor; pair-join oracle face here,
-        # integer-matmul production twin equality-pinned in tests;
-        # rotates toward the prefix per the one-round-lag protocol
-        "embedding_gram": q_embedding_gram,
         # int8 vector quantization report (driver-green many rounds;
         # rotated just past the prefix in round 12 for
         # streaming_heavy_hitters — the functions/vectors machinery

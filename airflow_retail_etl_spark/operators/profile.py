@@ -286,6 +286,18 @@ def psi_drift(
         F.sum("n_a").cast("long").alias("__ta"),
         F.sum("n_b").cast("long").alias("__tb"),
     )
+    # fail fast on an empty/all-NULL side: p = n/0 would surface as an
+    # opaque IEEE Infinity/NaN inside the ln terms, not a named error.
+    # Bounded check — joined is already eagerly checkpointed, so this
+    # reads n_buckets in-memory rows, never the corpora.
+    trow = tot.collect()[0]
+    if not trow["__ta"] or not trow["__tb"]:
+        raise ValueError(
+            "psi_drift: a side has zero non-null values "
+            f"(reference={trow['__ta'] or 0}, current={trow['__tb'] or 0} "
+            f"rows of non-null {value_col!r}) — PSI is undefined on an "
+            "empty distribution"
+        )
     eps_l = F.lit(float(eps))
     p_a = F.greatest(
         F.round(

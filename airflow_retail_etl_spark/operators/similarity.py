@@ -1331,7 +1331,23 @@ def embedding_gram_matmul(
             if pdf.empty:
                 continue
             xi = np.stack(pdf["__xs"].to_numpy()).astype(np.int64)
-            g = xi.T @ xi  # exact int64 partial (bound in docstring)
+            # the docstring's exactness bound is an ASSUMPTION about the
+            # input (|component| ≤ 1 → scaled ≤ 1e6) and the Arrow batch
+            # size — check it, or the int64 matmul wraps SILENTLY and
+            # diverges from the DECIMAL oracle face (which would raise
+            # under ANSI): max|x|² · rows must stay below 2⁶²
+            amax = int(np.abs(xi).max(initial=0))
+            if amax and amax * amax > (2**62) // len(xi):
+                raise ValueError(
+                    "embedding_gram_matmul int64 partial would overflow: "
+                    f"max |scaled component| {amax} over an Arrow batch of "
+                    f"{len(xi)} rows exceeds the exactness bound "
+                    "(|component| <= 1e6 scaled and <=10k-row batches). "
+                    "Normalize the embeddings or lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch, or use "
+                    "the pair-join face embedding_gram (exact DECIMAL)."
+                )
+            g = xi.T @ xi  # exact int64 partial (bound checked above)
             i_idx, j_idx = np.triu_indices(g.shape[0])
             yield pd.DataFrame(
                 {
@@ -1382,7 +1398,20 @@ def whiten_transform(
     from pyspark.sql.functions import pandas_udf
 
     rows = gram.select("i", "j", "n", "cov").collect()
+    if not rows:
+        raise ValueError(
+            "whiten_transform: gram input is empty — pass the full "
+            "output of embedding_gram/embedding_gram_matmul (d(d+1)/2 "
+            "upper-triangle rows), not a filtered or failed frame"
+        )
     d = max(r["j"] for r in rows) + 1
+    if len(rows) != d * (d + 1) // 2:
+        raise ValueError(
+            f"whiten_transform: gram input has {len(rows)} rows but "
+            f"dimension {d} implies {d * (d + 1) // 2} upper-triangle "
+            "entries — the frame is partial/filtered; a silently "
+            "zero-filled covariance would whiten against the wrong basis"
+        )
     n = rows[0]["n"]
     cov = np.zeros((d, d))
     for r in rows:

@@ -226,6 +226,19 @@ def build_dims_incremental(
         if dts is None:
             dts = _list_snapshot_dts(spark, path)
         prev_dt = max((d for d in dts if d < date), default=None)
+        # the pointer is a CACHE of the partition directory: a snapshot
+        # removed externally (manual vacuum, retention job elsewhere)
+        # leaves a stale entry that would route the merge at a
+        # nonexistent dt= partition. Validate the pick against the
+        # filesystem and self-heal — relist and rewrite the pointer —
+        # exactly like the old physical-scan path did.
+        if prev_dt is not None:
+            jvm, fs = _snapshot_fs(spark, path)
+            part = jvm.org.apache.hadoop.fs.Path(f"{path}/dt={prev_dt}")
+            if not fs.exists(part):
+                dts = _list_snapshot_dts(spark, path)
+                write_snapshot_dts(spark, path, dts)
+                prev_dt = max((d for d in dts if d < date), default=None)
         if prev_dt is None:
             merged = updates
         else:

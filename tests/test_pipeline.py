@@ -356,3 +356,32 @@ def test_compaction_updates_snapshot_pointer(spark, cfg, tmp_path):
     assert read_snapshot_dts(
         spark, f"{cfg.warehouse_root}/dim_user_scd"
     ) == res["kept"]
+
+
+def test_stale_snapshot_pointer_self_heals(spark, cfg):
+    """ADVICE r13: a snapshot partition removed EXTERNALLY (manual
+    vacuum, out-of-band retention) leaves a stale pointer entry; the
+    merge must not route at the nonexistent dt= partition — it
+    validates the pick against the filesystem, relists, rewrites the
+    pointer, and merges against the true latest survivor."""
+    import pathlib
+    import shutil
+
+    from airflow_retail_etl_spark.pipeline import (
+        build_dims_incremental,
+        read_snapshot_dts,
+    )
+
+    build_dims_incremental(spark, cfg, "2019-10-01")
+    build_dims_incremental(spark, cfg, "2019-10-02")
+    path = f"{cfg.warehouse_root}/dim_product_scd"
+    # remove day 2 BEHIND the pointer's back (no compact_dim_snapshots)
+    shutil.rmtree(pathlib.Path(path) / "dt=2019-10-02")
+    assert read_snapshot_dts(spark, path) == ["2019-10-01", "2019-10-02"]
+    # day 3 must fall back to day 1 (products {1, 2}) instead of
+    # failing on the missing day-2 partition
+    build_dims_incremental(spark, cfg, "2019-10-03")
+    d3 = spark.read.parquet(path).filter(F.col("dt") == "2019-10-03")
+    assert {r["product_id"] for r in d3.collect()} == {1, 2}
+    # the heal rewrote the pointer from the physical listing + day 3
+    assert read_snapshot_dts(spark, path) == ["2019-10-01", "2019-10-03"]

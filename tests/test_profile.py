@@ -158,3 +158,21 @@ def test_psi_drift_detects_shift(spark):
         psi_drift(a, b, "v", n_buckets=1)
     with pytest.raises(ValueError, match="eps"):
         psi_drift(a, b, "v", eps=0.5)
+
+
+def test_psi_drift_rejects_empty_side(spark):
+    """ADVICE r13: an empty or all-NULL side used to surface as an
+    opaque IEEE NaN/Infinity inside the ln terms; now a named error."""
+    import pytest
+
+    from airflow_retail_etl_spark.operators.profile import psi_drift
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    )
+    empty = df.filter("1 = 0")
+    nulls = df.withColumn("v", F.lit(None).cast("double"))
+    with pytest.raises(ValueError, match="zero non-null"):
+        psi_drift(df, empty, "v")
+    with pytest.raises(ValueError, match="zero non-null"):
+        psi_drift(nulls, df, "v")

@@ -433,3 +433,57 @@ def test_whiten_transform_identity_covariance(spark):
     diag = [r.cov for r in g if r.i == r.j]
     assert offdiag < 1e-3
     assert all(abs(d - 1.0) < 1e-2 for d in diag)
+
+
+def test_embedding_gram_matmul_overflow_guard(spark):
+    """Unnormalized embeddings that would silently wrap the int64
+    partial raise a named error instead (ADVICE r13: the exactness
+    bound was an unchecked assumption). |x| = 4000 scales to 4e9;
+    one product is 1.6e19 > 2^63."""
+    from py4j.protocol import Py4JJavaError
+
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_gram_matmul,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [4000.0, 1.0]), (1, [4000.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises((Py4JJavaError, Exception)) as exc:
+        embedding_gram_matmul(df).collect()
+    assert "overflow" in str(exc.value)
+
+
+def test_embedding_gram_matmul_bound_is_not_overtight(spark):
+    """Components at the documented |x| <= 1 limit pass the guard (the
+    check must reject only genuinely unsafe batches)."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_gram,
+        embedding_gram_matmul,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, -1.0, 0.999999]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    assert [tuple(r) for r in embedding_gram_matmul(df).collect()] == [
+        tuple(r) for r in embedding_gram(df).collect()
+    ]
+
+
+def test_whiten_transform_rejects_empty_and_partial_gram(spark):
+    """ADVICE r13: empty gram input raised a bare IndexError and a
+    filtered gram silently zero-filled the covariance; both are now
+    named ValueErrors."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_gram,
+        whiten_transform,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    gram = embedding_gram(emb)
+    with pytest.raises(ValueError, match="empty"):
+        whiten_transform(emb, gram.filter("1 = 0"))
+    with pytest.raises(ValueError, match="partial"):
+        whiten_transform(emb, gram.filter("i <> 3 or j <> 7"))
