@@ -929,8 +929,12 @@ CANARY_CANDIDATES = ("fact_rollup", "dim_user", "staging_clean")
 #: 2.32 s on an unchanged operator whose hot path is the same Arrow
 #: mapInPandas decode as multimodal_decode (historical sf0.1 band
 #: 2.0-4.4 s, SCALING_HISTORY image_neardup_recheck).
+#: audio_neardup joined in round 14: flagged 5.17 s on the r13 driver
+#: record (canary clean) vs isolated 3.74 s cold / 2.43 s warm on an
+#: unchanged operator — the same Arrow mapInPandas decode leaf profile
+#: as its siblings (SCALING_HISTORY audio_neardup_recheck).
 GC_DEBT_CLASS = frozenset(
-    {"multimodal_decode", "bpe_tokenize", "image_neardup"}
+    {"multimodal_decode", "bpe_tokenize", "image_neardup", "audio_neardup"}
 )
 
 #: canary inflation bar: laxer than the 1.5× flag bar — a session-wide
