@@ -1766,6 +1766,42 @@ def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mart_state.decayed_read(cells, "revenue_cents", lam=0.9)
 
 
+def q_streaming_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decayed state, batch-replay form
+    (streaming.incremental.replay_decayed — the carried-scalar fold
+    fold_decayed_batch runs, minus the parquet store): the events
+    stream arrives in four TIME-ORDERED batches (contiguous
+    day-of-month ranges — the decayed carry is a sequential law, so
+    unlike the linear cell folds its batches advance in event time;
+    late days raise the backfill recipe in-plan), each reduced to
+    per-day DECIMAL cent cells, and each batch's days published by
+    resuming the λ=0.9 Horner fold FROM the carried unrounded acc.
+    Resuming a sequential fold is the identical IEEE operation sequence
+    as the one-shot fold, so the union of per-batch outputs is
+    BIT-IDENTICAL to decayed_revenue — the oracle IS that one-shot SQL,
+    certifying stream ≡ batch for the decayed face (the sixth mergeable
+    state face, closing the replay set); store-backed redelivery
+    idempotence is test-pinned."""
+    from airflow_retail_etl_spark.operators import mart_state
+    from airflow_retail_etl_spark.streaming.incremental import (
+        replay_decayed,
+    )
+
+    ev = adapters.staging_events(spark, sf_dir)
+    dom = F.dayofmonth("event_date")
+    batches = [
+        mart_state.kpi_cells(
+            ev.filter((dom >= lo) & (dom <= hi)),
+            [],
+            view_value=VIEW,
+            cart_value=CART,
+            purchase_value=PURCHASE,
+        )
+        for lo, hi in ((1, 8), (9, 16), (17, 24), (25, 31))
+    ]
+    return replay_decayed(batches, "revenue_cents", lam=0.9)
+
+
 def q_trending_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand recency-weighted revenue (mart_state.decayed_now_by,
     λ=0.9) — which brands are trending NOW: every brand's per-day cent
@@ -5702,6 +5738,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest day (comparable recency ranking) under the identical
         # Horner-fold decay machinery
         "trending_brands": q_trending_brands,
+        # streaming_decayed (NEW in round 14): the decayed family's
+        # stream ≡ batch certificate — the sixth and final mergeable
+        # state face to gain a streaming fold twin (r13 verdict item 4):
+        # replay_decayed resumes the Horner fold from a carried
+        # unrounded acc per time-ordered batch, bit-identical to the
+        # one-shot decayed_revenue (its oracle IS the one-shot SQL);
+        # rotates into the prefix next round per the one-round-lag
+        # protocol
+        "streaming_decayed": q_streaming_decayed,
         # rotated just past the prefix in round 14 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -9172,6 +9217,11 @@ def oracle_sql() -> dict[str, str]:
         "rolling_volatility": _rolling_volatility_sql(_ROLL_WINDOW),
         "streaming_volatility": _streaming_volatility_sql(),
         "decayed_revenue": _decayed_revenue_sql(0.9),
+        # the streaming replay is bit-identical to the one-shot by the
+        # resumed-Horner argument (q_streaming_decayed docstring), so
+        # its oracle IS the one-shot SQL — the strongest stream ≡ batch
+        # certificate the driver can check
+        "streaming_decayed": _decayed_revenue_sql(0.9),
         "trending_brands": _trending_brands_sql(0.9),
         "robust_value_stats": _robust_stats_sql(0.1),
         # reference-decile buckets from the exact rank block, eps-floored

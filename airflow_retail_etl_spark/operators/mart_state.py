@@ -479,6 +479,137 @@ def decayed_read(
     )
 
 
+def decayed_step(
+    cells: DataFrame,
+    carry: DataFrame | None,
+    value_col: str,
+    *,
+    lam: float,
+    date_col: str = "event_date",
+    dp: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """One batch advance of :func:`decayed_read`'s O(1) incremental law
+    — the engine step behind the decayed family's STREAMING face
+    (``streaming.incremental.fold_decayed_batch`` / ``replay_decayed``):
+    given this batch's per-day exact state cells and the carried
+    ``(__lo, __last, __acc)`` state (None for the first batch), return
+
+    - ``out``: (date_col, n_days, decayed) for every day observed in
+      the batch — each value the law ``decayed(D) = acc·λ^(D−last) +
+      Σ S_d·λ^(D−d)`` computed as ONE left-to-right Horner fold resumed
+      FROM the carried acc over the dense calendar (last, D]. Resuming
+      a sequential fold is the identical IEEE operation sequence as the
+      one-shot fold over [lo, D], so every published value is
+      BIT-IDENTICAL to :func:`decayed_read` of all cells delivered so
+      far — the stream ≡ batch certificate.
+    - ``new_carry``: one row carrying (__lo, __last=batch max day,
+      __acc = UNROUNDED decayed at __last) — the whole streaming state,
+      one double per series (the O(1) law made literal).
+
+    Batch days must be strictly NEWER than the carried ``__last``: a
+    late day cannot be folded into an already-decayed scalar — the
+    guard raises in-plan with the backfill recipe (fold the late day's
+    cells into the CELL store, which is permutation-safe because cells
+    are linear, and re-read via decayed_read / replay from that day).
+    The 1-row state array is localCheckpointed: it feeds the output's
+    broadcast AND every later batch's carry chain, so un-materialized
+    each downstream batch would re-execute this batch's corpus subtree
+    (the psi_drift / round-10 materialize rule — O(B²) batch rescans).
+    Empty batches must be skipped by the caller (carry unchanged).
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    lam_lit = F.lit(float(lam))
+    series = cells.filter(F.col(date_col).isNotNull()).select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__s"),
+    )
+    bounds = series.agg(
+        F.min("__d").alias("__bmin"), F.max("__d").alias("__bmax")
+    )
+    if carry is None:
+        base = bounds.select(
+            F.col("__bmin").alias("__lo"),
+            F.col("__bmin").alias("__start"),
+            F.col("__bmax").alias("__hi"),
+            F.lit(0.0).alias("__acc0"),
+        )
+    else:
+        base = bounds.crossJoin(F.broadcast(carry)).select(
+            F.col("__lo"),
+            F.when(
+                F.col("__bmin") <= F.col("__last"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("decayed_step: late day "),
+                        F.col("__bmin").cast("string"),
+                        F.lit(" <= carried last day "),
+                        F.col("__last").cast("string"),
+                        F.lit(
+                            " — a decayed scalar cannot absorb the past;"
+                            " backfill through the linear CELL store"
+                            " (fold_kpi_batch/refresh_day) and re-read"
+                            " with decayed_read, or replay from that day"
+                        ),
+                    )
+                ).cast("date"),
+            )
+            .otherwise(F.date_add(F.col("__last"), 1))
+            .alias("__start"),
+            F.col("__bmax").alias("__hi"),
+            F.col("__acc").alias("__acc0"),
+        )
+    cal = base.select(
+        "__lo",
+        "__start",
+        "__hi",
+        "__acc0",
+        F.explode(F.sequence("__start", "__hi")).alias("__d"),
+    )
+    dense = cal.join(series, "__d", "left").select(
+        "__lo",
+        "__start",
+        "__hi",
+        "__acc0",
+        "__d",
+        F.coalesce("__s", F.lit(0.0)).alias("__s"),
+    )
+    arr = (
+        dense.groupBy("__lo", "__start", "__hi", "__acc0")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__d", "__s"))),
+                lambda t: t["__s"],
+            ).alias("__arr")
+        )
+        .localCheckpoint(eager=True)
+    )
+    obs = series.select(F.col("__d").alias(date_col))
+    idx = F.datediff(F.col(date_col), F.col("__start")) + F.lit(1)
+    horner = F.aggregate(
+        F.slice(F.col("__arr"), F.lit(1), idx),
+        F.col("__acc0"),
+        lambda acc, x: acc * lam_lit + x,
+    )
+    out = obs.crossJoin(F.broadcast(arr)).select(
+        date_col,
+        (F.datediff(F.col(date_col), F.col("__lo")) + F.lit(1))
+        .cast("long")
+        .alias("n_days"),
+        F.round(horner, dp).alias("decayed"),
+    )
+    new_carry = arr.select(
+        "__lo",
+        F.col("__hi").alias("__last"),
+        F.aggregate(
+            F.col("__arr"),
+            F.col("__acc0"),
+            lambda acc, x: acc * lam_lit + x,
+        ).alias("__acc"),
+    )
+    return out, new_carry
+
+
 def decayed_now_by(
     cells: DataFrame,
     keys: Sequence[str],

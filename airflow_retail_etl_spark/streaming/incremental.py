@@ -775,3 +775,160 @@ def fold_moment_batch(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(state_path)
     )
+
+
+def fold_decayed_batch(
+    batch: DataFrame,
+    state_path: str,
+    value_col: str,
+    *,
+    batch_id: int,
+    lam: float,
+    date_col: str = "event_date",
+    dp: int = 6,
+) -> None:
+    """Fold one micro-batch into a persisted DECAYED-read store — the
+    streaming face of ``mart_state.decayed_read``'s O(1) incremental
+    law (``decayed(D+g) = decayed(D)·λ^g + S``), completing the state
+    family: the sixth mergeable face (HLL, CMS, qsketch, sample,
+    KPI/moment cells, now the decayed scalar) to gain a streaming fold.
+
+    Unlike the linear cell folds, the decayed state is a CARRIED SCALAR
+    (one unrounded double per series plus its calendar position), so
+    partition N is a pure function of (partition N−1's carry, batch N):
+    replay safety is still per-``batch_id`` dynamic partition OVERWRITE
+    — an at-least-once redelivery recomputes from the SAME prior carry
+    and rewrites identical rows (test-pinned). Each partition holds the
+    batch's published (date, n_days, decayed) rows (``is_obs``) plus
+    one carry row with the unrounded ``__acc`` (rounding the carry
+    would break bit-equality with the one-shot fold). Batch days must
+    advance monotonically — ``mart_state.decayed_step`` raises the
+    backfill recipe otherwise (late days belong to the permutation-safe
+    CELL store, not to a decayed scalar). Read the series any time with
+    :func:`read_decayed_store` — bit-identical to decayed_read of
+    everything delivered.
+    """
+    from airflow_retail_etl_spark.operators import mart_state
+
+    spark = batch.sparkSession
+    carry = None
+    if batch_id > 0:
+        prior = _read_history(spark, state_path)
+        if prior is not None:
+            carry = prior.filter(
+                (F.col("batch_id") == int(batch_id) - 1)
+                & (~F.col("is_obs"))
+            ).select("__lo", "__last", "__acc")
+            if carry.isEmpty():  # empty-store prefix (no days yet)
+                carry = None
+    cells = batch.filter(F.col(date_col).isNotNull())
+    if cells.isEmpty():
+        # nothing delivered: rewrite the prior carry under this batch id
+        # (pure function of the empty batch — redelivery-idempotent)
+        rows = (
+            carry.select(
+                F.col("__last").alias(date_col),
+                F.lit(None).cast("long").alias("n_days"),
+                F.lit(None).cast("double").alias("decayed"),
+                "__lo",
+                "__last",
+                "__acc",
+                F.lit(False).alias("is_obs"),
+            )
+            if carry is not None
+            else spark.createDataFrame(
+                [],
+                f"{date_col} date, n_days long, decayed double, "
+                "__lo date, __last date, __acc double, is_obs boolean",
+            )
+        )
+    else:
+        day_cells = cells.groupBy(date_col).agg(
+            F.sum(value_col).alias(value_col)
+        )
+        out, new_carry = mart_state.decayed_step(
+            day_cells, carry, value_col, lam=lam, date_col=date_col, dp=dp
+        )
+        rows = out.select(
+            date_col,
+            "n_days",
+            "decayed",
+            F.lit(None).cast("date").alias("__lo"),
+            F.lit(None).cast("date").alias("__last"),
+            F.lit(None).cast("double").alias("__acc"),
+            F.lit(True).alias("is_obs"),
+        ).unionByName(
+            new_carry.select(
+                F.col("__last").alias(date_col),
+                F.lit(None).cast("long").alias("n_days"),
+                F.lit(None).cast("double").alias("decayed"),
+                "__lo",
+                "__last",
+                "__acc",
+                F.lit(False).alias("is_obs"),
+            )
+        )
+    (
+        rows.withColumn("batch_id", F.lit(int(batch_id)))
+        .repartition(1)  # ≤ days-per-batch + 1 rows — one file
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(state_path)
+    )
+
+
+def read_decayed_store(spark: SparkSession, state_path: str) -> DataFrame:
+    """The decayed series published so far: every batch's observed-day
+    rows across partitions (day sets are disjoint — days advance), in
+    calendar order. Bit-identical to ``mart_state.decayed_read`` over
+    everything delivered (the fold's certificate)."""
+    store = spark.read.parquet(state_path)
+    return (
+        store.filter(F.col("is_obs"))
+        .select(store.columns[0], "n_days", "decayed")
+        .orderBy(store.columns[0])
+    )
+
+
+def replay_decayed(
+    batches: Sequence[DataFrame],
+    value_col: str,
+    *,
+    lam: float,
+    date_col: str = "event_date",
+    dp: int = 6,
+) -> DataFrame:
+    """Replay TIME-ORDERED batches through the decayed carry fold
+    entirely as DataFrames — the batch face of
+    :func:`fold_decayed_batch` (the parquet store replaced by the
+    chained 1-row carry frames). Resuming the Horner fold from the
+    carried acc is the identical IEEE operation sequence as the
+    one-shot fold, so the union of per-batch outputs is BIT-IDENTICAL
+    to ``mart_state.decayed_read`` of the concatenated input — which is
+    what the oracle computes, certifying stream ≡ batch cross-engine
+    for the decayed face. Batches must advance in event time (the
+    streaming reality; late days raise the backfill recipe in-plan);
+    empty batches are skipped (carry unchanged)."""
+    _require_batches(batches, "replay_decayed")
+    from airflow_retail_etl_spark.operators import mart_state
+
+    carry: DataFrame | None = None
+    outs: list[DataFrame] = []
+    for b in batches:
+        cells = b.filter(F.col(date_col).isNotNull())
+        if cells.isEmpty():
+            continue
+        day_cells = cells.groupBy(date_col).agg(
+            F.sum(value_col).alias(value_col)
+        )
+        out, carry = mart_state.decayed_step(
+            day_cells, carry, value_col, lam=lam, date_col=date_col, dp=dp
+        )
+        outs.append(out)
+    if not outs:
+        raise ValueError("replay_decayed: every batch was empty")
+    folded = outs[0]
+    for o in outs[1:]:
+        folded = folded.unionByName(o)
+    return folded.orderBy(date_col)

@@ -401,3 +401,160 @@ def test_decayed_read_incremental_law_and_gaps(spark):
     assert out["2024-01-04"]["n_days"] == 4
     with pytest.raises(ValueError, match="lam"):
         mart_state.decayed_read(cells, "revenue_cents", lam=1.0)
+
+
+def _decayed_batches(spark, n=3):
+    ev = _events(spark)
+    dom = F.dayofmonth("event_date")
+    spans = ((1, 10), (11, 20), (21, 31))[:n]
+    return [
+        mart_state.kpi_cells(ev.filter((dom >= lo) & (dom <= hi)), [])
+        for lo, hi in spans
+    ]
+
+
+def test_fold_decayed_batch_redelivery_noop(spark, tmp_path):
+    """Streaming decayed fold under at-least-once delivery: partition N
+    is a pure function of (partition N−1's carry, batch N), so
+    re-folding a delivered batch rewrites identical rows — the series
+    read is unchanged, and it is BIT-identical to the one-shot
+    decayed_read of everything delivered (the store-backed certificate
+    the other five state folds have)."""
+    from airflow_retail_etl_spark.streaming.incremental import (
+        fold_decayed_batch,
+        read_decayed_store,
+    )
+
+    store = str(tmp_path / "decayed_state")
+    batches = _decayed_batches(spark)
+    for i, b in enumerate(batches):
+        fold_decayed_batch(b, store, "revenue_cents", batch_id=i, lam=0.9)
+    once = _rows(read_decayed_store(spark, store), "event_date")
+    fold_decayed_batch(
+        batches[1], store, "revenue_cents", batch_id=1, lam=0.9
+    )  # redelivery
+    assert _rows(read_decayed_store(spark, store), "event_date") == once
+    # stream == batch: the store equals the one-shot decayed read
+    ev = _events(spark)
+    one_shot = _rows(
+        mart_state.decayed_read(
+            mart_state.kpi_cells(ev, []), "revenue_cents", lam=0.9
+        ),
+        "event_date",
+    )
+    assert once == one_shot
+
+
+def test_fold_decayed_batch_rejects_late_day(spark, tmp_path):
+    """A batch whose days do not advance past the carried last day must
+    raise the backfill recipe, never silently fold the past into an
+    already-decayed scalar."""
+    import pytest
+
+    from airflow_retail_etl_spark.streaming.incremental import (
+        fold_decayed_batch,
+    )
+
+    store = str(tmp_path / "decayed_state")
+    batches = _decayed_batches(spark)
+    for i, b in enumerate(batches):
+        fold_decayed_batch(b, store, "revenue_cents", batch_id=i, lam=0.9)
+    with pytest.raises(Exception, match="late day"):
+        fold_decayed_batch(
+            batches[0], store, "revenue_cents", batch_id=3, lam=0.9
+        )
+
+
+def test_fold_decayed_batch_empty_batch_carries_through(spark, tmp_path):
+    """An empty micro-batch rewrites the prior carry under its own
+    batch id; the next real batch resumes from it and the final series
+    still equals the one-shot read."""
+    from airflow_retail_etl_spark.streaming.incremental import (
+        fold_decayed_batch,
+        read_decayed_store,
+    )
+
+    store = str(tmp_path / "decayed_state")
+    b0, b1, b2 = _decayed_batches(spark)
+    empty = b0.filter("1 = 0")
+    for i, b in enumerate((b0, empty, b1, b2)):
+        fold_decayed_batch(b, store, "revenue_cents", batch_id=i, lam=0.9)
+    got = _rows(read_decayed_store(spark, store), "event_date")
+    one_shot = _rows(
+        mart_state.decayed_read(
+            mart_state.kpi_cells(_events(spark), []),
+            "revenue_cents",
+            lam=0.9,
+        ),
+        "event_date",
+    )
+    assert got == one_shot
+
+
+def test_state_folds_are_day_permutation_invariant(spark, tmp_path):
+    """The backfill law (r13 verdict item 5): per-day cells folded in
+    ANY arrival order — including a LATE day landing after later days
+    were already folded — read identically to the calendar-ordered fold
+    for the kpi, moment, and decayed READS, because cells are linear
+    and every read is a pure function of the folded cell state. (The
+    carried-scalar decayed STORE is the one order-sensitive face; it
+    rejects late days and routes them here — test above.)"""
+    import random
+
+    from airflow_retail_etl_spark.streaming.incremental import (
+        fold_kpi_batch,
+        fold_moment_batch,
+    )
+
+    ev = _events(spark)
+    days = sorted(
+        r["event_date"] for r in ev.select("event_date").distinct().collect()
+    )
+    rng = random.Random(42)
+    perm = days[:]
+    rng.shuffle(perm)
+    # a demonstrably-late arrival: force the earliest day to fold LAST
+    perm.remove(days[0])
+    perm.append(days[0])
+
+    kpi_store = str(tmp_path / "kpi_perm")
+    mom_store = str(tmp_path / "mom_perm")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    for i, d in enumerate(perm):
+        day = ev.filter(F.col("event_date") == d)
+        fold_kpi_batch(day, kpi_store, [], batch_id=i)
+        fold_moment_batch(
+            purchases.filter(F.col("event_date") == d),
+            mom_store,
+            [],
+            "price",
+            batch_id=i,
+        )
+
+    kpi_cells_folded = mart_state.kpi_fold(
+        spark.read.parquet(kpi_store).drop("batch_id"), ["event_date"]
+    )
+    one_kpi = mart_state.kpi_cells(ev, [])
+    assert _rows(kpi_cells_folded, "event_date") == _rows(
+        one_kpi, "event_date"
+    )
+    # decayed read over the permutation-folded cell store == calendar
+    assert _rows(
+        mart_state.decayed_read(kpi_cells_folded, "revenue_cents", lam=0.9),
+        "event_date",
+    ) == _rows(
+        mart_state.decayed_read(one_kpi, "revenue_cents", lam=0.9),
+        "event_date",
+    )
+    # moment read likewise
+    mom_folded = mart_state.moment_fold(
+        spark.read.parquet(mom_store).drop("batch_id"), ["event_date"]
+    )
+    assert _rows(
+        mart_state.moment_read(mom_folded, ["event_date"]), "event_date"
+    ) == _rows(
+        mart_state.moment_read(
+            mart_state.moment_cells(purchases, [], "price"), ["event_date"]
+        ),
+        "event_date",
+    )
