@@ -1802,6 +1802,27 @@ def q_streaming_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_decayed(batches, "revenue_cents", lam=0.9)
 
 
+def q_ewm_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted mean/variance of the daily purchase price
+    (mart_state.ewm_stats, λ=0.9) — the drift-monitoring EWMA/EWMVar
+    read composed from EXISTING state (the r13 reuse pattern: moment
+    cells + the decayed Horner machinery; no new state type): for every
+    day, the three exact (n, Σx, Σx²) day sums fold with day-grain
+    decay — λ applied only by repeated multiplication inside three
+    left-to-right Horner folds over one dense calendar array — and the
+    recency-weighted level and spread derive as single fixed-order IEEE
+    expressions on the fold outputs (DuckDB: the identical list_reduce
+    folds), rounded 6 dp. Recency-weighted volatility from |calendar|
+    state rows — never a raw rescan."""
+    from airflow_retail_etl_spark.operators import mart_state
+
+    ev = adapters.staging_events(spark, sf_dir).filter(
+        F.col("event_type") == PURCHASE
+    )
+    cells = mart_state.moment_cells(ev, [], "price")
+    return mart_state.ewm_stats(cells, lam=0.9)
+
+
 def q_trending_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand recency-weighted revenue (mart_state.decayed_now_by,
     λ=0.9) — which brands are trending NOW: every brand's per-day cent
@@ -5460,7 +5481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-14 NEW past-prefix faces awaiting their one-round-lag
     rotation: streaming_decayed (the decayed-state fold certificate —
     the sixth and final mergeable-state face to gain a streaming
-    fold twin).
+    fold twin) and ewm_price_stats (EWMA/EWMVar — the decayed Horner
+    machinery composed over the existing moment cells).
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5747,6 +5769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates into the prefix next round per the one-round-lag
         # protocol
         "streaming_decayed": q_streaming_decayed,
+        # ewm_price_stats (NEW in round 14): EWMA/EWMVar — the decayed
+        # Horner machinery composed over the EXISTING moment cells
+        # (recency-weighted level and spread per day; three folds, one
+        # dense calendar array); rotates toward the prefix next round
+        "ewm_price_stats": q_ewm_price_stats,
         # rotated just past the prefix in round 14 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -7257,6 +7284,71 @@ def _decayed_revenue_sql(lam: float) -> str:
                (acc, x) -> acc * {lam_sql} + x), 6) AS decayed
     FROM cells c CROSS JOIN arr
     ORDER BY c.event_date
+    """
+    )
+
+
+def _ewm_price_stats_sql(lam: float) -> str:
+    """DuckDB twin of q_ewm_price_stats: identical per-day DECIMAL
+    moment cells, one dense calendar, the SAME three left-to-right
+    Horner folds (list_reduce ≡ F.aggregate on identical doubles), and
+    the same fixed-order mean/variance expressions on the fold
+    outputs."""
+    lam_sql = f"CAST({float(lam)!r} AS DOUBLE)"
+    sl = "[1:(date_diff('day', arr.lo, c.event_date) + 1)]"
+
+    def fold(col: str) -> str:
+        return (
+            f"list_reduce([CAST(0.0 AS DOUBLE)] || (arr.{col}){sl}, "
+            f"(acc, x) -> acc * {lam_sql} + x)"
+        )
+
+    return (
+        _STAGING_CTE
+        + f"""
+    , px AS (
+        SELECT event_date, CAST(ROUND(price, 2) AS DECIMAL(18,2)) AS x
+        FROM staging
+        WHERE event_type = '{PURCHASE}' AND price IS NOT NULL
+    ), cells AS (
+        SELECT event_date, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx,
+               SUM(CAST(x * x AS DECIMAL(32,4))) AS sxx
+        FROM px GROUP BY 1
+    ), b AS (
+        SELECT MIN(event_date) AS lo, MAX(event_date) AS hi FROM cells
+    ), cal AS (
+        SELECT b.lo,
+               CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM b
+    ), dense AS (
+        SELECT cal.lo, cal.d,
+               COALESCE(CAST(c.n AS DOUBLE), CAST(0.0 AS DOUBLE)) AS fn,
+               COALESCE(CAST(c.sx AS DOUBLE), CAST(0.0 AS DOUBLE)) AS fx,
+               COALESCE(CAST(c.sxx AS DOUBLE), CAST(0.0 AS DOUBLE))
+                   AS fxx
+        FROM cal LEFT JOIN cells c ON c.event_date = cal.d
+    ), arr AS (
+        SELECT lo,
+               list(fn ORDER BY d) AS an,
+               list(fx ORDER BY d) AS ax,
+               list(fxx ORDER BY d) AS axx
+        FROM dense GROUP BY lo
+    ), folds AS (
+        SELECT c.event_date, arr.lo,
+               {fold("an")} AS en,
+               {fold("ax")} AS ex,
+               {fold("axx")} AS exx
+        FROM cells c CROSS JOIN arr
+    )
+    SELECT event_date,
+           CAST(date_diff('day', lo, event_date) + 1 AS BIGINT)
+               AS n_days,
+           ROUND(en, 6) AS ewm_n,
+           ROUND(ex / en, 6) AS ewm_mean,
+           ROUND((en * exx - ex * ex) / (en * en), 6) AS ewm_var
+    FROM folds ORDER BY event_date
     """
     )
 
@@ -9222,6 +9314,7 @@ def oracle_sql() -> dict[str, str]:
         # its oracle IS the one-shot SQL — the strongest stream ≡ batch
         # certificate the driver can check
         "streaming_decayed": _decayed_revenue_sql(0.9),
+        "ewm_price_stats": _ewm_price_stats_sql(0.9),
         "trending_brands": _trending_brands_sql(0.9),
         "robust_value_stats": _robust_stats_sql(0.1),
         # reference-decile buckets from the exact rank block, eps-floored

@@ -610,6 +610,87 @@ def decayed_step(
     return out, new_carry
 
 
+def ewm_stats(
+    cells: DataFrame,
+    *,
+    lam: float,
+    date_col: str = "event_date",
+    dp: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted mean/variance read from per-day MOMENT
+    cells — :func:`decayed_read` composed with :func:`moment_cells`
+    (r13's reuse pattern: decayed reads run over existing state, no new
+    state type): for every observed day D, fold the three exact sums
+    with day-grain decay — ``N(D) = Σ n_d·λ^(D−d)``, likewise SX/SXX —
+    and derive ``ewm_mean = SX/N``, ``ewm_var = (N·SXX − SX²)/N²``
+    (the ``_moment_stats`` fixed-order form on the decayed sums). This
+    is the drift-monitoring EWMA/EWMVar a 100 TB pipeline plots per
+    day: recency-weighted level AND spread from |calendar| state rows,
+    never a raw rescan.
+
+    Engine-exact by the decayed_read argument: λ is applied only by
+    repeated multiplication inside three left-to-right Horner folds
+    over ONE dense calendar array of exact-DECIMAL day sums cast once
+    to double; the two divisions and the square are single fixed-order
+    IEEE expressions on the fold outputs, rounded ``dp`` before
+    publication (DuckDB twin: the same three ``list_reduce`` folds).
+    Returns (date_col, n_days, ewm_n, ewm_mean, ewm_var), ordered.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    lam_lit = F.lit(float(lam))
+    series = cells.filter(F.col(date_col).isNotNull()).select(
+        F.col(date_col).alias("__d"),
+        F.col("n").cast("double").alias("__n"),
+        F.col("sx").cast("double").alias("__sx"),
+        F.col("sxx").cast("double").alias("__sxx"),
+    )
+    bounds = series.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("__d"), "__lo"
+    )
+    dense = cal.join(series, "__d", "left").select(
+        "__lo",
+        "__d",
+        F.coalesce("__n", F.lit(0.0)).alias("__n"),
+        F.coalesce("__sx", F.lit(0.0)).alias("__sx"),
+        F.coalesce("__sxx", F.lit(0.0)).alias("__sxx"),
+    )
+    rows = F.array_sort(
+        F.collect_list(F.struct("__d", "__n", "__sx", "__sxx"))
+    )
+    arr = dense.groupBy("__lo").agg(
+        F.transform(rows, lambda t: t["__n"]).alias("__an"),
+        F.transform(rows, lambda t: t["__sx"]).alias("__ax"),
+        F.transform(rows, lambda t: t["__sxx"]).alias("__axx"),
+    )
+    obs = series.select(F.col("__d").alias(date_col))
+    idx = F.datediff(F.col(date_col), F.col("__lo")) + F.lit(1)
+
+    def fold(col: str) -> Column:
+        return F.aggregate(
+            F.slice(F.col(col), F.lit(1), idx),
+            F.lit(0.0),
+            lambda acc, x: acc * lam_lit + x,
+        )
+
+    en, esx, esxx = fold("__an"), fold("__ax"), fold("__axx")
+    var = (en * esxx - esx * esx) / (en * en)
+    return (
+        obs.crossJoin(F.broadcast(arr))
+        .select(
+            date_col,
+            idx.cast("long").alias("n_days"),
+            F.round(en, dp).alias("ewm_n"),
+            F.round(esx / en, dp).alias("ewm_mean"),
+            F.round(var, dp).alias("ewm_var"),
+        )
+        .orderBy(date_col)
+    )
+
+
 def decayed_now_by(
     cells: DataFrame,
     keys: Sequence[str],

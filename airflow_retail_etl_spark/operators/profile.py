@@ -126,6 +126,14 @@ def ks_drift(
         cum_a, [F.col("v").asc()], "cb", out_col="cum_b",
         num_partitions=num_partitions,
     )
+    # `cum` (value-grain counts — the post-GROUP BY domain, not the
+    # corpus) feeds BOTH the totals fold and the numerator projection;
+    # un-materialized, the totals' broadcast build re-executes the two
+    # chained prefix-sum passes plus both corpus scans (the r13
+    # exchange-count tell: 40 exchanges in PLANS.md). A/B isolated
+    # probes (r14 materialize audit): sf1 warm 2.29 → 1.76 s, sf0.1
+    # 1.74 → 1.59 s — kept (SCALING_HISTORY r14_materialize_audit).
+    cum = cum.localCheckpoint(eager=True)
     totals = cum.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),

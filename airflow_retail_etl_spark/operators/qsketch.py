@@ -378,6 +378,18 @@ def rolling_quantiles(
             "s.lvl",
         )
     )
+    # The r14 materialize audit A/B-probed two further checkpoint sites
+    # here (the requantize survivors feeding sample_quantiles' three
+    # join consumers, and the tiny est frame feeding the audit
+    # broadcast + final join) against this 51-exchange plan — and
+    # REVERTED both: isolated pretouched-JVM probes read sf1 warm
+    # 5.48 s plain vs 6.68-6.72 s with either materialization (sf0.1
+    # warm flat at ~3.5-3.6 s; only COLD improved, 8.9 → 6.3 s).
+    # Catalyst's reused exchanges over the already-checkpointed state
+    # make the extra eager jobs a net pessimization — the
+    # rolling_distinct_hll precedent (SCALING_HISTORY
+    # r14_materialize_audit). The exchange count alone is the TELL,
+    # not the verdict.
     est = sample_quantiles(
         requantize(merged, ["window_end"], cap=cap), ["window_end"], qs
     )

@@ -363,7 +363,17 @@ def curriculum_order(
         out_col="__rk",
         num_partitions=num_partitions,
     )
-    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    # the band denominator is just the row count — derive it from df,
+    # NOT from `ranked`: a 1-row frame derived from the rank pass would
+    # re-execute the whole range-repartition subtree at broadcast-build
+    # time (the r13 tiny-derived-frame rule; PLANS.md read 24 exchanges
+    # here). Materialized so the broadcast reads one in-memory row.
+    # A/B isolated probes (r14 materialize audit): sf0.1 warm
+    # 2.24 → 1.54 s / cold 3.47 → 1.86 s, sf1 warm 2.04 → 1.96 s —
+    # kept (SCALING_HISTORY r14_materialize_audit).
+    n = df.agg(F.count(F.lit(1)).alias("__n")).localCheckpoint(
+        eager=True
+    )
     banded = (
         ranked.crossJoin(F.broadcast(n))
         .withColumn(

@@ -558,3 +558,56 @@ def test_state_folds_are_day_permutation_invariant(spark, tmp_path):
         ),
         "event_date",
     )
+
+
+def test_ewm_stats_matches_reference_fold(spark):
+    """ewm_stats ≡ a python reference of the same day-grain decay law
+    on a small synthetic series (gap days contribute 0), and the
+    outputs are layout-invariant."""
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, 1), 10.0),
+        (dt.date(2024, 1, 1), 20.0),
+        (dt.date(2024, 1, 2), 5.0),
+        (dt.date(2024, 1, 4), 7.5),
+        (dt.date(2024, 1, 4), 2.5),
+        (dt.date(2024, 1, 7), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "event_date date, price double")
+    cells = mart_state.moment_cells(df, [], "price")
+    got = {
+        str(r.event_date): (r.n_days, r.ewm_n, r.ewm_mean, r.ewm_var)
+        for r in mart_state.ewm_stats(cells, lam=0.5).collect()
+    }
+    # python reference: fold per day over the dense calendar
+    by_day = {}
+    for d, v in rows:
+        n, sx, sxx = by_day.get(d, (0, 0.0, 0.0))
+        by_day[d] = (n + 1, sx + v, sxx + v * v)
+    lo = min(by_day)
+    for day in sorted(by_day):
+        en = ex = exx = 0.0
+        for i in range((day - lo).days + 1):
+            d = lo + dt.timedelta(days=i)
+            n, sx, sxx = by_day.get(d, (0, 0.0, 0.0))
+            en = en * 0.5 + n
+            ex = ex * 0.5 + sx
+            exx = exx * 0.5 + sxx
+        m = ex / en
+        var = (en * exx - ex * ex) / (en * en)
+        nd, g_en, g_m, g_v = got[str(day)]
+        assert nd == (day - lo).days + 1
+        # engine publishes at 6dp (HALF_UP); reference is unrounded
+        assert abs(g_en - en) < 5e-7
+        assert abs(g_m - m) < 5e-7
+        assert abs(g_v - var) < 5e-7
+    # layout invariance (exact DECIMAL cells -> identical folds)
+    again = {
+        str(r.event_date): (r.n_days, r.ewm_n, r.ewm_mean, r.ewm_var)
+        for r in mart_state.ewm_stats(
+            mart_state.moment_cells(df.repartition(5), [], "price"),
+            lam=0.5,
+        ).collect()
+    }
+    assert again == got
