@@ -287,6 +287,12 @@ HEADLINE = (
     "join_skew_report",
     # round 13: PSI drift score (ks_drift's thresholdable companion)
     "psi_drift",
+    # round 14: the decayed family's stream ≡ batch certificate (the
+    # carried-scalar fold replayed as DataFrames)
+    "streaming_decayed",
+    # round 14: EWMA/EWMVar — decayed Horner reads composed over the
+    # existing moment cells
+    "ewm_price_stats",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

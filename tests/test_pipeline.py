@@ -358,12 +358,13 @@ def test_compaction_updates_snapshot_pointer(spark, cfg, tmp_path):
     ) == res["kept"]
 
 
-def test_stale_snapshot_pointer_self_heals(spark, cfg):
+def test_stale_snapshot_pointer_self_heals(spark, cfg, tmp_path):
     """ADVICE r13: a snapshot partition removed EXTERNALLY (manual
     vacuum, out-of-band retention) leaves a stale pointer entry; the
     merge must not route at the nonexistent dt= partition — it
     validates the pick against the filesystem, relists, rewrites the
     pointer, and merges against the true latest survivor."""
+    import dataclasses
     import pathlib
     import shutil
 
@@ -372,6 +373,15 @@ def test_stale_snapshot_pointer_self_heals(spark, cfg):
         read_snapshot_dts,
     )
 
+    # own warehouse: cfg is module-scoped and earlier tests leave
+    # snapshots behind — this test asserts exact pointer contents
+    cfg = dataclasses.replace(
+        cfg, warehouse_root=str(tmp_path / "warehouse")
+    )
+    from airflow_retail_etl_spark.pipeline import ingest_day
+
+    ingest_day(spark, cfg, "2019-10-01")
+    ingest_day(spark, cfg, "2019-10-02")
     build_dims_incremental(spark, cfg, "2019-10-01")
     build_dims_incremental(spark, cfg, "2019-10-02")
     path = f"{cfg.warehouse_root}/dim_product_scd"
