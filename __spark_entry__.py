@@ -1850,6 +1850,97 @@ def q_trending_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood retrieval (retrieval.ql_topk, μ=300):
+    the LM-based lexical ranker beside bm25_search — same postings-
+    bounded candidate set and one-pass corpus length stats, but scoring
+    Σ ln((tf + μ·cf/|C|)/(dl + μ)) so unmatched query terms contribute
+    smoothed corpus mass instead of 0. Transcendental policy: ln on one
+    pure IEEE expression over exact integer counts, 9 dp round, DECIMAL
+    accumulation, 6 dp round before the (score, doc_id) top-k."""
+    from airflow_retail_etl_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.ql_topk(
+        docs, ["spark", "filter", "scan", "column"], mu=300.0, k=25
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (retrieval.rrf_fuse):
+    BM25 and Dirichlet-QL each contribute their deterministic top-50,
+    fused by Σ 1/(60 + rank) — the standard sparse+LM hybrid a
+    contamination-audit / corpus-slicing pipeline runs when one ranker's
+    term weighting misses what the other catches. Ranks are exact
+    integers from the two pinned total orders, so the fusion is
+    rank-arithmetic only (two 9 dp reciprocals, DECIMAL sum, 6 dp round
+    before the final top-20); everything past the two ranker plans
+    touches ≤50-row frames."""
+    from airflow_retail_etl_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.rrf_fuse(
+        docs,
+        ["spark", "filter", "scan", "column"],
+        n_each=50,
+        rrf_k=60,
+        k=20,
+    )
+
+
+def q_demand_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-change detection (profile.freq_shift): the 25 parts whose
+    share of lineitem volume moved most between the first and second
+    half of the ship-date range (boundary 1998-07-01) — the deltoids
+    primitive for "what changed between crawls/quarters", ranked by the
+    EXACT integer |cnt_b·tot_a − cnt_a·tot_b| (common denominator for
+    every key, so no double ever reaches the ORDER BY; the published
+    shift is one display-only division rounded 9 dp). One scan, one
+    map-side-combinable conditional agg on l_partkey, broadcast totals,
+    global TakeOrderedAndProject."""
+    from airflow_retail_etl_spark.operators import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile.freq_shift(
+        li,
+        "l_partkey",
+        F.col("l_shipdate") >= F.lit("1998-07-01").cast("timestamp_ntz"),
+        k=25,
+    )
+
+
+def q_dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware soft-dedup sample (sampling.inverse_cluster_sample
+    over the dup_clusters assignment): keep each document with
+    probability 1/cluster_size via the integer-exact md5-u64 test
+    u·size < 2^64, so every near-dup family contributes ONE expected
+    survivor — the downweighting alternative to hard dedup (hard
+    keep-first loses benign template variation; no dedup lets
+    boilerplate dominate the token mix). The draw hashes the DOCUMENT
+    id: pure per-row predicate, layout/rerun/engine invariant, survivor
+    not biased by crawl order. Scale: a projection+filter riding the
+    dedup output the pipeline already computes. Oracle: the
+    dup_clusters recursive-CTE closure + the identical HUGEINT test."""
+    from airflow_retail_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", kind="token", n=3, min_jaccard=0.5
+    )
+    cc = dedup.connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    w = Window.partitionBy("comp")
+    assign = cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+    return sampling.inverse_cluster_sample(
+        assign, "doc_id", "cluster_size", seed="soft-dedup"
+    ).orderBy("doc_id")
+
+
 #: the events-table row contract shared by the dq_* queries and their
 #: oracles (the reference's implicit dropna/fillna contract made
 #: explicit — retail_pipeline_assets.py:41-47). Each predicate is ONE
@@ -5481,8 +5572,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-14 NEW past-prefix faces awaiting their one-round-lag
     rotation: streaming_decayed (the decayed-state fold certificate —
     the sixth and final mergeable-state face to gain a streaming
-    fold twin) and ewm_price_stats (EWMA/EWMVar — the decayed Horner
-    machinery composed over the existing moment cells).
+    fold twin), ewm_price_stats (EWMA/EWMVar — the decayed Horner
+    machinery composed over the existing moment cells), ql_search
+    (Dirichlet query-likelihood — the LM lexical ranker beside
+    bm25_search), rrf_fusion (hybrid sparse+LM retrieval by
+    reciprocal rank fusion over the two rankers' pinned top-50
+    orders), demand_shift (heavy-change detection ranked by the
+    exact common-denominator integer), and dedup_aware_sample
+    (soft-dedup 1/cluster_size survivor draw riding the dup_clusters
+    machinery).
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5774,6 +5872,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (recency-weighted level and spread per day; three folds, one
         # dense calendar array); rotates toward the prefix next round
         "ewm_price_stats": q_ewm_price_stats,
+        # ql_search (NEW in round 14): Dirichlet query-likelihood
+        # retrieval — the LM ranker beside bm25_search; rotation
+        # candidate next round
+        "ql_search": q_ql_search,
+        # rrf_fusion (NEW in round 14): hybrid sparse+LM retrieval by
+        # reciprocal rank fusion over the two rankers' pinned top-50
+        # orders; rotation candidate next round
+        "rrf_fusion": q_rrf_fusion,
+        # demand_shift (NEW in round 14): heavy-change detection — the
+        # deltoids primitive ranked by an EXACT common-denominator
+        # integer; rotation candidate next round
+        "demand_shift": q_demand_shift,
+        # dedup_aware_sample (NEW in round 14): soft-dedup 1/cluster_size
+        # survivor draw riding the dup_clusters machinery; rotation
+        # candidate next round
+        "dedup_aware_sample": q_dedup_aware_sample,
         # rotated just past the prefix in round 14 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
@@ -10052,6 +10166,37 @@ def oracle_sql() -> dict[str, str]:
                    AS cluster_size
         FROM cc
         """,
+        # soft-dedup survivor draw: the dup_clusters closure + the
+        # integer-exact seeded md5-u64 keep test u·size < 2^64 (HUGEINT
+        # ≡ Spark's DECIMAL arithmetic — no FP anywhere near membership)
+        "dedup_aware_sample": _JACCARD_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + f"""
+        , edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.5
+            UNION ALL
+            SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5
+        ), reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ), cc AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+        ), assign AS (
+            SELECT doc_id, cluster_id,
+                   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS cluster_size
+            FROM cc
+        )
+        SELECT doc_id, cluster_id, cluster_size
+        FROM assign
+        WHERE {xhash.duck_md5_u64(
+            "concat_ws(chr(31), 'soft-dedup', CAST(doc_id AS VARCHAR))"
+        )} * cluster_size
+              < CAST('18446744073709551616' AS HUGEINT)
+        ORDER BY doc_id
+        """,
         # same closure as dup_clusters, then the q_split_assign md5 CASE
         # applied to the CLUSTER id — the leakage-safe key
         "leakage_safe_split": _JACCARD_CTE.replace(
@@ -10946,6 +11091,188 @@ def oracle_sql() -> dict[str, str]:
                      6) AS score
         FROM scored GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        # Dirichlet query likelihood: identical expression tree as
+        # retrieval.ql_topk — ln on one pure IEEE expression over exact
+        # integer counts, 9dp round, DECIMAL accumulation, final 6dp
+        # round BEFORE the (score DESC, doc_id ASC) top-k
+        "ql_search": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0
+        ), dl AS (
+            SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        ), total AS (
+            SELECT COUNT(*) AS total_cf FROM tok
+        ), cfq AS (
+            SELECT tok, COUNT(*) AS cf FROM tok
+            WHERE tok IN ('spark', 'filter', 'scan', 'column')
+            GROUP BY tok
+        ), tfq AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+            WHERE tok IN ('spark', 'filter', 'scan', 'column')
+            GROUP BY doc_id, tok
+        ), cand AS (
+            SELECT DISTINCT doc_id FROM tfq
+        ), grid AS (
+            SELECT c.doc_id, q.tok, q.cf, COALESCE(tfq.tf, 0) AS tf
+            FROM cand c CROSS JOIN cfq q
+            LEFT JOIN tfq ON tfq.doc_id = c.doc_id AND tfq.tok = q.tok
+        ), scored AS (
+            SELECT g.doc_id,
+                   CASE WHEN g.tf > 0 THEN 1 ELSE 0 END AS hit,
+                   round(ln(
+                       (CAST(g.tf AS DOUBLE)
+                        + CAST(300.0 AS DOUBLE)
+                          * (CAST(g.cf AS DOUBLE)
+                             / CAST(total_cf AS DOUBLE)))
+                       / (CAST(dl.dl AS DOUBLE)
+                          + CAST(300.0 AS DOUBLE))), 9) AS contrib9
+            FROM grid g
+            JOIN dl ON dl.doc_id = g.doc_id
+            CROSS JOIN total
+        )
+        SELECT doc_id,
+               CAST(SUM(hit) AS BIGINT) AS n_terms_hit,
+               round(CAST(SUM(CAST(contrib9 AS DECIMAL(28,9))) AS DOUBLE),
+                     6) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        # RRF hybrid: both rankers' full scoring pipelines (the bm25 /
+        # ql_search trees verbatim), each LIMIT 50 + ROW_NUMBER over the
+        # identical pinned order, FULL OUTER fusion, rank-reciprocal
+        # arithmetic (9dp each, DECIMAL sum, 6dp before the top-20)
+        "rrf_fusion": f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0
+        ), dl AS (
+            SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        ), corpus AS (
+            SELECT d.doc_id, COALESCE(dl.dl, 0) AS dl
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN dl USING (doc_id)
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM corpus
+        ), total AS (
+            SELECT COUNT(*) AS total_cf FROM tok
+        ), tfq AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+            WHERE tok IN ('spark', 'filter', 'scan', 'column')
+            GROUP BY doc_id, tok
+        ), dfq AS (
+            SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok
+        ), cfq AS (
+            SELECT tok, COUNT(*) AS cf FROM tok
+            WHERE tok IN ('spark', 'filter', 'scan', 'column')
+            GROUP BY tok
+        ), b_scored AS (
+            SELECT tfq.doc_id,
+                   round(
+                       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+                       * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                          * (1.0 - CAST(0.75 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * c.dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                       9) AS contrib9
+            FROM tfq
+            JOIN dfq USING (tok)
+            CROSS JOIN stats
+            JOIN corpus c USING (doc_id)
+        ), bm25 AS (
+            SELECT doc_id,
+                   round(CAST(SUM(CAST(contrib9 AS DECIMAL(28,9)))
+                              AS DOUBLE), 6) AS score
+            FROM b_scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 50
+        ), rb AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS bm25_rank
+            FROM bm25
+        ), cand AS (
+            SELECT DISTINCT doc_id FROM tfq
+        ), grid AS (
+            SELECT c.doc_id, q.tok, q.cf, COALESCE(tfq.tf, 0) AS tf
+            FROM cand c CROSS JOIN cfq q
+            LEFT JOIN tfq ON tfq.doc_id = c.doc_id AND tfq.tok = q.tok
+        ), q_scored AS (
+            SELECT g.doc_id,
+                   round(ln(
+                       (CAST(g.tf AS DOUBLE)
+                        + CAST(300.0 AS DOUBLE)
+                          * (CAST(g.cf AS DOUBLE)
+                             / CAST(total_cf AS DOUBLE)))
+                       / (CAST(dl.dl AS DOUBLE)
+                          + CAST(300.0 AS DOUBLE))), 9) AS contrib9
+            FROM grid g
+            JOIN dl ON dl.doc_id = g.doc_id
+            CROSS JOIN total
+        ), ql AS (
+            SELECT doc_id,
+                   round(CAST(SUM(CAST(contrib9 AS DECIMAL(28,9)))
+                              AS DOUBLE), 6) AS score
+            FROM q_scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 50
+        ), rq AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS ql_rank
+            FROM ql
+        ), fused AS (
+            SELECT COALESCE(rb.doc_id, rq.doc_id) AS doc_id,
+                   bm25_rank, ql_rank
+            FROM rb FULL OUTER JOIN rq ON rb.doc_id = rq.doc_id
+        )
+        SELECT doc_id, bm25_rank, ql_rank,
+               round(CAST(
+                   CAST(COALESCE(round(1.0 / (60 + CAST(bm25_rank AS DOUBLE)),
+                                       9), 0.0) AS DECIMAL(28,9))
+                   + CAST(COALESCE(round(1.0 / (60 + CAST(ql_rank AS DOUBLE)),
+                                         9), 0.0) AS DECIMAL(28,9))
+                   AS DOUBLE), 6) AS rrf_score
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
+        # heavy-change detection: ORDER BY the exact integer
+        # |cnt_b·tot_a − cnt_a·tot_b| (common denominator — no doubles
+        # near the ranking); published shift is one display division 9dp
+        "demand_shift": """
+        WITH c AS (
+            SELECT l_partkey AS key,
+                   CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS cnt_a,
+                   CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+            FROM lineitem GROUP BY 1
+        ), t AS (
+            SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+                   CAST(SUM(cnt_b) AS BIGINT) AS tot_b
+            FROM c
+        ), r AS (
+            SELECT key, cnt_a, cnt_b, tot_a, tot_b,
+                   abs(CAST(cnt_b AS HUGEINT) * tot_a
+                       - CAST(cnt_a AS HUGEINT) * tot_b) AS num,
+                   CASE WHEN CAST(cnt_b AS HUGEINT) * tot_a
+                             > CAST(cnt_a AS HUGEINT) * tot_b THEN 'up'
+                        WHEN CAST(cnt_b AS HUGEINT) * tot_a
+                             < CAST(cnt_a AS HUGEINT) * tot_b THEN 'down'
+                        ELSE 'flat' END AS direction
+            FROM c CROSS JOIN t
+            ORDER BY num DESC, key ASC LIMIT 25
+        )
+        SELECT key AS l_partkey, cnt_a, cnt_b,
+               round(CAST(num AS DOUBLE)
+                     / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)),
+                     9) AS shift,
+               direction
+        FROM r
         """,
         # Zipf spectrum: frequency-of-frequencies over the vocabulary
         "frequency_spectrum": f"""

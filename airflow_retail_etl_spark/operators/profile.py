@@ -337,3 +337,103 @@ def psi_drift(
         .select("bucket", "n_a", "n_b", "p_a", "p_b", "term", "psi")
         .orderBy("bucket")
     )
+
+
+def freq_shift(
+    df: DataFrame,
+    key_col: str,
+    period_b: Column,
+    *,
+    k: int = 25,
+) -> DataFrame:
+    """Heavy-change detection (the "deltoids" problem, Cormode/Muthukrishnan):
+    the ``k`` keys whose RELATIVE frequency moved most between period A
+    (``period_b`` false) and period B (``period_b`` true) — "which parts /
+    tokens / users changed share the most between crawls" is the
+    what-moved companion of ks_drift (continuous values) and
+    keyword_divergence (chi-square significance): this one ranks by the
+    magnitude of the share change itself.
+
+    Exactness policy: shares are ratios of exact integer counts, and
+    every key's |share_B − share_A| has the SAME denominator tot_a·tot_b,
+    so the ranking key is the exact integer |cnt_b·tot_a − cnt_a·tot_b|
+    (DECIMAL — no doubles anywhere near the ORDER BY; counts ≤ 1e12 keep
+    the product inside 25 digits). The published ``shift`` does ONE
+    double division of that integer by the common denominator, rounded
+    9 dp AFTER ranking — display only.
+
+    Scale shape: one scan, one map-side-combinable conditional aggregation
+    shuffled on the key, a broadcast 1-row totals frame, and a global
+    TakeOrderedAndProject — no windows, no second pass over the data.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # |keys|-sized frame feeding a bounded collect (validation), a
+    # broadcast build, and the ranked read — materialize once so the
+    # corpus-sized scan subtree is not re-executed per consumer (the
+    # psi_drift pattern; cardinality is key-bounded, not data-sized)
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sum(F.when(period_b, 0).otherwise(1))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(period_b, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").cast("long").alias("tot_a"),
+        F.sum("cnt_b").cast("long").alias("tot_b"),
+    )
+    trow = tot.collect()[0]  # bounded: 1 row
+    if not trow["tot_a"] or not trow["tot_b"]:
+        raise ValueError(
+            "freq_shift: a period has zero rows "
+            f"(A={trow['tot_a'] or 0}, B={trow['tot_b'] or 0}) — "
+            "relative frequency shift is undefined on an empty period"
+        )
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("cnt_b").cast(dec) * F.col("tot_a").cast(dec)
+        - F.col("cnt_a").cast(dec) * F.col("tot_b").cast(dec)
+    )
+    j = counts.join(F.broadcast(tot))
+    ranked = (
+        j.select(
+            "key",
+            "cnt_a",
+            "cnt_b",
+            num.alias("__num"),
+            F.when(
+                F.col("cnt_b").cast(dec) * F.col("tot_a").cast(dec)
+                > F.col("cnt_a").cast(dec) * F.col("tot_b").cast(dec),
+                F.lit("up"),
+            )
+            .when(
+                F.col("cnt_b").cast(dec) * F.col("tot_a").cast(dec)
+                < F.col("cnt_a").cast(dec) * F.col("tot_b").cast(dec),
+                F.lit("down"),
+            )
+            .otherwise(F.lit("flat"))
+            .alias("direction"),
+            F.col("tot_a"),
+            F.col("tot_b"),
+        )
+        .orderBy(F.col("__num").desc(), F.col("key").asc())
+        .limit(k)
+    )
+    shift = F.round(
+        F.col("__num").cast("double")
+        / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double")),
+        9,
+    )
+    return ranked.select(
+        F.col("key").alias(key_col),
+        "cnt_a",
+        "cnt_b",
+        shift.alias("shift"),
+        "direction",
+    )

@@ -114,3 +114,152 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ql_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    mu: float = 300.0,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` documents under the Dirichlet-smoothed query-likelihood
+    language model (Zhai/Lafferty) — the standard LM-based lexical ranker
+    and the natural fusion partner for BM25:
+
+        score(D,Q) = Σ_t ln( (tf(t,D) + μ·cf(t)/|C|) / (|D| + μ) )
+
+    Candidates are documents matching ≥1 query term (the usual posting-
+    driven evaluation); the sum runs over ALL corpus-present query terms,
+    tf=0 terms contributing their smoothed mass. Query terms absent from
+    the corpus are dropped (cf = 0 would force score = −∞ for every
+    candidate equally; dropping them is rank-preserving).
+
+    Scale shape: candidate set is postings-bounded (only docs hitting a
+    query term), the per-candidate term grid is |cand| × |Q| with the
+    |Q|-row term stats broadcast, and the only corpus-wide work is the
+    one-pass doc-length aggregation bm25_topk also does.
+
+    Determinism policy (README "Correctness"): the ln input is one pure
+    IEEE double expression over exact integer counts, written with the
+    identical tree in the DuckDB oracle; ln output rounds to 9 dp,
+    accumulates in DECIMAL, final score rounds to 6 dp BEFORE the
+    (score DESC, doc_id ASC) top-k.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if not mu > 0:
+        raise ValueError(f"mu must be > 0, got {mu}")
+    terms = sorted(set(query_terms))
+    toks = _tokens(docs, text_col, id_col)
+
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    total = toks.agg(F.sum(F.lit(1)).alias("total_cf"))
+
+    # corpus frequency of the query terms (|Q|-row, broadcast); terms
+    # with no postings drop out here
+    cf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    # per-(candidate doc, query term) tf — candidates are docs with >=1 hit
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    grid = (
+        tf.select("id")
+        .distinct()
+        .crossJoin(F.broadcast(cf))
+        .join(tf, ["id", "tok"], "left")
+        .select("id", "tok", "cf", F.coalesce("tf", F.lit(0)).alias("tf"))
+        .join(dl, "id")
+        .join(F.broadcast(total))
+    )
+    u = (
+        F.col("tf").cast("double")
+        + F.lit(mu)
+        * (F.col("cf").cast("double") / F.col("total_cf").cast("double"))
+    ) / (F.col("dl").cast("double") + F.lit(mu))
+    contrib9 = F.round(F.log(u), 9)
+    per_doc = grid.groupBy("id").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_terms_hit"),
+        F.round(F.sum(contrib9.cast(_ACC)).cast("double"), 6).alias("score"),
+    )
+    return (
+        per_doc.select(F.col("id").alias(id_col), "n_terms_hit", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_each: int = 50,
+    rrf_k: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack/Clarke/Büttcher)
+    over the BM25 and query-likelihood rankers:
+
+        rrf(D) = Σ_r 1/(rrf_k + rank_r(D))    over rankers r where D ranks
+
+    Each ranker contributes its deterministic top-``n_each`` (ranked by
+    score DESC, doc_id ASC — the total order both rankers pin); fusion is
+    a full outer join of two ≤n_each-row frames, so everything past the
+    two ranker plans is driver-trivial. Ranks are exact integers; each
+    reciprocal is one IEEE division rounded to 9 dp, DECIMAL-accumulated,
+    and the fused score rounds to 6 dp BEFORE the final
+    (rrf_score DESC, doc_id ASC) top-``k``.
+
+    Returns (doc_id, bm25_rank, ql_rank, rrf_score) — a NULL rank means
+    the document appeared in only the other ranker's list.
+    """
+    from pyspark.sql import Window
+
+    if n_each < 1:
+        raise ValueError(f"n_each must be >= 1, got {n_each}")
+    b = bm25_topk(
+        docs, query_terms, text_col, id_col, k=n_each
+    ).select(id_col, "score")
+    q = ql_topk(
+        docs, query_terms, text_col, id_col, k=n_each
+    ).select(id_col, "score")
+    # row_number over a <=n_each-row frame: bounded, not data-sized
+    order = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    rb = b.select(
+        id_col, F.row_number().over(order).cast("bigint").alias("bm25_rank")
+    )
+    rq = q.select(
+        id_col, F.row_number().over(order).cast("bigint").alias("ql_rank")
+    )
+    fused = rb.join(rq, id_col, "full_outer")
+
+    def recip(rank: F.Column) -> F.Column:
+        return F.coalesce(
+            F.round(F.lit(1.0) / (F.lit(rrf_k) + rank.cast("double")), 9),
+            F.lit(0.0),
+        )
+
+    rrf = F.round(
+        (
+            recip(F.col("bm25_rank")).cast(_ACC)
+            + recip(F.col("ql_rank")).cast(_ACC)
+        ).cast("double"),
+        6,
+    )
+    return (
+        fused.select(id_col, "bm25_rank", "ql_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

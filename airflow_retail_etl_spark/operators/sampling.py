@@ -835,3 +835,40 @@ def priority_mass(
         )
     )
     return out.drop("__all") if not keys else out
+
+
+def inverse_cluster_sample(
+    assign: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "cluster_size",
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Duplicate-aware (soft-dedup) sample: keep each row with probability
+    1/cluster_size, so every near-duplicate cluster contributes ONE
+    expected survivor regardless of how many copies the crawl collected —
+    the standard downweighting alternative to hard dedup (keep-one loses
+    benign template variation; keeping all lets 1000-copy boilerplate
+    dominate the token mix).
+
+    ``assign`` is a (id, …, cluster_size) frame — exactly what
+    dedup.connected_components + a cluster-size window produce (the
+    dup_clusters query). The draw is the family's deterministic md5-u64
+    over the DOCUMENT id: membership is a pure per-row predicate
+    (layout/rerun/engine invariant), and the keep test is integer-exact —
+    keep iff u64 · size < 2^64 (≡ u < 2^64/size with no FP rounding;
+    DECIMAL(20,0)·int stays far inside 38 digits). Unlike a keep-first
+    hard dedup the survivor is hash-chosen, so no crawl-order bias, and
+    clusters can contribute 0 or 2 — unbiased in expectation, which is
+    what mixture arithmetic downstream needs.
+
+    Scale shape: a pure projection+filter riding the dedup output the
+    pipeline already computes — no extra shuffle, no window.
+    """
+    u = _sample_u(F.col(id_col).cast("string"), seed)
+    # DECIMAL(20,0)·DECIMAL(19,0) → (38,0): u·size ≤ 2^64·1e19 overflows
+    # only past ~5e18 cluster members — far beyond any corpus
+    keep = (u * F.col(size_col).cast("decimal(19,0)")) < F.lit(
+        str(TWO64)
+    ).cast("decimal(21,0)")
+    return assign.filter(F.col(size_col) >= 1).filter(keep)

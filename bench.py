@@ -293,6 +293,17 @@ HEADLINE = (
     # round 14: EWMA/EWMVar — decayed Horner reads composed over the
     # existing moment cells
     "ewm_price_stats",
+    # round 14: Dirichlet query-likelihood ranker (the LM lexical ranker
+    # beside bm25_search)
+    "ql_search",
+    # round 14: hybrid sparse+LM retrieval by reciprocal rank fusion
+    "rrf_fusion",
+    # round 14: heavy-change detection ranked by the exact
+    # common-denominator integer (the deltoids primitive)
+    "demand_shift",
+    # round 14: soft-dedup 1/cluster_size survivor draw riding the
+    # dup_clusters machinery
+    "dedup_aware_sample",
 )
 
 #: Reference per-task timings recovered from its Airflow logs (BASELINE.md

@@ -176,3 +176,49 @@ def test_psi_drift_rejects_empty_side(spark):
         psi_drift(df, empty, "v")
     with pytest.raises(ValueError, match="zero non-null"):
         psi_drift(nulls, df, "v")
+
+
+def test_freq_shift_exact_ranking_and_shares(spark):
+    """Heavy-change detection: the ranking key is the exact integer
+    |cnt_b·tot_a − cnt_a·tot_b| and the published shift is that integer
+    over the common denominator tot_a·tot_b."""
+    from airflow_retail_etl_spark.operators.profile import freq_shift
+
+    # period A: x=3, y=1, z=1 (tot 5); period B: x=1, y=4, z=1 (tot 6)
+    rows = [("x", False)] * 3 + [("y", False)] + [("z", False)]
+    rows += [("x", True)] + [("y", True)] * 4 + [("z", True)]
+    df = spark.createDataFrame(rows, "key string, b boolean")
+    got = freq_shift(df, "key", F.col("b"), k=10).collect()
+    # nums: x |1*5-3*6|=13, y |4*5-1*6|=14, z |1*5-1*6|=1
+    assert [r["key"] for r in got] == ["y", "x", "z"]
+    by = {r["key"]: r for r in got}
+    assert (by["y"]["cnt_a"], by["y"]["cnt_b"]) == (1, 4)
+    assert by["y"]["direction"] == "up"
+    assert by["x"]["direction"] == "down"
+    assert by["y"]["shift"] == round(14 / 30, 9)
+    assert by["x"]["shift"] == round(13 / 30, 9)
+    assert by["z"]["shift"] == round(1 / 30, 9)
+
+
+def test_freq_shift_flat_key_and_k_truncation(spark):
+    from airflow_retail_etl_spark.operators.profile import freq_shift
+
+    # u: 2 in A, 2 in B with equal totals -> exactly flat
+    rows = [("u", False), ("u", False), ("v", False), ("w", False)]
+    rows += [("u", True), ("u", True), ("v", True), ("w", True)]
+    df = spark.createDataFrame(rows, "key string, b boolean")
+    got = freq_shift(df, "key", F.col("b"), k=10).collect()
+    assert all(r["direction"] == "flat" and r["shift"] == 0.0 for r in got)
+    assert len(freq_shift(df, "key", F.col("b"), k=2).collect()) == 2
+
+
+def test_freq_shift_rejects_empty_period(spark):
+    from airflow_retail_etl_spark.operators.profile import freq_shift
+
+    df = spark.createDataFrame(
+        [("x", False), ("y", False)], "key string, b boolean"
+    )
+    with pytest.raises(ValueError, match="zero rows"):
+        freq_shift(df, "key", F.col("b"))
+    with pytest.raises(ValueError, match="k must be"):
+        freq_shift(df, "key", F.col("b"), k=0)

@@ -371,3 +371,62 @@ def test_hash_split_rejects_tied_boundaries(spark):
         df, "k", [("a", 0.4), ("b", 0.8)], default="c"
     )
     assert set(out.columns) == {"k", "split"}
+
+
+# ---------------------------------------------------------------------------
+# inverse_cluster_sample (duplicate-aware soft dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_inverse_cluster_sample_singletons_always_survive(spark):
+    """size=1 means keep-probability 1: u·1 < 2^64 for every u."""
+    assign = spark.createDataFrame(
+        [(i, i, 1) for i in range(50)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    got = sampling.inverse_cluster_sample(assign, seed="soft-dedup")
+    assert got.count() == 50
+
+
+def test_inverse_cluster_sample_matches_integer_threshold(spark):
+    """Membership equals the exact u·size < 2^64 test computed in python
+    from the same seeded md5 draw — no FP involved."""
+    import hashlib
+
+    rows = [(i, i % 7, (i % 7) + 1) for i in range(200)]
+    assign = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, cluster_size long"
+    )
+    got = {
+        r["doc_id"]
+        for r in sampling.inverse_cluster_sample(
+            assign, seed="soft-dedup"
+        ).collect()
+    }
+    expect = set()
+    for i, _c, size in rows:
+        u = int(
+            hashlib.md5(f"soft-dedup\x1f{i}".encode()).hexdigest()[:16], 16
+        )
+        if u * size < 2**64:
+            expect.add(i)
+    assert got == expect
+    # and the expectation argument holds exactly: E[survivors per
+    # cluster] = size · 1/size = 1 -> overall E = n_clusters; just check
+    # the draw is neither empty nor full for the multi-doc clusters
+    assert 0 < len(got) < 200
+
+
+def test_inverse_cluster_sample_is_a_pure_filter(spark):
+    """Scale posture: a projection+filter on the assignment — the plan
+    must carry no exchange and no python stage."""
+    assign = spark.createDataFrame(
+        [(i, 0, 10) for i in range(20)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    plan = (
+        sampling.inverse_cluster_sample(assign, seed="s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
