@@ -1909,6 +1909,24 @@ def q_demand_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_demand_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling heavy-change (profile.rolling_freq_shift): the 25
+    products whose share of event volume moved most between the two
+    most recent 7-day windows — the deltoids primitive as a STATE READ:
+    one scan into per-(day, product) exact count cells (the mergeable
+    persistence grain, backfill-safe), two calendar-bounded window sums
+    at the global latest day (broadcast 1-row), then the shared
+    exact-integer ranking (|cnt_b·tot_a − cnt_a·tot_b|, common
+    denominator). At 100 TB the cells are maintained incrementally and
+    the read touches only the 14-day slice — never a raw rescan."""
+    from airflow_retail_etl_spark.operators import profile
+
+    ev = adapters.staging_events(spark, sf_dir)
+    return profile.rolling_freq_shift(
+        ev, "product_id", "event_date", window_days=7, k=25
+    )
+
+
 def q_dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware soft-dedup sample (sampling.inverse_cluster_sample
     over the dup_clusters assignment): keep each document with
@@ -5578,9 +5596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bm25_search), rrf_fusion (hybrid sparse+LM retrieval by
     reciprocal rank fusion over the two rankers' pinned top-50
     orders), demand_shift (heavy-change detection ranked by the
-    exact common-denominator integer), and dedup_aware_sample
-    (soft-dedup 1/cluster_size survivor draw riding the dup_clusters
-    machinery).
+    exact common-denominator integer), rolling_demand_shift (the same
+    primitive as a state read — per-day cells + two calendar-bounded
+    window sums), and dedup_aware_sample (soft-dedup 1/cluster_size
+    survivor draw riding the dup_clusters machinery).
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5884,6 +5903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deltoids primitive ranked by an EXACT common-denominator
         # integer; rotation candidate next round
         "demand_shift": q_demand_shift,
+        # rolling_demand_shift (NEW in round 14): the same primitive as
+        # a state read — per-(day, key) cells + two calendar-bounded
+        # window sums at the latest day; rotation candidate next round
+        "rolling_demand_shift": q_rolling_demand_shift,
         # dedup_aware_sample (NEW in round 14): soft-dedup 1/cluster_size
         # survivor draw riding the dup_clusters machinery; rotation
         # candidate next round
@@ -11268,6 +11291,51 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY num DESC, key ASC LIMIT 25
         )
         SELECT key AS l_partkey, cnt_a, cnt_b,
+               round(CAST(num AS DOUBLE)
+                     / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)),
+                     9) AS shift,
+               direction
+        FROM r
+        """,
+        # rolling heavy-change: per-(day,key) exact cells + two
+        # calendar-bounded window sums at the latest day, then the same
+        # exact-integer ranking (key tiebreak NULLS FIRST = Spark asc)
+        "rolling_demand_shift": _STAGING_CTE
+        + """
+        , cells AS (
+            SELECT event_date AS day, product_id AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM staging GROUP BY 1, 2
+        ), latest AS (
+            SELECT MAX(day) AS d_max FROM cells
+        ), counts AS (
+            SELECT key,
+                   CAST(SUM(CASE WHEN day >= d_max - 13
+                                  AND day <= d_max - 7
+                                 THEN n ELSE 0 END) AS BIGINT) AS cnt_a,
+                   CAST(SUM(CASE WHEN day >= d_max - 6
+                                  AND day <= d_max
+                                 THEN n ELSE 0 END) AS BIGINT) AS cnt_b
+            FROM cells CROSS JOIN latest
+            GROUP BY key
+            HAVING cnt_a > 0 OR cnt_b > 0
+        ), t AS (
+            SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+                   CAST(SUM(cnt_b) AS BIGINT) AS tot_b
+            FROM counts
+        ), r AS (
+            SELECT key, cnt_a, cnt_b, tot_a, tot_b,
+                   abs(CAST(cnt_b AS HUGEINT) * tot_a
+                       - CAST(cnt_a AS HUGEINT) * tot_b) AS num,
+                   CASE WHEN CAST(cnt_b AS HUGEINT) * tot_a
+                             > CAST(cnt_a AS HUGEINT) * tot_b THEN 'up'
+                        WHEN CAST(cnt_b AS HUGEINT) * tot_a
+                             < CAST(cnt_a AS HUGEINT) * tot_b THEN 'down'
+                        ELSE 'flat' END AS direction
+            FROM counts CROSS JOIN t
+            ORDER BY num DESC, key ASC NULLS FIRST LIMIT 25
+        )
+        SELECT key AS product_id, cnt_a, cnt_b,
                round(CAST(num AS DOUBLE)
                      / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)),
                      9) AS shift,

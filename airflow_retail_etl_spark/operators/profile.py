@@ -368,22 +368,25 @@ def freq_shift(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # |keys|-sized frame feeding a bounded collect (validation), a
-    # broadcast build, and the ranked read — materialize once so the
-    # corpus-sized scan subtree is not re-executed per consumer (the
-    # psi_drift pattern; cardinality is key-bounded, not data-sized)
-    counts = (
-        df.groupBy(F.col(key_col).alias("key"))
-        .agg(
-            F.sum(F.when(period_b, 0).otherwise(1))
-            .cast("long")
-            .alias("cnt_a"),
-            F.sum(F.when(period_b, 1).otherwise(0))
-            .cast("long")
-            .alias("cnt_b"),
-        )
-        .localCheckpoint(eager=True)
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.when(period_b, 0).otherwise(1)).cast("long").alias("cnt_a"),
+        F.sum(F.when(period_b, 1).otherwise(0)).cast("long").alias("cnt_b"),
     )
+    return _rank_freq_shift(counts, key_col, k, "freq_shift")
+
+
+def _rank_freq_shift(
+    counts: DataFrame, key_col: str, k: int, label: str
+) -> DataFrame:
+    """Shared exact-integer ranking tail of the freq-shift family:
+    ``counts`` is a (key, cnt_a, cnt_b) frame (any provenance — raw
+    conditional agg or per-day cell window sums). Materializes it once
+    (it feeds a bounded validation collect, a broadcast totals build,
+    AND the ranked read — the psi_drift pattern; cardinality is
+    key-bounded, not data-sized), fails fast on an empty period, then
+    ranks by the exact integer |cnt_b·tot_a − cnt_a·tot_b|.
+    """
+    counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("cnt_a").cast("long").alias("tot_a"),
         F.sum("cnt_b").cast("long").alias("tot_b"),
@@ -391,7 +394,7 @@ def freq_shift(
     trow = tot.collect()[0]  # bounded: 1 row
     if not trow["tot_a"] or not trow["tot_b"]:
         raise ValueError(
-            "freq_shift: a period has zero rows "
+            f"{label}: a period has zero rows "
             f"(A={trow['tot_a'] or 0}, B={trow['tot_b'] or 0}) — "
             "relative frequency shift is undefined on an empty period"
         )
@@ -437,3 +440,66 @@ def freq_shift(
         shift.alias("shift"),
         "direction",
     )
+
+
+def rolling_freq_shift(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    *,
+    window_days: int = 7,
+    k: int = 25,
+) -> DataFrame:
+    """Rolling heavy-change: the ``k`` keys whose share moved most
+    between the two most recent ``window_days`` windows — "what are this
+    week's movers vs last week" as a STATE READ, the freq_shift
+    primitive given the mart-state architecture every sketch family here
+    has: the corpus is scanned ONCE into per-(day, key) exact count
+    cells (the persistence grain — mergeable, backfill-safe under the
+    day-permutation law), and the read is two calendar-bounded window
+    sums over ≤ 2·window_days of cells at the global latest day, never a
+    rescan of raw events. Period B = [d_max − w + 1, d_max], period A =
+    the ``window_days`` immediately before; keys silent in both windows
+    are dropped (their cells live outside the read), then the shared
+    exact-integer ranking applies (|cnt_b·tot_a − cnt_a·tot_b| — no
+    double near the ORDER BY).
+
+    Scale shape: one scan into cells (map-side-combinable, shuffled on
+    (day, key)), a broadcast 1-row latest-day frame, one |keys in
+    window|-grain re-aggregation, then the shared ranked tail. At
+    100 TB the cells table is what a daily job maintains incrementally
+    (O(delta) per day); the read touches only the 2w-day slice.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cells = (
+        df.select(
+            F.col(day_col).alias("day"), F.col(key_col).alias("key")
+        )
+        .filter(F.col("day").isNotNull())
+        .groupBy("day", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    latest = cells.agg(F.max("day").alias("d_max"))
+    j = cells.crossJoin(F.broadcast(latest))
+    in_b = (F.col("day") >= F.date_sub(F.col("d_max"), window_days - 1)) & (
+        F.col("day") <= F.col("d_max")
+    )
+    in_a = (
+        F.col("day") >= F.date_sub(F.col("d_max"), 2 * window_days - 1)
+    ) & (F.col("day") <= F.date_sub(F.col("d_max"), window_days))
+    counts = (
+        j.groupBy("key")
+        .agg(
+            F.sum(F.when(in_a, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(in_b, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+        .filter((F.col("cnt_a") > 0) | (F.col("cnt_b") > 0))
+    )
+    return _rank_freq_shift(counts, key_col, k, "rolling_freq_shift")

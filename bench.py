@@ -301,6 +301,9 @@ HEADLINE = (
     # round 14: heavy-change detection ranked by the exact
     # common-denominator integer (the deltoids primitive)
     "demand_shift",
+    # round 14: the same primitive as a state read — per-(day,key)
+    # cells + two calendar-bounded window sums at the latest day
+    "rolling_demand_shift",
     # round 14: soft-dedup 1/cluster_size survivor draw riding the
     # dup_clusters machinery
     "dedup_aware_sample",

@@ -222,3 +222,48 @@ def test_freq_shift_rejects_empty_period(spark):
         freq_shift(df, "key", F.col("b"))
     with pytest.raises(ValueError, match="k must be"):
         freq_shift(df, "key", F.col("b"), k=0)
+
+
+def test_rolling_freq_shift_windows_and_drops(spark):
+    """State-read face: only the two most recent windows count; keys
+    silent in both are dropped; ranking matches the shared exact law."""
+    import datetime as dt
+
+    from airflow_retail_etl_spark.operators.profile import rolling_freq_shift
+
+    def d(day):
+        return dt.date(2024, 1, day)
+
+    rows = []
+    # latest day = Jan 20 -> B = [14, 20], A = [7, 13]
+    rows += [("x", d(7)), ("x", d(10)), ("x", d(13)), ("x", d(20))]
+    rows += [("y", d(8))] + [("y", d(14)), ("y", d(15)), ("y", d(16)), ("y", d(20))]
+    rows += [("old", d(1)), ("old", d(2))]  # outside both windows
+    df = spark.createDataFrame(rows, "key string, day date")
+    got = rolling_freq_shift(df, "key", "day", window_days=7, k=10).collect()
+    # nums tie at 11 (|1·4−3·5| = |4·4−1·5|) -> key asc; 'old' dropped
+    assert [r["key"] for r in got] == ["x", "y"]
+    by = {r["key"]: r for r in got}
+    # A totals: x=3, y=1 (tot_a=4); B: x=1, y=4 (tot_b=5)
+    assert (by["x"]["cnt_a"], by["x"]["cnt_b"]) == (3, 1)
+    assert (by["y"]["cnt_a"], by["y"]["cnt_b"]) == (1, 4)
+    assert by["y"]["direction"] == "up" and by["x"]["direction"] == "down"
+    # |cnt_b*tot_a - cnt_a*tot_b|: y |16-5|=11, x |4-15|=11 -> tie, key asc
+    assert by["y"]["shift"] == round(11 / 20, 9)
+
+
+def test_rolling_freq_shift_validation(spark):
+    import datetime as dt
+
+    from airflow_retail_etl_spark.operators.profile import rolling_freq_shift
+
+    df = spark.createDataFrame(
+        [("x", dt.date(2024, 1, 20))], "key string, day date"
+    )
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_freq_shift(df, "key", "day", window_days=0)
+    with pytest.raises(ValueError, match="k must be"):
+        rolling_freq_shift(df, "key", "day", k=0)
+    # all data inside window B -> window A empty -> named error
+    with pytest.raises(ValueError, match="zero rows"):
+        rolling_freq_shift(df, "key", "day", window_days=7)
