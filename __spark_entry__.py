@@ -1927,6 +1927,45 @@ def q_rolling_demand_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_demand_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-change (the r13 reuse pattern — no new state
+    type): the events stream arrives in four batches (event_id % 4 in
+    order) folded through the EXISTING kpi-cell machinery
+    (streaming.incremental.replay_kpi keyed on product_id — its
+    ``n_events`` at (product, day) grain ARE the per-(day, key) count
+    cells rolling_freq_shift reads), then
+    profile.rolling_freq_shift_cells applies the two-window
+    exact-integer shift ranking to the folded state. Counts are exact
+    integer sums under any batching, so the folded cells are
+    BIT-IDENTICAL to the one-shot groupBy — the oracle IS
+    rolling_demand_shift's one-shot SQL, certifying stream ≡ batch for
+    the heavy-change read cross-engine."""
+    from airflow_retail_etl_spark.operators import profile
+    from airflow_retail_etl_spark.streaming.incremental import replay_kpi
+
+    ev = adapters.staging_events(spark, sf_dir)
+    batches = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    folded = replay_kpi(
+        batches,
+        ["product_id"],
+        view_value=VIEW,
+        cart_value=CART,
+        purchase_value=PURCHASE,
+    )
+    cells = folded.select(
+        F.col("event_date").alias("day"),
+        F.col("product_id").alias("key"),
+        F.col("n_events").alias("n"),
+    )
+    return profile.rolling_freq_shift_cells(
+        cells,
+        "product_id",
+        window_days=7,
+        k=25,
+        label="streaming_demand_shift",
+    )
+
+
 def q_dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware soft-dedup sample (sampling.inverse_cluster_sample
     over the dup_clusters assignment): keep each document with
@@ -5598,8 +5637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orders), demand_shift (heavy-change detection ranked by the
     exact common-denominator integer), rolling_demand_shift (the same
     primitive as a state read — per-day cells + two calendar-bounded
-    window sums), and dedup_aware_sample (soft-dedup 1/cluster_size
-    survivor draw riding the dup_clusters machinery).
+    window sums), streaming_demand_shift (its stream ≡ batch
+    certificate — kpi-cell folds reused as the count cells), and
+    dedup_aware_sample (soft-dedup 1/cluster_size survivor draw riding
+    the dup_clusters machinery).
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5907,6 +5948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a state read — per-(day, key) cells + two calendar-bounded
         # window sums at the latest day; rotation candidate next round
         "rolling_demand_shift": q_rolling_demand_shift,
+        # streaming_demand_shift (NEW in round 14): the stream ≡ batch
+        # certificate for that read — kpi-cell folds reused as the
+        # count cells (no new state type); oracle IS the one-shot SQL
+        "streaming_demand_shift": q_streaming_demand_shift,
         # dedup_aware_sample (NEW in round 14): soft-dedup 1/cluster_size
         # survivor draw riding the dup_clusters machinery; rotation
         # candidate next round
@@ -7422,6 +7467,60 @@ def _decayed_revenue_sql(lam: float) -> str:
     FROM cells c CROSS JOIN arr
     ORDER BY c.event_date
     """
+    )
+
+
+def _rolling_demand_shift_sql() -> str:
+    """DuckDB twin of the rolling heavy-change read: per-(day, key)
+    exact cells + two calendar-bounded window sums at the latest day,
+    then the freq_shift exact-integer ranking (HUGEINT ≡ DECIMAL; key
+    tiebreak NULLS FIRST = Spark asc). Shared verbatim by
+    rolling_demand_shift AND streaming_demand_shift — the streaming
+    fold's counts are exact integer sums under any batching, so the
+    folded cells are bit-identical to this one-shot."""
+    return (
+        _STAGING_CTE
+        + """
+        , cells AS (
+            SELECT event_date AS day, product_id AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM staging GROUP BY 1, 2
+        ), latest AS (
+            SELECT MAX(day) AS d_max FROM cells
+        ), counts AS (
+            SELECT key,
+                   CAST(SUM(CASE WHEN day >= d_max - 13
+                                  AND day <= d_max - 7
+                                 THEN n ELSE 0 END) AS BIGINT) AS cnt_a,
+                   CAST(SUM(CASE WHEN day >= d_max - 6
+                                  AND day <= d_max
+                                 THEN n ELSE 0 END) AS BIGINT) AS cnt_b
+            FROM cells CROSS JOIN latest
+            GROUP BY key
+            HAVING cnt_a > 0 OR cnt_b > 0
+        ), t AS (
+            SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+                   CAST(SUM(cnt_b) AS BIGINT) AS tot_b
+            FROM counts
+        ), r AS (
+            SELECT key, cnt_a, cnt_b, tot_a, tot_b,
+                   abs(CAST(cnt_b AS HUGEINT) * tot_a
+                       - CAST(cnt_a AS HUGEINT) * tot_b) AS num,
+                   CASE WHEN CAST(cnt_b AS HUGEINT) * tot_a
+                             > CAST(cnt_a AS HUGEINT) * tot_b THEN 'up'
+                        WHEN CAST(cnt_b AS HUGEINT) * tot_a
+                             < CAST(cnt_a AS HUGEINT) * tot_b THEN 'down'
+                        ELSE 'flat' END AS direction
+            FROM counts CROSS JOIN t
+            ORDER BY num DESC, key ASC NULLS FIRST LIMIT 25
+        )
+        SELECT key AS product_id, cnt_a, cnt_b,
+               round(CAST(num AS DOUBLE)
+                     / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)),
+                     9) AS shift,
+               direction
+        FROM r
+        """
     )
 
 
@@ -11300,48 +11399,11 @@ def oracle_sql() -> dict[str, str]:
         # rolling heavy-change: per-(day,key) exact cells + two
         # calendar-bounded window sums at the latest day, then the same
         # exact-integer ranking (key tiebreak NULLS FIRST = Spark asc)
-        "rolling_demand_shift": _STAGING_CTE
-        + """
-        , cells AS (
-            SELECT event_date AS day, product_id AS key,
-                   CAST(COUNT(*) AS BIGINT) AS n
-            FROM staging GROUP BY 1, 2
-        ), latest AS (
-            SELECT MAX(day) AS d_max FROM cells
-        ), counts AS (
-            SELECT key,
-                   CAST(SUM(CASE WHEN day >= d_max - 13
-                                  AND day <= d_max - 7
-                                 THEN n ELSE 0 END) AS BIGINT) AS cnt_a,
-                   CAST(SUM(CASE WHEN day >= d_max - 6
-                                  AND day <= d_max
-                                 THEN n ELSE 0 END) AS BIGINT) AS cnt_b
-            FROM cells CROSS JOIN latest
-            GROUP BY key
-            HAVING cnt_a > 0 OR cnt_b > 0
-        ), t AS (
-            SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
-                   CAST(SUM(cnt_b) AS BIGINT) AS tot_b
-            FROM counts
-        ), r AS (
-            SELECT key, cnt_a, cnt_b, tot_a, tot_b,
-                   abs(CAST(cnt_b AS HUGEINT) * tot_a
-                       - CAST(cnt_a AS HUGEINT) * tot_b) AS num,
-                   CASE WHEN CAST(cnt_b AS HUGEINT) * tot_a
-                             > CAST(cnt_a AS HUGEINT) * tot_b THEN 'up'
-                        WHEN CAST(cnt_b AS HUGEINT) * tot_a
-                             < CAST(cnt_a AS HUGEINT) * tot_b THEN 'down'
-                        ELSE 'flat' END AS direction
-            FROM counts CROSS JOIN t
-            ORDER BY num DESC, key ASC NULLS FIRST LIMIT 25
-        )
-        SELECT key AS product_id, cnt_a, cnt_b,
-               round(CAST(num AS DOUBLE)
-                     / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)),
-                     9) AS shift,
-               direction
-        FROM r
-        """,
+        "rolling_demand_shift": _rolling_demand_shift_sql(),
+        # the streaming fold's counts are exact integer sums under any
+        # batching, so the folded cells ≡ the one-shot groupBy — the
+        # oracle IS the one-shot SQL (the streaming_mart/decayed rule)
+        "streaming_demand_shift": _rolling_demand_shift_sql(),
         # Zipf spectrum: frequency-of-frequencies over the vocabulary
         "frequency_spectrum": f"""
         WITH norm AS (

@@ -470,10 +470,6 @@ def rolling_freq_shift(
     100 TB the cells table is what a daily job maintains incrementally
     (O(delta) per day); the read touches only the 2w-day slice.
     """
-    if window_days < 1:
-        raise ValueError(f"window_days must be >= 1, got {window_days}")
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     cells = (
         df.select(
             F.col(day_col).alias("day"), F.col(key_col).alias("key")
@@ -482,6 +478,34 @@ def rolling_freq_shift(
         .groupBy("day", "key")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return rolling_freq_shift_cells(
+        cells,
+        key_col,
+        window_days=window_days,
+        k=k,
+        label="rolling_freq_shift",
+    )
+
+
+def rolling_freq_shift_cells(
+    cells: DataFrame,
+    key_col: str,
+    *,
+    window_days: int = 7,
+    k: int = 25,
+    label: str = "rolling_freq_shift_cells",
+) -> DataFrame:
+    """The read half of :func:`rolling_freq_shift`, over ALREADY-BUILT
+    per-(day, key) count cells — any provenance: the one-shot groupBy,
+    a maintained state table, or a streaming cell fold (kpi cells'
+    ``n_events`` at (key, day) grain ARE these cells, so replay_kpi's
+    stream ≡ batch law transfers to this read verbatim). ``cells`` must
+    carry columns (day, key, n).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     latest = cells.agg(F.max("day").alias("d_max"))
     j = cells.crossJoin(F.broadcast(latest))
     in_b = (F.col("day") >= F.date_sub(F.col("d_max"), window_days - 1)) & (
@@ -502,4 +526,4 @@ def rolling_freq_shift(
         )
         .filter((F.col("cnt_a") > 0) | (F.col("cnt_b") > 0))
     )
-    return _rank_freq_shift(counts, key_col, k, "rolling_freq_shift")
+    return _rank_freq_shift(counts, key_col, k, label)

@@ -304,6 +304,9 @@ HEADLINE = (
     # round 14: the same primitive as a state read — per-(day,key)
     # cells + two calendar-bounded window sums at the latest day
     "rolling_demand_shift",
+    # round 14: its stream ≡ batch certificate (kpi-cell folds reused
+    # as the count cells; oracle IS the one-shot SQL)
+    "streaming_demand_shift",
     # round 14: soft-dedup 1/cluster_size survivor draw riding the
     # dup_clusters machinery
     "dedup_aware_sample",

@@ -267,3 +267,71 @@ def test_rolling_freq_shift_validation(spark):
     # all data inside window B -> window A empty -> named error
     with pytest.raises(ValueError, match="zero rows"):
         rolling_freq_shift(df, "key", "day", window_days=7)
+
+
+def test_rolling_freq_shift_equals_freq_shift_on_confined_data(spark):
+    """Cross-face law: when the data lives entirely inside the two
+    windows, the rolling state read and the raw-period freq_shift are
+    the same statistic — identical rows."""
+    import datetime as dt
+
+    from airflow_retail_etl_spark.operators.profile import (
+        freq_shift,
+        rolling_freq_shift,
+    )
+
+    base = dt.date(2024, 3, 14)  # latest day; B = [8,14], A = [1,7]
+    rows = []
+    for i, key in enumerate(["a", "b", "c", "a", "b", "a", "c", "b", "b"]):
+        rows.append((key, base - dt.timedelta(days=i % 14)))
+    df = spark.createDataFrame(rows, "key string, day date")
+    rolled = rolling_freq_shift(df, "key", "day", window_days=7, k=10)
+    flat = freq_shift(
+        df, "key", F.col("day") >= F.lit("2024-03-08").cast("date"), k=10
+    )
+    assert rolled.collect() == flat.collect()
+
+
+def test_streaming_heavy_change_fold_equals_one_shot(spark):
+    """Stream ≡ batch for the heavy-change read: kpi-cell folds over
+    arbitrary batching produce cells bit-identical to the one-shot
+    groupBy, so the window read off the folded state equals
+    rolling_freq_shift on the concatenated input."""
+    import datetime as dt
+
+    from airflow_retail_etl_spark.operators.profile import (
+        rolling_freq_shift,
+        rolling_freq_shift_cells,
+    )
+    from airflow_retail_etl_spark.streaming.incremental import replay_kpi
+
+    base = dt.date(2024, 3, 20)
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                i,
+                f"p{i % 5}",
+                base - dt.timedelta(days=i % 14),
+                "view",
+                1.0,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, product_id string, event_date date, "
+        "event_type string, price double"
+    )
+    batches = [df.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    folded = replay_kpi(batches, ["product_id"])
+    cells = folded.select(
+        F.col("event_date").alias("day"),
+        F.col("product_id").alias("key"),
+        F.col("n_events").alias("n"),
+    )
+    streamed = rolling_freq_shift_cells(
+        cells, "product_id", window_days=7, k=10
+    )
+    one_shot = rolling_freq_shift(
+        df, "product_id", "event_date", window_days=7, k=10
+    )
+    assert streamed.collect() == one_shot.collect()
