@@ -1966,6 +1966,23 @@ def q_streaming_demand_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle augmentation (chunking.fim_transform, PSM
+    permutation, rate 0.5): for a deterministic half of the corpus,
+    two hash-drawn interior cuts emit <PRE>prefix<SUF>suffix<MID>middle
+    — the code-model infilling transform, run BEFORE packing. Pure
+    per-row projection: zero shuffle; membership and cuts are exact
+    integer functions of (seed, doc_id) (md5-u64 threshold + mod);
+    coordinates index the normalized text (the span-family contract).
+    Oracle: identical draw/cut/substr arithmetic in SQL."""
+    from airflow_retail_etl_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.fim_transform(
+        docs, "text", "doc_id", rate=0.5, min_chars=32, seed="fim"
+    ).orderBy("doc_id")
+
+
 def q_dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware soft-dedup sample (sampling.inverse_cluster_sample
     over the dup_clusters assignment): keep each document with
@@ -5638,9 +5655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact common-denominator integer), rolling_demand_shift (the same
     primitive as a state read — per-day cells + two calendar-bounded
     window sums), streaming_demand_shift (its stream ≡ batch
-    certificate — kpi-cell folds reused as the count cells), and
+    certificate — kpi-cell folds reused as the count cells),
     dedup_aware_sample (soft-dedup 1/cluster_size survivor draw riding
-    the dup_clusters machinery).
+    the dup_clusters machinery), and fim_transform (fill-in-the-middle
+    PSM augmentation — zero-shuffle hash-cut projection run before
+    packing).
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5952,6 +5971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certificate for that read — kpi-cell folds reused as the
         # count cells (no new state type); oracle IS the one-shot SQL
         "streaming_demand_shift": q_streaming_demand_shift,
+        # fim_transform (NEW in round 14): fill-in-the-middle PSM
+        # augmentation — zero-shuffle hash-cut projection run before
+        # packing; rotation candidate next round
+        "fim_transform": q_fim_transform,
         # dedup_aware_sample (NEW in round 14): soft-dedup 1/cluster_size
         # survivor draw riding the dup_clusters machinery; rotation
         # candidate next round
@@ -10318,6 +10341,53 @@ def oracle_sql() -> dict[str, str]:
         )} * cluster_size
               < CAST('18446744073709551616' AS HUGEINT)
         ORDER BY doc_id
+        """,
+        # FIM/PSM augmentation: identical md5-u64 threshold + mod cut
+        # arithmetic and char-substr reassembly (NULLIF guards the
+        # ln == 1 pass-through rows in both engines)
+        "fim_transform": f"""
+        WITH n AS (
+            SELECT doc_id, COALESCE({_NORM_TEXT}, '') AS t FROM documents
+        ), d AS (
+            SELECT doc_id, t, length(t) AS ln,
+                   {xhash.duck_md5_u64(
+                       "concat_ws(chr(31), 'fim:apply',"
+                       " CAST(doc_id AS VARCHAR))"
+                   )} AS ua,
+                   {xhash.duck_md5_u64(
+                       "concat_ws(chr(31), 'fim:p1',"
+                       " CAST(doc_id AS VARCHAR))"
+                   )} AS u1,
+                   {xhash.duck_md5_u64(
+                       "concat_ws(chr(31), 'fim:p2',"
+                       " CAST(doc_id AS VARCHAR))"
+                   )} AS u2
+            FROM documents
+            JOIN n USING (doc_id)
+        ), c AS (
+            SELECT doc_id, t, ln,
+                   (ln >= 32 AND ua < CAST('9223372036854775808' AS HUGEINT))
+                       AS fim_applied,
+                   CAST(1 + (u1 % NULLIF(ln - 1, 0)) AS INTEGER) AS c1,
+                   CAST(1 + (u2 % NULLIF(ln - 1, 0)) AS INTEGER) AS c2
+            FROM d
+        )
+        SELECT doc_id, fim_applied,
+               CASE WHEN fim_applied
+                    THEN least(c1, c2) END AS prefix_len,
+               CASE WHEN fim_applied
+                    THEN greatest(c1, c2) - least(c1, c2) END AS middle_len,
+               CASE WHEN fim_applied
+                    THEN ln - greatest(c1, c2) END AS suffix_len,
+               CASE WHEN fim_applied
+                    THEN '<PRE>' || substr(t, 1, least(c1, c2))
+                         || '<SUF>' || substr(t, greatest(c1, c2) + 1,
+                                              ln - greatest(c1, c2))
+                         || '<MID>' || substr(t, least(c1, c2) + 1,
+                                              greatest(c1, c2)
+                                              - least(c1, c2))
+                    ELSE t END AS fim_text
+        FROM c ORDER BY doc_id
         """,
         # same closure as dup_clusters, then the q_split_assign md5 CASE
         # applied to the CLUSTER id — the leakage-safe key

@@ -77,3 +77,81 @@ def chunk_documents(
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    rate: float = 0.5,
+    min_chars: int = 32,
+    seed: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, the PSM
+    permutation): for a deterministic ``rate`` fraction of documents,
+    pick two interior cut points and emit
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — the data-side augmentation
+    that teaches infilling to a left-to-right LM "for free". Code-model
+    pipelines run this over the whole corpus at a fixed rate; it
+    belongs beside chunk/pack because it must happen BEFORE packing
+    (the permuted doc is what gets packed).
+
+    Everything is a per-row projection — zero shuffle, membership and
+    cut points are pure functions of (seed, doc id) via the engine's
+    md5-u64 draw family (layout/rerun/engine invariant, exact integer
+    threshold `u < rate·2^64`, cut draws `1 + u mod (L−1)`), and
+    coordinates index the NORMALIZED text (the span-family contract),
+    so the output is a fixed point of normalize_text for downstream
+    chunk/pack stages. Docs shorter than ``min_chars`` normalized chars
+    (or < 2 chars) pass through unchanged. Returns (id, fim_applied,
+    prefix_len, middle_len, suffix_len, fim_text); lens are NULL on
+    pass-through rows; prefix/suffix are never empty and an empty
+    middle (lo == hi) is legal — the model must learn "nothing to
+    fill" too.
+    """
+    from airflow_retail_etl_spark.functions import xhash
+    from airflow_retail_etl_spark.operators.sampling import threshold_for
+
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if min_chars < 2:
+        raise ValueError(f"min_chars must be >= 2, got {min_chars}")
+
+    def draw(tag: str) -> F.Column:
+        return xhash.md5_u64(
+            F.concat_ws(
+                "\x1f",
+                F.lit(f"{seed}:{tag}"),
+                F.col(id_col).cast("string"),
+            )
+        )
+
+    # NULL docs normalize to NULL — coalesce so they take the
+    # pass-through branch with fim_applied = false, not NULL
+    t = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
+    ln = F.length(t)
+    thr = F.lit(str(threshold_for(rate))).cast("decimal(21,0)")
+    applied = (ln >= F.lit(min_chars)) & (draw("apply") < thr)
+    # NULLIF guards the ln == 1 pass-through rows (mod 0 is an ANSI
+    # error even in a branch both engines might pre-evaluate); applied
+    # requires ln >= min_chars >= 2, so real cuts never see the NULL
+    div = F.nullif((ln - F.lit(1)).cast("decimal(20,0)"), F.lit(0).cast("decimal(20,0)"))
+    c1 = (F.lit(1) + F.pmod(draw("p1"), div)).cast("int")
+    c2 = (F.lit(1) + F.pmod(draw("p2"), div)).cast("int")
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    prefix = F.substring(t, F.lit(1), lo)
+    middle = F.substring(t, lo + F.lit(1), hi - lo)
+    suffix = F.substring(t, hi + F.lit(1), ln - hi)
+    fim_text = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    return df.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied, lo).alias("prefix_len"),
+        F.when(applied, hi - lo).alias("middle_len"),
+        F.when(applied, ln - hi).alias("suffix_len"),
+        F.when(applied, fim_text).otherwise(t).alias("fim_text"),
+    )

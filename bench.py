@@ -307,6 +307,9 @@ HEADLINE = (
     # round 14: its stream ≡ batch certificate (kpi-cell folds reused
     # as the count cells; oracle IS the one-shot SQL)
     "streaming_demand_shift",
+    # round 14: fill-in-the-middle PSM augmentation — zero-shuffle
+    # hash-cut projection run before packing
+    "fim_transform",
     # round 14: soft-dedup 1/cluster_size survivor draw riding the
     # dup_clusters machinery
     "dedup_aware_sample",

@@ -57,3 +57,94 @@ def test_invalid_params_rejected(spark):
         chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=-1)
+
+
+# ---------------------------------------------------------------------------
+# fim_transform (fill-in-the-middle / PSM augmentation)
+# ---------------------------------------------------------------------------
+
+
+def test_fim_reconstruction_and_membership(spark):
+    """Applied rows reassemble to the normalized text; membership and
+    cut points equal the python md5 arithmetic exactly."""
+    import hashlib
+
+    from airflow_retail_etl_spark.operators.chunking import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "lorem ipsum dolor sit amet " * 4)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = fim_transform(docs, rate=0.5, min_chars=32, seed="fim").collect()
+    assert len(rows) == 40
+
+    def u64(tag, i):
+        return int(
+            hashlib.md5(f"fim:{tag}\x1f{i}".encode()).hexdigest()[:16], 16
+        )
+
+    n_applied = 0
+    import re
+
+    for r in rows:
+        # rebuild the exact normalized text the engine saw
+        raw = f"doc {r['doc_id']} " + "lorem ipsum dolor sit amet " * 4
+        norm = re.sub(r"\s+", " ", raw).strip().lower()
+        ln = len(norm)
+        expect_applied = ln >= 32 and u64("apply", r["doc_id"]) < 2**63
+        assert r["fim_applied"] == expect_applied
+        if not expect_applied:
+            assert r["fim_text"] == norm
+            assert r["prefix_len"] is None
+            continue
+        n_applied += 1
+        c1 = 1 + u64("p1", r["doc_id"]) % (ln - 1)
+        c2 = 1 + u64("p2", r["doc_id"]) % (ln - 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        assert (r["prefix_len"], r["middle_len"], r["suffix_len"]) == (
+            lo, hi - lo, ln - hi,
+        )
+        expected = (
+            "<PRE>" + norm[:lo] + "<SUF>" + norm[hi:] + "<MID>" + norm[lo:hi]
+        )
+        assert r["fim_text"] == expected
+        assert r["prefix_len"] >= 1 and r["suffix_len"] >= 1
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == ln
+    assert 0 < n_applied < 40  # the draw actually splits the corpus
+
+
+def test_fim_rate_edges_short_and_null_docs(spark):
+    from airflow_retail_etl_spark.operators.chunking import fim_transform
+
+    docs = spark.createDataFrame(
+        [(1, "x " * 40), (2, "tiny"), (3, None), (4, "a")],
+        "doc_id long, text string",
+    )
+    none = fim_transform(docs, rate=0.0).collect()
+    assert all(not r["fim_applied"] for r in none)
+    allr = {r["doc_id"]: r for r in fim_transform(docs, rate=1.0).collect()}
+    assert allr[1]["fim_applied"]            # long doc always in at rate 1
+    assert not allr[2]["fim_applied"]        # below min_chars
+    assert not allr[3]["fim_applied"] and allr[3]["fim_text"] == ""
+    assert not allr[4]["fim_applied"]        # ln == 1: NULLIF guard path
+    import pytest
+
+    with pytest.raises(ValueError, match="rate"):
+        fim_transform(docs, rate=1.5)
+    with pytest.raises(ValueError, match="min_chars"):
+        fim_transform(docs, min_chars=1)
+
+
+def test_fim_is_zero_shuffle_projection(spark):
+    from airflow_retail_etl_spark.operators.chunking import fim_transform
+
+    docs = spark.createDataFrame(
+        [(1, "x " * 40)], "doc_id long, text string"
+    )
+    plan = (
+        fim_transform(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
