@@ -506,6 +506,11 @@ def rolling_freq_shift_cells(
         raise ValueError(f"window_days must be >= 1, got {window_days}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # the 1-row latest frame and the window re-aggregation both consume
+    # cells; un-materialized, the broadcast build re-executes the
+    # corpus-sized cell subtree (the r10 rule) — A/B probed at sf1
+    # (SCALING_HISTORY r14_late_additions_probes_2 note)
+    cells = cells.localCheckpoint(eager=True)
     latest = cells.agg(F.max("day").alias("d_max"))
     j = cells.crossJoin(F.broadcast(latest))
     in_b = (F.col("day") >= F.date_sub(F.col("d_max"), window_days - 1)) & (

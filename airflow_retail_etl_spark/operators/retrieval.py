@@ -229,6 +229,10 @@ def rrf_fuse(
 
     if n_each < 1:
         raise ValueError(f"n_each must be >= 1, got {n_each}")
+    if rrf_k < 1:
+        # rrf_k + rank must stay > 0 for every rank; 0 would make rank 1
+        # an ANSI divide-by-zero and negatives invert the rank order
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
     b = bm25_topk(
         docs, query_terms, text_col, id_col, k=n_each
     ).select(id_col, "score")

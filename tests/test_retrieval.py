@@ -192,3 +192,5 @@ def test_rrf_single_list_doc_gets_null_other_rank(spark, docs):
 def test_rrf_validation(spark, docs):
     with pytest.raises(ValueError):
         rrf_fuse(docs, ["spark"], n_each=0)
+    with pytest.raises(ValueError, match="rrf_k"):
+        rrf_fuse(docs, ["spark"], rrf_k=0)
