@@ -1966,6 +1966,25 @@ def q_streaming_demand_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/grouped vector search (similarity.grouped_topk): the
+    top-5 cosine neighbors of vector 0 WITHIN every label — the
+    filtered-ANN shape production vector stores serve. Grouped top-k
+    discipline: two-phase sharded trim (phase 1 per (label, md5-shard
+    of the id), phase 2 per label), never one window per label (10
+    labels would cap parallelism at 10 tasks); (sim DESC, id ASC) is a
+    strict total order so the trim is identical to the naive window
+    (test-pinned). Oracle: the same cosine fold + ROW_NUMBER per label
+    in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.grouped_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=5
+        )
+        .orderBy("label", "rank")
+    )
+
+
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle augmentation (chunking.fim_transform, PSM
     permutation, rate 0.5): for a deterministic half of the corpus,
@@ -5657,9 +5676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window sums), streaming_demand_shift (its stream ≡ batch
     certificate — kpi-cell folds reused as the count cells),
     dedup_aware_sample (soft-dedup 1/cluster_size survivor draw riding
-    the dup_clusters machinery), and fim_transform (fill-in-the-middle
+    the dup_clusters machinery), fim_transform (fill-in-the-middle
     PSM augmentation — zero-shuffle hash-cut projection run before
-    packing).
+    packing), and knn_by_label (filtered/grouped vector search via the
+    two-phase sharded trim).
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5975,6 +5995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # augmentation — zero-shuffle hash-cut projection run before
         # packing; rotation candidate next round
         "fim_transform": q_fim_transform,
+        # knn_by_label (NEW in round 14): filtered/grouped vector
+        # search via the two-phase sharded trim (never one window per
+        # label); rotation candidate next round
+        "knn_by_label": q_knn_by_label,
         # dedup_aware_sample (NEW in round 14): soft-dedup 1/cluster_size
         # survivor draw riding the dup_clusters machinery; rotation
         # candidate next round
@@ -10561,6 +10585,33 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rk = 1 ORDER BY doc_id
         """,
         "knn_cosine": _KNN_SQL,
+        # filtered/grouped vector search: same cosine fold, ROW_NUMBER
+        # per label (the two-phase trim is plan shape, not semantics)
+        "knn_by_label": """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id = 0
+        ), p AS (
+            SELECT c.label, c.vec_id,
+                   list_dot_product(qv, c.e)
+                       / sqrt(list_dot_product(qv, qv)
+                              * list_dot_product(c.e, c.e)) AS sim
+            FROM v c CROSS JOIN q
+            WHERE c.vec_id != qid
+        ), r AS (
+            SELECT label, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM p
+        )
+        SELECT label, CAST(rank AS INTEGER) AS rank, vec_id,
+               round(sim, 6) AS sim
+        FROM r WHERE rank <= 5
+        ORDER BY label, rank
+        """,
         "ann_ivf": _KNN_SQL,
         "ann_lsh": _VEC_CTE
         + _lsh_buckets_cte(24, 4)

@@ -310,6 +310,8 @@ HEADLINE = (
     # round 14: fill-in-the-middle PSM augmentation — zero-shuffle
     # hash-cut projection run before packing
     "fim_transform",
+    # round 14: filtered/grouped vector search (two-phase sharded trim)
+    "knn_by_label",
     # round 14: soft-dedup 1/cluster_size survivor draw riding the
     # dup_clusters machinery
     "dedup_aware_sample",

@@ -487,3 +487,65 @@ def test_whiten_transform_rejects_empty_and_partial_gram(spark):
         whiten_transform(emb, gram.filter("1 = 0"))
     with pytest.raises(ValueError, match="partial"):
         whiten_transform(emb, gram.filter("i <> 3 or j <> 7"))
+
+
+def test_grouped_topk_equals_naive_window(spark):
+    """The two-phase sharded trim must be IDENTICAL to the one-window
+    per-group top-k — (sim DESC, id ASC) is a strict total order."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators import similarity as sim_ops
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, int(i % 4), [float(x) for x in rng.standard_normal(8)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    got = sim_ops.grouped_topk(
+        emb, q, k=3, shards=8
+    ).orderBy("label", "rank").collect()
+
+    qv = q.select(sim_ops.as_double(F.col("embedding")).alias("qv"),
+                  F.col("vec_id").alias("qid"))
+    naive = (
+        emb.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .select(
+            "label", "vec_id",
+            sim_ops.cosine(F.col("qv"),
+                           sim_ops.as_double(F.col("embedding"))).alias("s"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("s").desc(), F.col("vec_id").asc())),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("label", "rank", "vec_id", F.round("s", 6).alias("sim"))
+        .orderBy("label", "rank")
+        .collect()
+    )
+    assert got == naive
+    # every group is served and the query never matches itself
+    assert {r["label"] for r in got} == {0, 1, 2, 3}
+    assert all(r["vec_id"] != 0 for r in got)
+
+
+def test_grouped_topk_validation(spark):
+    from airflow_retail_etl_spark.operators import similarity as sim_ops
+
+    emb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])], "vec_id long, label int, embedding array<double>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        sim_ops.grouped_topk(emb, emb, k=0)
+    with pytest.raises(ValueError, match="shards"):
+        sim_ops.grouped_topk(emb, emb, shards=0)
