@@ -533,3 +533,76 @@ def test_decayed_read_equals_python_horner(spark, rows, lam):
         expect[str(cur)] = round(acc, 6)
         cur += dt.timedelta(days=1)
     assert got == {d: expect[d] for d in got}
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.booleans()),
+        min_size=4,
+        max_size=60,
+    ).filter(
+        lambda rs: any(b for _, b in rs) and any(not b for _, b in rs)
+    ),
+    st.integers(2, 4),
+)
+def test_freq_shift_is_replication_invariant(spark, rows, r):
+    """Heavy-change law: replicating every row r× scales all counts and
+    totals by r, so shares — and therefore the ranking, the directions
+    and the published shifts — are unchanged."""
+    from airflow_retail_etl_spark.operators.profile import freq_shift
+
+    base = spark.createDataFrame(
+        [(f"k{k}", b) for k, b in rows], "key string, b boolean"
+    )
+    rep = spark.createDataFrame(
+        [(f"k{k}", b) for k, b in rows for _ in range(r)],
+        "key string, b boolean",
+    )
+    one = freq_shift(base, "key", F.col("b"), k=50).select(
+        "key", "shift", "direction"
+    ).collect()
+    many = freq_shift(rep, "key", F.col("b"), k=50).select(
+        "key", "shift", "direction"
+    ).collect()
+    assert one == many
+
+
+@HEAVY
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", categories=("L", "N", "Zs")
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fim_reconstructs_on_random_text(spark, texts):
+    """FIM law on arbitrary text: applied rows always reassemble to the
+    normalized input (prefix+middle+suffix, lens sum to L, ends
+    non-empty); pass-through rows return the normalized text verbatim."""
+    import re
+
+    from airflow_retail_etl_spark.operators.chunking import fim_transform
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for row in fim_transform(df, rate=1.0, min_chars=2).collect():
+        norm = re.sub(r"\s+", " ", texts[row["doc_id"]]).strip().lower()
+        if not row["fim_applied"]:
+            assert row["fim_text"] == norm and len(norm) < 2
+            continue
+        t = row["fim_text"]
+        assert t.startswith("<PRE>")
+        pre, rest = t[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == norm
+        assert (row["prefix_len"], row["middle_len"], row["suffix_len"]) == (
+            len(pre), len(mid), len(suf),
+        )
+        assert len(pre) >= 1 and len(suf) >= 1
