@@ -864,6 +864,12 @@ def inverse_cluster_sample(
 
     Scale shape: a pure projection+filter riding the dedup output the
     pipeline already computes — no extra shuffle, no window.
+
+    Rows with NULL or non-positive ``cluster_size`` are DROPPED (a NULL
+    size makes the keep test NULL, which filters like false): a doc
+    with no cluster assignment has no defined keep probability — run
+    the clustering first, or coalesce sizes to 1 upstream to treat
+    unassigned docs as singletons.
     """
     u = _sample_u(F.col(id_col).cast("string"), seed)
     # DECIMAL(20,0)·DECIMAL(19,0) → (38,0): u·size ≤ 2^64·1e19 overflows

@@ -1621,6 +1621,17 @@ def grouped_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
+    # bounded check (limit 2, never the corpus): a multi-row query frame
+    # would silently interleave different queries' scores inside one
+    # group ranking — fail with a name instead
+    n_q = query.limit(2).count()
+    if n_q != 1:
+        raise ValueError(
+            f"grouped_topk takes exactly ONE query row, got "
+            f"{'0' if n_q == 0 else '2+'} — for multi-query grouped "
+            "search run per query (the broadcast side must be a single "
+            "vector for the per-group ranking to be well-defined)"
+        )
     q = query.select(
         F.col(id_col).alias("__qid"),
         as_double(F.col(vec_col)).alias("qv"),

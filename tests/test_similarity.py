@@ -549,3 +549,21 @@ def test_grouped_topk_validation(spark):
         sim_ops.grouped_topk(emb, emb, k=0)
     with pytest.raises(ValueError, match="shards"):
         sim_ops.grouped_topk(emb, emb, shards=0)
+
+
+def test_grouped_topk_rejects_multi_row_query(spark):
+    """A multi-row query frame would silently interleave different
+    queries' scores inside one group ranking — named error instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_retail_etl_spark.operators import similarity as sim_ops
+
+    emb = spark.createDataFrame(
+        [(i, 0, [1.0, float(i)]) for i in range(6)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ONE query row"):
+        sim_ops.grouped_topk(emb, emb.filter(F.col("vec_id") < 2))
+    with pytest.raises(ValueError, match="ONE query row"):
+        sim_ops.grouped_topk(emb, emb.filter(F.col("vec_id") < 0))
