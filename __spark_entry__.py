@@ -10404,10 +10404,10 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN fim_applied
                     THEN ln - greatest(c1, c2) END AS suffix_len,
                CASE WHEN fim_applied
-                    THEN '<PRE>' || substr(t, 1, least(c1, c2))
-                         || '<SUF>' || substr(t, greatest(c1, c2) + 1,
+                    THEN '<pre>' || substr(t, 1, least(c1, c2))
+                         || '<suf>' || substr(t, greatest(c1, c2) + 1,
                                               ln - greatest(c1, c2))
-                         || '<MID>' || substr(t, least(c1, c2) + 1,
+                         || '<mid>' || substr(t, least(c1, c2) + 1,
                                               greatest(c1, c2)
                                               - least(c1, c2))
                     ELSE t END AS fim_text

@@ -92,6 +92,24 @@ class CorpusConfig:
     #: probe DNF'd at cap=400 (SCALE.md span-cap envelope) — without
     #: this, shared_span_pairs refuses oversized caps
     excise_unsafe_large_cap: bool = False
+    #: SOFT dedup: replace the hard keep-best-per-cluster resolve with
+    #: the 1/cluster_size survivor draw (sampling.inverse_cluster_sample
+    #: over the same near-dup components) — each duplicate family
+    #: contributes ONE expected survivor, hash-chosen rather than
+    #: quality-chosen, preserving benign template variation that hard
+    #: dedup collapses. Unbiased in expectation (what mixture arithmetic
+    #: downstream needs); combine with split_by_cluster so the survivors
+    #: of one family still share a split.
+    soft_dedup: bool = False
+    #: seed for the soft-dedup survivor draw
+    soft_dedup_seed: str = "soft-dedup"
+    #: FIM/PSM augmentation rate applied to the TRAIN split only, after
+    #: dedup/excision and before chunking (chunking.fim_transform —
+    #: val/test stay unpermuted); None disables. The permuted text is a
+    #: normalize_text fixed point, so chunk/pack see it verbatim.
+    fim_rate: float | None = None
+    #: seed for the FIM membership and cut draws
+    fim_seed: str = "fim"
     #: seed for the reproducible global shuffle of packed training
     #: sequences (sampling.corpus_shuffle draw over the sequence key);
     #: None disables the shuffle stage. Combine with shuffle_epoch to
@@ -229,6 +247,61 @@ def assign_split(
     return out.drop("__split_key")
 
 
+def soft_neardup_sample(
+    df: DataFrame, cfg: CorpusConfig, cc: DataFrame | None = None
+) -> DataFrame:
+    """Duplicate-aware alternative to :func:`neardup_resolve`: keep each
+    doc with probability 1/cluster_size over the SAME near-dup
+    components (sampling.inverse_cluster_sample) — one expected survivor
+    per family, hash-chosen (no crawl-order or quality-rank bias),
+    benign template variation preserved in expectation. The sampler
+    itself is a pure projection+filter on the assignment; the clustering
+    is the work the hard resolve already pays."""
+    from airflow_retail_etl_spark.operators.sampling import (
+        inverse_cluster_sample,
+    )
+
+    if cc is None:
+        cc = _neardup_clusters(df, cfg)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comp")
+    assign = cc.select(
+        F.col("node").alias(cfg.id_col),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+    kept = inverse_cluster_sample(
+        assign, cfg.id_col, "cluster_size", seed=cfg.soft_dedup_seed
+    )
+    return df.join(kept.select(cfg.id_col), cfg.id_col, "left_semi")
+
+
+def fim_stage(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Optional FIM/PSM augmentation of the TRAIN split (rate
+    ``fim_rate``): replaces ``text`` with the hash-cut permutation for
+    the drawn docs; a pure projection (``keep_cols`` passthrough — no
+    join, no shuffle). No-op when ``fim_rate`` is None."""
+    if cfg.fim_rate is None:
+        return df
+    others = [
+        c for c in df.columns if c not in (cfg.id_col, cfg.text_col)
+    ]
+    out = chunking.fim_transform(
+        df,
+        cfg.text_col,
+        cfg.id_col,
+        rate=cfg.fim_rate,
+        seed=cfg.fim_seed,
+        keep_cols=others,
+    )
+    return out.select(
+        cfg.id_col,
+        F.col("fim_text").alias(cfg.text_col),
+        *others,
+        "fim_applied",
+    )
+
+
 def excise_shared_spans(df: DataFrame, cfg: CorpusConfig) -> DataFrame:
     """Optional span-grain dedup stage: cut exact shared substrings
     ≥ ``excise_min_span`` chars out of the LATER document (first
@@ -303,12 +376,22 @@ def run_corpus_build(
         cfg.id_col,
         "left_semi",
     )
-    cc = _neardup_clusters(exact, cfg) if cfg.split_by_cluster else None
-    resolved = neardup_resolve(exact, cfg, cc)
+    cc = (
+        _neardup_clusters(exact, cfg)
+        if (cfg.split_by_cluster or cfg.soft_dedup)
+        else None
+    )
+    if cfg.soft_dedup:
+        resolved = soft_neardup_sample(exact, cfg, cc)
+    else:
+        resolved = neardup_resolve(exact, cfg, cc)
     resolved = excise_shared_spans(resolved, cfg)
     with_split = assign_split(resolved, cfg, cc)
+    train = fim_stage(
+        with_split.filter(F.col("split") == "train"), cfg
+    )
     chunks = chunking.chunk_documents(
-        with_split.filter(F.col("split") == "train"),
+        train,
         cfg.text_col,
         cfg.id_col,
         chunk_size=cfg.chunk_size,

@@ -87,11 +87,12 @@ def fim_transform(
     rate: float = 0.5,
     min_chars: int = 32,
     seed: str = "fim",
+    keep_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Fill-in-the-middle transform (Bavarian et al. 2022, the PSM
     permutation): for a deterministic ``rate`` fraction of documents,
     pick two interior cut points and emit
-    ``<PRE>prefix<SUF>suffix<MID>middle`` — the data-side augmentation
+    ``<pre>prefix<suf>suffix<mid>middle`` — the data-side augmentation
     that teaches infilling to a left-to-right LM "for free". Code-model
     pipelines run this over the whole corpus at a fixed rate; it
     belongs beside chunk/pack because it must happen BEFORE packing
@@ -103,7 +104,11 @@ def fim_transform(
     threshold `u < rate·2^64`, cut draws `1 + u mod (L−1)`), and
     coordinates index the NORMALIZED text (the span-family contract),
     so the output is a fixed point of normalize_text for downstream
-    chunk/pack stages. Docs shorter than ``min_chars`` normalized chars
+    chunk/pack stages (the sentinels are LOWERCASE and whitespace-free
+    precisely so re-normalization is the identity — uppercase markers
+    would be silently case-folded downstream). ``keep_cols`` pass
+    through unchanged, keeping pipeline composition a pure projection.
+    Docs shorter than ``min_chars`` normalized chars
     (or < 2 chars) pass through unchanged. Returns (id, fim_applied,
     prefix_len, middle_len, suffix_len, fim_text); lens are NULL on
     pass-through rows; prefix/suffix are never empty and an empty
@@ -145,10 +150,11 @@ def fim_transform(
     middle = F.substring(t, lo + F.lit(1), hi - lo)
     suffix = F.substring(t, hi + F.lit(1), ln - hi)
     fim_text = F.concat(
-        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+        F.lit("<pre>"), prefix, F.lit("<suf>"), suffix, F.lit("<mid>"), middle
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c_) for c_ in keep_cols],
         applied.alias("fim_applied"),
         F.when(applied, lo).alias("prefix_len"),
         F.when(applied, hi - lo).alias("middle_len"),

@@ -106,7 +106,7 @@ def test_fim_reconstruction_and_membership(spark):
             lo, hi - lo, ln - hi,
         )
         expected = (
-            "<PRE>" + norm[:lo] + "<SUF>" + norm[hi:] + "<MID>" + norm[lo:hi]
+            "<pre>" + norm[:lo] + "<suf>" + norm[hi:] + "<mid>" + norm[lo:hi]
         )
         assert r["fim_text"] == expected
         assert r["prefix_len"] >= 1 and r["suffix_len"] >= 1

@@ -292,3 +292,78 @@ def test_refresh_delta_routes_only_the_delta(spark):
     # processed CHANGED rows carry the NEW text
     texts = {r.doc_id: r.text for r in to_process.collect()}
     assert texts[2] == "bravo-v2"
+
+
+def test_soft_dedup_mode_keeps_one_expected_survivor_per_family(spark, sf_dir):
+    """soft_dedup=True swaps the hard keep-best resolve for the
+    1/cluster_size draw over the SAME components: survivors are a subset
+    of the exact-deduped corpus, singleton clusters always survive, and
+    the draw is deterministic across reruns."""
+    from airflow_retail_etl_spark.corpus_pipeline import (
+        _neardup_clusters,
+        soft_neardup_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = CorpusConfig(
+        decontam_ngram=3, chunk_size=32, chunk_overlap=8,
+        max_tokens=128, pack_buckets=8, soft_dedup=True,
+    )
+    cc = _neardup_clusters(docs, cfg)
+    soft = soft_neardup_sample(docs, cfg, cc)
+    ids = {r.doc_id for r in soft.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in soft_neardup_sample(docs, cfg, cc)
+            .select("doc_id").collect()}
+    assert ids == ids2  # deterministic
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert ids <= all_ids
+    # singleton clusters (keep prob 1) must all survive
+    sizes = (
+        cc.groupBy("comp").count().filter(F.col("count") == 1)
+        .join(cc, "comp").select(F.col("node").alias("doc_id"))
+    )
+    singles = {r.doc_id for r in sizes.collect()}
+    assert singles <= ids
+    # and the full build runs end-to-end in soft mode
+    from airflow_retail_etl_spark.operators.sampling import hash_sample
+
+    eval_df = hash_sample(docs, "doc_id", 0.05, seed="eval")
+    stages = run_corpus_build(
+        docs.join(eval_df.select("doc_id"), "doc_id", "left_anti"),
+        eval_df, cfg,
+    )
+    assert stages["packed"].count() > 0
+
+
+def test_fim_stage_permutes_only_the_train_split(spark, sf_dir):
+    """fim_rate wires chunking.fim_transform into the TRAIN branch: the
+    drawn docs' chunks carry the sentinels, pass-through docs chunk
+    identically to the fim-less build, and the permuted text reaches
+    chunking verbatim (normalize fixed point)."""
+    from airflow_retail_etl_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05, seed="eval")
+    train_in = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    cfg = CorpusConfig(
+        decontam_ngram=3, chunk_size=32, chunk_overlap=8,
+        max_tokens=128, pack_buckets=8, fim_rate=1.0,
+    )
+    stages = run_corpus_build(train_in, eval_df, cfg)
+    chunks = stages["train_chunks"]
+    # every sufficiently-long surviving train doc was drawn at rate 1.0:
+    # its first chunk starts with the <pre> sentinel
+    firsts = chunks.filter(
+        (F.col("chunk_id") == 0) & (F.col("n_chunk_tokens") > 0)
+    )
+    with_sentinel = firsts.filter(
+        F.col("chunk_text").startswith("<pre>")
+    ).count()
+    assert with_sentinel > 0
+    # rate None reproduces the plain build bit-for-bit
+    cfg0 = CorpusConfig(
+        decontam_ngram=3, chunk_size=32, chunk_overlap=8,
+        max_tokens=128, pack_buckets=8, fim_rate=None,
+    )
+    plain = run_corpus_build(train_in, eval_df, cfg0)["train_chunks"]
+    assert plain.filter(F.col("chunk_text").contains("<pre>")).count() == 0

@@ -598,9 +598,9 @@ def test_fim_reconstructs_on_random_text(spark, texts):
             assert row["fim_text"] == norm and len(norm) < 2
             continue
         t = row["fim_text"]
-        assert t.startswith("<PRE>")
-        pre, rest = t[5:].split("<SUF>", 1)
-        suf, mid = rest.split("<MID>", 1)
+        assert t.startswith("<pre>")
+        pre, rest = t[5:].split("<suf>", 1)
+        suf, mid = rest.split("<mid>", 1)
         assert pre + mid + suf == norm
         assert (row["prefix_len"], row["middle_len"], row["suffix_len"]) == (
             len(pre), len(mid), len(suf),
