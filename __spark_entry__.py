@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from airflow_retail_etl_spark import adapters
 from airflow_retail_etl_spark.adapters import FUNNEL_TYPES
 from airflow_retail_etl_spark.functions import text as tf
-from airflow_retail_etl_spark.functions.columns import money_sum, split_hierarchy
+from airflow_retail_etl_spark.functions.columns import (
+    money_sum,
+    pub_round,
+    split_hierarchy,
+)
 from airflow_retail_etl_spark.operators import (
     dedup,
     langid,
@@ -1322,7 +1326,7 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("exact_distinct").cast("long").alias(
                     "exact_distinct"
                 ),
-                F.round(
+                pub_round(
                     (F.col("estimate") - F.col("exact_distinct"))
                     / F.col("exact_distinct"),
                     6,
@@ -1375,7 +1379,7 @@ def q_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("exact_distinct").cast("long").alias(
                     "exact_distinct"
                 ),
-                F.round(
+                pub_round(
                     (F.col("estimate") - F.col("exact_distinct"))
                     / F.col("exact_distinct"),
                     6,
@@ -1517,7 +1521,7 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
             "estimate",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
-            F.round(
+            pub_round(
                 (F.col("estimate") - F.col("exact_distinct"))
                 / F.col("exact_distinct"),
                 6,
@@ -1581,7 +1585,7 @@ def q_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cart_rate",
             "purchase_rate",
             "exact_users",
-            F.round(
+            pub_round(
                 (F.col("unique_users_est") - F.col("exact_users"))
                 / F.nullif(
                     F.col("exact_users").cast("double"), F.lit(0.0)
@@ -2128,7 +2132,7 @@ def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("exact_distinct").cast("long").alias(
                     "exact_distinct"
                 ),
-                F.round(
+                pub_round(
                     (F.col("estimate") - F.col("exact_distinct"))
                     / F.col("exact_distinct"),
                     6,
@@ -2222,7 +2226,7 @@ def q_doc_mass_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tau",
             "est_mass",
             "exact_mass",
-            F.round(
+            pub_round(
                 (F.col("est_mass") - F.col("exact_mass"))
                 / F.col("exact_mass"),
                 6,
@@ -2513,7 +2517,7 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_frac"),
         )
         .withColumn(
-            "rank_err", F.round(F.col("rank_frac") - F.col("q"), 6)
+            "rank_err", pub_round(F.col("rank_frac") - F.col("q"), 6)
         )
         .orderBy("q")
     )
@@ -3413,8 +3417,8 @@ def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_date",
         "revenue",
-        F.round(F.col("revenue") - prev, 2).alias("delta"),
-        F.round(
+        (F.round(F.col("revenue") - prev, 2) + F.lit(0.0)).alias("delta"),
+        pub_round(
             (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)) * 100.0,
             6,
         ).alias("pct_change"),
@@ -3491,7 +3495,7 @@ def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_date",
             "revenue",
-            F.round(
+            pub_round(
                 (F.col("revenue") - F.col("mean_rev")) / F.col("sigma"), 6
             ).alias("z"),
         )
@@ -5425,7 +5429,9 @@ def q_brand_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "p_brand",
         F.col("n").cast("long").alias("n_lines"),
-        F.round(cov_n / F.nullif(den, F.lit(0.0)), 6).alias("corr_qty_price"),
+        (F.round(cov_n / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
     ).orderBy("p_brand")
 
 
@@ -5515,9 +5521,9 @@ def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_revenue",
         "order_revenue",
         status.alias("status"),
-        F.round(
+        (F.round(
             F.col("event_revenue") - F.col("order_revenue"), 2
-        ).alias("delta"),
+        ) + F.lit(0.0)).alias("delta"),
     ).orderBy("day")
 
 
@@ -7077,7 +7083,7 @@ def _cardinality_sql_one(
     )
     SELECT '{col}' AS "column", s.method, s.estimate, ex.exact_distinct,
            ROUND((s.estimate - CAST(ex.exact_distinct AS DOUBLE))
-                 / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+                 / CAST(ex.exact_distinct AS DOUBLE), 6) + 0 AS rel_err
     FROM ({" UNION ALL ".join(f"SELECT * FROM {m}" for m in methods)}) s, ex
     """
 
@@ -7145,7 +7151,7 @@ def _hll_by_sql_one(col: str, p: int) -> str:
     SELECT h.event_date, '{col}' AS "column",
            CAST({p} AS INTEGER) AS p, h.estimate, ex.exact_distinct,
            ROUND((h.estimate - CAST(ex.exact_distinct AS DOUBLE))
-                 / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+                 / CAST(ex.exact_distinct AS DOUBLE), 6) + 0 AS rel_err
     FROM hll h JOIN ex USING (event_date)
     """
 
@@ -7226,7 +7232,7 @@ def _rolling_hll_sql(p: int, window: int) -> str:
     )
     SELECT h.window_end, nd.n_days, h.estimate, ex.exact_distinct,
            ROUND((h.estimate - CAST(ex.exact_distinct AS DOUBLE))
-                 / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+                 / CAST(ex.exact_distinct AS DOUBLE), 6) + 0 AS rel_err
     FROM hll h JOIN nd USING (window_end) JOIN ex USING (window_end)
     ORDER BY window_end
     """
@@ -7376,9 +7382,9 @@ def _rolling_volatility_sql(window: int) -> str:
         GROUP BY 1
     )
     SELECT window_end, n_days, n,
-           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-           ROUND({var}, 6) AS variance,
-           ROUND(sqrt({var}), 6) AS stddev
+           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS mean,
+           ROUND({var}, 6) + 0 AS variance,
+           ROUND(sqrt({var}), 6) + 0 AS stddev
     FROM win ORDER BY window_end
     """
     )
@@ -7564,7 +7570,7 @@ def _rolling_demand_shift_sql() -> str:
         SELECT key AS product_id, cnt_a, cnt_b,
                round(CAST(num AS DOUBLE)
                      / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)),
-                     9) AS shift,
+                     9) + 0 AS shift,
                direction
         FROM r
         """
@@ -7629,8 +7635,8 @@ def _ewm_price_stats_sql(lam: float) -> str:
            CAST(date_diff('day', lo, event_date) + 1 AS BIGINT)
                AS n_days,
            ROUND(en, 6) AS ewm_n,
-           ROUND(ex / en, 6) AS ewm_mean,
-           ROUND((en * exx - ex * ex) / (en * en), 6) AS ewm_var
+           ROUND(ex / en, 6) + 0 AS ewm_mean,
+           ROUND((en * exx - ex * ex) / (en * en), 6) + 0 AS ewm_var
     FROM folds ORDER BY event_date
     """
     )
@@ -7706,9 +7712,9 @@ def _streaming_volatility_sql() -> str:
         FROM px GROUP BY 1
     )
     SELECT event_date, n,
-           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-           ROUND({var}, 6) AS variance,
-           ROUND(sqrt({var}), 6) AS stddev
+           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS mean,
+           ROUND({var}, 6) + 0 AS variance,
+           ROUND(sqrt({var}), 6) + 0 AS stddev
     FROM cells ORDER BY event_date
     """
     )
@@ -7755,7 +7761,7 @@ def _incremental_mart_sql(p: int) -> str:
            ex.exact_users,
            ROUND((COALESCE(h.estimate, 0)
                   - CAST(ex.exact_users AS DOUBLE))
-                 / NULLIF(CAST(ex.exact_users AS DOUBLE), 0), 6)
+                 / NULLIF(CAST(ex.exact_users AS DOUBLE), 0), 6) + 0
                AS rel_err
     FROM addagg a LEFT JOIN hll h USING (brand) JOIN ex USING (brand)
     ORDER BY brand
@@ -7920,7 +7926,7 @@ def _quantile_sketch_sql(cap: int, qs) -> str:
         JOIN rk ON rk.q = e.q
     )
     SELECT q, lvl_used, n_kept, quantile, n_exact, rank_frac,
-           ROUND(rank_frac - q, 6) AS rank_err
+           ROUND(rank_frac - q, 6) + 0 AS rank_err
     FROM fr ORDER BY q
     """
 
@@ -8030,7 +8036,7 @@ def _rolling_quantiles_sql(cap: int, qs, window: int) -> str:
         JOIN rk ON rk.window_end = e.window_end AND rk.q = e.q
     )
     SELECT window_end, q, n_days, lvl_used, n_kept, quantile, n_exact,
-           rank_frac, ROUND(rank_frac - q, 6) AS rank_err
+           rank_frac, ROUND(rank_frac - q, 6) + 0 AS rank_err
     FROM fr ORDER BY window_end, q
     """
 
@@ -8283,7 +8289,7 @@ def _pq_sql(m: int, ksub: int, dsub: int, shortlist: int, k: int) -> str:
         ) AS rank FROM resc
     )
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-           round(sim, 6) AS sim
+           round(sim, 6) + 0 AS sim
     FROM r WHERE rank <= {k}
     """
 
@@ -8306,7 +8312,7 @@ _KNN_SQL = (
         FROM p
     )
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-           round(sim, 6) AS sim
+           round(sim, 6) + 0 AS sim
     FROM r WHERE rank <= 10
     """
 )
@@ -8381,7 +8387,7 @@ def _rolling_sample_sql(k: int, window: int) -> str:
            s.n_kept, CAST(s.threshold AS VARCHAR) AS threshold,
            s.estimate, ex.exact_distinct,
            ROUND((s.estimate - CAST(ex.exact_distinct AS DOUBLE))
-                 / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+                 / CAST(ex.exact_distinct AS DOUBLE), 6) + 0 AS rel_err
     FROM samp p JOIN est s USING (window_end)
     JOIN nd USING (window_end) JOIN ex USING (window_end)
     ORDER BY window_end, rk
@@ -8430,7 +8436,7 @@ def _doc_mass_sql(k: int) -> str:
     )
     SELECT e.lang, e.n_sample, e.tau, e.est_mass, ex.exact_mass,
            ROUND((e.est_mass - CAST(ex.exact_mass AS DOUBLE))
-                 / CAST(ex.exact_mass AS DOUBLE), 6) AS rel_err
+                 / CAST(ex.exact_mass AS DOUBLE), 6) + 0 AS rel_err
     FROM est e JOIN ex USING (lang)
     ORDER BY lang
     """
@@ -9442,11 +9448,11 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY dim
         )
         SELECT CAST(dim AS INTEGER) AS dim, n,
-               ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+               ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS mean,
                ROUND((CAST(sxx AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                         / CAST(n AS DOUBLE))
-                     / CAST(n AS DOUBLE), 6) AS variance,
+                     / CAST(n AS DOUBLE), 6) + 0 AS variance,
                min_val, max_val
         FROM s
         ORDER BY dim
@@ -9478,11 +9484,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
                g.n,
-               CAST(s_scaled AS DOUBLE) / 1e12 AS sum_xy,
+               CAST(s_scaled AS DOUBLE) / 1e12 + 0 AS sum_xy,
                ROUND((CAST(g.n AS DOUBLE)
                           * (CAST(s_scaled AS DOUBLE) / 1e12)
                       - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE))
-                     / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)), 6)
+                     / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)), 6) + 0
                    AS cov
         FROM g JOIN ds si ON si.dim = g.i JOIN ds sj ON sj.dim = g.j
         ORDER BY g.i, g.j
@@ -9650,7 +9656,7 @@ def oracle_sql() -> dict[str, str]:
         ), t2 AS (
             SELECT bucket, n_a, n_b,
                    ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
-                   ROUND((pa - pb) * ln(pa / pb), 6) AS term
+                   ROUND((pa - pb) * ln(pa / pb), 6) + 0 AS term
             FROM terms
         ), total AS (
             SELECT CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
@@ -10608,7 +10614,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         )
         SELECT label, CAST(rank AS INTEGER) AS rank, vec_id,
-               round(sim, 6) AS sim
+               round(sim, 6) + 0 AS sim
         FROM r WHERE rank <= 5
         ORDER BY label, rank
         """,
@@ -10636,7 +10642,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-               round(sim, 6) AS sim
+               round(sim, 6) + 0 AS sim
         FROM r WHERE rank <= 10
         """,
         "neardup_cosine_lsh": _VEC_CTE
@@ -10655,7 +10661,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN v va ON va.vec_id = id_a
             JOIN v vb ON vb.vec_id = id_b
         )
-        SELECT id_a, id_b, round(sim, 6) AS sim
+        SELECT id_a, id_b, round(sim, 6) + 0 AS sim
         FROM scored WHERE sim >= 0.4
         """,
         "minhash_lsh_pairs": _JACCARD_CTE + _MINHASH_LSH_SQL,
@@ -10684,7 +10690,7 @@ def oracle_sql() -> dict[str, str]:
                               * list_dot_product(b.e, b.e)) AS sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
         )
-        SELECT id_a, id_b, round(sim, 6) AS sim
+        SELECT id_a, id_b, round(sim, 6) + 0 AS sim
         FROM (SELECT * FROM p ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 50)
         """,
         "events_hourly": f"""
@@ -10952,10 +10958,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_date, revenue,
                round(revenue - lag(revenue) OVER (ORDER BY event_date), 2)
-                   AS delta,
+                   + 0 AS delta,
                round((revenue - lag(revenue) OVER (ORDER BY event_date))
                      / NULLIF(lag(revenue) OVER (ORDER BY event_date), 0.0)
-                     * 100.0, 6) AS pct_change
+                     * 100.0, 6) + 0 AS pct_change
         FROM daily
         ORDER BY event_date
         """,
@@ -11052,7 +11058,7 @@ def oracle_sql() -> dict[str, str]:
             FROM daily
         )
         SELECT event_date, revenue,
-               round((revenue - mean_rev) / sigma, 6) AS z,
+               round((revenue - mean_rev) / sigma, 6) + 0 AS z,
                abs(round((revenue - mean_rev) / sigma, 6)) >= 1.5
                    AS is_anomaly
         FROM daily, st
@@ -11513,7 +11519,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT key AS l_partkey, cnt_a, cnt_b,
                round(CAST(num AS DOUBLE)
                      / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)),
-                     9) AS shift,
+                     9) + 0 AS shift,
                direction
         FROM r
         """,
@@ -12200,7 +12206,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
                ROUND((n * sxy - sx * sy)
                      / NULLIF(sqrt((n * sxx - sx * sx)
-                                   * (n * syy - sy * sy)), 0), 6)
+                                   * (n * syy - sy * sy)), 0), 6) + 0
                    AS corr_qty_price
         FROM a ORDER BY 1
         """,
@@ -12248,7 +12254,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN od.order_revenue IS NULL THEN 'missing_in_orders'
                     WHEN ev.event_revenue = od.order_revenue THEN 'matched'
                     ELSE 'mismatch' END AS status,
-               ROUND(ev.event_revenue - od.order_revenue, 2) AS delta
+               ROUND(ev.event_revenue - od.order_revenue, 2) + 0 AS delta
         FROM ev FULL OUTER JOIN od ON ev.day = od.day
         ORDER BY 1
         """,
@@ -12271,7 +12277,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         )
         SELECT query_id, neighbor_id, neg_label,
-               CAST(rank AS INTEGER) AS rank, round(sim, 6) AS sim
+               CAST(rank AS INTEGER) AS rank, round(sim, 6) + 0 AS sim
         FROM r WHERE rank <= 5
         """,
         # classifier_fit: the oracle applies the PINNED learned model
@@ -12282,7 +12288,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly, per row, including the weight columns themselves.
         "classifier_fit": _clf_base_feat_cte() + f"""
         SELECT doc_id,
-               ROUND(CAST({_ridge_z_sql()} AS DOUBLE), 6) AS score,
+               ROUND(CAST({_ridge_z_sql()} AS DOUBLE), 6) + 0 AS score,
                ROUND(CAST({_ridge_z_sql()} AS DOUBLE), 6) >= 0.5 AS keep,
                CAST({format(_RIDGE_EXPECT_BIAS, '.6f')} AS DOUBLE)
                    AS w_bias,

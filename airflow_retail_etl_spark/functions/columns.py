@@ -31,6 +31,23 @@ def money_sum(value: Column, predicate: Column | None = None) -> Column:
     return F.sum(cent).cast("double")
 
 
+def pub_round(value: Column, scale: int = 6) -> Column:
+    """Publication rounding for doubles that can be zero from below.
+
+    ``F.round`` keeps the sign of zero, so a covariance / z-score / delta
+    that rounds to zero from a tiny negative value publishes ``-0.0``.
+    ``-0.0 == 0.0`` under every comparison operator, but the driver's
+    correctness gate hashes BYTES — and IEEE-754 ``-0.0`` and ``+0.0``
+    differ in the sign bit (round-14 verdict: embedding_gram failed the
+    hash on exactly one such value). Adding ``+0.0`` after the round is
+    an IEEE no-op for every value except ``-0.0``, which it normalizes
+    to ``+0.0``. The oracle twin must apply the same ``ROUND(x, n) + 0``.
+    Use this for EVERY subtraction-shaped rounded publication (cov,
+    variance deltas, z-scores, PSI terms, correlations).
+    """
+    return F.round(value, scale) + F.lit(0.0)
+
+
 def safe_ratio(num: Column, den: Column) -> Column:
     """Ratio with SQL division semantics: x/0 → NULL.
 

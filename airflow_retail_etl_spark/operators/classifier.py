@@ -23,6 +23,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions.columns import pub_round
+
 #: fixed-point type for weights and rounded features; products get scale 12
 #: and the sum stays exact (Spark and DuckDB both keep DECIMAL × DECIMAL
 #: exact until a cast).
@@ -196,6 +198,6 @@ def ridge_score(
     out = df
     for name in sorted(features):
         out = out.withColumn(name, features[name])
-    return out.withColumn(score_col, F.round(z, 6)).withColumn(
+    return out.withColumn(score_col, pub_round(z, 6)).withColumn(
         keep_col, F.col(score_col) >= F.lit(threshold)
     )

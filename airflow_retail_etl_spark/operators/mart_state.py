@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.functions.columns import (
     conditional_count,
+    pub_round,
     safe_ratio,
 )
 
@@ -308,10 +309,13 @@ def _moment_stats(n: Column, sx: Column, sxx: Column) -> list[Column]:
     sxd = sx.cast("double")
     sxxd = sxx.cast("double")
     var = (nd * sxxd - sxd * sxd) / (nd * nd)
+    # pub_round: variance is cancellation-shaped (can be -ε for constant
+    # data) and sqrt(-0.0) IS -0.0 — the sign-of-zero class the driver's
+    # byte hash catches (round-14 embedding_gram). Oracle twins carry + 0.
     return [
-        F.round(sxd / nd, 6).alias("mean"),
-        F.round(var, 6).alias("variance"),
-        F.round(F.sqrt(var), 6).alias("stddev"),
+        pub_round(sxd / nd, 6).alias("mean"),
+        pub_round(var, 6).alias("variance"),
+        pub_round(F.sqrt(var), 6).alias("stddev"),
     ]
 
 
@@ -684,8 +688,8 @@ def ewm_stats(
             date_col,
             idx.cast("long").alias("n_days"),
             F.round(en, dp).alias("ewm_n"),
-            F.round(esx / en, dp).alias("ewm_mean"),
-            F.round(var, dp).alias("ewm_var"),
+            pub_round(esx / en, dp).alias("ewm_mean"),
+            pub_round(var, dp).alias("ewm_var"),
         )
         .orderBy(date_col)
     )

@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions.columns import pub_round
+
 
 def profile_table(
     df: DataFrame,
@@ -325,7 +327,7 @@ def psi_drift(
         "n_b",
         F.round(p_a, 6).alias("p_a"),
         F.round(p_b, 6).alias("p_b"),
-        F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("term"),
+        pub_round((p_a - p_b) * F.log(p_a / p_b), 6).alias("term"),
     )
     psi = terms.agg(
         F.sum(F.col("term").cast("decimal(18,6)"))
@@ -428,7 +430,7 @@ def _rank_freq_shift(
         .orderBy(F.col("__num").desc(), F.col("key").asc())
         .limit(k)
     )
-    shift = F.round(
+    shift = pub_round(
         F.col("__num").cast("double")
         / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double")),
         9,

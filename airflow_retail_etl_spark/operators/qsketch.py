@@ -70,6 +70,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.functions import xhash
+from airflow_retail_etl_spark.functions.columns import pub_round
 
 #: level bits — the low 60 bits of the md5 u64 fit a positive signed
 #: BIGINT in both engines (the same headroom trick as HLL's rest bits),
@@ -456,7 +457,7 @@ def rolling_quantiles(
             ).alias("rank_frac"),
         )
         .withColumn(
-            "rank_err", F.round(F.col("rank_frac") - F.col("q"), 6)
+            "rank_err", pub_round(F.col("rank_frac") - F.col("q"), 6)
         )
         .orderBy("window_end", "q")
     )

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airflow_retail_etl_spark.functions import xhash
+from airflow_retail_etl_spark.functions.columns import pub_round
 from airflow_retail_etl_spark.operators.selection import global_cumsum
 
 #: u is uniform on [0, 2^64); keep iff u < fraction · 2^64
@@ -694,7 +695,7 @@ def rolling_sample(
             "threshold",
             "estimate",
             "exact_distinct",
-            F.round(
+            pub_round(
                 (F.col("estimate") - F.col("exact_distinct"))
                 / F.col("exact_distinct"),
                 6,

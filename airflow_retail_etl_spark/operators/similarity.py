@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_retail_etl_spark.functions.columns import pub_round
 from airflow_retail_etl_spark.functions.partitioning import _spread_id
 
 
@@ -88,7 +89,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             "rank",
-            F.round(F.col("sim"), 6).alias("sim"),
+            pub_round(F.col("sim"), 6).alias("sim"),
         )
     )
 
@@ -217,7 +218,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             "rank",
-            F.round(F.col("sim"), 6).alias("sim"),
+            pub_round(F.col("sim"), 6).alias("sim"),
         )
     )
 
@@ -276,7 +277,7 @@ def lsh_neardup_pairs(
             ).alias("sim"),
         )
         .filter(F.col("sim") >= min_sim)
-        .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
+        .select("id_a", "id_b", pub_round(F.col("sim"), 6).alias("sim"))
     )
 
 
@@ -544,7 +545,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             "rank",
-            F.round(F.col("sim"), 6).alias("sim"),
+            pub_round(F.col("sim"), 6).alias("sim"),
         )
     )
 
@@ -587,7 +588,7 @@ def cosine_neardup_pairs(
             F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
         ).limit(top_pairs)
     return pairs.select(
-        "id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")
+        "id_a", "id_b", pub_round(F.col("sim"), 6).alias("sim")
     )
 
 
@@ -900,7 +901,7 @@ def _pq_shortlist_rescore(
             "query_id",
             "neighbor_id",
             "rank",
-            F.round(F.col("sim"), 6).alias("sim"),
+            pub_round(F.col("sim"), 6).alias("sim"),
         )
     )
 
@@ -1090,7 +1091,7 @@ def hard_negative_topk(
             "neighbor_id",
             "neg_label",
             "rank",
-            F.round(F.col("sim"), 6).alias("sim"),
+            pub_round(F.col("sim"), 6).alias("sim"),
         )
     )
 
@@ -1149,10 +1150,10 @@ def embedding_dim_stats(
             # final arithmetic in DOUBLE off the exact decimal sums:
             # decimal division scale rules differ across engines, IEEE
             # double ops on identical exact inputs do not
-            F.round(
+            pub_round(
                 F.col("sx").cast("double") / F.col("n").cast("double"), 6
             ).alias("mean"),
-            F.round(
+            pub_round(
                 (
                     F.col("sxx").cast("double")
                     - F.col("sx").cast("double")
@@ -1217,7 +1218,10 @@ def _gram_publish(
     10¹²-scaled products). sum_xy is the scaled sum cast to double and
     divided once by 10¹² (two correctly-rounded IEEE ops — engine-
     equal); cov is ONE fixed-order expression, 6dp (the
-    embedding_dim_stats policy)."""
+    embedding_dim_stats policy). Both publications go through ``+ 0.0``
+    (``pub_round``) so a value that rounds to zero from below publishes
+    ``+0.0`` byte-identically to the oracle's ``ROUND(x, 6) + 0``
+    (round-14 driver hash failure: one ``-0.0`` cov)."""
     si = dim_sums.select(
         F.col("dim").alias("i"), F.col("sx").alias("__sxi")
     )
@@ -1237,8 +1241,8 @@ def _gram_publish(
             "i",
             "j",
             "n",
-            sxy.alias("sum_xy"),
-            F.round(cov, 6).alias("cov"),
+            (sxy + F.lit(0.0)).alias("sum_xy"),
+            pub_round(cov, 6).alias("cov"),
         )
         .orderBy("i", "j")
     )
@@ -1666,6 +1670,6 @@ def grouped_topk(
             F.col("__g").alias(group_col),
             "rank",
             F.col("__id").alias(id_col),
-            F.round(F.col("__sim"), 6).alias("sim"),
+            pub_round(F.col("__sim"), 6).alias("sim"),
         )
     )

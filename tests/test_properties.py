@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -498,6 +498,11 @@ def test_moment_cell_fold_law_on_random_values(spark, rows, n_splits):
     st.lists(st.tuples(st.integers(0, 12), cents), min_size=1, max_size=25),
     st.sampled_from([0.5, 0.9, 0.99]),
 )
+# Round-14 falsifying example: at lam=0.5 the Horner accumulator hits the
+# exact dyadic half 0.9790625, where Spark AND DuckDB round half away from
+# zero (0.979063) while builtin round() is banker's (0.979062). The golden
+# below must therefore be Decimal ROUND_HALF_UP, never Python round().
+@example(rows=[(1, 4), (2, 1), (2, 55), (0, 0), (8, 97)], lam=0.5)
 def test_decayed_read_equals_python_horner(spark, rows, lam):
     """decayed_read on arbitrary per-day revenue equals a python Horner
     fold over the dense calendar (gap days contribute 0)."""
@@ -526,11 +531,23 @@ def test_decayed_read_equals_python_horner(spark, rows, lam):
     days = sorted(per_day)
     lo = dt.date.fromisoformat(days[0])
     hi = dt.date.fromisoformat(days[-1])
+    # Golden rounding is HALF_UP, the repo's publication policy (Spark's
+    # F.round and DuckDB's ROUND both round half away from zero); builtin
+    # round() is banker's and disagrees at exact dyadic halves (lam=0.5).
+    import decimal
+
+    def round6_half_up(x: float) -> float:
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
     acc, cur = 0.0, lo
     expect = {}
     while cur <= hi:
         acc = acc * lam + per_day.get(str(cur), 0.0)
-        expect[str(cur)] = round(acc, 6)
+        expect[str(cur)] = round6_half_up(acc)
         cur += dt.timedelta(days=1)
     assert got == {d: expect[d] for d in got}
 

@@ -53,24 +53,43 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in s.columns:
         sv, ov = s[c], o[c]
         if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
-            both_nan = sv.isna() & ov.isna()
-            exact = (sv == ov) | both_nan
-            if not exact.all():
-                close = np.isclose(
-                    sv.fillna(0), ov.fillna(0), rtol=1e-9, atol=1e-12
-                ) & ~(sv.isna() ^ ov.isna())
-                n_bad = int((~exact).sum())
-                if close.all():
+            # The driver hashes BYTES, so the local gate must compare bytes:
+            # `==` hides sign-of-zero (-0.0 == 0.0) — exactly the class that
+            # passed here for 14 rounds and failed the driver's hash on
+            # embedding_gram (round-14 verdict). Bit-compare via u8 views;
+            # both-NaN counts as equal (a single quiet-NaN pattern reaches
+            # pandas from both engines).
+            a = sv.to_numpy(dtype="float64")
+            b = ov.to_numpy(dtype="float64")
+            both_nan = np.isnan(a) & np.isnan(b)
+            bit_eq = (a.view("u8") == b.view("u8")) | both_nan
+            if not bit_eq.all():
+                sign_zero = (a == b) & ~bit_eq
+                if sign_zero.any():
+                    idx = int(np.argmax(sign_zero))
                     problems.append(
-                        f"col {c}: {n_bad} values only approx-equal "
-                        f"(max abs diff {float((sv - ov).abs().max())}) — WOULD FAIL hash"
+                        f"col {c}: {int(sign_zero.sum())} SIGN-OF-ZERO "
+                        f"mismatches (==-equal, byte-different), e.g. row "
+                        f"{idx}: spark={a[idx]!r} oracle={b[idx]!r} — "
+                        f"WOULD FAIL hash; publish via pub_round/+0.0"
                     )
-                else:
-                    idx = int(np.argmax(~exact.values))
-                    problems.append(
-                        f"col {c}: {n_bad} mismatches, e.g. row {idx}: "
-                        f"spark={sv.iloc[idx]} oracle={ov.iloc[idx]}"
-                    )
+                value_bad = ~bit_eq & ~sign_zero
+                if value_bad.any():
+                    close = np.isclose(
+                        np.nan_to_num(a), np.nan_to_num(b), rtol=1e-9, atol=1e-12
+                    ) & ~(np.isnan(a) ^ np.isnan(b))
+                    n_bad = int(value_bad.sum())
+                    if close.all():
+                        problems.append(
+                            f"col {c}: {n_bad} values only approx-equal "
+                            f"(max abs diff {float(np.nanmax(np.abs(a - b)))}) — WOULD FAIL hash"
+                        )
+                    else:
+                        idx = int(np.argmax(value_bad))
+                        problems.append(
+                            f"col {c}: {n_bad} mismatches, e.g. row {idx}: "
+                            f"spark={a[idx]} oracle={b[idx]}"
+                        )
         else:
             eq = (sv == ov) | (sv.isna() & ov.isna())
             if not eq.all():
