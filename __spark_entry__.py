@@ -9477,7 +9477,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         ), x AS (
             SELECT dim, x_raw,
-                   CAST(ROUND(x_raw, 6) AS DECIMAL(24,6)) AS x
+                   CAST(ROUND(x_raw, 6) AS DECIMAL(18,6)) AS x
             FROM e
         ), s AS (
             SELECT dim,
@@ -9510,9 +9510,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE embedding IS NOT NULL
         ), ex AS (
             SELECT id, i,
-                   CAST(CAST(ROUND(x_raw, 6) AS DECIMAL(24,6)) * 1000000
+                   CAST(CAST(ROUND(x_raw, 6) AS DECIMAL(18,6)) * 1000000
                         AS BIGINT) AS xl,
-                   CAST(ROUND(x_raw, 6) AS DECIMAL(24,6)) AS x
+                   CAST(ROUND(x_raw, 6) AS DECIMAL(18,6)) AS x
             FROM base
         ), g AS (
             SELECT a.i AS i, b.i AS j,

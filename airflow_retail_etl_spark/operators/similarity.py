@@ -1115,6 +1115,13 @@ def embedding_dim_stats(
     (Σx² − (Σx)²/n)/n are single divisions at the end, rounded 6 dp.
     min/max compare raw doubles (order-free). One posexplode + one
     dim-keyed aggregation — shuffle rows = n·dims keys only.
+
+    The operand type MUST stay DECIMAL(18,6): x·x is then DECIMAL(37,12)
+    — exact. At DECIMAL(24,6) the product precision (49) overflows 38
+    and Spark SILENTLY reduces the scale back to 6, rounding every
+    per-row square (the decimal-MULTIPLY face of the round-13 division
+    trap; found round 15 when a 6dp-rounded sum landed one rounding
+    boundary away from DuckDB's exact sum at sf0.001).
     """
     base = (
         vectors.select(
@@ -1129,7 +1136,7 @@ def embedding_dim_stats(
         .select(
             "dim",
             F.col("x_raw"),
-            F.round("x_raw", 6).cast("decimal(24,6)").alias("x"),
+            F.round("x_raw", 6).cast("decimal(18,6)").alias("x"),
         )
     )
     n = F.count(F.lit(1)).cast("decimal(20,0)")
@@ -1179,7 +1186,7 @@ def _dim_sums(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         .select(F.posexplode("__v").alias("dim", "x_raw"))
         .select(
             "dim",
-            F.round("x_raw", 6).cast("decimal(24,6)").alias("x"),
+            F.round("x_raw", 6).cast("decimal(18,6)").alias("x"),
         )
         .groupBy("dim")
         .agg(
@@ -1203,7 +1210,7 @@ def _scaled_component_expr(vec_col: str):
     return F.transform(
         as_double(F.col(vec_col)),
         lambda v: (
-            F.round(v, 6).cast("decimal(24,6)")
+            F.round(v, 6).cast("decimal(18,6)")
             * F.lit(_GRAM_SCALE).cast("decimal(7,0)")
         ).cast("long"),
     )

@@ -371,6 +371,29 @@ def test_embedding_dim_stats_detects_dead_dims_and_is_exact(spark):
     }
 
 
+def test_embedding_dim_stats_products_are_exact_decimal(spark):
+    """Round-15 regression: the Σx² accumulation must square
+    DECIMAL(18,6) operands (product DECIMAL(37,12) — exact). With
+    DECIMAL(24,6) operands the product precision (49) overflows 38 and
+    Spark SILENTLY rounds every per-row square back to 6 dp — on this
+    witness set the buggy form publishes variance 10.121994 while the
+    exact sum (and DuckDB, which keeps the product exact) publishes
+    10.121995. Found live at sf0.001, dim 61 (Spark 0.014891 vs oracle
+    0.014892)."""
+    from airflow_retail_etl_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    vals = [2.441057, 1.819583, 9.249732, 1.558591]
+    df = spark.createDataFrame(
+        [(i, [v]) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>",
+    )
+    r = embedding_dim_stats(df).collect()[0]
+    assert r["variance"] == 10.121995
+    assert r["mean"] == 3.767241
+
+
 def test_embedding_gram_faces_identical_and_partition_invariant(spark):
     """The pair-join oracle face and the integer-matmul production face
     produce BIT-identical (i, j, n, sum_xy, cov) rows, and neither
