@@ -8,6 +8,12 @@ tolerance as a fallback diagnostic, so any FP-order sensitivity shows up here
 before the driver sees it.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Known SF-pinned exception: ``classifier_fit`` — its oracle applies the
+PINNED sf0.01 ridge fit (_RIDGE_EXPECT, seeded-literal policy), so the
+hash match only holds at the correctness-gate scale; at other SFs Spark
+re-fits in-engine and the weights legitimately differ. Every other
+query is expected green at sf0.001 / sf0.01 / sf0.1 (verified round 15).
 """
 
 from __future__ import annotations
