@@ -48,9 +48,23 @@ def global_cumsum(
 
     ``num_partitions`` bounds per-executor window size; the sequential
     offset pass touches ``num_partitions`` rows, never data rows.
+
+    The range-partitioned frame is EAGERLY MATERIALIZED before anything
+    reads ``__pid`` — this is correctness, not the r10 perf rule:
+    ``repartitionByRange`` samples its bounds per execution, and the
+    un-pinned subtree executes TWICE (once building the broadcast
+    offsets, once for the output), so the two executions can assign
+    different ``__pid`` to boundary rows and the offsets then belong to
+    a different partitioning than the rows they're joined to (observed
+    round 15: an intermittent sf0.1 corpus_shuffle run with 94% of
+    positions shifted; identical session re-runs were clean — exchange
+    reuse usually hides it). At 100 TB prefer persisting the
+    range-clustered table (``io.write_sorted``) and reading it back.
     """
-    part = df.repartitionByRange(num_partitions, *order).withColumn(
-        "__pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
     w_off = (
