@@ -34,10 +34,10 @@ from airflow_retail_etl_spark.functions import xhash
 def _positions(col: Column, k_hashes: int, n_bits: int) -> list[Column]:
     """The k Kirsch–Mitzenmacher bit positions of a value, as BIGINTs in
     [0, n_bits). Exact DECIMAL arithmetic until the final mod."""
-    u1 = xhash.md5_u64(col, 1)
-    u2 = xhash.md5_u64(col, 2)
+    h1, l1 = xhash.md5_u64_hilo(col, 1)
+    h2, l2 = xhash.md5_u64_hilo(col, 2)
     return [
-        (xhash.km_hash(u1, u2, i) % F.lit(n_bits)).cast("bigint")
+        xhash.km_hash_mod(h1, l1, h2, l2, i, n_bits)
         for i in range(k_hashes)
     ]
 

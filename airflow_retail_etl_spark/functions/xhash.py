@@ -71,6 +71,94 @@ def km_hash(u1: Column, u2: Column, i: int) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# LONG-domain Kirsch–Mitzenmacher (bit-identical, allocation-free)
+# ---------------------------------------------------------------------------
+# The DECIMAL(20,0) arithmetic above is exact but pays a BigDecimal
+# allocation per operation per row — measured 3-4× slower than the
+# equivalent LONG arithmetic on the CMS/minhash hot loops (round 15).
+# A u64 value v = hi·2^32 + lo (hi, lo ∈ [0, 2^32)) carried as TWO longs
+# supports the whole family without ever overflowing a signed i64:
+#
+# - (h1 + i·h2) mod 2^64: lo' = lo1 + i·lo2 < 63·2^32 < 2^38; carry =
+#   lo' >> 32; hi32 = (hi1 + i·hi2 + carry) & 0xFFFFFFFF. Exact for
+#   0 ≤ i ≤ 62 (the largest num_hashes in the registry is 63).
+# - mod m (m ≤ 2^31): (hi32·2^32 + lo32) mod m =
+#   ((hi32 mod m)·(2^32 mod m) + lo32 mod m) mod m — the product is
+#   < 2^62, no overflow; Spark's % on non-negative longs equals the
+#   DECIMAL %.
+# - order (for MIN aggregation): biased = (hi32 − 2^31)·2^32 + lo32
+#   = v − 2^63 ∈ [−2^63, 2^63−1], a strictly order-preserving signed
+#   image of the unsigned value; min(biased) = biased(min).
+#   biased_to_u64_dec inverts EXACTLY at publication grain.
+#
+# tests/test_xhash.py pins long-vs-DECIMAL equality across the u64 range.
+
+_MASK32 = 4294967295
+_BIAS32 = 2147483648
+_TWO32 = 4294967296
+
+
+def md5_u64_hilo(col: Column, half: int = 1) -> tuple[Column, Column]:
+    """(hi, lo) LONG halves of :func:`md5_u64` — same bits, two longs."""
+    off = 1 if half == 1 else 17
+    h = F.md5(col)
+    hi = F.conv(F.substring(h, off, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, off + 8, 8), 16, 10).cast("long")
+    return hi, lo
+
+
+def _km_hilo(
+    hi1: Column, lo1: Column, hi2: Column, lo2: Column, i: int
+) -> tuple[Column, Column]:
+    if not (0 <= i <= 62):  # lo1 + i·lo2 must stay far below 2^63
+        raise ValueError(f"long-domain KM needs 0 <= i <= 62, got {i}")
+    lo = lo1 + F.lit(i) * lo2
+    hi32 = (hi1 + F.lit(i) * hi2 + F.shiftright(lo, 32)).bitwiseAND(
+        F.lit(_MASK32)
+    )
+    return hi32, lo.bitwiseAND(F.lit(_MASK32))
+
+
+def km_hash_mod(
+    hi1: Column,
+    lo1: Column,
+    hi2: Column,
+    lo2: Column,
+    i: int,
+    m: int,
+) -> Column:
+    """``km_hash(u1, u2, i) % m`` in pure LONG arithmetic (m ≤ 2^31)."""
+    if not (0 < m <= _BIAS32):
+        raise ValueError(f"km_hash_mod needs 0 < m <= 2^31, got {m}")
+    hi32, lo32 = _km_hilo(hi1, lo1, hi2, lo2, i)
+    return (
+        hi32 % F.lit(m) * F.lit(_TWO32 % m) + lo32 % F.lit(m)
+    ) % F.lit(m)
+
+
+def km_hash_biased(
+    hi1: Column, lo1: Column, hi2: Column, lo2: Column, i: int
+) -> Column:
+    """``km_hash(u1, u2, i) − 2^63`` as a signed LONG — order-preserving
+    image of the u64 hash for MIN/MAX aggregation."""
+    hi32, lo32 = _km_hilo(hi1, lo1, hi2, lo2, i)
+    return (hi32 - F.lit(_BIAS32)) * F.lit(_TWO32) + lo32
+
+
+def biased_to_u64_dec(col: Column) -> Column:
+    """Invert :func:`km_hash_biased` to the DECIMAL(21,0) u64 value —
+    bit-identical to what :func:`km_hash` would have produced."""
+    hi32 = F.shiftright(col, 32) + F.lit(_BIAS32)
+    lo32 = col.bitwiseAND(F.lit(_MASK32))
+    # (11,0) × (10,0) → (22,0): well under the 38-precision product
+    # ceiling (CLAUDE.md decimal-multiply trap), exact by construction
+    return (
+        hi32.cast("decimal(11,0)") * F.lit(_TWO32).cast("decimal(10,0)")
+        + lo32
+    ).cast("decimal(21,0)")
+
+
+# ---------------------------------------------------------------------------
 # DuckDB fragment generators (the oracle side of the same functions)
 # ---------------------------------------------------------------------------
 

@@ -263,22 +263,38 @@ def minhash_signatures(
         )
         sig = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
     elif hash == "md5km":
+        # LONG-domain KM (round 15): the biased signed image of each
+        # (h1 + i·h2) mod 2^64 keeps the 63 MIN aggregates in primitive
+        # codegen — the previous DECIMAL(21,0) minima allocated a
+        # BigDecimal per hash per shingle (measured 3-4× slower).
+        # biased_to_u64_dec restores the EXACT decimal values per doc at
+        # the aggregated grain, so signatures (and the md5-of-string
+        # band buckets derived from them) are bit-identical.
+        h1a, l1a = xhash.md5_u64_hilo(F.col("s"), 1)
+        h2a, l2a = xhash.md5_u64_hilo(F.col("s"), 2)
         halves = inv.select(
             "id",
-            xhash.md5_u64(F.col("s"), 1).alias("u1"),
-            xhash.md5_u64(F.col("s"), 2).alias("u2"),
+            h1a.alias("h1"),
+            l1a.alias("l1"),
+            h2a.alias("h2"),
+            l2a.alias("l2"),
         )
         mins = halves.groupBy("id").agg(
             *[
                 F.min(
-                    xhash.km_hash(F.col("u1"), F.col("u2"), i).cast(
-                        "decimal(21,0)"
+                    xhash.km_hash_biased(
+                        F.col("h1"), F.col("l1"), F.col("h2"), F.col("l2"), i
                     )
                 ).alias(f"mh{i}")
                 for i in range(num_hashes)
             ]
         )
-        sig = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+        sig = F.array(
+            *[
+                xhash.biased_to_u64_dec(F.col(f"mh{i}"))
+                for i in range(num_hashes)
+            ]
+        )
     else:
         raise ValueError(f"unknown hash family: {hash!r}")
     return sh.join(mins, "id").select("id", "shingles", sig.alias("sig"))

@@ -52,10 +52,10 @@ def _positions(col: Column, depth: int, width: int) -> list[Column]:
     [0, width). Exact DECIMAL arithmetic until the final mod (the same
     derivation as functions/bloom._positions, over column positions
     instead of bit positions)."""
-    u1 = xhash.md5_u64(col, 1)
-    u2 = xhash.md5_u64(col, 2)
+    h1, l1 = xhash.md5_u64_hilo(col, 1)
+    h2, l2 = xhash.md5_u64_hilo(col, 2)
     return [
-        (xhash.km_hash(u1, u2, j) % F.lit(width)).cast("int")
+        xhash.km_hash_mod(h1, l1, h2, l2, j, width).cast("int")
         for j in range(depth)
     ]
 

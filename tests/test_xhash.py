@@ -98,3 +98,53 @@ def test_projection_sign_margin_on_testdata():
     for tables, planes in ((16, 4), (12, 8)):
         proj = mat @ _plane_matrix(tables, planes, 64)
         assert np.abs(proj).min() > 1e-9
+
+
+def test_long_domain_km_matches_decimal(token_df):
+    """The LONG-domain hi/lo KM family (round 15) is bit-identical to the
+    DECIMAL(20,0) computation at every exposed grain: mod-m positions,
+    biased order image, and the decimal publication round-trip — across
+    the full i range the registry uses (0..62) and several widths."""
+    u1 = xhash.md5_u64(F.col("t"), 1)
+    u2 = xhash.md5_u64(F.col("t"), 2)
+    h1, l1 = xhash.md5_u64_hilo(F.col("t"), 1)
+    h2, l2 = xhash.md5_u64_hilo(F.col("t"), 2)
+    cols = []
+    for i in (0, 1, 7, 62):
+        for m in (2, 1024, 2048, 99901, 2**31):
+            cols.append(
+                (
+                    (xhash.km_hash(u1, u2, i) % F.lit(m)).cast("long")
+                    == xhash.km_hash_mod(h1, l1, h2, l2, i, m)
+                ).alias(f"mod_{i}_{m}")
+            )
+        cols.append(
+            (
+                xhash.biased_to_u64_dec(
+                    xhash.km_hash_biased(h1, l1, h2, l2, i)
+                )
+                == xhash.km_hash(u1, u2, i).cast("decimal(21,0)")
+            ).alias(f"rt_{i}")
+        )
+    rows = token_df.select(*cols).collect()
+    for row in rows:
+        assert all(row), row.asDict()
+
+
+def test_biased_order_matches_unsigned(token_df):
+    """min over km_hash_biased picks the same element as min over the
+    DECIMAL u64 values (order preservation across the 2^63 boundary)."""
+    u1 = xhash.md5_u64(F.col("t"), 1)
+    u2 = xhash.md5_u64(F.col("t"), 2)
+    h1, l1 = xhash.md5_u64_hilo(F.col("t"), 1)
+    h2, l2 = xhash.md5_u64_hilo(F.col("t"), 2)
+    for i in (0, 3, 62):
+        agg = token_df.agg(
+            F.min(xhash.km_hash(u1, u2, i).cast("decimal(21,0)")).alias(
+                "dec_min"
+            ),
+            xhash.biased_to_u64_dec(
+                F.min(xhash.km_hash_biased(h1, l1, h2, l2, i))
+            ).alias("long_min"),
+        ).first()
+        assert agg["dec_min"] == agg["long_min"]

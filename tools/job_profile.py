@@ -50,6 +50,10 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(entry_mod.queries())
+    from bench import _production_sketches
+
+    for pname, pfn in _production_sketches().items():
+        queries[pname] = pfn
     fn = queries[name]
     if not cold:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
