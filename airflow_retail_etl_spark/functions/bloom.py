@@ -65,11 +65,27 @@ def build_bloom(
     v = values.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    pos = v.select(
-        F.explode(F.array(*_positions(F.col("v"), k_hashes, n_bits))).alias(
-            "p"
-        )
+    # md5 halves bound BELOW the generate: explode evaluates each array
+    # element's tree independently, so inline positions would hash every
+    # row k times (round 15 — see operators/frequency._with_km_halves;
+    # explode_outer ≡ explode on this never-empty literal array and
+    # dodges the InferFiltersFromGenerate re-inlining trap)
+    h1a, l1a = xhash.md5_u64_hilo(F.col("v"), 1)
+    h2a, l2a = xhash.md5_u64_hilo(F.col("v"), 2)
+    hv = v.select(
+        h1a.alias("__h1"),
+        l1a.alias("__l1"),
+        h2a.alias("__h2"),
+        l2a.alias("__l2"),
     )
+    bound = [
+        xhash.km_hash_mod(
+            F.col("__h1"), F.col("__l1"), F.col("__h2"), F.col("__l2"),
+            i, n_bits,
+        )
+        for i in range(k_hashes)
+    ]
+    pos = hv.select(F.explode_outer(F.array(*bound)).alias("p"))
     words = (
         pos.select(
             F.shiftright(F.col("p"), 6).alias("w"),
@@ -112,15 +128,35 @@ def bloom_probe(
     the build (they ride the bloom row too; literals here keep the
     probe a pure projection). The one-row filter cross-joins broadcast —
     each partition probes locally, the probed side never shuffles."""
-    probed = df.crossJoin(
+    # positions bound as COLUMNS below the cross join (round 15, same
+    # rule as frequency.cms_probe): a caller's filter on the hit flag
+    # is substituted by PushDownPredicates into the cross join's
+    # condition — off bound position columns the duplicated predicate
+    # is cheap bit arithmetic instead of k md5 re-derivations, and the
+    # one lower projection dedups the md5 via subexpression elimination
+    h1a, l1a = xhash.md5_u64_hilo(F.col(col).cast("string"), 1)
+    h2a, l2a = xhash.md5_u64_hilo(F.col(col).cast("string"), 2)
+    tmp = [f"__bp{i}" for i in range(k_hashes)]
+    hv = df.select(
+        "*",
+        h1a.alias("__bh1"),
+        l1a.alias("__bl1"),
+        h2a.alias("__bh2"),
+        l2a.alias("__bl2"),
+    ).select(
+        "*",
+        *[
+            xhash.km_hash_mod(
+                F.col("__bh1"), F.col("__bl1"),
+                F.col("__bh2"), F.col("__bl2"),
+                i, n_bits,
+            ).alias(tmp[i])
+            for i in range(k_hashes)
+        ],
+    ).drop("__bh1", "__bl1", "__bh2", "__bl2")
+    probed = hv.crossJoin(
         F.broadcast(bloom.select(F.col("bits").alias("__bloom_bits")))
     )
-    tmp = []
-    for i, p in enumerate(
-        _positions(F.col(col).cast("string"), k_hashes, n_bits)
-    ):
-        tmp.append(f"__bp{i}")
-        probed = probed.withColumn(f"__bp{i}", p)
     hit = None
     for name in tmp:
         c = F.expr(

@@ -49,13 +49,59 @@ from airflow_retail_etl_spark.functions import xhash
 
 def _positions(col: Column, depth: int, width: int) -> list[Column]:
     """The d Kirsch–Mitzenmacher counter positions of a value, as INTs in
-    [0, width). Exact DECIMAL arithmetic until the final mod (the same
-    derivation as functions/bloom._positions, over column positions
-    instead of bit positions)."""
+    [0, width) — LONG-domain arithmetic, bit-identical to the DECIMAL
+    derivation (functions/xhash, round 15; same construction as
+    functions/bloom._positions over column instead of bit positions).
+
+    Each returned column re-derives the md5 halves of ``col``; inside a
+    single Project codegen's subexpression elimination dedups them, but
+    a GENERATE (explode) or a JOIN KEY evaluates every element's tree
+    independently — d md5 evaluations per row. Those call sites must
+    bind the halves in a lower projection and use
+    :func:`_bound_positions` instead (measured 3.3× on the CMS build
+    explode at 2M rows)."""
     h1, l1 = xhash.md5_u64_hilo(col, 1)
     h2, l2 = xhash.md5_u64_hilo(col, 2)
     return [
         xhash.km_hash_mod(h1, l1, h2, l2, j, width).cast("int")
+        for j in range(depth)
+    ]
+
+
+#: bound-column names _with_km_halves introduces (dropped before output)
+_KM_COLS = ("__kmh1", "__kml1", "__kmh2", "__kml2")
+
+
+def _with_km_halves(df: DataFrame, col: Column) -> DataFrame:
+    """``df`` plus the four LONG md5 halves of ``col`` as bound columns.
+
+    The four conv/substring derivations share ONE md5 via in-project
+    subexpression elimination; downstream expressions reference the
+    bound columns, so Catalyst's CollapseProject keeps this projection
+    separate (multi-referenced non-cheap aliases are never inlined) and
+    every row hashes exactly once regardless of depth/k."""
+    h1, l1 = xhash.md5_u64_hilo(col, 1)
+    h2, l2 = xhash.md5_u64_hilo(col, 2)
+    return df.select(
+        "*",
+        h1.alias("__kmh1"),
+        l1.alias("__kml1"),
+        h2.alias("__kmh2"),
+        l2.alias("__kml2"),
+    )
+
+
+def _bound_positions(depth: int, width: int) -> list[Column]:
+    """The d positions off the bound halves of :func:`_with_km_halves`."""
+    return [
+        xhash.km_hash_mod(
+            F.col("__kmh1"),
+            F.col("__kml1"),
+            F.col("__kmh2"),
+            F.col("__kml2"),
+            j,
+            width,
+        ).cast("int")
         for j in range(depth)
     ]
 
@@ -104,14 +150,18 @@ def cms_cells(
     v = values.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    pos = v.select(
-        F.explode(
+    # halves bound BELOW the generate: explode evaluates each array
+    # element's tree independently, so inlined positions would hash
+    # every row depth times (round 15; explode_outer ≡ explode — the
+    # array is a non-empty literal construction — and dodges the
+    # InferFiltersFromGenerate re-inlining trap)
+    hv = _with_km_halves(v, F.col("v"))
+    pos = hv.select(
+        F.explode_outer(
             F.array(
                 *[
                     (F.lit(j * width) + p).cast("long")
-                    for j, p in enumerate(
-                        _positions(F.col("v"), depth, width)
-                    )
+                    for j, p in enumerate(_bound_positions(depth, width))
                 ]
             )
         ).alias("idx")
@@ -194,24 +244,39 @@ def cms_probe(
     sketch row too; literals here keep the probe a pure projection).
     The one-row sketch cross-joins broadcast — each partition probes
     locally, the probed side never shuffles."""
-    probed = df.crossJoin(
+    # positions bound as COLUMNS below the cross join (round 15): a
+    # caller's filter on est is substituted by PushDownPredicates and
+    # sunk into the broadcast cross join's condition — with inline
+    # positions that re-evaluated the whole d-position md5 tree per row
+    # there; off bound columns the duplicated predicate is just
+    # element_at/least, which is nearly free. (A nondeterministic
+    # "seal" of est was measured WORSE — it pins one evaluation but
+    # knocks the projection out of codegen subexpression elimination:
+    # probe stage 40-61 s vs 21 s CPU at sf0.1.)
+    pcols = [f"__cmspos{j}" for j in range(depth)]
+    hv = _with_km_halves(df, F.col(col).cast("string")).select(
+        "*",
+        *[
+            p.alias(n)
+            for n, p in zip(pcols, _bound_positions(depth, width))
+        ],
+    ).drop(*_KM_COLS)
+    probed = hv.crossJoin(
         F.broadcast(cms.select(F.col("counters").alias("__cms_counters")))
     )
     est = F.least(
         *[
             F.element_at(
                 F.col("__cms_counters"),
-                (F.lit(j * width + 1) + p).cast("int"),
+                (F.lit(j * width + 1) + F.col(pcols[j])).cast("int"),
             )
-            for j, p in enumerate(
-                _positions(F.col(col).cast("string"), depth, width)
-            )
+            for j in range(depth)
         ]
     )
     return probed.withColumn(
         est_col,
         F.when(F.col(col).isNotNull(), est).cast("long"),
-    ).drop("__cms_counters")
+    ).drop("__cms_counters", *pcols)
 
 
 def heavy_hitters(
@@ -317,15 +382,15 @@ def cms_cells_by(
     v = occurrences.select(
         group_col, F.col(col).cast("string").alias("v")
     ).filter(F.col("v").isNotNull())
-    pos = v.select(
+    # same bound-halves-below-generate rule as cms_cells (round 15)
+    hv = _with_km_halves(v, F.col("v"))
+    pos = hv.select(
         group_col,
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     (F.lit(j * width) + p).cast("long")
-                    for j, p in enumerate(
-                        _positions(F.col("v"), depth, width)
-                    )
+                    for j, p in enumerate(_bound_positions(depth, width))
                 ]
             )
         ).alias("idx"),
@@ -412,11 +477,21 @@ def heavy_hitters_by(
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_cells else df
 
-    probed = occ.join(F.broadcast(thr), group_col)
+    # positions bound ONCE before the join chain: a join-key expression
+    # is evaluated per join, so inlined positions would hash every probe
+    # row depth times across the d joins (round 15; the single
+    # projection dedups the md5 via subexpression elimination)
+    probed = _with_km_halves(
+        occ.join(F.broadcast(thr), group_col), F.col("value")
+    ).select(
+        "*",
+        *[
+            (F.lit(j * width) + p).cast("long").alias(f"__pos{j}")
+            for j, p in enumerate(_bound_positions(depth, width))
+        ],
+    )
     cols = []
-    for j, p in enumerate(
-        _positions(F.col("value"), depth, width)
-    ):
+    for j in range(depth):
         cj = _b(
             cells.select(
                 F.col(group_col).alias(f"__g{j}"),
@@ -427,7 +502,7 @@ def heavy_hitters_by(
         probed = probed.join(
             cj,
             (F.col(group_col) == F.col(f"__g{j}"))
-            & ((F.lit(j * width) + p).cast("long") == F.col(f"__i{j}")),
+            & (F.col(f"__pos{j}") == F.col(f"__i{j}")),
         )
         cols.append(f"__c{j}")
     survivors = probed.withColumn(
@@ -528,9 +603,20 @@ def rolling_heavy_hitters(
         F.broadcast(mapping.select("wd", F.col("__d").alias("day"))),
         "day",
     ).select("wd", "value")
-    probed = wocc.join(F.broadcast(thr), "wd")
+    # positions bound before the join chain — same rule as
+    # heavy_hitters_by (round 15): join keys re-evaluate their
+    # expression per join, so inline positions hash each row d times
+    probed = _with_km_halves(
+        wocc.join(F.broadcast(thr), "wd"), F.col("value")
+    ).select(
+        "*",
+        *[
+            (F.lit(j * width) + p).cast("long").alias(f"__pos{j}")
+            for j, p in enumerate(_bound_positions(depth, width))
+        ],
+    )
     colnames = []
-    for j, p in enumerate(_positions(F.col("value"), depth, width)):
+    for j in range(depth):
         cj = F.broadcast(
             wcells.select(
                 F.col("wd").alias(f"__w{j}"),
@@ -541,7 +627,7 @@ def rolling_heavy_hitters(
         probed = probed.join(
             cj,
             (F.col("wd") == F.col(f"__w{j}"))
-            & ((F.lit(j * width) + p).cast("long") == F.col(f"__i{j}")),
+            & (F.col(f"__pos{j}") == F.col(f"__i{j}")),
         )
         colnames.append(f"__c{j}")
     survivors = probed.withColumn(
