@@ -5552,18 +5552,28 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
+    # LONG node ids through the rounds (round 15, same move as
+    # q_pagerank round 13): every vote join/aggregation hashes 8-byte
+    # longs instead of "s:"/"p:" strings; the encode (left k→2k, right
+    # k→2k+1) is bijective and decode_bipartite_node restores the exact
+    # prefixed strings at the output projection, so results and ordering
+    # are unchanged (same law test_graph pins for pagerank).
     edges = graph.bipartite_edges(
-        li, "l_suppkey", "l_partkey", left_prefix="s:", right_prefix="p:"
+        li, "l_suppkey", "l_partkey", encode="long"
     )
     seeds = supp.select(
-        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
-            "node"
-        ),
+        (F.col("s_suppkey").cast("long") * 2).alias("node"),
         F.col("s_nationkey").cast("int").alias("label"),
     )
     return (
         graph.label_propagation(
             edges, seeds, n_iter=2, nodes_from_sources=True
+        )
+        .select(
+            graph.decode_bipartite_node(
+                "node", left_prefix="s:", right_prefix="p:"
+            ).alias("node"),
+            "label",
         )
         .orderBy("node")
     )

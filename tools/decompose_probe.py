@@ -62,8 +62,11 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from bench import _drop_persistent_blocks
+
     for name in names:
         fn = queries[name]
+        _drop_persistent_blocks(spark)
         t0 = time.time()
         df = fn(spark, sf_dir)
         t_build = time.time() - t0
@@ -75,6 +78,7 @@ def main() -> None:
         t_exec = time.time() - t0
         # warm repeat: fresh build (bench semantics) so codegen/JIT and
         # exchange-reuse caches are the only difference
+        _drop_persistent_blocks(spark)
         t0 = time.time()
         df2 = fn(spark, sf_dir)
         t_build2 = time.time() - t0

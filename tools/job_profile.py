@@ -57,6 +57,9 @@ def main() -> None:
     fn = queries[name]
     if not cold:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from bench import _drop_persistent_blocks
+
+    _drop_persistent_blocks(spark)
     sc = spark.sparkContext
     t0 = time.time()
     marker_before = sc.uiWebUrl  # no-op touch
