@@ -3603,12 +3603,23 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_retail_etl_spark import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synth_gradient_corpus(docs)
+    # fused synth+hash leaf (round 15): the payload's only consumer is
+    # the 8-byte dHash, so it is born and decoded inside one python
+    # stage instead of round-tripping 12 KB/row through the JVM twice;
+    # bit-identical to the two-leaf form (test-pinned)
+    # eager checkpoint: the pigeonhole pair join references the
+    # signature table on BOTH sides and each side re-executes the
+    # python leaf (ReuseExchange cannot dedup above a MapInPandas);
+    # the table is 16 bytes/row, so pinning costs ~nothing and halves
+    # the synth+hash work (round 15, measured)
+    sigs = multimodal.synth_gradient_dhash(docs).localCheckpoint(
+        eager=True
+    )
     return (
         # uncapped: the oracle models the exact (skew-unbounded) join;
         # production keeps the 10k bucket backstop (see the docstring)
-        multimodal.image_neardup_pairs(
-            media, max_hamming=3, max_bucket_size=None
+        multimodal.image_neardup_pairs_from_hashes(
+            sigs, max_hamming=3, max_bucket_size=None
         )
         .select(
             "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -3631,8 +3642,14 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_retail_etl_spark import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synth_gradient_video_corpus(docs)
-    frames = multimodal.video_frame_hashes(media)
+    # fused synth+per-frame-hash leaf (round 15) — same bytes, same
+    # hashes, one python stage instead of two payload round trips
+    # eager checkpoint: the frame-set jaccard self-join would otherwise
+    # run the python leaf once per side (8 bytes/frame — see
+    # q_image_neardup)
+    frames = multimodal.synth_gradient_video_frame_hashes(
+        docs
+    ).localCheckpoint(eager=True)
     return (
         multimodal.video_neardup_pairs(frames, min_jaccard=0.25)
         .orderBy("id_a", "id_b")
@@ -3654,11 +3671,15 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_retail_etl_spark import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synth_wave_corpus(docs)
+    # fused synth+fingerprint leaf (round 15) — the WAV is decoded by
+    # the stdlib codec inside the same python stage that synthesizes it
+    fps = multimodal.synth_wave_fingerprint(docs).localCheckpoint(
+        eager=True
+    )  # pin the python leaf: both pair-join sides read it (round 15)
     return (
         # uncapped: the oracle models the exact (skew-unbounded) join
-        multimodal.audio_neardup_pairs(
-            media, max_hamming=4, max_bucket_size=None
+        multimodal.audio_neardup_pairs_from_fingerprints(
+            fps, max_hamming=4, max_bucket_size=None
         )
         .select(
             "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -3681,9 +3702,12 @@ def q_image_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_retail_etl_spark import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synth_gradient_corpus(docs)
-    pairs = multimodal.image_neardup_pairs(
-        media, max_hamming=3, max_bucket_size=None
+    # fused synth+hash leaf, pinned before the two-sided pair join
+    # (round 15) — see q_image_neardup
+    pairs = multimodal.image_neardup_pairs_from_hashes(
+        multimodal.synth_gradient_dhash(docs).localCheckpoint(eager=True),
+        max_hamming=3,
+        max_bucket_size=None,
     ).select("id_a", "id_b")
     cc = dedup.connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node"))

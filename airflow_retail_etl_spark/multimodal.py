@@ -22,6 +22,7 @@ size/type, checksumming) stay JVM-side and never deserialize payloads.
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import io
 import struct
@@ -481,6 +482,28 @@ DHASH_GRID_H = 8   #: rows
 _GRADIENT_WH = 64  #: synth gradient images are 64x64
 
 
+@_functools.lru_cache(maxsize=64)
+def _gradient_payload_cached(cls: int, c: int) -> bytes:
+    """The 48 distinct gradient payloads, keyed by the ONLY inputs the
+    pixel math reads (slope class, brightness offset) — a lookup table
+    of constants, not a data-path cache. synth_gradient_payload was
+    measured at ~100 µs/image while emitting one of 48 possible byte
+    strings per row (round 15)."""
+    w = h = _GRADIENT_WH
+    a, b = 5 + 8 * (cls % 4), 3 + 8 * (cls // 4)
+    import numpy as np
+
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    ax = a * xs[None, :]
+    by = b * ys[:, None]
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = (ax + by + c) % 256
+    px[:, :, 1] = (2 * ax + by + c) % 256
+    px[:, :, 2] = (ax + 2 * by + c) % 256
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
 def synth_gradient_payload(doc_id: int) -> bytes:
     """Deterministic STRUCTURED P6 payload for perceptual hashing.
 
@@ -501,21 +524,7 @@ def synth_gradient_payload(doc_id: int) -> bytes:
     - channels: r = (a·x + b·y + c) % 256, g = (2a·x + b·y + c) % 256,
       b = (a·x + 2b·y + c) % 256.
     """
-    w = h = _GRADIENT_WH
-    cls = doc_id % 16
-    a, b = 5 + 8 * (cls % 4), 3 + 8 * (cls // 4)
-    c = (doc_id // 16) % 3
-    import numpy as np
-
-    xs = np.arange(w, dtype=np.int64)
-    ys = np.arange(h, dtype=np.int64)
-    ax = a * xs[None, :]
-    by = b * ys[:, None]
-    px = np.empty((h, w, 3), dtype=np.uint8)
-    px[:, :, 0] = (ax + by + c) % 256
-    px[:, :, 1] = (2 * ax + by + c) % 256
-    px[:, :, 2] = (ax + 2 * by + c) % 256
-    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    return _gradient_payload_cached(doc_id % 16, (doc_id // 16) % 3)
 
 
 def synth_gradient_corpus(docs: DataFrame) -> DataFrame:
@@ -569,10 +578,10 @@ def dhash64(payload: bytes) -> int:
     ys = (np.arange(DHASH_GRID_H) * h) // DHASH_GRID_H
     lum = px[ys][:, xs].astype(np.int64).sum(axis=2)  # (8, 9) grid
     bits = lum[:, 1:] > lum[:, :-1]                   # (8, 8) gradients
-    val = 0
-    for i, bit in enumerate(bits.flatten()):
-        if bit:
-            val |= 1 << i
+    # vectorized little-endian pack ≡ Σ bit_i << i (the old Python loop)
+    val = int.from_bytes(
+        np.packbits(bits.flatten(), bitorder="little").tobytes(), "little"
+    )
     if val >= 1 << 63:
         val -= 1 << 64
     return val
@@ -602,6 +611,64 @@ def dhash_media(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, schema)
+
+
+def synth_gradient_dhash(docs: DataFrame) -> DataFrame:
+    """(asset_id, dhash) — synthesize AND hash in ONE python stage.
+
+    The two-leaf form (synth_gradient_corpus → dhash_media) ships every
+    12 KB payload JVM→python→JVM→python→JVM — four Arrow crossings of
+    media bytes whose only consumer is the 8-byte hash (the guide's
+    'move heavy bytes once' rule, §8; measured ~40 s of executor CPU at
+    sf0.1 for ~0.7 s of actual synth+hash work). Here the payload is
+    born and decoded inside the same worker batch — dhash64 still
+    parses the real P6 bytes — and only (doc_id in, asset_id+hash out)
+    cross the boundary. Bit-identical to the two-leaf form by
+    construction (same synth, same hash; test-pinned)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "dhash": [
+                        dhash64(synth_gradient_payload(int(i)))
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
+    return spread(docs.select("doc_id"), "doc_id").mapInPandas(
+        batches, schema
+    )
+
+
+def image_neardup_pairs_from_hashes(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """image_neardup_pairs over a prebuilt (asset_id, dhash) signature
+    table (e.g. :func:`synth_gradient_dhash`'s fused output)."""
+    from airflow_retail_etl_spark.operators import dedup as _dedup
+
+    return _dedup.simhash_pairs(
+        sigs.select(
+            F.col("asset_id").alias("id"), F.col("dhash").alias("simhash")
+        ),
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 def image_neardup_pairs(
@@ -710,6 +777,44 @@ def video_frame_hashes(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(batches, schema)
 
 
+def synth_gradient_video_frame_hashes(docs: DataFrame) -> DataFrame:
+    """(asset_id, frame_idx, dhash) — synthesize and per-frame-hash the
+    gradient videos in ONE python stage (same fused-leaf rationale as
+    :func:`synth_gradient_dhash`: the multi-frame payload's only
+    consumer is 8 bytes per frame; bit-identical to
+    video_frame_hashes(synth_gradient_video_corpus(docs)))."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for asset_id in pdf["doc_id"].astype("int64"):
+                buf = synth_gradient_video_payload(int(asset_id))
+                off, f = 0, 0
+                while off < len(buf):
+                    w, h, _mx, px_off = _parse_ppm_header(buf, off)
+                    end = px_off + 3 * w * h
+                    ids.append(asset_id)
+                    idxs.append(f)
+                    hashes.append(dhash64(buf[off:end]))
+                    off, f = end, f + 1
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "dhash": hashes}
+            )
+
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
+    return spread(docs.select("doc_id"), "doc_id").mapInPandas(
+        batches, schema
+    )
+
+
 def video_neardup_pairs(
     frames_df: DataFrame,
     *,
@@ -753,13 +858,20 @@ def synth_wave_payload(doc_id: int) -> bytes:
     - c = (doc_id ⌊/⌋ 16) % 3 boosts window 13 + 17·c by +13500 (still
       < 2¹⁵): same-class takes are near-identical, ≤4 bits apart.
     """
-    cls = doc_id % 16
+    return _wave_payload_cached(doc_id % 16, (doc_id // 16) % 3)
+
+
+@_functools.lru_cache(maxsize=64)
+def _wave_payload_cached(cls: int, c: int) -> bytes:
+    """The 48 distinct wave payloads, keyed by the only inputs the
+    contour math reads (class, boosted-window index) — same lookup-table
+    rationale as _gradient_payload_cached."""
     a, b = 1 + (cls % 4) * 2, 1 + (cls // 4) * 3
     amps = [
         1000 * (1 + (a * w**3 + b * w**2 + (a + b) * w) % 13)
         for w in range(AUDIO_FP_WINDOWS)
     ]
-    amps[13 + 17 * ((doc_id // 16) % 3)] += 13500
+    amps[13 + 17 * c] += 13500
     pcm: list[int] = []
     for amp in amps:
         pcm.extend(
@@ -851,6 +963,59 @@ def audio_fingerprint_media(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, schema)
+
+
+def synth_wave_fingerprint(docs: DataFrame) -> DataFrame:
+    """(asset_id, afp) — synthesize and fingerprint the structured WAVs
+    in ONE python stage (fused-leaf rationale of synth_gradient_dhash;
+    audio_fingerprint64 still decodes the real WAV bytes with the
+    stdlib codec; bit-identical to
+    audio_fingerprint_media(synth_wave_corpus(docs)))."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "afp": [
+                        audio_fingerprint64(synth_wave_payload(int(i)))
+                        for i in ids
+                    ],
+                }
+            )
+
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
+    return spread(docs.select("doc_id"), "doc_id").mapInPandas(
+        batches, schema
+    )
+
+
+def audio_neardup_pairs_from_fingerprints(
+    fps: DataFrame,
+    *,
+    max_hamming: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """audio_neardup_pairs over a prebuilt (asset_id, afp) table
+    (e.g. :func:`synth_wave_fingerprint`'s fused output)."""
+    from airflow_retail_etl_spark.operators import dedup as _dedup
+
+    return _dedup.simhash_pairs(
+        fps.select(
+            F.col("asset_id").alias("id"), F.col("afp").alias("simhash")
+        ),
+        max_hamming=max_hamming,
+        prefix_bits=8,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 def audio_neardup_pairs(

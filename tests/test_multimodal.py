@@ -448,3 +448,42 @@ def test_entry_image_dedup_resolve_contract(spark):
         assert all(m["cluster_size"] == len(members) for m in members)
         # near-dup classes never merge across slope classes
         assert len({m["asset_id"] % 16 for m in members}) == 1
+
+
+def test_fused_leaves_equal_two_leaf_forms(spark):
+    """The round-15 fused synth+feature leaves are bit-identical to the
+    two-leaf (synth corpus → feature mapInPandas) forms they replace."""
+    from airflow_retail_etl_spark import multimodal as mm
+
+    docs = spark.range(0, 97).select(F.col("id").alias("doc_id"))
+    a = {
+        (r["asset_id"], r["dhash"])
+        for r in mm.synth_gradient_dhash(docs).collect()
+    }
+    b = {
+        (r["asset_id"], r["dhash"])
+        for r in mm.dhash_media(mm.synth_gradient_corpus(docs)).collect()
+    }
+    assert a == b
+    fa = {
+        (r["asset_id"], r["frame_idx"], r["dhash"])
+        for r in mm.synth_gradient_video_frame_hashes(docs).collect()
+    }
+    fb = {
+        (r["asset_id"], r["frame_idx"], r["dhash"])
+        for r in mm.video_frame_hashes(
+            mm.synth_gradient_video_corpus(docs)
+        ).collect()
+    }
+    assert fa == fb
+    wa = {
+        (r["asset_id"], r["afp"])
+        for r in mm.synth_wave_fingerprint(docs).collect()
+    }
+    wb = {
+        (r["asset_id"], r["afp"])
+        for r in mm.audio_fingerprint_media(
+            mm.synth_wave_corpus(docs)
+        ).collect()
+    }
+    assert wa == wb
