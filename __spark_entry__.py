@@ -3241,7 +3241,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: pigeonhole block bucketing + Hamming verify,
     fully replicated in the oracle (md5 signatures + same block join)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.simhash(docs, "text", "doc_id", hash="md5")
+    # eager checkpoint (round 15): the pigeonhole pair join reads the
+    # signature table on both sides, and the second side re-ran the
+    # whole 64-vote HOF signature computation as a single-task
+    # broadcast build (measured 1.7 s straggler stage at sf0.1); the
+    # table is 16 bytes/row, so pinning is ~free
+    sigs = dedup.simhash(docs, "text", "doc_id", hash="md5").localCheckpoint(
+        eager=True
+    )
     return dedup.simhash_pairs(sigs, max_hamming=3, max_bucket_size=None)
 
 

@@ -343,7 +343,13 @@ def _production_sketches():
 
     def simhash_pairs_prod(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
-        return dedup.simhash_pairs(dedup.simhash(docs, "text", "doc_id"))
+        # same pin as q_simhash_pairs: both pair-join sides read the
+        # 16-byte/row signature table (round 15)
+        return dedup.simhash_pairs(
+            dedup.simhash(docs, "text", "doc_id").localCheckpoint(
+                eager=True
+            )
+        )
 
     # n_cells ≈ √n is derived from a corpus count — an extra job that
     # must NOT run inside the timed headline window (it would charge a

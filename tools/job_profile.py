@@ -149,7 +149,8 @@ def main() -> None:
         sdesc = " ".join(
             f"s{sid}:{s.get('tasks', '?')}t/{s.get('ms', 0)}ms"
             f"(run{s.get('run_ms', 0)} deser{s.get('deser_ms', 0)}"
-            f" gc{s.get('gc_ms', 0)} max{s.get('max_task_ms', 0)})"
+            f" gc{s.get('gc_ms', 0)} max{s.get('max_task_ms', 0)}"
+            f" {s.get('name', '')[:28]})"
             for sid, s in ss
         )
         print(
