@@ -145,6 +145,18 @@ def km_hash_biased(
     return (hi32 - F.lit(_BIAS32)) * F.lit(_TWO32) + lo32
 
 
+def md5_u64_mod(col: Column, m: int, half: int = 1) -> Column:
+    """``md5_u64(col, half) % m`` in pure LONG arithmetic (m ≤ 2^31) —
+    bit-identical to the DECIMAL form for every m the repo uses
+    (test-pinned alongside km_hash_mod)."""
+    if not (0 < m <= _BIAS32):
+        raise ValueError(f"md5_u64_mod needs 0 < m <= 2^31, got {m}")
+    hi, lo = md5_u64_hilo(col, half)
+    return (
+        hi % F.lit(m) * F.lit(_TWO32 % m) + lo % F.lit(m)
+    ) % F.lit(m)
+
+
 def biased_to_u64_dec(col: Column) -> Column:
     """Invert :func:`km_hash_biased` to the DECIMAL(21,0) u64 value —
     bit-identical to what :func:`km_hash` would have produced."""

@@ -54,8 +54,9 @@ def pack_chunks(
     """
     if max_tokens <= 0 or n_buckets <= 0:
         raise ValueError(f"need positive {max_tokens=} and {n_buckets=}")
-    bucket = (
-        xhash.md5_u64(F.col(doc_col).cast("string")) % F.lit(n_buckets)
+    # LONG-domain md5 mod (round 15): bit-identical, no BigDecimal
+    bucket = xhash.md5_u64_mod(
+        F.col(doc_col).cast("string"), n_buckets
     ).cast("int")
     w = (
         Window.partitionBy("bucket")

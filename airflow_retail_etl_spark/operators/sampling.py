@@ -504,9 +504,9 @@ def _two_phase_grouped_trim(
     (strict total order per group: the hash/priority ties only on
     identical (v, w), which the upstream DISTINCT removed), so the
     result is IDENTICAL to the one-window form — test-pinned."""
-    shard = F.pmod(xhash.md5_u64(F.col("v")), F.lit(_TRIM_SHARDS)).cast(
-        "int"
-    )
+    # LONG-domain md5 mod (round 15): same value (the draw is
+    # non-negative, so pmod ≡ %), no per-row BigDecimal
+    shard = xhash.md5_u64_mod(F.col("v"), _TRIM_SHARDS).cast("int")
     w1 = Window.partitionBy(*keys, "__shard").orderBy(*order)
     w2 = Window.partitionBy(*keys).orderBy(*order)
     return (

@@ -1661,8 +1661,9 @@ def grouped_topk(
             F.col("qv"), F.col("cv"), F.col("qq"), F.col("cc")
         ).alias("__sim"),
     )
-    shard = F.pmod(
-        xhash.md5_u64(F.col("__id").cast("string")), F.lit(shards)
+    # LONG-domain md5 mod (round 15): same value, no per-row BigDecimal
+    shard = xhash.md5_u64_mod(
+        F.col("__id").cast("string"), shards
     ).cast("int")
     order = [F.col("__sim").desc(), F.col("__id").asc()]
     w1 = Window.partitionBy("__g", "__shard").orderBy(*order)

@@ -108,7 +108,7 @@ def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/partsupp.parquet"
     if os.path.exists(path):
         return spark.read.parquet(path)
-    from airflow_retail_etl_spark.functions.xhash import md5_u64
+    from airflow_retail_etl_spark.functions.xhash import md5_u64_mod
 
     li = load_table(spark, sf_dir, "lineitem")
     rel = li.select(
@@ -121,11 +121,12 @@ def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ps_partkey").cast("string"),
         F.col("ps_suppkey").cast("string"),
     )
-    cents = F.lit(100) + (md5_u64(key, 2) % F.lit(99901))
+    # LONG-domain md5 mod (round 15): same values, no per-row BigDecimal
+    cents = F.lit(100) + md5_u64_mod(key, 99901, 2)
     return rel.select(
         "ps_partkey",
         "ps_suppkey",
-        (F.lit(1) + (md5_u64(key, 1) % F.lit(9999)))
+        (F.lit(1) + md5_u64_mod(key, 9999, 1))
         .cast("int")
         .alias("ps_availqty"),
         # integer cents → exact /100 → pinned DECIMAL(12,2) type

@@ -148,3 +148,17 @@ def test_biased_order_matches_unsigned(token_df):
             ).alias("long_min"),
         ).first()
         assert agg["dec_min"] == agg["long_min"]
+
+
+def test_md5_u64_mod_matches_decimal(token_df):
+    cols = []
+    for m in (3, 9999, 99901, _TRIM := 64, 2**31):
+        for half in (1, 2):
+            cols.append(
+                (
+                    (xhash.md5_u64(F.col("t"), half) % F.lit(m)).cast("long")
+                    == xhash.md5_u64_mod(F.col("t"), m, half)
+                ).alias(f"m_{m}_{half}")
+            )
+    for row in token_df.select(*cols).collect():
+        assert all(row), row.asDict()
