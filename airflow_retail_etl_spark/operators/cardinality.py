@@ -229,10 +229,15 @@ def hll_registers(
     merged table to :func:`hll_fold` for the estimate."""
     rest_bits = 64 - p
     rmax = rest_bits + 1
-    two_rest = F.lit(str(1 << rest_bits)).cast("decimal(20,0)")
-    u = _u64(F.col(col))
-    rest = (u % two_rest).cast("bigint")
-    reg = ((u - (u % two_rest)) / two_rest).cast("int")
+    # LONG-domain register/rest (round 15): reg = top p bits = hi >>
+    # (32-p); rest = low 64-p bits = (hi & (2^(32-p)-1))·2^32 + lo —
+    # bit-identical to the DECIMAL floor-div/mod derivation (p ≤ 11 ⇒
+    # rest < 2^60, no overflow) with no per-row BigDecimal divide.
+    hi, lo = xhash.md5_u64_hilo(F.col(col).cast("string"))
+    reg = F.shiftright(hi, 32 - p).cast("int")
+    rest = hi.bitwiseAND(F.lit((1 << (32 - p)) - 1)) * F.lit(
+        1 << 32
+    ) + lo
     rank = F.when(
         rest == 0, F.lit(rmax)
     ).otherwise(F.lit(rest_bits + 1) - F.length(F.bin(rest)))
