@@ -593,11 +593,29 @@ def rolling_heavy_hitters(
             F.ceil(F.lit(threshold_frac) * F.sum("__dn")),
         ).alias("__thr")
     )
+    # two round-15 fixes on the window-merged cell table, both measured
+    # in the executed plan:
+    # - spread the merge aggregation: its input is |windows|·|days in
+    #   window|·(depth·width) small rows and AQE sizes the exchange by
+    #   BYTES — it collapsed to ONE task for 3.1 s at sf0.1 (the
+    #   CLAUDE.md coalesce trap, aggregation face);
+    # - localCheckpoint BEFORE the d broadcast probe joins: the plan
+    #   showed the whole merge subtree replicated FOUR times (one per
+    #   broadcast build — exchange reuse does not dedup across the
+    #   aliased builds), the r10 materialize-before-broadcast law.
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
     wcells = (
-        mapping.select("wd", F.col("__d").alias("day"))
-        .join(cells, "day")
+        spread(
+            mapping.select("wd", F.col("__d").alias("day")).join(
+                cells, "day"
+            ),
+            "wd",
+            "idx",
+        )
         .groupBy("wd", "idx")
         .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
     )
     wocc = occ.join(
         F.broadcast(mapping.select("wd", F.col("__d").alias("day"))),
