@@ -87,11 +87,18 @@ def _two60() -> Column:
 
 
 def level_cols(key: Column) -> tuple[Column, Column]:
-    """(h, lvl) of a row key: h = md5_u64(key) and lvl = leading zeros
-    of h's low 60 bits (P(lvl ≥ ℓ) = 2^-ℓ, lvl ∈ [0, 60]) — the
-    deterministic "coin" every engine replays identically."""
-    h = xhash.md5_u64(key.cast("string"))
-    rest = (h % _two60()).cast("bigint")
+    """(h, lvl) of a row key: h is the ORDER-PRESERVING signed image of
+    md5_u64(key) (the u64 minus 2^63 — round 15: h is only ever carried
+    as state and used as an ordering/equality tiebreak, never
+    published, so the long image replaces the DECIMAL(20,0) at zero
+    semantic change while removing a per-row BigDecimal mod); lvl =
+    leading zeros of the hash's low 60 bits (P(lvl ≥ ℓ) = 2^-ℓ,
+    lvl ∈ [0, 60]) — the deterministic "coin" every engine replays
+    identically (the oracle computes the same lvl from the same md5
+    bits; ordering by the biased image equals ordering by the u64)."""
+    hi, lo = xhash.md5_u64_hilo(key.cast("string"))
+    h = (hi - F.lit(2147483648)) * F.lit(1 << 32) + lo
+    rest = hi.bitwiseAND(F.lit((1 << 28) - 1)) * F.lit(1 << 32) + lo
     lvl = (
         F.when(rest == 0, F.lit(LEVEL_BITS))
         .otherwise(F.lit(LEVEL_BITS) - F.length(F.bin(rest)))
