@@ -47,6 +47,25 @@ def _sample_u(key: Column, seed: str) -> Column:
     return xhash.md5_u64(F.concat_ws("\x1f", F.lit(seed), key))
 
 
+def _sample_u_biased(key: Column, seed: str) -> Column:
+    """The same draw as an ORDER-PRESERVING signed long (u − 2^63) —
+    round 15: pure threshold comparisons (keep iff u < f·2^64) are
+    equivalent on the biased image with a biased literal, with no
+    per-row DECIMAL construction (tests/test_sampling pins
+    filter-set equality against the DECIMAL form)."""
+    col = key if seed == "" else F.concat_ws("\x1f", F.lit(seed), key)
+    hi, lo = xhash.md5_u64_hilo(col)
+    return (hi - F.lit(2147483648)) * F.lit(1 << 32) + lo
+
+
+def _biased_lt_threshold(u_biased: Column, fraction: float) -> Column:
+    """``u < threshold_for(fraction)`` on the biased image (exact)."""
+    thr = threshold_for(fraction)
+    if thr >= TWO64:  # fraction == 1.0 keeps everything
+        return F.lit(True)
+    return u_biased < F.lit(thr - (1 << 63))
+
+
 def threshold_for(fraction: float) -> int:
     """Integer keep-threshold for a sampling fraction (exact, no FP compare)."""
     if not 0.0 <= fraction <= 1.0:
@@ -58,8 +77,11 @@ def hash_sample(
     df: DataFrame, key_col: str, fraction: float, *, seed: str = ""
 ) -> DataFrame:
     """Uniform deterministic sample: keep iff md5-u64(seed,key) < f·2^64."""
-    thr = F.lit(str(threshold_for(fraction))).cast("decimal(21,0)")
-    return df.filter(_sample_u(F.col(key_col).cast("string"), seed) < thr)
+    return df.filter(
+        _biased_lt_threshold(
+            _sample_u_biased(F.col(key_col).cast("string"), seed), fraction
+        )
+    )
 
 
 def hash_split(
@@ -95,11 +117,12 @@ def hash_split(
             "boundaries must be STRICTLY ascending fractions in (0, 1] "
             f"(ties make a label unreachable): {boundaries}"
         )
-    u = _sample_u(F.col(key_col).cast("string"), seed)
+    u = _sample_u_biased(F.col(key_col).cast("string"), seed)
     split: Column = F.lit(default)
     for label, frac in reversed(boundaries):
-        thr = F.lit(str(threshold_for(frac))).cast("decimal(21,0)")
-        split = F.when(u < thr, F.lit(label)).otherwise(split)
+        split = F.when(
+            _biased_lt_threshold(u, frac), F.lit(label)
+        ).otherwise(split)
     return df.withColumn(out_col, split)
 
 
@@ -120,15 +143,14 @@ def stratified_sample(
     stratum column — still a pure per-row predicate, zero shuffles, and the
     filter sits directly on the scan so column pruning and pushdown apply.
     """
-    thr: Column = F.lit(str(threshold_for(default_fraction))).cast(
-        "decimal(21,0)"
-    )
+    u = _sample_u_biased(F.col(key_col).cast("string"), seed)
+    keep: Column = _biased_lt_threshold(u, default_fraction)
     for value, frac in sorted(fractions.items()):
-        thr = F.when(
+        keep = F.when(
             F.col(strata_col) == F.lit(value),
-            F.lit(str(threshold_for(frac))).cast("decimal(21,0)"),
-        ).otherwise(thr)
-    return df.filter(_sample_u(F.col(key_col).cast("string"), seed) < thr)
+            _biased_lt_threshold(u, frac),
+        ).otherwise(keep)
+    return df.filter(keep)
 
 
 def sample_exact_k(
@@ -148,7 +170,8 @@ def sample_exact_k(
     via AQE or run after a stratum-keyed repartition so the exchange is
     shared with downstream per-stratum work.
     """
-    u = _sample_u(F.col(key_col).cast("string"), seed)
+    # biased image: order-preserving, draw never published (round 15)
+    u = _sample_u_biased(F.col(key_col).cast("string"), seed)
     w = Window.partitionBy(*strata_cols).orderBy(
         u.asc(), F.col(key_col).asc()
     )
