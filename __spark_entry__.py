@@ -752,9 +752,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword / bullet-line rules as one zero-shuffle projection; every
     measure and per-rule flag is emitted for audit, ``keep`` is their AND.
     """
+    from airflow_retail_etl_spark.functions.partitioning import (
+        spread_unsplittable,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     cols = tf.gopher_flags(F.col("text"))
-    return docs.select(
+    # unsplittable-input guard (round 15): see q_quality_classifier
+    return spread_unsplittable(docs, "doc_id").select(
         "doc_id", *[c.alias(k) for k, c in cols.items()]
     ).orderBy("doc_id")
 
@@ -4977,11 +4982,15 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ÷ count (one division, 6 dp); keep rate = exact int ÷ count (one
     division, 6 dp). Empty docs (NULL score) are excluded — they fail
     the gate upstream."""
+    from airflow_retail_etl_spark.functions.partitioning import (
+        spread_unsplittable,
+    )
     from airflow_retail_etl_spark.operators import classifier
 
     docs = load_table(spark, sf_dir, "documents")
+    # unsplittable-input guard (round 15): see q_quality_classifier
     scored = classifier.logistic_score(
-        docs.select("doc_id", "text"),
+        spread_unsplittable(docs.select("doc_id", "text"), "doc_id"),
         _clf_features(F.col("text")),
         _CLF_WEIGHTS,
         _CLF_BIAS,
@@ -5024,11 +5033,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp-rounded sigmoid make keep/drop membership bit-reproducible, so
     the oracle replays the identical model.
     """
+    from airflow_retail_etl_spark.functions.partitioning import (
+        spread_unsplittable,
+    )
     from airflow_retail_etl_spark.operators import classifier
 
     docs = load_table(spark, sf_dir, "documents")
+    # unsplittable-input guard (round 15): the feature projection fused
+    # into a single-row-group scan ran 1-of-32 cores (plus a second
+    # single-task pass for the orderBy range sample); on a many-split
+    # production table this is a no-op and the plan stays the
+    # zero-shuffle scan the docstring describes
     scored = classifier.logistic_score(
-        docs.select("doc_id", "text"),
+        spread_unsplittable(docs.select("doc_id", "text"), "doc_id"),
         _clf_features(F.col("text")),
         _CLF_WEIGHTS,
         _CLF_BIAS,
@@ -5058,9 +5075,18 @@ def q_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies the TRAINING result, not just the scoring arithmetic.
     """
     from airflow_retail_etl_spark.functions import text as tf_
+    from airflow_retail_etl_spark.functions.partitioning import (
+        spread_unsplittable,
+    )
     from airflow_retail_etl_spark.operators import classifier
 
-    docs = load_table(spark, sf_dir, "documents")
+    # unsplittable-input guard (round 15): both the normal-equation
+    # aggregation and the scoring pass fuse heavy feature extraction
+    # into a single-row-group scan (measured 1.05 s + 0.5 s + 0.6 s
+    # single-task stages); no-op on many-split sources
+    docs = spread_unsplittable(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     label = tf_.gopher_flags(F.col("text"))["keep"].cast("int")
     weights, bias = classifier.ridge_fit(
         docs, _clf_features(F.col("text")), label
