@@ -3103,8 +3103,14 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = bpe.apply_bpe(docs, "text", "doc_id", _BPE_MERGES).select(
         F.col("id").alias("doc_id"), "n_bpe_tokens"
     )
+    from airflow_retail_etl_spark.functions.partitioning import (
+        spread_unsplittable,
+    )
+
     norm = tf.normalize_text(F.col("text"))
-    stats = docs.select(
+    # unsplittable-input guard (round 15): the normalize/word-count
+    # projection ran single-task off the one-row-group scan
+    stats = spread_unsplittable(docs, "doc_id").select(
         "doc_id",
         "lang",
         tf.token_count(norm).alias("n_words"),
@@ -4062,11 +4068,19 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds exact cardinalities, stack() unpivots the 1-row result to a
     row per column. Values surface as strings so heterogeneous types
     share one frame; the oracle casts identically."""
+    from airflow_retail_etl_spark.functions.partitioning import (
+        spread_unsplittable,
+    )
     from airflow_retail_etl_spark.operators import profile
 
     ev = load_table(spark, sf_dir, "events")
+    # unsplittable-input guard (round 15): both profile aggregations
+    # fused their map side into the single-row-group scan (1.4 s +
+    # 0.7 s single-task stages); the two consumers reuse one exchange,
+    # and on a many-split source this is a no-op
     return profile.profile_table(
-        ev, ["event_id", "user_id", "event_type", "value", "props"]
+        spread_unsplittable(ev, "event_id"),
+        ["event_id", "user_id", "event_type", "value", "props"],
     )
 
 
