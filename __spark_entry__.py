@@ -752,14 +752,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword / bullet-line rules as one zero-shuffle projection; every
     measure and per-rule flag is emitted for audit, ``keep`` is their AND.
     """
-    from airflow_retail_etl_spark.functions.partitioning import (
-        spread_unsplittable,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     cols = tf.gopher_flags(F.col("text"))
-    # unsplittable-input guard (round 15): see q_quality_classifier
-    return spread_unsplittable(docs, "doc_id").select(
+    # NO unsplittable guard here (round 15): tests/test_plans pins this
+    # query as a zero-shuffle projection — the operator's scale story —
+    # and the single-task cost off the one-row-group testdata is only
+    # ~0.5 s; the guarded siblings (classifier family, table_profile)
+    # are not plan-pinned.
+    return docs.select(
         "doc_id", *[c.alias(k) for k, c in cols.items()]
     ).orderBy("doc_id")
 
