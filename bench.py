@@ -1,13 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints TWO JSON lines: first the full record with per-query timings
-({"metric", "value", "unit", "queries": {name: sec}, "sf",
-"baseline_ratio", ...}), then a compact summary line with the headline
-total only. The per-query dict has grown past what tail-capture tooling
-reliably keeps, so the LAST line is guaranteed-small, always-valid JSON
-carrying the headline number; consumers wanting detail parse the first.
-Each query is forced end-to-end with the noop sink (full execution, no
-driver-side collect of the result set).
+Prints TWO JSON lines: first the full record (per-query timings, job
+counts, oracle forms, canary, diffs), then a summary line that ALSO
+carries {"queries": {name: sec}} — the driver's per-query comparison
+parses the LAST line, and rounds 14-15 came back with an empty
+per_query/scaling block because the summary line used to hold only the
+total (round-15 verdict item 1). The summary line stays single-line
+JSON (~5 KB at 197 queries) so tail capture keeps it whole; everything
+bulkier (oracle_forms, regression diffs, job counts) remains
+first-line/ledger-only. Each query is forced end-to-end with the noop
+sink (full execution, no driver-side collect of the result set).
 
 Sketch families are benched in their PRODUCTION configuration (xxhash64
 hash family, bucket caps on, persisted ANN index) — the plan a real run
@@ -724,14 +726,31 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
+    sc = spark.sparkContext
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         _drop_persistent_blocks(spark)
+        # jobs-per-query ledger (round-15 verdict item 7): wall at sf0.1
+        # is driver-bound (~0.3-1 s/job of AQE re-planning + codegen
+        # gaps), so the job count IS the cost model for small SFs — a
+        # query whose count rises round-over-round regressed in driver
+        # work even when wall noise hides it. Group the timed window's
+        # jobs (construction-time eager checkpoints included: they run
+        # inside fn() under this group) and count them right after,
+        # before the UI store can evict them.
+        sc.setJobGroup(f"bench:{name}", name)
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        try:
+            jobs[name] = len(
+                sc.statusTracker().getJobIdsForGroup(f"bench:{name}")
+            )
+        except Exception:  # noqa: BLE001 — ledger extra, never fatal
+            pass
 
     # confirm-before-flag: single-shot timings of sub-second queries
     # wobble 0.3–1 s with session GC/python-worker state, which is enough
@@ -755,6 +774,9 @@ def main() -> None:
         p = prev_q.get(name)
         if p and sec >= 1.5 * p and sec - p >= 0.3:
             _drop_persistent_blocks(spark)
+            # distinct job group: re-time jobs must not inflate the
+            # query's recorded job count
+            sc.setJobGroup(f"retime:{name}", name)
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -770,6 +792,7 @@ def main() -> None:
     if flagged_after_retime:
         def _retime(cname: str) -> float:
             _drop_persistent_blocks(spark)
+            sc.setJobGroup(f"canary:{cname}", cname)
             t0 = time.time()
             queries[cname](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -821,6 +844,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "jobs": jobs,
         "sf": float(sf),
         "n_queries": len(timings),
         "oracle_forms": oracle_forms,
@@ -892,13 +916,17 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — audit is best-effort
             print(f"# plan audit failed: {exc}", file=sys.stderr)
 
-    # guaranteed-small final line: always-valid JSON for tail capture
+    # final summary line: always-valid single-line JSON for tail capture,
+    # WITH per-query seconds — the driver's per-query/scaling comparison
+    # parses this line (round-15 verdict item 1: two rounds of PERF came
+    # back empty because only the total was printed here)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "baseline_ratio": ratios,
@@ -960,6 +988,33 @@ def _prev_round_final_queries(sf: float, current_round: int) -> dict[str, float]
     return prev
 
 
+def _prev_jobs(sf: float, current_round: int) -> dict[str, int]:
+    """Per-query JOB COUNTS of the most recent same-SF entry that carries
+    them (this round's earlier runs included — job counts are a plan
+    property, not a wall measurement, so the freshest record is the
+    right baseline). Empty before the first round-16 record."""
+    prev: dict[str, int] = {}
+    for cand in _history_records():
+        if cand.get("sf") == sf and cand.get("jobs"):
+            prev = cand["jobs"]
+    return prev
+
+
+def _flag_job_increases(
+    now: dict[str, int], prev: dict[str, int]
+) -> dict[str, dict]:
+    """Queries whose driver-side job count ROSE round-over-round (≥2
+    more jobs AND ≥1.25×) — the wall-noise-immune regression signal for
+    the driver-bound sf0.1 regime (round-15 verdict item 7: ~0.3-1 s of
+    AQE re-planning + codegen gap per job)."""
+    out: dict[str, dict] = {}
+    for name, n in now.items():
+        p = prev.get(name)
+        if p and n >= p + 2 and n >= 1.25 * p:
+            out[name] = {"prev": p, "now": n}
+    return out
+
+
 def _flag_regressions(
     now: dict[str, float], prev: dict[str, float]
 ) -> dict[str, dict]:
@@ -975,6 +1030,16 @@ def _flag_regressions(
 #: stable anchors eligible to adjudicate a flagged regression — cheap,
 #: plan-simple queries whose own history is long
 CANARY_CANDIDATES = ("fact_rollup", "dim_user", "staging_clean")
+
+#: multi-job anchors (round-15 verdict item 8): the fast single-job
+#: relational canaries are structurally BLIND to driver-gap inflation —
+#: the r15 driver session inflated 24 job-count-heavy queries 1.5-1.8×
+#: with identical plans while fact_rollup got FASTER, burning 24
+#: "canary clean" flags on a session effect. compound_growth_index is
+#: scheduler-bound by design (one job per recursion step, ~30 jobs,
+#: untouched since round 8), so its re-time moves with per-job driver
+#: overhead, exactly the mode the single-job canaries cannot see.
+MULTIJOB_CANARY_CANDIDATES = ("compound_growth_index", "eval_leak_report")
 
 #: Allocation-heavy zero-shuffle leaf queries whose in-bench readings
 #: carry JVM GC debt BY DESIGN (SCALE.md "multimodal_decode closure",
@@ -1028,22 +1093,40 @@ def _session_canary(
     Re-times ONE stable anchor that is not itself flagged; if the anchor
     also inflated ≥``CANARY_SUSPECT_RATIO`` vs its own history, the whole
     session is slow and the regressions are annotated session_suspect
-    instead of reproduced. Returns the canary record (or None when no
-    eligible anchor has history)."""
-    for cname in CANARY_CANDIDATES:
-        if cname in flagged:  # a flagged anchor can't adjudicate itself
-            continue
-        cprev = prev_q.get(cname)
-        if cname in timings and cprev:
-            csec = retime(cname)
-            return {
-                "query": cname,
-                "sec": csec,
-                "prev": cprev,
-                "ratio": round(csec / cprev, 2),
-                "session_suspect": csec >= CANARY_SUSPECT_RATIO * cprev,
-            }
-    return None
+    instead of reproduced. Since round 16 a second, MULTI-JOB anchor is
+    re-timed too (when one has history and isn't flagged): driver-gap
+    inflation hits job-count-heavy queries while leaving single-job
+    relational plans fast (the r15 failure mode), so session_suspect is
+    true when EITHER anchor inflated. Returns the canary record (or
+    None when no eligible single-job anchor has history; the record
+    keeps its r9 shape with an optional "multi_job" sub-record)."""
+
+    def _first_eligible(candidates) -> dict | None:
+        for cname in candidates:
+            if cname in flagged:  # a flagged anchor can't adjudicate itself
+                continue
+            cprev = prev_q.get(cname)
+            if cname in timings and cprev:
+                csec = retime(cname)
+                return {
+                    "query": cname,
+                    "sec": csec,
+                    "prev": cprev,
+                    "ratio": round(csec / cprev, 2),
+                    "session_suspect": csec >= CANARY_SUSPECT_RATIO * cprev,
+                }
+        return None
+
+    rec = _first_eligible(CANARY_CANDIDATES)
+    if rec is None:
+        return None
+    multi = _first_eligible(MULTIJOB_CANARY_CANDIDATES)
+    if multi is not None:
+        rec["multi_job"] = multi
+        rec["session_suspect"] = (
+            rec["session_suspect"] or multi["session_suspect"]
+        )
+    return rec
 
 
 def _append_history(record: dict) -> tuple[dict, dict]:
@@ -1061,6 +1144,10 @@ def _append_history(record: dict) -> tuple[dict, dict]:
     vs_prev_round = _flag_regressions(
         record["queries"], _prev_round_final_queries(record["sf"], rnd)
     )
+    if record.get("jobs"):
+        record["job_count_increases"] = _flag_job_increases(
+            record["jobs"], _prev_jobs(record["sf"], rnd)
+        )
     # carry the canary's adjudication onto every flagged entry:
     # "session_suspect" (the unflagged anchor inflated too — session-wide
     # slowdown, re-time in isolation before believing it) vs

@@ -167,6 +167,82 @@ def test_refused_record_shape_is_documented_in_main():
     assert src.index("_append_history(record)") > idx_guard
 
 
+def test_multijob_canary_adjudicates_driver_gap_inflation():
+    """Round-15 verdict item 8: the single-job canaries are blind to
+    driver-gap inflation (fact_rollup got FASTER while 24 multi-job
+    queries inflated 1.5-1.8×). A second multi-job anchor must flip the
+    session verdict when it inflated even though the single-job anchor
+    is clean."""
+    b = _bench()
+    prev_q = {
+        "fact_rollup": 1.0,
+        "compound_growth_index": 4.0,
+        "rolling_quantiles": 4.0,
+    }
+    timings = {
+        "fact_rollup": 1.0,
+        "compound_growth_index": 4.1,
+        "rolling_quantiles": 7.0,
+    }
+
+    # single-job anchor clean, multi-job anchor inflated -> suspect
+    retimes = {"fact_rollup": 1.02, "compound_growth_index": 6.5}
+    c = b._session_canary(
+        {"rolling_quantiles"}, prev_q, timings, lambda n: retimes[n]
+    )
+    assert c["query"] == "fact_rollup" and not (
+        c["sec"] >= b.CANARY_SUSPECT_RATIO * c["prev"]
+    )
+    assert c["multi_job"]["query"] == "compound_growth_index"
+    assert c["session_suspect"]  # the multi-job anchor flipped it
+
+    # both anchors clean -> regression is real
+    retimes = {"fact_rollup": 1.02, "compound_growth_index": 4.2}
+    c = b._session_canary(
+        {"rolling_quantiles"}, prev_q, timings, lambda n: retimes[n]
+    )
+    assert not c["session_suspect"]
+
+    # no multi-job anchor history -> r9 single-anchor behavior unchanged
+    c = b._session_canary(
+        {"rolling_quantiles"},
+        {"fact_rollup": 1.0, "rolling_quantiles": 4.0},
+        timings,
+        lambda n: 1.02,
+    )
+    assert "multi_job" not in c and not c["session_suspect"]
+
+
+def test_job_count_increase_flagging():
+    """Round-15 verdict item 7: per-query job counts ride the ledger and
+    a rise (≥2 jobs AND ≥1.25×) is flagged — the wall-noise-immune
+    driver-work regression signal."""
+    b = _bench()
+    flags = b._flag_job_increases(
+        {"a": 10, "b": 4, "c": 57, "d": 3},
+        {"a": 8, "b": 3, "c": 30},
+    )
+    # a: +2 but 1.25x exactly -> flagged; b: +1 only -> not; c: big rise
+    # -> flagged; d: no history -> not
+    assert flags == {
+        "a": {"prev": 8, "now": 10},
+        "c": {"prev": 30, "now": 57},
+    }
+
+
+def test_summary_line_carries_per_query_seconds():
+    """Round-15 verdict item 1: the driver parses the LAST printed JSON
+    line; it must carry {"queries": {name: sec}} or PERF comes back with
+    an empty per_query/scaling block (as it did in rounds 14-15). Pin
+    the wiring textually: the final print includes the queries dict."""
+    import inspect
+
+    b = _bench()
+    src = inspect.getsource(b.main)
+    final_print = src[src.rindex("print(") :]
+    assert '"queries": timings' in final_print
+
+
 def test_headline_covers_every_registry_query():
     """Full-registry bench coverage (round-7 rule, round-10 pin): every
     queries() entry must appear in HEADLINE, or a new operator regresses
