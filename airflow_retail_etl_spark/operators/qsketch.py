@@ -237,72 +237,54 @@ def sample_quantiles(
     deterministically — and positions h = q·(m−1)+1 interpolate with
     the family's EXACT fixed-order expression ``lo + d·(hi−lo)``
     (selection.py's policy: the textbook (1−d)·lo + d·hi differs at the
-    last ulp), rounded 6 dp. All windows/joins touch ≤ cap sketch rows
-    per group."""
+    last ulp), rounded 6 dp.
+
+    The read runs as ONE aggregation: each group's ≤ cap survivor rows
+    collapse to a sorted (v, h) array (``array_sort`` over structs is
+    lexicographic by field order — exactly the old row_number window's
+    (v, h) order), and every q reads its two bracketing order statistics
+    with ``element_at``. Round 16: the previous form ranked the sample
+    with two windows and picked brackets through three self-joins on the
+    ranked frame, which replicated the whole survivor subtree three
+    times in the physical plan — at sf0.1 the driver-side AQE/codegen
+    cost of those copies dominated the family's wall (rolling_quantiles
+    carried a 2231-line plan). The array is bounded by cap per group —
+    kilobytes — so collecting it is the sketch's contract, not a
+    driver-style collect. Values are bit-identical: same bracket
+    elements, same fixed-order interpolation expression (test-pinned
+    against the windowed form; oracle twins unchanged)."""
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
     surv, gk = _with_group(survivors, keys)
-    w_rn = Window.partitionBy(*gk).orderBy("v", "h")
-    w_m = Window.partitionBy(*gk)
-    ranked = surv.select(
-        *gk,
-        "lvl_used",
-        "v",
-        F.row_number().over(w_rn).alias("rn"),
-        F.count(F.lit(1)).over(w_m).cast("long").alias("m"),
+    grouped = surv.groupBy(*gk).agg(
+        F.max("lvl_used").alias("lvl_used"),  # constant per group
+        F.array_sort(
+            F.collect_list(F.struct(F.col("v"), F.col("h")))
+        ).alias("__arr"),
     )
     spark = survivors.sparkSession
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     targets = (
-        ranked.select(*gk, "lvl_used", "m")
-        .distinct()
-        .crossJoin(F.broadcast(qdf))
+        grouped.crossJoin(F.broadcast(qdf))
+        .withColumn("__m", F.size("__arr").cast("long"))
         .withColumn(
             "hpos",
-            F.col("q") * (F.col("m") - 1).cast("double") + F.lit(1.0),
+            F.col("q") * (F.col("__m") - 1).cast("double") + F.lit(1.0),
         )
         .withColumn("lo", F.floor("hpos").cast("long"))
         .withColumn("hi", F.ceil("hpos").cast("long"))
         .withColumn("d", F.col("hpos") - F.col("lo").cast("double"))
     )
-    lo_v = ranked.alias("s").join(
-        F.broadcast(targets).alias("t"),
-        [F.col(f"s.{k}") == F.col(f"t.{k}") for k in gk]
-        + [F.col("s.rn") == F.col("t.lo")],
-    ).select(
-        *[F.col(f"s.{k}") for k in gk],
-        "t.q",
-        F.col("t.lvl_used").alias("lvl_used"),
-        F.col("t.m").alias("n_kept"),
-        "t.d",
-        F.col("s.v").alias("lv"),
-    )
-    hi_v = ranked.alias("s2").join(
-        F.broadcast(targets.select(*gk, "q", "hi")).alias("t2"),
-        [F.col(f"s2.{k}") == F.col(f"t2.{k}") for k in gk]
-        + [F.col("s2.rn") == F.col("t2.hi")],
-    ).select(
-        *[F.col(f"s2.{k}").alias(f"__r_{k}") for k in gk],
-        F.col("t2.q").alias("__r_q"),
-        F.col("s2.v").alias("hv"),
-    )
+    lv = F.element_at("__arr", F.col("lo").cast("int")).getField("v")
+    hv = F.element_at("__arr", F.col("hi").cast("int")).getField("v")
     out = (
-        lo_v.join(
-            hi_v,
-            [F.col(k) == F.col(f"__r_{k}") for k in gk]
-            + [F.col("q") == F.col("__r_q")],
-        )
-        .select(
+        targets.select(
             *gk,
             "q",
             "lvl_used",
-            "n_kept",
-            F.round(
-                F.col("lv")
-                + F.col("d") * (F.col("hv") - F.col("lv")),
-                6,
-            ).alias("quantile"),
+            F.col("__m").alias("n_kept"),
+            F.round(lv + F.col("d") * (hv - lv), 6).alias("quantile"),
         )
         .orderBy(*gk, "q")
     )

@@ -158,6 +158,93 @@ def test_rolling_quantiles_audit_and_head_ramp(spark, days_df):
             assert r.rank_frac == round(r.rank_frac, 6)
 
 
+def test_array_read_equals_windowed_read(spark, days_df):
+    """Round 16: sample_quantiles reads brackets from one sorted-array
+    aggregation instead of two windows + three ranked self-joins (the
+    plan that dominated the family's sf0.1 driver cost). Pin bit-exact
+    equality against an inline reimplementation of the old windowed
+    form, on a grouped, genuinely thresholded sketch (thr > 0 so the
+    survivor sample — not the raw data — is what both forms read)."""
+    from pyspark.sql import Window
+
+    cap = 128
+    surv = qsketch.requantize(
+        qsketch.qsketch_state(days_df, ["day"], "val", "k", cap=cap),
+        ["day"],
+        cap=cap,
+    )
+    got = qsketch.sample_quantiles(surv, ["day"], QS).collect()
+
+    # old form: rank with windows, pick brackets by rank equi-joins
+    gk = ["day"]
+    w_rn = Window.partitionBy(*gk).orderBy("v", "h")
+    w_m = Window.partitionBy(*gk)
+    ranked = surv.select(
+        *gk,
+        "lvl_used",
+        "v",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_m).cast("long").alias("m"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in QS], "q double")
+    targets = (
+        ranked.select(*gk, "lvl_used", "m")
+        .distinct()
+        .crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "hpos",
+            F.col("q") * (F.col("m") - 1).cast("double") + F.lit(1.0),
+        )
+        .withColumn("lo", F.floor("hpos").cast("long"))
+        .withColumn("hi", F.ceil("hpos").cast("long"))
+        .withColumn("d", F.col("hpos") - F.col("lo").cast("double"))
+    )
+    lo_v = ranked.alias("s").join(
+        F.broadcast(targets).alias("t"),
+        [F.col("s.day") == F.col("t.day"), F.col("s.rn") == F.col("t.lo")],
+    ).select(
+        F.col("s.day").alias("day"),
+        "t.q",
+        F.col("t.lvl_used").alias("lvl_used"),
+        F.col("t.m").alias("n_kept"),
+        "t.d",
+        F.col("s.v").alias("lv"),
+    )
+    hi_v = ranked.alias("s2").join(
+        F.broadcast(targets.select(*gk, "q", "hi")).alias("t2"),
+        [
+            F.col("s2.day") == F.col("t2.day"),
+            F.col("s2.rn") == F.col("t2.hi"),
+        ],
+    ).select(
+        F.col("s2.day").alias("__r_day"),
+        F.col("t2.q").alias("__r_q"),
+        F.col("s2.v").alias("hv"),
+    )
+    old = (
+        lo_v.join(
+            hi_v,
+            [
+                F.col("day") == F.col("__r_day"),
+                F.col("q") == F.col("__r_q"),
+            ],
+        )
+        .select(
+            "day",
+            "q",
+            "lvl_used",
+            "n_kept",
+            F.round(
+                F.col("lv") + F.col("d") * (F.col("hv") - F.col("lv")), 6
+            ).alias("quantile"),
+        )
+        .orderBy("day", "q")
+        .collect()
+    )
+    assert any(r.lvl_used > 0 for r in got)  # genuinely thresholded
+    assert [tuple(r) for r in got] == [tuple(r) for r in old]
+
+
 def test_validation(spark, days_df):
     with pytest.raises(ValueError, match="cap"):
         qsketch.qsketch_state(days_df, (), "val", "k", cap=16)
