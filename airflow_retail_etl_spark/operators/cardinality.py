@@ -46,6 +46,19 @@ def _u64(col: Column) -> Column:
     return xhash.md5_u64(col.cast("string"))
 
 
+def _u64_biased(col: Column) -> Column:
+    """The same draw as an ORDER-PRESERVING signed long (u − 2^63) —
+    round 16: the KMV path's distinct/sort/min-k ran on DECIMAL(20,0)
+    (a BigDecimal allocation per row per comparison); every KMV
+    operation is ordering/equality, so the biased image carries it at
+    zero semantic change, and ``xhash.biased_to_u64_dec`` reconstructs
+    the EXACT u64 DECIMAL at the published-threshold grain
+    (order-preservation and inversion pinned in tests/test_xhash.py;
+    published values byte-identical — tests/test_cardinality)."""
+    hi, lo = xhash.md5_u64_hilo(col.cast("string"))
+    return (hi - F.lit(2147483648)) * F.lit(1 << 32) + lo
+
+
 def kmv_distinct(df: DataFrame, col: str, *, k: int = 1024) -> DataFrame:
     """K-minimum-values distinct-count sketch: one row
     (method, k, n_kept, threshold, estimate).
@@ -64,7 +77,7 @@ def kmv_distinct(df: DataFrame, col: str, *, k: int = 1024) -> DataFrame:
     top-k IS that merge.
     """
     hashes = (
-        df.select(_u64(F.col(col)).alias("h"))
+        df.select(_u64_biased(F.col(col)).alias("h"))
         .filter(F.col("h").isNotNull())
         .distinct()
     )
@@ -76,7 +89,7 @@ def kmv_distinct(df: DataFrame, col: str, *, k: int = 1024) -> DataFrame:
     return (
         sk.agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.max("h").alias("kth"),
+            xhash.biased_to_u64_dec(F.max("h")).alias("kth"),
         )
         .select(
             F.lit("kmv").alias("method"),
@@ -130,7 +143,7 @@ def kmv_overlap(
 
     def side(df: DataFrame, name: str) -> DataFrame:
         return (
-            df.select(_u64(F.col(col)).alias("h"))
+            df.select(_u64_biased(F.col(col)).alias("h"))
             .filter(F.col("h").isNotNull())
             .distinct()
             .orderBy(F.col("h").asc())
@@ -151,7 +164,7 @@ def kmv_overlap(
     )
     agg = merged.agg(
         F.count(F.lit(1)).alias("n_u"),
-        F.max("h").alias("kth"),
+        xhash.biased_to_u64_dec(F.max("h")).alias("kth"),
         F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
     )
     full = F.col("n_u") >= k
