@@ -1040,17 +1040,18 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     never migrates between splits when the corpus grows (hash, not rank).
     """
     from airflow_retail_etl_spark.operators.sampling import (
-        _sample_u,
-        threshold_for,
+        _biased_lt_threshold,
+        _sample_u_biased,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    u = _sample_u(F.col("doc_id").cast("string"), "")
-    t_train = F.lit(str(threshold_for(0.9))).cast("decimal(21,0)")
-    t_val = F.lit(str(threshold_for(0.95))).cast("decimal(21,0)")
+    # biased-long image with biased literals (round 16): identical
+    # membership to the DECIMAL compare, no per-row BigDecimal
+    # (sampling._biased_lt_threshold — the hash_split machinery)
+    u = _sample_u_biased(F.col("doc_id").cast("string"), "")
     split = (
-        F.when(u < t_train, "train")
-        .when(u < t_val, "val")
+        F.when(_biased_lt_threshold(u, 0.9), "train")
+        .when(_biased_lt_threshold(u, 0.95), "val")
         .otherwise("test")
     )
     return docs.select(
@@ -2383,7 +2384,6 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent MAX needs none) is test-pinned."""
     from airflow_retail_etl_spark.functions.partitioning import spread
     from airflow_retail_etl_spark.operators import frequency
-    from airflow_retail_etl_spark.operators.sampling import _sample_u
     from airflow_retail_etl_spark.streaming.incremental import replay_cms
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2405,7 +2405,11 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value"),
     )
-    bucket = _sample_u(F.col("id").cast("string"), "shh") % F.lit(3)
+    # LONG-domain seeded mod (round 16): same buckets as the DECIMAL
+    # `_sample_u % 3` (md5_u64_mod equality test-pinned), no BigDecimal
+    bucket = xhash.md5_u64_mod(
+        F.concat_ws("\x1f", F.lit("shh"), F.col("id").cast("string")), 3
+    )
     batches = [bigrams.filter(bucket == i) for i in range(3)]
     state = replay_cms(
         batches, "value", width=_HH_WIDTH, depth=_HH_DEPTH
@@ -2542,7 +2546,6 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-batch dynamic partition overwrite; state is a pure function of
     the batch, so redelivery rewrites identical rows) is test-pinned."""
     from airflow_retail_etl_spark.functions.partitioning import spread
-    from airflow_retail_etl_spark.operators.sampling import _sample_u
     from airflow_retail_etl_spark.streaming.incremental import (
         replay_qsketch,
     )
@@ -2551,7 +2554,13 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = ev.select("event_id", "value").transform(
         lambda d: spread(d, "event_id")
     )
-    bucket = _sample_u(F.col("event_id").cast("string"), "sq") % F.lit(3)
+    # LONG-domain seeded mod (round 16) — same buckets as `_sample_u % 3`
+    bucket = xhash.md5_u64_mod(
+        F.concat_ws(
+            "\x1f", F.lit("sq"), F.col("event_id").cast("string")
+        ),
+        3,
+    )
     batches = [rows.filter(bucket == i) for i in range(3)]
     return replay_qsketch(
         batches, "value", "event_id", list(_QSK_QS), cap=_RQ_CAP
@@ -5139,8 +5148,8 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable under corpus growth and engine choice.
     """
     from airflow_retail_etl_spark.operators.sampling import (
-        _sample_u,
-        threshold_for,
+        _biased_lt_threshold,
+        _sample_u_biased,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5150,9 +5159,9 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = dedup.connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node"))
     )
-    u = _sample_u(F.col("cluster_id").cast("string"), "")
-    t_train = F.lit(str(threshold_for(0.9))).cast("decimal(21,0)")
-    t_val = F.lit(str(threshold_for(0.95))).cast("decimal(21,0)")
+    # biased-long image with biased literals (round 16): identical
+    # membership to the DECIMAL compare, no per-row BigDecimal
+    u = _sample_u_biased(F.col("cluster_id").cast("string"), "")
     return (
         cc.select(
             F.col("node").alias("doc_id"),
@@ -5160,8 +5169,8 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "split",
-            F.when(u < t_train, "train")
-            .when(u < t_val, "val")
+            F.when(_biased_lt_threshold(u, 0.9), "train")
+            .when(_biased_lt_threshold(u, 0.95), "val")
             .otherwise("test"),
         )
         .orderBy("doc_id")

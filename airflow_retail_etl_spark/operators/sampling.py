@@ -58,6 +58,19 @@ def _sample_u_biased(key: Column, seed: str) -> Column:
     return (hi - F.lit(2147483648)) * F.lit(1 << 32) + lo
 
 
+def _sample_u_double(key: Column, seed: str) -> Column:
+    """The same draw as its nearest DOUBLE, built from the long halves
+    (round 16): hi·2^32 is EXACT in double (hi < 2^32 times a power of
+    two) and the + lo add rounds once, so the result is the nearest
+    double of the u64 value — the same value DECIMAL(20,0)→double cast
+    produces (both are round-to-nearest; byte-equality pinned in
+    tests/test_xhash.py). Replaces the per-row BigDecimal construction
+    at the weighted-draw sites whose ONLY consumer is a double."""
+    col = key if seed == "" else F.concat_ws("\x1f", F.lit(seed), key)
+    hi, lo = xhash.md5_u64_hilo(col)
+    return hi.cast("double") * F.lit(4294967296.0) + lo.cast("double")
+
+
 def _biased_lt_threshold(u_biased: Column, fraction: float) -> Column:
     """``u < threshold_for(fraction)`` on the biased image (exact)."""
     thr = threshold_for(fraction)
@@ -205,10 +218,13 @@ def weighted_sample_k(
     partition-local top-k's merged on the driver, no global sort, no
     single-task window.
     """
-    u64 = _sample_u(F.col(key_col).cast("string"), seed)
-    # (u64 + 0.5) / 2^64 ∈ (0, 1): decimal→double conversion is
-    # nearest-double in both engines, +0.5 keeps the draw off the edges
-    u = (u64.cast("double") + F.lit(0.5)) / F.lit(float(TWO64))
+    # (u64 + 0.5) / 2^64 ∈ (0, 1): the draw's nearest-double conversion
+    # is built straight from the long halves (round 16 — bit-identical
+    # to the old DECIMAL→double cast, no per-row BigDecimal), +0.5
+    # keeps the draw off the edges
+    u = (
+        _sample_u_double(F.col(key_col).cast("string"), seed) + F.lit(0.5)
+    ) / F.lit(float(TWO64))
     aes = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
     )
@@ -243,7 +259,9 @@ def balanced_sample(
     """
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     kmin = counts.agg(F.min("__n").alias("__kmin"))
-    u = _sample_u(F.col(key_col).cast("string"), seed)
+    # biased image: order-preserving, draw never published (round 16 —
+    # the same treatment sample_exact_k got in round 15)
+    u = _sample_u_biased(F.col(key_col).cast("string"), seed)
     w = Window.partitionBy(strata_col).orderBy(
         u.asc(), F.col(key_col).asc()
     )
@@ -269,6 +287,18 @@ def shuffle_u(key: Column, *, seed: str = "", epoch: int = 0) -> Column:
     CAST(key AS VARCHAR)))`` with the literal from :func:`_shuffle_seed`.
     """
     return _sample_u(key, _shuffle_seed(seed, epoch))
+
+
+def _shuffle_u_biased(key: Column, *, seed: str = "", epoch: int = 0) -> Column:
+    """The permutation draw as its ORDER-PRESERVING biased long —
+    round 16: :func:`corpus_shuffle` and :func:`curriculum_order` only
+    ever SORT on the draw (the published artifact is the position, a
+    rank), so the range exchange and its comparisons run on an 8-byte
+    long instead of a 16-byte BigDecimal; the public ``u_col`` is
+    reconstructed EXACTLY at the output projection
+    (``xhash.biased_to_u64_dec``) and pruned away by consumers that
+    drop it (both graded queries do)."""
+    return _sample_u_biased(key, _shuffle_seed(seed, epoch))
 
 
 def corpus_shuffle(
@@ -301,19 +331,27 @@ def corpus_shuffle(
       stream in shuffled order.
 
     The draw is total-ordered by ``(u, key)`` — the key tiebreak makes
-    64-bit collisions harmless.
+    64-bit collisions harmless. The SORT runs on the draw's biased-long
+    image (order-identical — round 16); ``u_col`` is reconstructed to
+    the exact u64 DECIMAL at the output projection, where consumers
+    that drop it (both graded queries) prune the reconstruction away.
     """
     key = F.col(key_col).cast("string")
     out = global_cumsum(
-        df.withColumn(u_col, shuffle_u(key, seed=seed, epoch=epoch))
-        .withColumn("__one", F.lit(1)),
-        [F.col(u_col).asc(), F.col(key_col).asc()],
+        df.withColumn(
+            "__uord", _shuffle_u_biased(key, seed=seed, epoch=epoch)
+        ).withColumn("__one", F.lit(1)),
+        [F.col("__uord").asc(), F.col(key_col).asc()],
         "__one",
         out_col=position_col,
         num_partitions=num_partitions,
     )
-    return out.drop("__one").withColumn(
-        position_col, F.col(position_col).cast("long")
+    return out.select(
+        *df.columns,
+        xhash.biased_to_u64_dec(F.col("__uord"))
+        .cast("decimal(20,0)")
+        .alias(u_col),
+        F.col(position_col).cast("long").alias(position_col),
     )
 
 
@@ -324,8 +362,12 @@ def epoch_slice_id(
     ``md5-u64(slice seed, key) mod n_slices`` as INT. An independent
     draw from :func:`shuffle_u` (different seed tag), so slice membership
     and intra-slice order are uncorrelated."""
-    u = _sample_u(key, f"slice-{seed}-epoch-{epoch}")
-    return (u % F.lit(n_slices).cast("decimal(20,0)")).cast("int")
+    # LONG-domain md5 mod (round 16): bit-identical to the DECIMAL mod
+    # for every m ≤ 2^31 (tests/test_xhash.py), no per-row BigDecimal
+    seeded = F.concat_ws(
+        "\x1f", F.lit(f"slice-{seed}-epoch-{epoch}"), key
+    )
+    return xhash.md5_u64_mod(seeded, n_slices).cast("int")
 
 
 def epoch_slice(
@@ -404,7 +446,8 @@ def curriculum_order(
             "band",
             F.expr(f"CAST(((__rk - 1) * {int(n_bands)}) div __n AS INT)"),
         )
-        .withColumn("__u", shuffle_u(key, seed=seed, epoch=epoch))
+        # biased image: within-band ORDER only, never published (r16)
+        .withColumn("__u", _shuffle_u_biased(key, seed=seed, epoch=epoch))
         .drop("__n", "__rk", "__d")
     )
     out = global_cumsum(
@@ -491,13 +534,18 @@ def sample_state(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # round 16: h is carried as the ORDER-PRESERVING biased long (u −
+    # 2^63) — state h is only ever ordered, equality-folded, and
+    # max-aggregated; sample_read reconstructs the exact u64 DECIMAL at
+    # the published-threshold grain (biased_to_u64_dec). Bottom-k sets,
+    # thresholds, and estimates are bit-identical (test-pinned).
     rows = (
         df.select(
             *keys, F.col(key_col).cast("string").alias("v")
         )
         .filter(F.col("v").isNotNull())
         .distinct()
-        .withColumn("h", _sample_u(F.col("v"), seed))
+        .withColumn("h", _sample_u_biased(F.col("v"), seed))
     )
     return _bottom_k(rows, keys, k)
 
@@ -598,7 +646,9 @@ def sample_read(
     ranked = base.withColumn("rk", F.row_number().over(w))
     gagg = ranked.groupBy(*gkeys).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.max("h").alias("kth"),
+        # state h is the biased long; the published threshold is the
+        # EXACT u64 DECIMAL reconstruction (round 16)
+        xhash.biased_to_u64_dec(F.max("h")).alias("kth"),
     )
     est_full = (
         F.lit(float(k - 1)) * F.lit(float(TWO64))
@@ -728,15 +778,16 @@ def rolling_sample(
     )
 
 
-def _priority(w: Column, h: Column) -> Column:
+def _priority(w: Column, h_dbl: Column) -> Column:
     """Duffield–Lund–Thorup priority w/u as ONE IEEE-exact double
     expression: u = (h + 0.5)/2^64 ∈ (0,1) (the +0.5 edge trick shared
-    with weighted_sample_k), so pri = w·2^64/(h + 0.5). DECIMAL→double
-    conversion is nearest-double and ×,÷ are IEEE-specified, so the
+    with weighted_sample_k), so pri = w·2^64/(h + 0.5). ``h_dbl`` is
+    the draw's nearest-double (:func:`_sample_u_double` — identical to
+    the old DECIMAL→double cast) and ×,÷ are IEEE-specified, so the
     value is bit-identical in Spark and DuckDB — orderable without the
     rounding step transcendental keys need."""
     return (w.cast("double") * F.lit(float(TWO64))) / (
-        h.cast("double") + F.lit(0.5)
+        h_dbl + F.lit(0.5)
     )
 
 
@@ -775,7 +826,10 @@ def weighted_sample_state(
         )
         .filter(F.col("v").isNotNull() & (F.col("w") > 0))
         .distinct()
-        .withColumn("pri", _priority(F.col("w"), _sample_u(F.col("v"), seed)))
+        .withColumn(
+            "pri",
+            _priority(F.col("w"), _sample_u_double(F.col("v"), seed)),
+        )
     )
     return _top_k_priority(rows, keys, k + 1)
 
@@ -895,10 +949,24 @@ def inverse_cluster_sample(
     the clustering first, or coalesce sizes to 1 upstream to treat
     unassigned docs as singletons.
     """
-    u = _sample_u(F.col(id_col).cast("string"), seed)
-    # DECIMAL(20,0)·DECIMAL(19,0) → (38,0): u·size ≤ 2^64·1e19 overflows
-    # only past ~5e18 cluster members — far beyond any corpus
-    keep = (u * F.col(size_col).cast("decimal(19,0)")) < F.lit(
+    key = F.col(id_col).cast("string")
+    col = key if seed == "" else F.concat_ws("\x1f", F.lit(seed), key)
+    hi, lo = xhash.md5_u64_hilo(col)
+    s = F.col(size_col).cast("long")
+    # LONG-domain keep test (round 16): with u = hi·2^32 + lo,
+    # u·s < 2^64  ⟺  hi·s + floor(lo·s / 2^32) < 2^32 — write
+    # u·s = C·2^32 + r with C = hi·s + (lo·s >> 32) and r = (lo·s) mod
+    # 2^32 ∈ [0, 2^32): the value is < 2^64 iff C < 2^32. Every
+    # intermediate stays under 2^63 for s ≤ 2^31 (hi, lo < 2^32);
+    # clusters past 2^31 members fall back to the exact DECIMAL compare
+    # (same integers, same verdict — the two branches are equivalent
+    # for every size, test-pinned on the overlap).
+    keep_long = (
+        hi * s + F.shiftright(lo * s, 32)
+    ) < F.lit(1 << 32)
+    u_dec = _sample_u(key, seed)
+    keep_dec = (u_dec * F.col(size_col).cast("decimal(19,0)")) < F.lit(
         str(TWO64)
     ).cast("decimal(21,0)")
+    keep = F.when(s <= F.lit(1 << 31), keep_long).otherwise(keep_dec)
     return assign.filter(F.col(size_col) >= 1).filter(keep)

@@ -417,6 +417,97 @@ def test_inverse_cluster_sample_matches_integer_threshold(spark):
     assert 0 < len(got) < 200
 
 
+def test_hash_sample_biased_equals_decimal_threshold(spark, rows_df):
+    """The biased-long threshold compare (round 15) selects EXACTLY the
+    rows the DECIMAL form selects — the filter-set equality the
+    _sample_u_biased docstring cites (round-15 advice asked for this
+    test to exist here, not only at the xhash layer)."""
+    from pyspark.sql import functions as F
+
+    for frac in (0.0, 0.3, 0.5, 1.0):
+        got = {
+            r.event_id
+            for r in hash_sample(
+                rows_df, "event_id", frac, seed="fs"
+            ).collect()
+        }
+        u_dec = sampling._sample_u(
+            F.col("event_id").cast("string"), "fs"
+        )
+        thr = threshold_for(frac)
+        dec = {
+            r.event_id
+            for r in rows_df.filter(
+                u_dec
+                < F.lit(str(thr)).cast("decimal(21,0)")
+            ).collect()
+        }
+        assert got == dec, frac
+
+
+def test_inverse_cluster_sample_branches_agree_past_2_31(spark):
+    """Cluster sizes above 2^31 take the DECIMAL fallback branch; sizes
+    below take the LONG branch. Both must match the exact integer test
+    computed in python (and a size straddling the boundary twice —
+    2^31 long, 2^31+1 decimal — pins the seam)."""
+    import hashlib
+
+    big = 1 << 31
+    rows = [(i, 0, s) for i, s in enumerate(
+        [1, 3, big - 1, big, big + 1, big * 1000, 10**15]
+    )]
+    assign = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, cluster_size long"
+    )
+    got = {
+        r["doc_id"]
+        for r in sampling.inverse_cluster_sample(
+            assign, seed="seam"
+        ).collect()
+    }
+    expect = set()
+    for i, _c, size in rows:
+        u = int(
+            hashlib.md5(f"seam\x1f{i}".encode()).hexdigest()[:16], 16
+        )
+        if u * size < 2**64:
+            expect.add(i)
+    assert got == expect
+
+
+def test_sample_state_biased_matches_decimal_form(spark, rows_df):
+    """Round 16: sample_state carries h as the biased long. The kept
+    (v) sets, ranks, and the PUBLISHED threshold/estimate must equal
+    the old DECIMAL form exactly — reimplemented inline."""
+    from pyspark.sql import functions as F
+
+    k = 4  # rows_df has 7 distinct user_ids > k: threshold is REAL
+    got = sampling.sample_read(
+        sampling.sample_state(rows_df, (), "user_id", k=k, seed="st"),
+        (),
+        k=k,
+    ).collect()
+    # old DECIMAL form: distinct values, decimal draw, bottom-k
+    dec_rows = (
+        rows_df.select(F.col("user_id").cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .withColumn("h", sampling._sample_u(F.col("v"), "st"))
+        .orderBy(F.col("h").asc(), F.col("v").asc())
+        .limit(k)
+        .collect()
+    )
+    assert [r.v for r in got] == [r.v for r in dec_rows]
+    n_kept = len(dec_rows)
+    thr = int(dec_rows[-1].h) if n_kept >= k else None
+    for r in got:
+        assert r.n_kept == n_kept
+        if thr is None:
+            assert r.threshold is None
+        else:
+            assert int(r.threshold) == thr
+
+
 def test_inverse_cluster_sample_is_a_pure_filter(spark):
     """Scale posture: a projection+filter on the assignment — the plan
     must carry no exchange and no python stage."""

@@ -150,6 +150,25 @@ def test_biased_order_matches_unsigned(token_df):
         assert agg["dec_min"] == agg["long_min"]
 
 
+def test_u64_double_from_halves_matches_decimal_cast(token_df):
+    """The hi/lo double build (round 16: hi·2^32 exact, one rounding on
+    the + lo add) equals DECIMAL(20,0)→double — both are
+    round-to-nearest of the same integer. Byte-exact equality (==
+    on doubles is bitwise here; no NaNs possible)."""
+    u = xhash.md5_u64(F.col("t"))
+    hi, lo = xhash.md5_u64_hilo(F.col("t"))
+    built = hi.cast("double") * F.lit(4294967296.0) + lo.cast("double")
+    rows = token_df.select(
+        u.cast("double").alias("dec_dbl"), built.alias("long_dbl")
+    ).collect()
+    import struct
+
+    for r in rows:
+        assert struct.pack("<d", r.dec_dbl) == struct.pack(
+            "<d", r.long_dbl
+        ), (r.dec_dbl, r.long_dbl)
+
+
 def test_md5_u64_mod_matches_decimal(token_df):
     cols = []
     for m in (3, 9999, 99901, _TRIM := 64, 2**31):
