@@ -33,7 +33,10 @@ from airflow_retail_etl_spark.functions import xhash
 
 def _positions(col: Column, k_hashes: int, n_bits: int) -> list[Column]:
     """The k Kirsch–Mitzenmacher bit positions of a value, as BIGINTs in
-    [0, n_bits). Exact DECIMAL arithmetic until the final mod."""
+    [0, n_bits). Pure LONG hi/lo arithmetic (round 15): the u64 rides as
+    two 32-bit halves and ``xhash.km_hash_mod`` decomposes the mod —
+    bit-identical to the old DECIMAL form (equivalence proven in
+    functions/xhash's module notes and pinned by tests/test_xhash.py)."""
     h1, l1 = xhash.md5_u64_hilo(col, 1)
     h2, l2 = xhash.md5_u64_hilo(col, 2)
     return [

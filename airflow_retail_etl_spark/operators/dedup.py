@@ -250,8 +250,16 @@ def minhash_signatures(
     intrinsic) or ``"md5km"`` (cross-engine: Kirsch–Mitzenmacher double
     hashing off the two md5 halves, bit-replicable in DuckDB — see
     functions.xhash — at ~one md5 per shingle instead of num_hashes
-    xxhash64 calls).
+    xxhash64 calls). The md5km family supports ``num_hashes <= 63``
+    (the long-domain KM carry needs i ≤ 62 — functions.xhash._km_hilo);
+    every in-repo md5km site passes 63. xxhash64 has no limit.
     """
+    if hash == "md5km" and num_hashes > 63:
+        raise ValueError(
+            "minhash_signatures: the md5km family supports num_hashes"
+            f" <= 63 (long-domain KM i <= 62 guard), got {num_hashes};"
+            " pass num_hashes=63 or use hash='xxhash64'"
+        )
     sh = _with_shingles(df, text_col, id_col, kind=kind, n=n)
     inv = sh.select("id", F.explode_outer("shingles").alias("s"))
     if hash == "xxhash64":
