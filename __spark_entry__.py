@@ -5790,6 +5790,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past-prefix faces this round: round 15 is fixes + rotation (the
     sign-of-zero publication policy), per the r14 verdict's flat-LoC
     budget.
+    Round-16 rotation (the r15 verdict's rotation-ledger item): IN —
+    eight never-driver-verified entries: demand_shift (one-shot
+    heavy-change detection), daily_distinct_hll (grouped per-day HLL
+    registers), quantile_sketch (one-shot qsketch face),
+    epoch_slice + curriculum_order + weighted_sample + balanced_sample
+    (the four remaining sampling faces, all carrying this round's
+    long-domain draw rewrites), and label_propagation (categorical
+    iterative propagation, r15-optimized). OUT — eight entries with
+    MULTIPLE consecutive green driver rounds (the r15 cohort, verified
+    once in r15, stays in-window for its second green round per the
+    r15 verdict's ledger rule; nothing that has ever failed moves out
+    before two consecutive greens — embedding_gram therefore stays):
+    pii_redaction, rolling_mart, robust_value_stats, decayed_revenue,
+    pack_sequences, streaming_volatility, ivf_pq, image_neardup — each
+    annotated at its new slot with its last-green round and where its
+    machinery stays verified.
     Entries after the prefix are same-family variants with identical
     verification locally (tools/check_oracle.py runs ALL of them; tests
     pin them too) — they are not lesser, just redundant within the
@@ -5848,11 +5864,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays in-window via decontam_excise's excision anti-joins, and
         # the grouping-sets reshape is oracle-checked every round via
         # revenue_cube
-        "robust_value_stats": q_robust_value_stats,
-        # ivf_pq supersedes ann_pq as the PQ-family window representative:
-        # identical oracle (probe-all ≡ exhaustive ADC) plus the IVF cell
-        # composition on top — strictly more machinery under the same check
-        "ivf_pq": q_ivf_pq,
+        # round-16 rotation: robust_value_stats (driver-green r14+r15)
+        # moves just past the prefix — quantile_sketch, the never-
+        # driver-verified one-shot qsketch face (r16 array-read
+        # optimization), takes the quantile slot beside in-window
+        # rolling_quantiles
+        "quantile_sketch": q_quantile_sketch,
+        # round-16 rotation: ivf_pq (driver-green r12-r15, the window's
+        # longest-verified ANN face) moves just past the prefix — its
+        # PQ/ADC machinery stays oracle-checked via ann_pq/ann_ivf/
+        # ann_recall and the vector family stays in-window via
+        # knn_by_label; label_propagation (r13-built, r15-optimized
+        # long-id rounds, never driver-verified) takes the iterative
+        # slot beside pagerank
+        "label_propagation": q_label_propagation,
         "asof_join": q_asof_join,
         # pagerank reps the iterative-graph family in the window (its
         # sibling, min-label connected components, is already exercised
@@ -5945,7 +5970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via psi_drift's expected-frequency model
         "rrf_fusion": q_rrf_fusion,
         "rolling_demand_shift": q_rolling_demand_shift,
-        "pii_redaction": q_pii_redaction,
+        # round-16 rotation: pii_redaction (driver-green many rounds)
+        # moves just past the prefix — the pii machinery stays in-window
+        # via staging_clean's redaction; demand_shift, the one-shot
+        # heavy-change face (never driver-verified; its rolling and
+        # streaming siblings share the identical exact-integer ranking
+        # tail), joins rolling_demand_shift in the window
+        "demand_shift": q_demand_shift,
         # fim_transform (rotated in round 15): fill-in-the-middle PSM
         # augmentation — zero-shuffle hash-cut projection, a normalize
         # fixed point; quality_filter (driver-green many rounds)
@@ -5988,7 +6019,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # register fold keeps the cardinality module in-window);
         # incremental_mart (driver-green r12) rotates just past the
         # prefix under the identical cell/register machinery
-        "rolling_mart": q_rolling_mart,
+        # round-16 rotation: rolling_mart (driver-green r13-r15) moves
+        # just past the prefix — streaming_mart stays and runs the
+        # identical cell/register fold; daily_distinct_hll, the grouped
+        # per-day HLL register face (never driver-verified), keeps the
+        # cardinality module's rolling machinery in the window
+        "daily_distinct_hll": q_daily_distinct_hll,
         # streaming_mart (rotated in round 14 per the one-round-lag
         # protocol, as promised in the r13 rotation notes): the stream ≡
         # batch certificate of the linear KPI cell fold — fold_kpi_batch
@@ -6007,8 +6043,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bottom-k machinery stays in-window via doc_mass_by_lang's
         # priority states and decontam_excise's md5 draws, and the
         # streaming fold certificate via streaming_sample
-        "decayed_revenue": q_decayed_revenue,
-        "pack_sequences": q_pack_sequences,
+        # round-16 rotation: decayed_revenue (driver-green r14+r15)
+        # moves just past the prefix — the Horner decayed-state
+        # machinery stays in-window via streaming_decayed and
+        # ewm_price_stats; curriculum_order (never driver-verified,
+        # r16 biased-long ordering) reps the banded-schedule face of
+        # the permutation-draw machinery
+        "curriculum_order": q_curriculum_order,
+        # round-16 rotation: pack_sequences (driver-green r12-r15)
+        # moves just past the prefix — the packing machinery stays
+        # in-window via fim_transform's hash-cut-before-packing;
+        # epoch_slice (never driver-verified, r16 long-domain slice
+        # draw) reps disjoint-slice epoch consumption over the shuffle
+        # draw machinery
+        "epoch_slice": q_epoch_slice,
         "bpe_tokenize": q_bpe_tokenize,
         # -- dedup / sketch family ----------------------------------------
         # doc_mass_by_lang (NEW in round 12) reps the weighted half of
@@ -6036,7 +6084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix under the IDENTICAL exact-DECIMAL (n, Σx, Σx²) moment
         # cells and calendar-bounded merges — the same-module sibling
         # precedent from r13's rolling_mart/incremental_mart swap
-        "streaming_volatility": q_streaming_volatility,
+        # round-16 rotation: streaming_volatility (driver-green
+        # r14+r15) moves just past the prefix — the exact-DECIMAL
+        # moment-cell folds stay in-window via streaming_mart;
+        # weighted_sample (never driver-verified, r16 nearest-double
+        # draw from the long halves) reps the Efraimidis–Spirakis
+        # weighted draw
+        "weighted_sample": q_weighted_sample,
         # the banded-MinHash machinery (signatures, band buckets, exact
         # verify) is repped in-window by streaming_admission, which runs
         # the identical engine incrementally per batch; the one-shot
@@ -6074,7 +6128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its hyperplane-LSH block-join machinery stays represented by
         # ann_lsh's identical planes/verify path and semdedup's blocked
         # cosine verify (both oracle-checked every round)
-        "image_neardup": q_image_neardup,
+        # round-16 rotation: image_neardup (driver-green r8-r15, the
+        # window's longest-verified media face) moves just past the
+        # prefix — the Arrow decode machinery stays in-window via
+        # multimodal_decode and the SimHash/pigeonhole Hamming engine
+        # stays oracle-checked via simhash_pairs/audio_neardup/
+        # video_neardup; balanced_sample (never driver-verified, r16
+        # biased ordering) reps the per-stratum equal-k draw
+        "balanced_sample": q_balanced_sample,
         "multimodal_decode": q_multimodal_decode,
         # ------------------------------------------------------- entry 50
         # Same-family variants beyond the driver's window (still fully
@@ -6116,13 +6177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reciprocal rank fusion over the two rankers' pinned top-50
         # orders; rotation candidate next round
         "streaming_quantiles": q_streaming_quantiles,
-        # demand_shift (NEW in round 14): heavy-change detection — the
-        # deltoids primitive ranked by an EXACT common-denominator
-        # integer; rotation candidate next round
-        "demand_shift": q_demand_shift,
-        # rolling_demand_shift (NEW in round 14): the same primitive as
-        # a state read — per-(day, key) cells + two calendar-bounded
-        # window sums at the latest day; rotation candidate next round
+        # pii_redaction (rotated out round 16, last driver-green r15;
+        # the pii machinery stays in-window via staging_clean)
+        "pii_redaction": q_pii_redaction,
         "tfidf_keywords": q_tfidf_keywords,
         # streaming_demand_shift (NEW in round 14): the stream ≡ batch
         # certificate for that read — kpi-cell folds reused as the
@@ -6210,9 +6267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantile-sketch rolling face — one rolling-sketch face stays
         # in-window at all times, now rolling_quantiles)
         "rolling_distinct_hll": q_rolling_distinct_hll,
-        # grouped face of the same register machinery (per-key HLL fold
-        # — the 100 TB daily COUNT DISTINCT)
-        "daily_distinct_hll": q_daily_distinct_hll,
+        # rolling_mart (rotated out round 16, last driver-green r15;
+        # identical cell/register machinery in-window via streaming_mart)
+        "rolling_mart": q_rolling_mart,
         # streaming face of the same registers: per-micro-batch state
         # folds, stream ≡ batch certified by the one-shot oracle
         "streaming_sketch": q_streaming_sketch,
@@ -6231,9 +6288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_quantiles": q_global_quantiles,
         # round 12: one-shot face of the qsketch module (adaptive
         # Bernoulli level sample + exact rank audit; the mergeable state
-        # machinery is in-prefix via rolling_quantiles, the streaming
-        # fold via streaming_quantiles since round 13)
-        "quantile_sketch": q_quantile_sketch,
+        # robust_value_stats (rotated out round 16, last driver-green
+        # r15; rank-exact selection machinery stays oracle-checked via
+        # global_quantiles/grouped_quantiles every round)
+        "robust_value_stats": q_robust_value_stats,
         # eval-hygiene reverse aggregation (which benchmark items are
         # compromised, and how badly) — rotated just past the prefix in
         # round 10 for bloom_decontam
@@ -6276,11 +6334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_parts": q_significant_parts,
         "top_terms": q_top_terms,
         "split_assign": q_split_assign,
-        # disjoint-slice consumption over the in-window corpus_shuffle
-        # draw machinery
-        "epoch_slice": q_epoch_slice,
-        # banded easy-to-hard schedule on top of the same draw machinery
-        "curriculum_order": q_curriculum_order,
+        # decayed_revenue and pack_sequences (rotated out round 16,
+        # last driver-green r15; Horner decayed machinery in-window via
+        # streaming_decayed/ewm_price_stats, packing via fim_transform)
+        "decayed_revenue": q_decayed_revenue,
+        "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
         # per-bucket sequence fill audit over the pack_sequences layout
         "packing_report": q_packing_report,
@@ -6359,7 +6417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_score": q_bigram_score,
         "json_props_rollup": q_json_props_rollup,
         "revenue_growth": q_revenue_growth,
-        "weighted_sample": q_weighted_sample,
+        # streaming_volatility (rotated out round 16, last driver-green
+        # r15; moment-cell folds in-window via streaming_mart)
+        "streaming_volatility": q_streaming_volatility,
         "multimodal_bytes": q_multimodal_bytes,
         "ann_pq": q_ann_pq,
         "volume_shipping": q_volume_shipping,
@@ -6375,7 +6435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": q_supplier_part_counts,
         "blamed_suppliers": q_blamed_suppliers,
         "excess_suppliers": q_excess_suppliers,
-        "label_propagation": q_label_propagation,
+        # ivf_pq (rotated out round 16, last driver-green r15; PQ/ADC
+        # machinery oracle-checked via ann_pq/ann_ivf/ann_recall)
+        "ivf_pq": q_ivf_pq,
         "hard_negatives": q_hard_negatives,
         "revenue_reconciliation": q_revenue_reconciliation,
         "session_window_stats": q_session_window_stats,
@@ -6386,7 +6448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof": q_scd2_asof,
         "containment_pairs": q_containment_pairs,
         "matryoshka_recall": q_matryoshka_recall,
-        "balanced_sample": q_balanced_sample,
+        # image_neardup (rotated out round 16, last driver-green r15;
+        # decode machinery in-window via multimodal_decode, SimHash/
+        # Hamming engine oracle-checked via simhash_pairs + media twins)
+        "image_neardup": q_image_neardup,
         "corpus_entropy": q_corpus_entropy,
         "multimodal_resize": q_multimodal_resize,
         # (image_neardup — the perceptual image near-dup representative —
