@@ -373,19 +373,26 @@ def cms_cells_by(
     *,
     width: int = 1024,
     depth: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sparse per-group CMS cells: (group_col, idx, c) with idx row-major
     j·width+pos — the grouped sketch's state grain, bounded by
     |groups| · depth · width rows after map-side combine (absent cells
     are zero by omission; a probed key's own occurrences guarantee its
-    d cells exist, so inner probe joins never miss)."""
+    d cells exist, so inner probe joins never miss).
+
+    ``weight_col``: each row counts as that many occurrences (CMS is
+    linear, so cells off a pre-aggregated (group, value, n) grain are
+    IDENTICAL to cells off the raw occurrence stream — round 16, the
+    weighted-grain contraction rolling_heavy_hitters rides)."""
+    cols = [group_col] + ([weight_col] if weight_col else [])
     v = occurrences.select(
-        group_col, F.col(col).cast("string").alias("v")
+        *cols, F.col(col).cast("string").alias("v")
     ).filter(F.col("v").isNotNull())
     # same bound-halves-below-generate rule as cms_cells (round 15)
     hv = _with_km_halves(v, F.col("v"))
     pos = hv.select(
-        group_col,
+        *cols,
         F.explode_outer(
             F.array(
                 *[
@@ -395,9 +402,14 @@ def cms_cells_by(
             )
         ).alias("idx"),
     )
-    return pos.groupBy(group_col, "idx").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # coalesce pins the non-nullable schema count(1) had (the group is
+    # never empty, so the 0 branch is unreachable)
+    c = (
+        F.coalesce(F.sum(weight_col), F.lit(0).cast("long"))
+        if weight_col
+        else F.count(F.lit(1))
+    ).alias("c")
+    return pos.groupBy(group_col, "idx").agg(c)
 
 
 def heavy_hitters_by(
@@ -561,24 +573,49 @@ def rolling_heavy_hitters(
         raise ValueError(f"window_days must be >= 1, got {window_days}")
     from airflow_retail_etl_spark.functions.partitioning import spread
 
-    occ = occurrences.select(
+    occ0 = occurrences.select(
         F.col(day_col).alias("day"),
         F.col(col).cast("string").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("day").isNotNull())
-    # spread BEFORE the per-occurrence double-md5 probe projections:
-    # a single-row-group parquet source cannot parallelize past one
-    # task without an exchange, and the window explode multiplies the
-    # hash work ×window_days (the round-7 AQE/input-split trap —
-    # measured 13.4 s -> ~3 s at sf0.1)
-    occ = spread(occ, "value")
+    # weighted-grain contraction (round 16): the raw occurrence stream
+    # repeats each (day, value) pair many times, and a single-row-group
+    # parquet source runs the whole scan + exchange write on ONE task
+    # (the round-7 input-split trap) — job_profile measured 1.7-1.9 s
+    # single-task on that map side at sf0.1. Aggregating to the
+    # (day, value, __w) grain FIRST puts a map-side combine below that
+    # exchange, so the one-task side emits |distinct pairs| weighted
+    # rows instead of every occurrence, and every downstream pass
+    # (cells, totals, the ×window_days probe explode, the exact count)
+    # hashes/joins the contracted grain. CMS is linear and every
+    # aggregate below is a sum, so results are bit-identical
+    # (test-pinned against the raw-grain form). spread() pins the
+    # post-agg parallelism (AQE would coalesce the small grain to one
+    # partition — the CLAUDE.md bytes-blind trap), and the eager
+    # localCheckpoint materializes the grain ONCE: it feeds the cells
+    # checkpoint, the totals checkpoint, AND the probe stream, and each
+    # of those re-executed the whole single-task scan+aggregate subtree
+    # (~2 s apiece at sf0.1 — A/B measured 5.1-6.0 s unpinned vs
+    # 3.1-3.9 s pinned, the r10 materialize-before-reuse law on the
+    # contracted |days|·|keys| grain, the sketch's own state-size
+    # class; MEMORY_AND_DISK, so an at-scale grain spills, not OOMs).
+    occ = spread(
+        occ0.groupBy("day", "value").agg(
+            F.count(F.lit(1)).cast("long").alias("__w")
+        ),
+        "value",
+    ).localCheckpoint(eager=True)
     # day-grain state, materialized before the broadcasts it feeds
     # (bounded rows off a corpus-sized subtree — the round-10 rule)
     cells = cms_cells_by(
-        occ, "value", "day", width=width, depth=depth
+        occ, "value", "day", width=width, depth=depth, weight_col="__w"
     ).localCheckpoint(eager=True)
     totals = (
         occ.groupBy("day")
-        .agg(F.count(F.lit(1)).cast("long").alias("__dn"))
+        .agg(
+            F.coalesce(F.sum("__w"), F.lit(0))
+            .cast("long")
+            .alias("__dn")
+        )
         .localCheckpoint(eager=True)
     )
     days = totals.select(F.col("day").alias("wd"))
@@ -617,22 +654,24 @@ def rolling_heavy_hitters(
         .agg(F.sum("c").alias("c"))
         .localCheckpoint(eager=True)
     )
-    wocc = occ.join(
-        F.broadcast(mapping.select("wd", F.col("__d").alias("day"))),
-        "day",
-    ).select("wd", "value")
-    # positions bound before the join chain — same rule as
-    # heavy_hitters_by (round 15): join keys re-evaluate their
-    # expression per join, so inline positions hash each row d times
-    probed = _with_km_halves(
-        wocc.join(F.broadcast(thr), "wd"), F.col("value")
-    ).select(
+    # km halves + positions bound ON THE CONTRACTED GRAIN, BEFORE the
+    # window explode (round 16): the double-md5 depends only on value,
+    # so hashing above the ≤window_days broadcast explode re-hashed
+    # every row ×windows — the r15 bound-positions rule pushed one
+    # level further down. The halves/positions ride the explode as
+    # plain longs.
+    hocc = _with_km_halves(occ, F.col("value")).select(
         "*",
         *[
             (F.lit(j * width) + p).cast("long").alias(f"__pos{j}")
             for j, p in enumerate(_bound_positions(depth, width))
         ],
     )
+    wocc = hocc.join(
+        F.broadcast(mapping.select("wd", F.col("__d").alias("day"))),
+        "day",
+    )
+    probed = wocc.join(F.broadcast(thr), "wd")
     colnames = []
     for j in range(depth):
         cj = F.broadcast(
@@ -654,7 +693,12 @@ def rolling_heavy_hitters(
     return (
         survivors.groupBy(F.col("wd").alias("window_end"), "value")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            # each contracted row carries __w occurrences — the exact
+            # count is the weight sum (≡ count(1) on the raw grain;
+            # coalesce pins count's non-nullable schema)
+            F.coalesce(F.sum("__w"), F.lit(0))
+            .cast("long")
+            .alias("n_exact"),
             F.min("cms_est").alias("cms_est"),
             F.min("__thr").alias("threshold"),
         )

@@ -280,3 +280,29 @@ def test_heavy_hitters_rejects_mismatched_prebuilt_cms(spark):
         df, "value", threshold=5, width=64, depth=3, cms=sk
     ).collect()
     assert {r.value for r in out} == {f"v{i}" for i in range(5)}
+
+
+def test_cms_cells_by_weighted_grain_equals_raw(spark):
+    """Round 16: rolling_heavy_hitters contracts the occurrence stream
+    to the (group, value, n) grain before sketching. CMS is linear, so
+    weighted cells must be BIT-identical to raw-occurrence cells —
+    every (group, idx, c) row."""
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(4):
+        day = d0 + dt.timedelta(days=i)
+        rows += [(day, v) for v, n in COUNTS.items() for _ in range(n + i)]
+    raw = spark.createDataFrame(rows, ["day", "v"])
+    weighted = raw.groupBy("day", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("__w")
+    )
+    a = frequency.cms_cells_by(raw, "v", "day", width=W, depth=D)
+    b = frequency.cms_cells_by(
+        weighted, "v", "day", width=W, depth=D, weight_col="__w"
+    )
+    assert a.schema == b.schema
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
