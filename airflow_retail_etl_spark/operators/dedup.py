@@ -792,9 +792,15 @@ def connected_components(
     round, so convergence is O(log d) rounds. Each round ends in an eager
     ``localCheckpoint``: the lineage is truncated (no exponential plan
     growth across iterations) and the iterate is pinned so the convergence
-    check and the next round share one materialization. The per-round
-    driver action is a LIMIT-1 existence probe ("did any label change?"),
-    not a collect of data rows — state lives executor-side throughout.
+    check and the next round share one materialization. Round 1 is
+    UNROLLED into the assign construction (off the identity assignment,
+    propagate is just ``least(node, min neighbor id)``), so the identity
+    checkpoint — a whole driver action per call — never materializes,
+    and the loop tests the FIXPOINT first: stop when no edge spans two
+    labels (labels only decrease; the min node keeps itself; once
+    edge-consistent, comp∘comp = comp). The per-round driver action is a
+    LIMIT-1 existence probe, not a collect of data rows — state lives
+    executor-side throughout.
 
     ``nodes``: optional one-column DataFrame of the full node universe;
     nodes with no edges come out as singleton components (comp = self).
@@ -810,11 +816,60 @@ def connected_components(
         universe = edges.select(F.col("src").alias("node")).distinct()
     else:
         universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-    assign = universe.select(
-        "node", F.col("node").alias("comp")
-    ).localCheckpoint(eager=True)
+    # Round 1 unrolled into the assign construction (round 16): off the
+    # identity assignment, propagate is simply comp = least(node,
+    # min neighbor id) and jump is one self-join on that — so the first
+    # materialized frame IS round 1's output and the identity-assign
+    # checkpoint (a whole extra driver action + its AQE sub-jobs, per
+    # call, across every CC consumer) disappears. Same per-round
+    # dataflow, same fixpoint, bit-identical assignments (test-pinned).
+    nbr0 = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_comp"))
+        .withColumnRenamed("src", "node")
+    )
+    prop0 = universe.join(nbr0, "node", "left").select(
+        "node",
+        F.least(F.col("node"), F.coalesce("nbr_comp", "node")).alias("comp"),
+    )
+    jump0 = (
+        prop0.alias("x")
+        .join(
+            prop0.select(
+                F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+            ).alias("y"),
+            F.col("x.comp") == F.col("y.c_node"),
+            "left",
+        )
+        .select(
+            F.col("x.node").alias("node"),
+            F.coalesce(F.col("y.c_comp"), F.col("x.comp")).alias("comp"),
+        )
+    )
+    assign = jump0.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
+        # fixpoint test first: round 1 already ran above, and shallow
+        # dup-cluster graphs (pairs/stars) are AT the fixpoint here
+        crossing = (
+            edges.join(
+                assign.select(
+                    F.col("node").alias("src"), F.col("comp").alias("scomp")
+                ),
+                "src",
+            )
+            .join(
+                assign.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .filter(F.col("scomp") != F.col("dcomp"))
+            .limit(1)
+            .count()
+        )
+        if crossing == 0:
+            break
         nbr_min = (
             edges.join(
                 assign.select(
@@ -845,31 +900,6 @@ def connected_components(
             )
         )
         assign = jump.localCheckpoint(eager=True)
-        # convergence = the FIXPOINT test, not "did labels move": stop
-        # when no edge spans two labels. Labels are constant per component
-        # exactly at the fixpoint (labels only decrease; the min node
-        # keeps itself; comp(comp(n)) = comp(n) once edge-consistent), so
-        # this saves the terminal no-op iteration the did-it-change probe
-        # needs — for shallow dup-cluster graphs that is ~half the rounds.
-        crossing = (
-            edges.join(
-                assign.select(
-                    F.col("node").alias("src"), F.col("comp").alias("scomp")
-                ),
-                "src",
-            )
-            .join(
-                assign.select(
-                    F.col("node").alias("dst"), F.col("comp").alias("dcomp")
-                ),
-                "dst",
-            )
-            .filter(F.col("scomp") != F.col("dcomp"))
-            .limit(1)
-            .count()
-        )
-        if crossing == 0:
-            break
     return assign
 
 
