@@ -438,8 +438,9 @@ def heavy_hitters_by(
 
     Scale shape: the sparse cell table (|groups| · depth · width rows,
     map-side combined) broadcasts into d map-side probe joins — the
-    occurrence stream never shuffles before the prune; the only
-    key-grain shuffle carries surviving occurrences, and the same
+    occurrence stream shuffles ONCE, contracted to the
+    (group, value, n) grain with a map-side combine (round 16); the
+    prune and the exact count run on that weighted grain, and the same
     overestimate guarantee makes the prune lossless per group.
 
     ``broadcast_cells`` sizes that design: the cell table is ~16 B ×
@@ -454,18 +455,34 @@ def heavy_hitters_by(
         raise ValueError(
             "pass exactly one of threshold / threshold_frac"
         )
-    # materialize-before-broadcast (round-10 rule, graph.py): the cell
-    # table is BOUNDED (|groups|·depth·width rows) but DERIVED from the
-    # corpus-sized occurrence subtree — un-materialized, every one of
-    # the d broadcast builds below re-executes that subtree (d extra
-    # corpus scans). localCheckpoint stores the bounded rows
-    # executor-side and cuts the lineage once.
+    from airflow_retail_etl_spark.functions.partitioning import spread
+
+    # weighted-grain contraction + pin (round 16, the
+    # rolling_heavy_hitters treatment): the occurrence stream fed THREE
+    # passes (cells checkpoint, threshold checkpoint, probe), each
+    # re-executing the corpus-sized subtree — and its map side runs on
+    # ONE task over a single-row-group source. Aggregate to the
+    # (group, value, __w) grain first (map-side combine below that
+    # exchange), pin the contracted grain once, and run every pass off
+    # the pin. CMS is linear and every aggregate below is a sum, so
+    # cells/thresholds/exact counts are bit-identical
+    # (test_cms_cells_by_weighted_grain_equals_raw + the oracle).
+    occ = (
+        spread(
+            occurrences.select(
+                group_col, F.col(col).cast("string").alias("value")
+            )
+            .filter(F.col("value").isNotNull())
+            .groupBy(group_col, "value")
+            .agg(F.count(F.lit(1)).cast("long").alias("__w")),
+            "value",
+        )
+        .localCheckpoint(eager=True)
+    )
     cells = cms_cells_by(
-        occurrences, col, group_col, width=width, depth=depth
+        occ, "value", group_col, width=width, depth=depth,
+        weight_col="__w",
     ).localCheckpoint(eager=True)
-    occ = occurrences.select(
-        group_col, F.col(col).cast("string").alias("value")
-    ).filter(F.col("value").isNotNull())
     if threshold_frac is not None:
         if not 0.0 < threshold_frac <= 1.0:
             raise ValueError(
@@ -474,18 +491,19 @@ def heavy_hitters_by(
         thr = occ.groupBy(group_col).agg(
             F.greatest(
                 F.lit(1).cast("long"),
-                F.ceil(F.lit(threshold_frac) * F.count(F.lit(1))),
+                F.ceil(
+                    F.lit(threshold_frac)
+                    * F.coalesce(F.sum("__w"), F.lit(0))
+                ),
             ).alias("__thr")
-        ).localCheckpoint(eager=True)  # same rule: |groups| rows off a
-        # corpus-sized subtree, feeding a broadcast
+        ).localCheckpoint(eager=True)  # same rule: |groups| rows
+        # feeding a broadcast — pinned so the build is one cheap read
     else:
         if threshold < 1:
             raise ValueError(f"threshold must be >= 1, got {threshold}")
         thr = occ.select(group_col).distinct().select(
             group_col, F.lit(threshold).cast("long").alias("__thr")
-        ).localCheckpoint(eager=True)  # same rule as the frac branch:
-        # |groups| rows off a corpus-sized subtree, feeding a broadcast —
-        # un-materialized, the broadcast build re-scans the corpus
+        ).localCheckpoint(eager=True)
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_cells else df
 
@@ -523,7 +541,11 @@ def heavy_hitters_by(
     return (
         survivors.groupBy(group_col, "value")
         .agg(
-            F.count(F.lit(1)).alias("n_exact"),
+            # weight sum ≡ count(1) on the raw grain; coalesce pins
+            # count's non-nullable schema
+            F.coalesce(F.sum("__w"), F.lit(0))
+            .cast("long")
+            .alias("n_exact"),
             F.min("cms_est").alias("cms_est"),
             F.min("__thr").alias("threshold"),
         )

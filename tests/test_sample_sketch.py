@@ -65,7 +65,10 @@ def test_sample_state_is_bottom_k_of_distinct_keys(spark, days_df):
     ).collect()
     want = {}
     for r in brute:
-        want.setdefault(r.day, []).append((int(r.h), r.v))
+        # state h is the ORDER-PRESERVING biased image u − 2^63 since
+        # round 16 (the published threshold is reconstructed to the
+        # exact u64 — pinned in test_sampling); compare on that image
+        want.setdefault(r.day, []).append((int(r.h) - (1 << 63), r.v))
     for d, hs in want.items():
         assert sorted(per_day[d]) == sorted(hs)[:k]
 
